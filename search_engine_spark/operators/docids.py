@@ -1,0 +1,65 @@
+"""Dense docID assignment over a stable total order — scale-safe.
+
+The reference gets doc ids for free from a PostgreSQL sequence
+(reference entity/Page.java:21-24, serial PK). At 10^12 rows a global
+``row_number()`` window would funnel everything through ONE partition,
+so we use the classic two-pass zipWithIndex pattern instead:
+
+1. range-repartition + sort by the ordering key (one shuffle, already
+   needed to establish order),
+2. count rows per partition (cheap metadata-sized aggregate),
+3. driver computes cumulative offsets (P integers),
+4. doc_id = per-partition row_number + partition offset.
+
+The result is a bijection doc_id ↔ rank over (conv_id, turn_idx)
+regardless of partition boundaries (input_hint invariant: per-turn text
+equality under stable turn ordering — tests/test_invariants.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``id_col`` = 0-based dense rank over ``order_cols`` (unique key)."""
+    if num_partitions is None:
+        num_partitions = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+
+    parted = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # Persist so the per-partition counts and the final pass see the
+    # same partitioning (repartitionByRange samples; don't recompute).
+    parted = parted.persist()
+    counts = {r["_pid"]: r["cnt"] for r in
+              parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offsets_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = (
+        parted.join(offsets_df, "_pid")
+        .withColumn(id_col, F.row_number().over(w).cast("long") + F.col("_offset") - 1)
+        .drop("_pid", "_offset")
+    )
+    return out
+
+
+def assign_doc_ids(transcripts: DataFrame) -> DataFrame:
+    """docs table: doc_id + original transcript columns (FIXTURES.md §2)."""
+    return assign_dense_ids(transcripts, ["conv_id", "turn_idx"], "doc_id")

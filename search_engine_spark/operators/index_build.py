@@ -1,0 +1,190 @@
+"""Inverted-index construction: docs → lemma rows → postings → terms → stats.
+
+Reference pipeline being re-expressed (crawler thread → lemmatizer →
+staging table → plpgsql trigger explode → page/lemma/index upserts,
+reference DBWriter.java:44-79 + PageContainerRepository.java:89-144):
+here it is ONE declarative lineage —
+
+    read → lemmatize (codegen or Arrow UDF) → explode →
+    groupBy(doc,lemma) tf/rank → groupBy(lemma) df/cf →
+    BM25 idf/doclen stats
+
+so Catalyst fuses the scan+tokenize+explode into one stage and the two
+aggregations are the only shuffles. All aggregates benefit from map-side
+partial aggregation; the genuinely skew-prone shapes additionally get an
+explicit salted two-stage variant (north_rule requirement; see
+``term_df_salted``).
+
+Semantics preserved:
+- tf  = per-(doc,term) occurrence count  (reference Lemmatization.java:104-129)
+- rank = tf × field weight, summed across fields (Lemmatization.java:131-141;
+  fields → transcript roles, config.ROLE_WEIGHTS)
+- df  = TRUE document frequency (countDistinct docs). The reference's
+  trigger seeds frequency with the first page's tf (quirk,
+  PageContainerRepository.java:116-123); documented, NOT reproduced.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import (
+    BM25_B,
+    BM25_K1,
+    DEFAULT_FIELD_WEIGHT,
+    ROLE_WEIGHTS,
+    SALT_FACTOR,
+)
+from search_engine_spark.functions.text import lemmas_col, lemmatize_text_udf
+from search_engine_spark.operators.docids import assign_dense_ids
+
+
+def role_weight_col(role_col: str = "role") -> F.Column:
+    """CASE role → field weight (reference Field defaults analog)."""
+    expr = F.lit(DEFAULT_FIELD_WEIGHT)
+    c = None
+    for role, w in ROLE_WEIGHTS.items():
+        c = F.when(F.col(role_col) == role, F.lit(w)) if c is None else c.when(
+            F.col(role_col) == role, F.lit(w)
+        )
+    return c.otherwise(expr)
+
+
+def explode_lemmas(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_arrow_udf: bool = False,
+    weight_col: F.Column | None = None,
+) -> DataFrame:
+    """docs → one row per (doc_id, lemma[, weight]).
+
+    ``use_arrow_udf=True`` routes lemmatization through the vectorized
+    pandas UDF (north_star Arrow path); default is the pure-JVM
+    codegen expression — both produce identical rows (tested).
+    """
+    lem = lemmatize_text_udf(F.col(text_col)) if use_arrow_udf else lemmas_col(text_col)
+    cols = [F.col(id_col), F.explode(lem).alias("lemma")]
+    out = docs.select(*cols, *( [weight_col.alias("weight")] if weight_col is not None else [] ))
+    return out
+
+
+def build_postings(lemma_rows: DataFrame) -> DataFrame:
+    """(doc_id, lemma[, weight]) → postings(doc_id, lemma, tf, rank).
+
+    One shuffle on (doc_id, lemma). Key cardinality ≈ corpus size × avg
+    distinct terms — high and well-spread, so no salting needed here
+    (the map-side partial agg already collapses in-partition repeats).
+    """
+    has_w = "weight" in lemma_rows.columns
+    rank_expr = F.sum("weight") if has_w else F.count("*").cast("double")
+    return (
+        lemma_rows.groupBy("doc_id", "lemma")
+        .agg(F.count("*").cast("int").alias("tf"), rank_expr.alias("rank"))
+    )
+
+
+def build_doclen(postings: DataFrame) -> DataFrame:
+    """doc_id → dl (post-filter token count = Σ tf)."""
+    return postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+
+
+def build_terms(postings: DataFrame, assign_ids: bool = True) -> DataFrame:
+    """terms(term_id, lemma, df, cf) — the dictionary (reference ``lemma``
+    table analog, entity/Lemma.java:14-27).
+
+    df via count(*) over postings (already unique per (doc,lemma)) — this
+    is a plain partial+final agg, NOT a countDistinct expand, so hot
+    terms cost O(#partitions) rows in the final stage.
+    """
+    terms = postings.groupBy("lemma").agg(
+        F.count("*").alias("df"), F.sum("tf").cast("long").alias("cf")
+    )
+    if assign_ids:
+        terms = assign_dense_ids(terms, ["lemma"], "term_id")
+    return terms
+
+
+def term_df_salted(lemma_rows: DataFrame, salt: int = SALT_FACTOR) -> DataFrame:
+    """Document frequency straight from exploded lemma rows with an
+    EXPLICIT salted two-stage aggregation (north_rule skew handling).
+
+    Needed when df is computed as countDistinct(doc_id) over raw lemma
+    rows: a Zipf-head term routes its billions of rows to one reducer.
+    Stage 1 groups by (lemma, salt=doc_id%S) — hot keys split S ways and
+    dedup happens inside each salt bucket; stage 2 sums S partial
+    distinct-counts (buckets partition doc space, so counts add exactly).
+    Tested equal to the unsalted aggregate (tests/test_salting.py).
+    """
+    stage1 = (
+        lemma_rows.withColumn("_salt", (F.col("doc_id") % salt).cast("int"))
+        .groupBy("lemma", "_salt")
+        .agg(F.countDistinct("doc_id").alias("_pdf"))
+    )
+    return stage1.groupBy("lemma").agg(F.sum("_pdf").alias("df"))
+
+
+@dataclass(frozen=True)
+class CorpusStats:
+    n_docs: int
+    avgdl: float
+
+
+def corpus_stats(doclen: DataFrame) -> CorpusStats:
+    row = doclen.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    return CorpusStats(n_docs=int(row["n"]), avgdl=float(row["avgdl"]))
+
+
+def idf_col(df_col: F.Column, n_docs: int) -> F.Column:
+    """BM25 idf = ln(1 + (N - df + 0.5)/(df + 0.5)) — always positive."""
+    return F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
+    )
+
+
+def idf_py(df: int, n_docs: int) -> float:
+    return math.log(1.0 + (float(n_docs) - df + 0.5) / (df + 0.5))
+
+
+def bm25_weight_col(tf_col: F.Column, dl_col: F.Column, idf: F.Column,
+                    avgdl: float, k1: float = BM25_K1, b: float = BM25_B) -> F.Column:
+    """Per-posting BM25 weight; op order pinned — the numpy twin in
+    operators/compression.py and the DuckDB oracle replicate it exactly."""
+    return idf * (tf_col * F.lit(k1 + 1.0)) / (
+        tf_col + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_col / F.lit(avgdl))
+    )
+
+
+@dataclass
+class InvertedIndex:
+    """In-memory handle on the index DataFrames (pre-segment form)."""
+
+    docs: DataFrame        # doc_id, conv_id, turn_idx, role, text, tool, ts
+    postings: DataFrame    # doc_id, lemma, tf, rank
+    doclen: DataFrame      # doc_id, dl
+    terms: DataFrame       # term_id, lemma, df, cf
+    stats: CorpusStats
+
+
+def build_index(
+    transcripts: DataFrame,
+    use_arrow_udf: bool = True,
+    weighted: bool = True,
+) -> InvertedIndex:
+    """Full batch index build over a transcript table (the reference's
+    /api/startIndexing analog, ApiService.java:260-292 — minus the crawl)."""
+    docs = assign_dense_ids(transcripts, ["conv_id", "turn_idx"], "doc_id")
+    weight = role_weight_col("role") if (weighted and "role" in docs.columns) else None
+    lemma_rows = explode_lemmas(docs, use_arrow_udf=use_arrow_udf, weight_col=weight)
+    postings = build_postings(lemma_rows).persist()
+    doclen = build_doclen(postings)
+    terms = build_terms(postings)
+    stats = corpus_stats(doclen)
+    return InvertedIndex(docs=docs, postings=postings, doclen=doclen,
+                         terms=terms, stats=stats)

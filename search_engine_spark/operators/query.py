@@ -1,0 +1,180 @@
+"""Query-time top-k retrieval — pure-DataFrame scorer (engine #1 of 2).
+
+Reference lifecycle being re-expressed (GET /api/search,
+ApiService.java:36-113): validate → lemmatize query → dictionary lookup
+→ AND-intersect postings across query lemmas → relevance → order →
+offset/limit. The reference ships THREE equivalent execution strategies
+(Java hash intersection / generated SQL / PG merge scan —
+SearchComponent.java:450-551, README "same result, different time");
+ours are (1) this Catalyst-planned DataFrame scorer and (2) the
+block-max WAND scorer over compressed segments (operators/wand.py),
+differentially tested for rank identity.
+
+Plan shape (what .explain should show):
+- query lemmas are a tiny broadcast side → BroadcastHashJoin against
+  postings; the lemma IN-filter prunes the postings scan first.
+- AND semantics via groupBy(doc).having(countDistinct(lemma)=n) — a
+  semi-join formulation, no N-way self-join (reference J1/J6 analog,
+  SearchService.java:192-209).
+- final TakeOrderedAndProject for the top-k (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import BM25_B, BM25_K1, DEFAULT_TOP_K
+from search_engine_spark.functions.text import lemmatize_text_py
+from search_engine_spark.operators.index_build import (
+    CorpusStats,
+    InvertedIndex,
+    bm25_weight_col,
+    idf_col,
+)
+
+SCORE_DECIMALS = 6  # pinned rounding for cross-engine hash comparison
+
+
+def parse_query(query: str) -> list[str]:
+    """Query validation + lemmatization (reference ApiService.java:49-69).
+
+    Returns distinct lemmas in first-seen order; empty list = invalid
+    query (reference returns 'empty request' error)."""
+    seen: dict[str, None] = {}
+    for lemma in lemmatize_text_py(query):
+        seen.setdefault(lemma)
+    return list(seen)
+
+
+def candidate_docs(postings: DataFrame, lemmas: list[str]) -> DataFrame:
+    """Docs containing ALL query lemmas (reference AND-intersection,
+    SearchService.java:192-209) — postings rows for those docs only."""
+    n = len(lemmas)
+    hits = postings.filter(F.col("lemma").isin(lemmas))
+    full = (
+        hits.groupBy("doc_id")
+        .agg(F.count("*").alias("_nt"))  # postings unique per (doc,lemma)
+        .filter(F.col("_nt") == n)
+        .select("doc_id")
+    )
+    return hits.join(full, "doc_id")
+
+
+def bm25_topk(
+    index: InvertedIndex,
+    query: str,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k (doc_id, score) by BM25 over the DataFrame index.
+
+    Tie-break pinned: score desc, doc_id asc (BASELINE.md). Scores are
+    rounded to SCORE_DECIMALS for stable cross-engine comparison; the
+    unrounded double is also returned as ``score_raw``.
+    """
+    lemmas = parse_query(query)
+    if not lemmas:
+        return index.postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    hits = candidate_docs(index.postings, lemmas)
+    stats = index.stats
+    scored = (
+        hits.join(F.broadcast(index.terms.filter(F.col("lemma").isin(lemmas))
+                              .select("lemma", "df")), "lemma")
+        .join(index.doclen, "doc_id")
+        .withColumn("_idf", idf_col(F.col("df").cast("double"), stats.n_docs))
+        .withColumn(
+            "_w",
+            bm25_weight_col(F.col("tf").cast("double"), F.col("dl").cast("double"),
+                            F.col("_idf"), stats.avgdl, k1, b),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("_w").alias("score_raw"))
+        .withColumn("score", F.round(F.col("score_raw"), SCORE_DECIMALS))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .select("doc_id", "score", "score_raw")
+        .limit(k)
+    )
+
+
+def reference_relevance(
+    index: InvertedIndex, query: str, k: int | None = None
+) -> DataFrame:
+    """The reference's own relevance formula (secondary scorer for parity):
+
+        abs = Σ rank(lemma, doc)   over query lemmas
+        rel = abs / max rank(lemma, doc)
+        ORDER BY abs DESC, rel DESC
+
+    — reference SearchService.java:95-131; identical SQL in
+    ConfigRepository.java:246-252.  rank = tf × field weight.
+    """
+    lemmas = parse_query(query)
+    if not lemmas:
+        return index.postings.sparkSession.createDataFrame(
+            [], "doc_id long, abs_rel double, rel_rel double"
+        )
+    hits = candidate_docs(index.postings, lemmas)
+    res = (
+        hits.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("rank"), SCORE_DECIMALS).alias("abs_rel"),
+            F.round(F.sum("rank") / F.max("rank"), SCORE_DECIMALS).alias("rel_rel"),
+        )
+        .orderBy(F.col("abs_rel").desc(), F.col("rel_rel").desc(), F.col("doc_id").asc())
+    )
+    return res.limit(k) if k else res
+
+
+def paginate(results: DataFrame, offset: int, limit: int) -> DataFrame:
+    """Reference offset/limit slice (ApiService.java:97-113). Spark has no
+    OFFSET pushdown in DataFrame API → take offset+limit then cut via
+    row_number (results are already tiny top-k)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        results.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
+        .drop("_rn")
+    )
+
+
+def enrich_results(results: DataFrame, docs: DataFrame) -> DataFrame:
+    """Join top-k back to the doc store for display columns (reference
+    ApiService.java:202-224: page point-read + site join). The top-k side
+    is tiny → broadcast it, so the doc store is scanned once with a
+    semi-join filter rather than collected."""
+    return (
+        docs.join(F.broadcast(results), "doc_id")
+        .select("doc_id", "conv_id", "turn_idx", "role", "text", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
+def snippets(results_with_text: DataFrame, query: str, window: int = 25) -> DataFrame:
+    """±window-char snippet around the first matched lemma, match
+    <b>-wrapped (reference ApiService.java:134-200). Built-ins only."""
+    lemmas = parse_query(query)
+    if not lemmas:
+        return results_with_text.withColumn("snippet", F.lit(""))
+    first = lemmas[0]
+    pos = F.locate(first, F.lower(F.col("text")))  # 1-based; 0 = no hit
+    start = F.greatest(pos - window, F.lit(1))
+    snippet = F.when(
+        pos > 0,
+        F.concat(
+            F.lit("…"),
+            F.substring_index(  # trim to word-ish boundary via substr window
+                F.substring(F.col("text"), start.cast("int"), window * 2 + F.length(F.lit(first))),
+                " ", 12,
+            ),
+            F.lit("…"),
+        ),
+    ).otherwise(F.substring(F.col("text"), 1, window * 2))
+    return results_with_text.withColumn("snippet", snippet)
