@@ -1,0 +1,161 @@
+"""Text-analysis functions for training-data pipelines: language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+
+All JVM-side column expressions (codegen'd; no UDFs), each with a
+matching ANSI-SQL builder the DuckDB oracle runs — the same dual-impl
+discipline as functions/text.py.
+
+Reference analog: the reference filters "Russian-looking" content lines
+(HtmlParsing.java:156-169) and counts words per page — these operators
+generalize that into the standard pretraining quality/langid/token
+stack (task brief: first-class beyond-reference components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import STOPWORDS
+from search_engine_spark.functions.text import STOPWORDS_SQL, tokens_sql
+
+# ---------------------------------------------------------------------------
+# Token counting
+# ---------------------------------------------------------------------------
+def token_count_col(text_col: str) -> Column:
+    """Whitespace-word count after normalization (size of token array)."""
+    return F.expr(f"size({tokens_sql(text_col)})")
+
+
+def token_count_sql_duckdb(text_col: str = "text") -> str:
+    """DuckDB twin: count non-empty normalized tokens."""
+    return (
+        f"length(list_filter(string_split(trim(regexp_replace(lower({text_col}), "
+        f"'[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> ''))"
+    )
+
+
+def bpe_ish_token_count_col(text_col: str) -> Column:
+    """Sub-word-ish count: splits on whitespace AND letter/digit
+    boundaries (a cheap BPE proxy: 'w00017ing' → w, 00017, ing = 3)."""
+    return F.size(
+        F.filter(
+            F.split(
+                F.regexp_replace(
+                    F.lower(F.col(text_col)),
+                    "([a-z])([0-9])|([0-9])([a-z])",
+                    "$1$3 $2$4",
+                ),
+                "[^a-z0-9]+",
+            ),
+            lambda t: t != F.lit(""),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length / punctuation / stopword ratios)
+# ---------------------------------------------------------------------------
+def quality_features(text_col: str = "text") -> list[Column]:
+    """Feature columns: n_chars, n_tokens, mean token length,
+    punct_ratio, digit_ratio, stopword_ratio, uniq_token_ratio."""
+    toks = f"{tokens_sql(text_col)}"
+    n_toks = f"size({toks})"
+    return [
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.expr(n_toks).alias("n_tokens"),
+        F.expr(
+            f"CASE WHEN {n_toks} > 0 THEN "
+            f"round(aggregate({toks}, cast(0.0 as double), (acc, t) -> acc + length(t)) "
+            f"/ {n_toks}, 6) ELSE 0.0 END"
+        ).alias("mean_token_len"),
+        F.expr(
+            f"round(length(regexp_replace({text_col}, '[a-zA-Z0-9 ]', '')) "
+            f"/ cast(greatest(length({text_col}), 1) as double), 6)"
+        ).alias("punct_ratio"),
+        F.expr(
+            f"round(length(regexp_replace({text_col}, '[^0-9]', '')) "
+            f"/ cast(greatest(length({text_col}), 1) as double), 6)"
+        ).alias("digit_ratio"),
+        F.expr(
+            f"CASE WHEN {n_toks} > 0 THEN "
+            f"round(size(filter({toks}, t -> t IN {STOPWORDS_SQL})) "
+            f"/ cast({n_toks} as double), 6) ELSE 0.0 END"
+        ).alias("stopword_ratio"),
+        F.expr(
+            f"CASE WHEN {n_toks} > 0 THEN "
+            f"round(size(array_distinct({toks})) / cast({n_toks} as double), 6) "
+            f"ELSE 0.0 END"
+        ).alias("uniq_token_ratio"),
+    ]
+
+
+def quality_score_col() -> Column:
+    """Scalar quality score ∈ [0,1] from the feature columns (pinned
+    linear mix; deterministic, documented — not a learned model)."""
+    length_ok = F.when((F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 5000), 1.0).otherwise(0.0)
+    return F.round(
+        0.4 * length_ok
+        + 0.3 * (1.0 - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0)))
+        + 0.3 * F.col("uniq_token_ratio"),
+        6,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (n-gram/character-class evidence)
+# ---------------------------------------------------------------------------
+def langid_features(text_col: str = "text") -> list[Column]:
+    """Character-class evidence columns: ascii_letter_ratio, vowel_ratio,
+    cyrillic_ratio, cjk_ratio — enough to route docs to per-script
+    pipelines. (A real model is out of scope; the reference's analog is
+    its binary [ЁёА-я] 'is Russian' test, HtmlParsing.java:156-169.)"""
+    def ratio(pattern: str, name: str) -> Column:
+        return F.expr(
+            f"round(length(regexp_replace({text_col}, '{pattern}', '')) "
+            f"/ cast(greatest(length({text_col}), 1) as double), 6)"
+        ).alias(name)
+
+    return [
+        ratio("[^a-zA-Z]", "ascii_letter_ratio"),
+        ratio("[^aeiouAEIOU]", "vowel_ratio"),
+        ratio("[^\\u0400-\\u04FF]", "cyrillic_ratio"),
+        ratio("[^\\u4e00-\\u9fff]", "cjk_ratio"),
+    ]
+
+
+def langid_label_col() -> Column:
+    """Route by dominant script, 'en'-ish if ascii-letter dominated."""
+    return (
+        F.when(F.col("cyrillic_ratio") > 0.3, "ru-script")
+        .when(F.col("cjk_ratio") > 0.3, "cjk-script")
+        .when(F.col("ascii_letter_ratio") > 0.3, "latin-script")
+        .otherwise("unknown")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting
+# ---------------------------------------------------------------------------
+def content_fingerprint_col(text_col: str = "text") -> Column:
+    """md5 of the normalized token stream — whitespace/case/punct-
+    insensitive content identity (md5 exists in Spark AND DuckDB →
+    oracle-checkable)."""
+    return F.md5(F.expr(f"array_join({tokens_sql(text_col)}, ' ')"))
+
+
+def content_fingerprint_sql_duckdb(text_col: str = "text") -> str:
+    return (
+        f"md5(array_to_string(list_filter(string_split(trim(regexp_replace("
+        f"lower({text_col}), '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> ''), ' '))"
+    )
+
+
+def rolling_fingerprints_col(text_col: str, window: int = 8) -> Column:
+    """Winnowing-style shingle fingerprints: xxhash64 of each ``window``-
+    token shingle (array<long>). Min-sampled per doc for compact sketches."""
+    toks = tokens_sql(text_col)
+    return F.expr(
+        f"transform(sequence(0, greatest(size({toks}) - {window}, -1)), "
+        f"i -> xxhash64(array_join(slice({toks}, i + 1, {window}), ' ')))"
+    )

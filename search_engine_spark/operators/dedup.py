@@ -1,0 +1,281 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families, each with a distinct scale profile:
+
+- exact          hash-groupBy on normalized text      (1 shuffle)
+- ngram-Jaccard  exact set similarity via shingle self-join (candidate
+                 pairs limited to shingle-sharers; SQL-expressible →
+                 DuckDB oracle)
+- MinHash + LSH  signature → banded bucket-join (the 100 TB path: cost
+                 is O(docs × bands), never O(docs²))
+- SimHash        64-bit fingerprint + pigeonhole chunk-join for
+                 Hamming-distance candidates
+- embedding cosine  near-dup over an embedding column (brute pair-join
+                 at small scale; see similarity.py for the LSH-bucketed
+                 ANN variant)
+
+All hashing stays JVM-side (xxhash64) except the SimHash bit-fold,
+which is a vectorized pandas_udf over collected token-hash arrays.
+Reference analog: the reference dedups only crawl URLs (frontier
+set-subtract, Parser.java:340-348) — document-level dedup is part of
+this engine's charter beyond the reference (task brief).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from search_engine_spark.functions.text import tokenize_expr
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (keeper_id, dup_count) per text.
+
+    keeper = min(doc_id). One shuffle, map-side partial agg. At 100 TB
+    group by xxhash64(text) first and verify within hash groups to keep
+    shuffle rows narrow; at test scale grouping the text itself is
+    exactly equivalent (and oracle-friendly).
+    """
+    return (
+        docs.groupBy(F.col(text_col))
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("dup_count"))
+        .select("keeper_id", "dup_count")
+    )
+
+
+def drop_exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Keep one doc (min id) per distinct text — the dedup sink shape."""
+    keep = docs.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    return docs.join(keep, [id_col, text_col], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Word n-gram shingles (shared by Jaccard + MinHash)
+# ---------------------------------------------------------------------------
+def shingles_expr(text_col: str, n: int = 3):
+    """text → array of distinct word n-gram strings (JVM-side)."""
+    toks = tokenize_expr(F.col(text_col))
+    # slide a window: shingle i = tokens[i..i+n-1] joined by ' '
+    return F.array_distinct(
+        F.expr(
+            f"""
+            transform(
+              sequence(0, greatest(size({_tok_sql(text_col)}) - {n}, -1)),
+              i -> array_join(slice({_tok_sql(text_col)}, i + 1, {n}), ' ')
+            )
+            """
+        )
+    )
+
+
+def _tok_sql(text_col: str) -> str:
+    from search_engine_spark.functions.text import tokens_sql
+
+    return tokens_sql(text_col)
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 n: int = 3) -> DataFrame:
+    """(doc_id, shingle) rows, distinct per doc; docs with <n tokens drop out."""
+    return (
+        docs.filter(F.size(tokenize_expr(F.col(text_col))) >= n)
+        .select(F.col(id_col).alias("doc_id"),
+                F.explode(shingles_expr(text_col, n)).alias("shingle"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (oracle-checkable ground truth)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, n: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """All doc pairs with Jaccard(shingle sets) ≥ threshold.
+
+    Candidates = pairs sharing ≥1 shingle (self-join on shingle), so the
+    join never goes quadratic on unrelated docs. At 100 TB, drop
+    ultra-common shingles first (df cap) to bound the hot-shingle
+    blowup — same skew lever as the term salting.
+    """
+    sh = doc_shingles(docs, id_col, text_col, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "sz_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") /
+                    (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path)
+# ---------------------------------------------------------------------------
+def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, sig:array<long>) — sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). All JVM-side: one explode + one groupBy
+    with num_hashes min() aggregates (map-side combined)."""
+    sh = doc_shingles(docs, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    return sigs.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8) -> DataFrame:
+    """Band the signature, hash each band, self-join on band buckets.
+
+    Shuffle cost O(docs × bands); pair blowup only inside identical-band
+    buckets (true near-dups + few false positives)."""
+    num_hashes = bands  # resolved below from the array size at runtime
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> xxhash64(array_join(transform("
+                f"slice(sig, b * (size(sig) div {bands}) + 1, size(sig) div {bands}), "
+                f"x -> cast(x as string)), ',')))"
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.8,
+                            num_hashes: int = 32, bands: int = 8,
+                            n: int = 3) -> DataFrame:
+    """LSH candidates verified with exact Jaccard (no false positives;
+    false-negative rate set by the (bands, rows) S-curve)."""
+    sigs = minhash_signatures(docs, num_hashes, n)
+    cands = lsh_candidate_pairs(sigs, bands)
+    sh = doc_shingles(docs, n=n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a_sh = sh.withColumnRenamed("doc_id", "doc_a")
+    b_sh = sh.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        cands.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "shingle"])  # same shingle in both docs
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") /
+                    (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+@F.pandas_udf(T.LongType())
+def _simhash_fold(hashes: pd.Series, tfs: pd.Series) -> pd.Series:
+    """Per row: arrays of token hashes + tfs → 64-bit SimHash (vectorized
+    bit-fold in numpy; one call per Arrow batch)."""
+    out = np.zeros(len(hashes), dtype=np.int64)
+    for i, (hs, ws) in enumerate(zip(hashes, tfs)):
+        if hs is None or len(hs) == 0:
+            continue
+        h = np.asarray(hs, dtype=np.uint64)
+        w = np.asarray(ws, dtype=np.float64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.float64)
+        v = ((bits * 2.0 - 1.0) * w[:, None]).sum(axis=0)
+        sim = np.uint64(0)
+        for b in np.flatnonzero(v > 0):
+            sim |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sim.astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash:long) — token hashes JVM-side, fold in Arrow UDF."""
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokenize_expr(F.col(text_col))).alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+        .withColumn("th", F.xxhash64("tok"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("th").alias("hs"), F.collect_list("tf").alias("ws"))
+    )
+    return toks.select("doc_id", _simhash_fold("hs", "ws").alias("simhash"))
+
+
+def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs within Hamming distance ≤ max_hamming.
+
+    Pigeonhole: split 64 bits into (max_hamming+1) chunks; any pair
+    within distance d shares ≥1 exact chunk → equi-join per chunk, then
+    verify with popcount(xor). Never compares unrelated docs."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sigs = simhash_signatures(docs)
+    mask = (1 << width) - 1
+    pieces = sigs.select(
+        "doc_id", "simhash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {chunks - 1}), "
+                f"c -> shiftrightunsigned(simhash, c * {width}) & {mask})"
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = pieces.alias("a")
+    b = pieces.alias("b")
+    cands = (
+        a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+               & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sim_a"), F.col("b.simhash").alias("sim_b"))
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

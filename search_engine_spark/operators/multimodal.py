@@ -1,0 +1,162 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + typed
+metadata, with decode/feature-extract/resize/frame-sample operators.
+
+The Spark-side machinery here is REAL and tested: schemas, Arrow batch
+shape, mapInPandas partitioning, deterministic fake features. The actual
+codec calls are STUBBED — this container has no image/audio libraries —
+behind ``_decode_image_real`` / ``_decode_audio_real`` which raise
+``NotImplementedError`` with the dependency named. Swapping in Pillow /
+torchaudio touches only those two functions; every schema and operator
+signature stays fixed.
+
+Scale notes: binary payloads ride the normal columnar path (Parquet
+binary + Arrow). Decode work is embarrassingly parallel → mapInPandas
+(no shuffle); feature vectors come back as array<float> ready for
+operators/similarity.py. Batch size is bounded by
+spark.sql.execution.arrow.maxRecordsPerBatch so a partition of 100 MB
+blobs never materializes at once.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),       # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),      # opaque bytes
+        T.StructField("width", T.IntegerType(), True),       # typed metadata
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_DIM = 32
+FEATURES_SCHEMA = (
+    "media_id long, kind string, n_bytes int, sha256 string, "
+    "features array<float>"
+)
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_ts_ms int, frame_sha256 string"
+
+
+def _decode_image_real(payload: bytes):  # pragma: no cover - stub
+    raise NotImplementedError(
+        "image decode requires Pillow/opencv (not in this container); "
+        "deterministic fake features are used instead — see fake_features()"
+    )
+
+
+def _decode_audio_real(payload: bytes):  # pragma: no cover - stub
+    raise NotImplementedError(
+        "audio decode requires soundfile/torchaudio (not in this container)"
+    )
+
+
+def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in feature vector: sha256 bytes → unit floats.
+
+    Lets the full pipeline (decode → embed → ANN) run and be asserted
+    end-to-end without codecs; replaced by a real encoder in production.
+    """
+    h = hashlib.sha256(payload or b"").digest()
+    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    v = raw.astype(np.float32) / np.float32(2**32)
+    n = float(np.sqrt((v.astype(np.float64) ** 2).sum())) or 1.0
+    return (v / n).astype(np.float32)
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """media table → per-item feature vectors via mapInPandas.
+
+    One Arrow batch in, one out; no shuffle. The decode hook is where
+    a real codec plugs in (per-kind dispatch kept explicit)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            feats = [fake_features(p, dim).tolist() for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(lambda p: len(p) if p is not None else 0).astype("int32"),
+                    "sha256": payloads.map(
+                        lambda p: hashlib.sha256(p or b"").hexdigest()
+                    ),
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """video rows → one row per sampled frame timestamp.
+
+    Frame *extraction* is stubbed (no codec): each frame row carries a
+    deterministic content hash derived from (payload, frame_idx) so
+    downstream dedup/similarity plumbing is fully exercisable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "video" or not r.duration_ms:
+                    continue
+                for i, ts in enumerate(range(0, int(r.duration_ms), every_ms)):
+                    frame_hash = hashlib.sha256(
+                        (r.payload or b"") + i.to_bytes(4, "little")
+                    ).hexdigest()
+                    rows.append((r.media_id, i, ts, frame_hash))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "frame_ts_ms", "frame_sha256"]
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_metadata(media: DataFrame, max_side: int = 512) -> DataFrame:
+    """Resize planner: computes target dims JVM-side (aspect-preserving);
+    the pixel work would happen in the decode hook. Pure column math —
+    demonstrates metadata ops need no UDF."""
+    scale = F.when(
+        F.greatest("width", "height") > max_side,
+        F.lit(max_side) / F.greatest("width", "height").cast("double"),
+    ).otherwise(F.lit(1.0))
+    return media.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("width") * scale).cast("int").alias("target_width"),
+        F.round(F.col("height") * scale).cast("int").alias("target_height"),
+    )
+
+
+def synthesize_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 7)
+        rows.append(
+            (
+                i,
+                kind,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                bytearray(payload),
+                640 + (i % 5) * 160 if kind != "audio" else None,
+                480 + (i % 3) * 120 if kind != "audio" else None,
+                (i % 10 + 1) * 1000 if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,191 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+- brute-force cosine top-k: exact baseline, JVM-side arithmetic via
+  higher-order functions (zip_with product + aggregate sum) — correct at
+  any scale but O(N) per query; fine for reranking / small candidate sets.
+- LSH-bucketed ANN: sign-random-projection buckets; query probes only
+  its bucket(s). The 100 TB path: index once (one narrow shuffle), probe
+  cost O(bucket size). Deterministic hyperplanes derived from xxhash64 so
+  index and query sides agree without shipping a model.
+
+Embedding cosine near-dup pairs (dedup use-case) also lives here since it
+shares the machinery.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+COS_DECIMALS = 6
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Sequential left-fold dot product — same accumulation order as the
+    DuckDB oracle's list arithmetic (cross-engine float parity)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
+def with_norm(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return embeddings.withColumn("_norm", F.expr(_norm_sql(vec_col)))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: one scan, TakeOrderedAndProject (no shuffle
+    beyond the final k-row merge)."""
+    q = [float(x) for x in query_vec]
+    qnorm = float(np.sqrt(np.dot(q, q)))
+    q_sql = "array(" + ", ".join(f"cast({x!r} as double)" for x in q) + ")"
+    scored = embeddings.withColumn(
+        "cosine",
+        F.round(
+            F.expr(_dot_sql(vec_col, q_sql))
+            / (F.expr(_norm_sql(vec_col)) * F.lit(qnorm)),
+            COS_DECIMALS,
+        ),
+    )
+    return (
+        scored.select(F.col(id_col), "cosine")
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def cosine_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — exact, via self-join.
+
+    Quadratic by design (ground truth / small collections); the scale
+    path is :func:`lsh_ann_pairs`, which prunes to same-bucket pairs.
+    """
+    e = with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), "_norm"
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(_dot_sql("a.vec", "b.vec"))
+                / (F.col("a._norm") * F.col("b._norm")),
+                COS_DECIMALS,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"), "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sign-random-projection LSH (scale path)
+# ---------------------------------------------------------------------------
+def _hyperplanes(dim: int, n_planes: int, table: int = 0) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: splitmix64 of
+    (table, plane, dim) → uniform in [-1, 1). No RNG state; index and
+    query sides always agree."""
+    i = np.arange(n_planes, dtype=np.uint64)[:, None]
+    j = np.arange(dim, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        x = (
+            i * np.uint64(0x9E3779B97F4A7C15)
+            + j * np.uint64(0xBF58476D1CE4E5B9)
+            + np.uint64(42 + 1_000_003 * table)
+        )
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return (x.astype(np.float64) / 2.0**63) - 1.0
+
+
+def srp_bucket_expr(vec_col: str, dim: int, n_planes: int, table: int):
+    """Column: bucket id = sign bits of <vec, plane_p> packed into a long.
+
+    The per-plane dot products are literal-folded JVM expressions — the
+    planes are constants, so Catalyst codegens the whole thing; no UDF.
+    """
+    planes = _hyperplanes(dim, n_planes, table)
+    bits = []
+    for p in range(n_planes):
+        coeffs = "array(" + ", ".join(f"cast({c!r} as double)" for c in planes[p]) + ")"
+        bits.append(f"(case when {_dot_sql(vec_col, coeffs)} >= 0 then {1 << p} else 0 end)")
+    return F.expr(" + ".join(bits)).cast("long")
+
+
+def build_srp_index(
+    embeddings: DataFrame, dim: int, n_planes: int = 8, n_tables: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table SRP index: one row per (vector, table) with that
+    table's bucket id — OR-amplification (candidate if it collides in
+    ANY table), the standard recall lever for sign-random-projection.
+
+    Storage n_tables× the id column (vectors stored once per row here for
+    simplicity; at scale store ids only and join back to the vector
+    table). Repartitioned by (table, bucket) so one probe touches one
+    partition-pruned slice."""
+    e = with_norm(embeddings, vec_col)
+    tables = [
+        e.withColumn("table", F.lit(t)).withColumn(
+            "bucket", srp_bucket_expr(vec_col, dim, n_planes, t)
+        )
+        for t in range(n_tables)
+    ]
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.repartition("table", "bucket")
+
+
+def _query_signature(q: np.ndarray, n_planes: int, table: int) -> int:
+    planes = _hyperplanes(len(q), n_planes, table)
+    sig = 0
+    for p in range(n_planes):
+        acc = 0.0  # same left-fold order as _dot_sql for determinism
+        for x, y in zip(q, planes[p]):
+            acc += float(x) * float(y)
+        if acc >= 0:
+            sig |= 1 << p
+    return sig
+
+
+def srp_query_topk(
+    srp_index: DataFrame, query_vec: list[float], k: int = 10,
+    n_planes: int = 8, n_tables: int = 4, multiprobe_hamming: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: per table, probe the query's bucket plus buckets within
+    Hamming distance ``multiprobe_hamming`` (1-bit flips), union
+    candidates across tables, exact-rerank. Recall grows with n_tables
+    and multiprobe; cost stays O(probed bucket sizes), never O(N)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    cond = None
+    for t in range(n_tables):
+        sig = _query_signature(q, n_planes, t)
+        probes = [sig]
+        if multiprobe_hamming >= 1:
+            probes += [sig ^ (1 << p) for p in range(n_planes)]
+        c = (F.col("table") == t) & F.col("bucket").isin([int(x) for x in probes])
+        cond = c if cond is None else (cond | c)
+    cand = srp_index.filter(cond).dropDuplicates([id_col])
+    return brute_force_topk(cand, [float(x) for x in q], k, id_col, vec_col)

@@ -1,0 +1,112 @@
+"""Incremental index refresh via Structured Streaming.
+
+Reference analog: the reference supports continuous crawl + single-page
+re-index (/api/indexPage deletes and re-inserts one URL's postings —
+Parser.java:181-256) and resumable indexing via its keep_link state
+table (ST1-ST4 in SURVEY.md §2.7). Our input is a table, so "new pages
+arrive" = new files/snapshots in the transcript location. The stream:
+
+    readStream(new transcript files)
+      → same tokenize/explode/aggregate lineage as the batch build
+      → foreachBatch: append postings + doclen increments, then
+        merge the term dictionary (df/cf adds)
+
+``Trigger.AvailableNow`` drains whatever is new and stops — the
+batch-incremental pattern (Iceberg incremental scans between snapshots
+would slot in the same place). Checkpointing makes re-runs exactly-once
+per input file; doc ids for streamed docs are allocated from a
+collision-free high bit-range keyed by (conv_id, turn_idx) hash since a
+global rank over an unbounded stream is ill-defined.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.index_build import (
+    build_doclen,
+    build_postings,
+    explode_lemmas,
+    role_weight_col,
+)
+from search_engine_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+
+def streamed_doc_id_col() -> F.Column:
+    """Stable 63-bit id for streamed docs: top bit set + xxhash64 of the
+    natural key (avoids coordinating with the batch dense-id space)."""
+    return (
+        F.shiftrightunsigned(F.xxhash64("conv_id", "turn_idx"), 1)
+        .bitwiseOR(F.lit(1 << 62).cast("long"))
+        .alias("doc_id")
+    )
+
+
+def incremental_index_refresh(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Drain new transcript parquet files into postings/doclen/terms deltas."""
+    checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = batch_df.withColumn("doc_id", streamed_doc_id_col())
+        lemma_rows = explode_lemmas(docs, weight_col=role_weight_col("role"))
+        postings = build_postings(lemma_rows)
+        postings.write.mode("append").parquet(os.path.join(index_dir, "postings"))
+        build_doclen(postings).write.mode("append").parquet(
+            os.path.join(index_dir, "doclen")
+        )
+        # dictionary delta: df/cf adds for this epoch (merged on read or
+        # by a periodic compaction — MERGE INTO once Iceberg is present)
+        delta = postings.groupBy("lemma").agg(
+            F.count("*").alias("df"), F.sum("tf").cast("long").alias("cf")
+        )
+        delta.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            os.path.join(index_dir, "terms_delta")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def merged_terms(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Dictionary view folding streamed deltas into the base terms table."""
+    base = spark.read.parquet(os.path.join(index_dir, "terms")).select(
+        "lemma", "df", "cf"
+    )
+    delta_path = os.path.join(index_dir, "terms_delta")
+    if not os.path.isdir(delta_path):
+        return base
+    delta = spark.read.parquet(delta_path).select("lemma", "df", "cf")
+    return (
+        base.unionByName(delta)
+        .groupBy("lemma")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+    )
+
+
+def windowed_turn_rates(transcripts_stream: DataFrame) -> DataFrame:
+    """Streaming ops coverage: event-time windowed turn counts per role
+    with late-data watermarking (10 min) — the standard watermark +
+    window aggregation shape over the ts column."""
+    return (
+        transcripts_stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "role")
+        .agg(F.count("*").alias("n_turns"))
+    )
