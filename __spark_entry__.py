@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 search over the sf0.001 documents table.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2):
+inverted-index build, BM25/relevance retrieval, dedup (exact / n-gram
+Jaccard / MinHash-LSH / SimHash), embedding similarity (brute + SRP-LSH
+ANN), text analysis (token counts / fingerprints / quality / langid),
+and event-stream shaped aggregations.
+``oracle_sql()`` — ANSI-SQL DuckDB twins for every SQL-expressible query;
+the lemma CASE rules are shared text between both engines
+(search_engine_spark/functions/text.py is the single source of truth).
+
+Engines under test live in search_engine_spark/; the transcript-corpus
+variants of the same operators are covered by tests/ against the
+single-node golden oracle (search_engine_spark/oracle.py).
 """
 
 from __future__ import annotations
@@ -12,27 +20,460 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import (
+    BM25_B,
+    BM25_K1,
+    STOPWORDS,
+)
+from search_engine_spark.functions.analysis import (
+    bpe_ish_token_count_col,
+    content_fingerprint_col,
+    langid_features,
+    langid_label_col,
+    quality_features,
+    quality_score_col,
+    token_count_col,
+)
+from search_engine_spark.functions.text import (
+    LEMMA_CASE_SQL,
+    TOKEN_KEEP_REGEX,
+)
+from search_engine_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from search_engine_spark.operators.index_build import (
+    build_index_from_docs,
+    explode_lemmas,
+    term_df_salted,
+)
+from search_engine_spark.operators.query import (
+    bm25_topk,
+    candidate_docs,
+    parse_query,
+    reference_relevance,
+    snippets,
+)
+from search_engine_spark.operators.similarity import (
+    brute_force_topk,
+    build_srp_index,
+    srp_query_topk,
+)
+from search_engine_spark.operators.wand import wand_topk
+
+# Fixed query strings (lemmas all live in the testdata documents vocab).
+Q_MAIN = "query filter join"      # three hot terms
+Q_RARE = "dup key"                # rare term ('dup' marks planted near-dups)
+Q_AND = "fast key merge"
+Q_REL = "slow window"
+
+JACCARD_N = 3
+JACCARD_THRESHOLD = 0.7
+
+_INDEX_CACHE: dict[str, object] = {}
 
 
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _index_for(spark: SparkSession, sf_dir: str):
+    """documents-table inverted index, cached per sf_dir (the driver runs
+    many queries against the same scale factor in one process)."""
+    if sf_dir not in _INDEX_CACHE:
+        _INDEX_CACHE[sf_dir] = build_index_from_docs(_documents(spark, sf_dir))
+    return _INDEX_CACHE[sf_dir]
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship end-to-end search (driver smoke check, sf0.001)
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    ix = _index_for(spark, sf_dir)
+    top = bm25_topk(ix, Q_MAIN, k=10).select("doc_id", "score")
+    enriched = (
+        ix.docs.join(F.broadcast(top), "doc_id")
+        .select("doc_id", "score", "text")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+    return snippets(enriched, Q_MAIN)
 
 
+# ---------------------------------------------------------------------------
+# queries: (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def q_postings(spark, sf):
+        return _index_for(spark, sf).postings.select(
+            "doc_id", "lemma", F.col("tf").cast("long").alias("tf")
+        )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    def q_terms(spark, sf):
+        return _index_for(spark, sf).terms.select(
+            "lemma", F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+        )
+
+    def q_terms_salted(spark, sf):
+        rows = explode_lemmas(_documents(spark, sf).withColumnRenamed("doc_id", "doc_id"))
+        return term_df_salted(rows, salt=8).select(
+            "lemma", F.col("df").cast("long").alias("df")
+        )
+
+    def q_doclen(spark, sf):
+        return _index_for(spark, sf).doclen.select(
+            "doc_id", F.col("dl").cast("long").alias("dl")
+        )
+
+    def q_bm25(spark, sf):
+        return bm25_topk(_index_for(spark, sf), Q_MAIN, k=10).select("doc_id", "score")
+
+    def q_bm25_rare(spark, sf):
+        return bm25_topk(_index_for(spark, sf), Q_RARE, k=10).select("doc_id", "score")
+
+    def q_bm25_wand(spark, sf):
+        # engine #2 (block-max WAND over compressed segments) on the same
+        # query as q_bm25 — same oracle, differential by construction
+        from search_engine_spark.operators.compression import build_segments
+
+        ix = _index_for(spark, sf)
+        segs = build_segments(ix, bucket_width=4096)
+        return wand_topk(segs, ix.terms, Q_MAIN, k=10).select("doc_id", "score")
+
+    def q_and_search(spark, sf):
+        ix = _index_for(spark, sf)
+        return (
+            candidate_docs(ix.postings, parse_query(Q_AND))
+            .select("doc_id").distinct()
+        )
+
+    def q_relevance(spark, sf):
+        return reference_relevance(_index_for(spark, sf), Q_REL, k=20).select(
+            "doc_id", "abs_rel", "rel_rel"
+        )
+
+    def q_dedup_exact(spark, sf):
+        return exact_duplicates(_documents(spark, sf)).select(
+            "keeper_id", F.col("dup_count").cast("long").alias("dup_count")
+        )
+
+    def q_jaccard(spark, sf):
+        return ngram_jaccard_pairs(
+            _documents(spark, sf), threshold=JACCARD_THRESHOLD, n=JACCARD_N
+        ).select("doc_a", "doc_b", "jaccard")
+
+    def q_minhash(spark, sf):
+        return minhash_near_duplicates(
+            _documents(spark, sf), threshold=JACCARD_THRESHOLD, num_hashes=32, bands=8,
+            n=JACCARD_N,
+        ).select("doc_a", "doc_b", "jaccard")
+
+    def q_simhash(spark, sf):
+        return simhash_near_duplicates(_documents(spark, sf), max_hamming=3).select(
+            "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+        )
+
+    def q_embed_topk(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+        return brute_force_topk(emb, [float(x) for x in qvec], k=10).select(
+            "vec_id", "cosine"
+        )
+
+    def q_srp_ann(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+        qvec = [float(x) for x in row[0]]
+        idx = build_srp_index(emb, dim=len(qvec), n_planes=8, n_tables=4)
+        return srp_query_topk(idx, qvec, k=10, n_planes=8, n_tables=4).select(
+            "vec_id", "cosine"
+        )
+
+    def q_token_counts(spark, sf):
+        return _documents(spark, sf).select(
+            "doc_id",
+            token_count_col("text").cast("long").alias("n_tokens"),
+            bpe_ish_token_count_col("text").cast("long").alias("n_bpe"),
+        )
+
+    def q_fingerprints(spark, sf):
+        return _documents(spark, sf).select(
+            "doc_id", content_fingerprint_col("text").alias("fingerprint")
+        )
+
+    def q_quality(spark, sf):
+        d = _documents(spark, sf).select("doc_id", *quality_features("text"))
+        return d.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "mean_token_len", "punct_ratio", "digit_ratio",
+            "stopword_ratio", "uniq_token_ratio",
+            quality_score_col().alias("quality_score"),
+        )
+
+    def q_langid(spark, sf):
+        d = _documents(spark, sf).select("doc_id", *langid_features("text"))
+        return d.select("doc_id", langid_label_col().alias("lang_label"))
+
+    def q_event_windows(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n", "avg_value")
+        )
+
+    def q_top_users(spark, sf):
+        from pyspark.sql import Window
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        counts = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("n").desc(), F.col("user_id").asc()
+        )
+        return (
+            counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("event_type", "user_id", "n")
+        )
+
+    return {
+        "postings": q_postings,
+        "terms": q_terms,
+        "terms_df_salted": q_terms_salted,
+        "doclen": q_doclen,
+        "bm25_topk": q_bm25,
+        "bm25_topk_rare": q_bm25_rare,
+        "bm25_topk_wand": q_bm25_wand,
+        "and_search": q_and_search,
+        "reference_relevance": q_relevance,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_jaccard,
+        "minhash_lsh_pairs": q_minhash,
+        "simhash_pairs": q_simhash,
+        "embedding_topk": q_embed_topk,
+        "srp_ann_topk": q_srp_ann,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "quality_scores": q_quality,
+        "langid": q_langid,
+        "event_windows": q_event_windows,
+        "top_users_per_event": q_top_users,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle_sql: DuckDB twins (documents/embeddings/events are registered views)
+# ---------------------------------------------------------------------------
+_CASE = LEMMA_CASE_SQL.format(tok="token")
+_STOPS = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+_TOKS = (
+    "list_filter(string_split(trim(regexp_replace(lower(text), "
+    f"'{TOKEN_KEEP_REGEX}', ' ', 'g')), ' '), t -> t <> '')"
+)
+
+# (doc_id, lemma) rows after tokenize + lemma CASE + stopword filter
+_LEMMA_ROWS = f"""
+    SELECT doc_id, {_CASE} AS lemma
+    FROM (
+        SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    )
+    WHERE token <> '' AND ({_CASE}) NOT IN {_STOPS}
+"""
+
+_POSTINGS = f"""
+    lemma_rows AS ({_LEMMA_ROWS}),
+    postings AS (
+        SELECT doc_id, lemma, count(*) AS tf FROM lemma_rows GROUP BY doc_id, lemma
+    ),
+    doclen AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+    terms AS (
+        SELECT lemma, count(*) AS df, sum(tf) AS cf FROM postings GROUP BY lemma
+    )
+"""
+
+
+def _bm25_sql(query: str, k: int = 10) -> str:
+    lemmas = parse_query(query)
+    in_list = "(" + ", ".join(f"'{l}'" for l in lemmas) + ")"
+    return f"""
+    WITH {_POSTINGS},
+    cand AS (
+        SELECT doc_id FROM postings WHERE lemma IN {in_list}
+        GROUP BY doc_id HAVING count(*) = {len(lemmas)}
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               sum(
+                 ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+                 * (p.tf * {BM25_K1 + 1.0!r})
+                 / (p.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * d.dl / s.avgdl))
+               ) AS raw
+        FROM postings p
+        JOIN cand USING (doc_id)
+        JOIN doclen d USING (doc_id)
+        JOIN terms t USING (lemma)
+        CROSS JOIN stats s
+        WHERE p.lemma IN {in_list}
+        GROUP BY p.doc_id
+    )
+    SELECT doc_id, round(raw, 6) AS score FROM scored
+    ORDER BY score DESC, doc_id ASC LIMIT {k}
     """
-    return {}
+
+
+def _shingle_sql() -> str:
+    n = JACCARD_N
+    return f"""
+    toks AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            [array_to_string(tok[i : i + {n - 1}], ' ')
+             for i in generate_series(1, len(tok) - {n - 1})]
+        )) AS shingle
+        FROM toks WHERE len(tok) >= {n}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    rel_lemmas = parse_query(Q_REL)
+    rel_in = "(" + ", ".join(f"'{l}'" for l in rel_lemmas) + ")"
+    and_lemmas = parse_query(Q_AND)
+    and_in = "(" + ", ".join(f"'{l}'" for l in and_lemmas) + ")"
+
+    quality_inner = f"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len({_TOKS}) AS n_tokens,
+               CASE WHEN len({_TOKS}) > 0 THEN
+                 round(list_sum(list_transform({_TOKS}, t -> length(t)))
+                       / len({_TOKS})::double, 6) ELSE 0.0 END AS mean_token_len,
+               round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                     / greatest(length(text), 1)::double, 6) AS punct_ratio,
+               round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                     / greatest(length(text), 1)::double, 6) AS digit_ratio,
+               CASE WHEN len({_TOKS}) > 0 THEN
+                 round(len(list_filter({_TOKS}, t -> t IN {_STOPS}))
+                       / len({_TOKS})::double, 6) ELSE 0.0 END AS stopword_ratio,
+               CASE WHEN len({_TOKS}) > 0 THEN
+                 round(len(list_distinct({_TOKS})) / len({_TOKS})::double, 6)
+                 ELSE 0.0 END AS uniq_token_ratio
+        FROM documents
     """
-    return {}
+
+    return {
+        "postings": f"WITH {_POSTINGS} SELECT doc_id, lemma, tf FROM postings",
+        "terms": f"WITH {_POSTINGS} SELECT lemma, df, cf FROM terms",
+        "terms_df_salted": f"WITH {_POSTINGS} SELECT lemma, df FROM terms",
+        "doclen": f"WITH {_POSTINGS} SELECT doc_id, dl FROM doclen",
+        "bm25_topk": _bm25_sql(Q_MAIN),
+        "bm25_topk_rare": _bm25_sql(Q_RARE),
+        "bm25_topk_wand": _bm25_sql(Q_MAIN),
+        "and_search": f"""
+            WITH {_POSTINGS}
+            SELECT doc_id FROM postings WHERE lemma IN {and_in}
+            GROUP BY doc_id HAVING count(*) = {len(and_lemmas)}
+        """,
+        "reference_relevance": f"""
+            WITH {_POSTINGS},
+            cand AS (
+                SELECT doc_id FROM postings WHERE lemma IN {rel_in}
+                GROUP BY doc_id HAVING count(*) = {len(rel_lemmas)}
+            )
+            SELECT p.doc_id,
+                   round(sum(p.tf * 1.0), 6) AS abs_rel,
+                   round(sum(p.tf * 1.0) / max(p.tf * 1.0), 6) AS rel_rel
+            FROM postings p JOIN cand USING (doc_id)
+            WHERE p.lemma IN {rel_in}
+            GROUP BY p.doc_id
+            ORDER BY abs_rel DESC, rel_rel DESC, doc_id ASC LIMIT 20
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH {_shingle_sql()},
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   round(n_inter / (sa.n_sh + sb.n_sh - n_inter)::double, 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter)::double >= {JACCARD_THRESHOLD}
+        """,
+        # minhash_lsh_pairs / simhash_pairs / srp_ann_topk: xxhash64-based —
+        # not DuckDB-expressible; driver records rows-only checks.
+        "embedding_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(
+                     list_dot_product(embedding::DOUBLE[], qv)
+                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+            FROM embeddings CROSS JOIN q
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "token_counts": f"""
+            SELECT doc_id, len({_TOKS}) AS n_tokens,
+                   len(list_filter(string_split(trim(regexp_replace(
+                       regexp_replace(lower(text),
+                           '([a-z])([0-9])|([0-9])([a-z])', '\\1\\3 \\2\\4', 'g'),
+                       '[^a-z0-9]+', ' ', 'g')), ' '), t -> t <> '')) AS n_bpe
+            FROM documents
+        """,
+        "fingerprints": f"""
+            SELECT doc_id,
+                   md5(array_to_string({_TOKS}, ' ')) AS fingerprint
+            FROM documents
+        """,
+        "quality_scores": f"""
+            SELECT doc_id, n_chars, n_tokens, mean_token_len, punct_ratio,
+                   digit_ratio, stopword_ratio, uniq_token_ratio,
+                   round(0.4 * (CASE WHEN n_tokens >= 5 AND n_tokens <= 5000
+                                     THEN 1.0 ELSE 0.0 END)
+                         + 0.3 * (1.0 - least(punct_ratio * 4.0, 1.0))
+                         + 0.3 * uniq_token_ratio, 6) AS quality_score
+            FROM ({quality_inner})
+        """,
+        "langid": """
+            SELECT doc_id,
+                   CASE
+                     WHEN round(length(regexp_replace(text, '[^\\x{0400}-\\x{04FF}]', '', 'g'))
+                          / greatest(length(text), 1)::double, 6) > 0.3 THEN 'ru-script'
+                     WHEN round(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))
+                          / greatest(length(text), 1)::double, 6) > 0.3 THEN 'cjk-script'
+                     WHEN round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                          / greatest(length(text), 1)::double, 6) > 0.3 THEN 'latin-script'
+                     ELSE 'unknown'
+                   END AS lang_label
+            FROM documents
+        """,
+        "event_windows": """
+            SELECT date_trunc('hour', ts) AS ws, event_type,
+                   count(*) AS n, round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "top_users_per_event": """
+            SELECT event_type, user_id, n FROM (
+                SELECT event_type, user_id, count(*) AS n,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY count(*) DESC, user_id ASC) AS rk
+                FROM events GROUP BY event_type, user_id
+            ) WHERE rk <= 3
+        """,
+    }

@@ -172,6 +172,29 @@ class InvertedIndex:
     stats: CorpusStats
 
 
+def build_index_from_docs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    use_arrow_udf: bool = False,
+    weighted: bool = False,
+) -> InvertedIndex:
+    """Index build over a generic document table that already carries a
+    unique integer id (e.g. the driver's ``documents`` parquet) — same
+    lineage as :func:`build_index` minus docID assignment/role weights."""
+    if id_col != "doc_id":
+        docs = docs.withColumnRenamed(id_col, "doc_id")
+    weight = role_weight_col("role") if (weighted and "role" in docs.columns) else None
+    lemma_rows = explode_lemmas(docs, text_col=text_col, use_arrow_udf=use_arrow_udf,
+                                weight_col=weight)
+    postings = build_postings(lemma_rows).persist()
+    doclen = build_doclen(postings)
+    terms = build_terms(postings)
+    stats = corpus_stats(doclen)
+    return InvertedIndex(docs=docs, postings=postings, doclen=doclen,
+                         terms=terms, stats=stats)
+
+
 def build_index(
     transcripts: DataFrame,
     use_arrow_udf: bool = True,

@@ -1,0 +1,83 @@
+"""Dedup operators: exact, n-gram Jaccard, MinHash+LSH, SimHash
+(operators/dedup.py; training-pipeline charter beyond the reference)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.dedup import (
+    drop_exact_duplicates,
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    simhash_signatures,
+)
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+NEAR = BASE.replace("theta", "thorn")          # one token changed
+FAR = "one two three four five six seven eight nine ten eleven twelve"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),            # exact dup of 0
+        (2, NEAR),            # near dup of 0/1
+        (3, FAR),
+        (4, "alpha beta"),    # too short for 3-shingles
+        (5, FAR),             # exact dup of 3
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(docs):
+    got = {(r["keeper_id"], r["dup_count"]) for r in exact_duplicates(docs).collect()}
+    assert (0, 2) in got and (3, 2) in got
+    assert all(c == 1 for k, c in got if k not in (0, 3))
+
+
+def test_drop_exact_duplicates(docs):
+    kept = sorted(r["doc_id"] for r in drop_exact_duplicates(docs).collect())
+    assert kept == [0, 2, 3, 4]
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+    # jaccard(0,2): 10 shingles each, changed token kills 3 shingles
+    # -> inter=7, union=13
+    assert abs(pairs[(0, 2)] - 7 / 13) < 1e-6
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in minhash_near_duplicates(docs, threshold=0.5).collect()}
+    # exact dups always collide in every band
+    assert got[(0, 1)] == 1.0
+    assert got[(3, 5)] == 1.0
+    # verification step = exact jaccard -> any reported value is exact
+    for (a, b), j in got.items():
+        assert j >= 0.5
+
+
+def test_minhash_subset_of_exact_jaccard(docs):
+    exact = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs, 0.5).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in minhash_near_duplicates(docs, 0.5).collect()}
+    assert lsh <= exact  # no false positives (exact verify)
+
+
+def test_simhash_identical_docs(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[3] == sigs[5]
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_near_duplicates(docs, max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0
+    assert pairs[(3, 5)] == 0
+    assert (0, 3) not in pairs

@@ -1,0 +1,88 @@
+"""Rank identity across the three scorers (the reference's own
+differential design, README.md:224-228): DataFrame BM25 == block-max
+WAND == single-node Python golden — docIDs AND scores (north_rule)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from search_engine_spark.operators.compression import build_segments
+from search_engine_spark.operators.query import (
+    bm25_topk,
+    paginate,
+    parse_query,
+    reference_relevance,
+)
+from search_engine_spark.operators.wand import wand_topk
+from search_engine_spark.oracle import bm25_topk_py, reference_relevance_py
+
+# Queries mix hot Zipf-head terms, mid-df terms, a planted needle, a
+# missing term, and a stopword-only query (FIXTURES.md query set).
+QUERIES = [
+    "w00000",                    # hottest lemma (df ~ all docs)
+    "w00000s w00001",            # two hot terms, suffix folds to stems
+    "w00159 w00268",             # mid-df conjunction
+    "needlealpha",               # planted needle (df = 1)
+    "w00000 zzznotaword",        # one term missing -> empty
+    "the and of",                # all stopwords -> invalid
+    "X-w00011ing w00002ies",     # decorated + suffixed surface forms
+]
+
+
+@pytest.fixture(scope="module")
+def segments(tiny_index):
+    return build_segments(tiny_index, bucket_width=512).cache()
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_dataframe_scorer_matches_golden(tiny_index, py_twin, query):
+    got = _rows(bm25_topk(tiny_index, query, k=10))
+    want = [(d, round(s, 6)) for d, s in bm25_topk_py(py_twin, query, k=10)]
+    assert [d for d, _ in got] == [d for d, _ in want], query
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-6, abs_tol=1e-6), (query, gd)
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_wand_scorer_matches_dataframe(tiny_index, segments, query):
+    a = _rows(bm25_topk(tiny_index, query, k=10))
+    b = _rows(wand_topk(segments, tiny_index.terms, query, k=10))
+    assert [d for d, _ in a] == [d for d, _ in b], query
+    for (ad, asc), (_, bs) in zip(a, b):
+        assert math.isclose(asc, bs, rel_tol=1e-6, abs_tol=1e-6), (query, ad)
+
+
+def test_needle_is_found(tiny_index, py_twin):
+    got = _rows(bm25_topk(tiny_index, "needlealpha", k=10))
+    if not got:
+        pytest.skip("no needlealpha in 200-conv corpus slice")
+    want = bm25_topk_py(py_twin, "needlealpha", k=10)
+    assert got[0][0] == want[0][0]
+
+
+@pytest.mark.parametrize("query", ["w00000", "w00159 w00268"])
+def test_reference_relevance_matches_golden(tiny_index, py_twin, query):
+    got = [(r["doc_id"], r["abs_rel"], r["rel_rel"])
+           for r in reference_relevance(tiny_index, query, k=20).collect()]
+    want = reference_relevance_py(py_twin, query)[:20]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert math.isclose(g[1], w[1], rel_tol=1e-6)
+        assert math.isclose(g[2], w[2], rel_tol=1e-6)
+
+
+def test_pagination(tiny_index):
+    full = _rows(bm25_topk(tiny_index, "w00000", k=30))
+    page = _rows(paginate(bm25_topk(tiny_index, "w00000", k=30), offset=10, limit=5))
+    assert page == full[10:15]
+
+
+def test_parse_query_dedupes_and_orders():
+    assert parse_query("tables table the tables") == ["table"]
+    assert parse_query("") == []

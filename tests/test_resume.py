@@ -1,0 +1,72 @@
+"""Checkpoint/resume: per-bucket manifests make re-runs idempotent and
+content-identical (SURVEY §5 item 5; sources/index_store.py)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.sources.index_store import (
+    DiskIndex,
+    completed_buckets,
+    write_index,
+)
+
+
+def _segment_content(spark, index_dir):
+    seg = DiskIndex(spark, index_dir).segments
+    return {
+        (r["term_id"], r["bucket"], r["block_id"], bytes(r["doc_ids"]), bytes(r["scores"]))
+        for r in seg.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def built(spark, tiny_index, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index"))
+    metrics = write_index(tiny_index, d, input_desc="tiny", bucket_width=512)
+    return d, metrics
+
+
+def test_initial_build_metrics(built, tiny_index):
+    d, metrics = built
+    n_buckets = (tiny_index.stats.n_docs + 511) // 512
+    assert metrics["buckets_built"] == n_buckets
+    assert metrics["buckets_skipped_resume"] == 0
+    assert completed_buckets(d) == set(range(n_buckets))
+
+
+def test_rerun_is_noop(spark, built, tiny_index):
+    d, _ = built
+    before = _segment_content(spark, d)
+    metrics = write_index(tiny_index, d, input_desc="tiny", bucket_width=512)
+    assert metrics["buckets_built"] == 0
+    assert metrics["buckets_skipped_resume"] == len(completed_buckets(d))
+    assert _segment_content(spark, d) == before
+
+
+def test_resume_rebuilds_only_missing_bucket(spark, built, tiny_index):
+    d, _ = built
+    before = _segment_content(spark, d)
+    # simulate a crash that lost bucket 1: drop manifest + its partition
+    os.remove(os.path.join(d, "manifests", "bucket=1.json"))
+    shutil.rmtree(os.path.join(d, "segments", "bucket=1"))
+    metrics = write_index(tiny_index, d, input_desc="tiny", bucket_width=512)
+    assert metrics["buckets_built"] == 1
+    # deterministic encode -> content identical to the original build
+    assert _segment_content(spark, d) == before
+
+
+def test_disk_roundtrip_serves_queries(spark, built, tiny_index):
+    from search_engine_spark.operators.query import bm25_topk
+    from search_engine_spark.operators.wand import wand_topk
+
+    d, _ = built
+    disk = DiskIndex(spark, d)
+    mem = [(r["doc_id"], r["score"]) for r in bm25_topk(tiny_index, "w00000", k=5).collect()]
+    served = [(r["doc_id"], r["score"])
+              for r in wand_topk(disk.segments, disk.terms, "w00000", k=5).collect()]
+    assert mem == served
