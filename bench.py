@@ -1,0 +1,129 @@
+"""Benchmark harness (driver-run per round; BENCH_r{N}.json).
+
+Measures the headline north_star metric — inverted-index build
+throughput (turns/sec) over the synthetic transcript corpus, including
+compressed-segment encoding — plus per-query latencies for the BM25
+engines and the training-pipeline operators over $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "index_build": {...}}
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), BENCH_N_CONV (default 30000 convs
+≈ 630k turns), BENCH_SKIP_SEGMENTS=1 to skip segment encoding.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from search_engine_spark.corpus import synthesize_transcripts
+    from search_engine_spark.operators.compression import build_segments
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import bm25_topk
+    from search_engine_spark.operators.wand import wand_topk
+    from search_engine_spark.session import build_session
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_conv = int(os.environ.get("BENCH_N_CONV", "30000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = build_session("bench", cpus=cpus)
+    timings: dict[str, float] = {}
+    t_all = time.monotonic()
+
+    # ---- headline: index build throughput (turns/sec) -------------------
+    t0 = time.monotonic()
+    transcripts = synthesize_transcripts(spark, n_conv)
+    # materialize corpus first so generation cost isn't counted as build
+    transcripts.write.mode("overwrite").parquet("/tmp/bench_corpus")
+    corpus = spark.read.parquet("/tmp/bench_corpus")
+    n_turns = corpus.count()
+    gen_sec = time.monotonic() - t0
+    log(f"corpus: {n_turns} turns in {gen_sec:.1f}s")
+
+    t0 = time.monotonic()
+    ix = build_index(corpus, use_arrow_udf=True, weighted=True)
+    ix.postings.count()  # force the persisted postings materialization
+    core_sec = time.monotonic() - t0
+
+    seg_sec = 0.0
+    segments = None
+    if os.environ.get("BENCH_SKIP_SEGMENTS") != "1":
+        t0 = time.monotonic()
+        segments = build_segments(ix, bucket_width=1 << 16).persist()
+        n_blocks = segments.count()
+        seg_sec = time.monotonic() - t0
+        log(f"segments: {n_blocks} blocks in {seg_sec:.1f}s")
+
+    build_sec = core_sec + seg_sec
+    turns_per_sec = n_turns / build_sec if build_sec else 0.0
+    timings["index_build"] = round(build_sec, 3)
+    log(f"index build: {build_sec:.1f}s -> {turns_per_sec:.0f} turns/sec")
+
+    # ---- query latency on the built transcript index --------------------
+    bench_queries = ["w00000", "w00159 w00268", "needlealpha", "w00000s w00001"]
+    for i, q in enumerate(bench_queries):
+        t0 = time.monotonic()
+        bm25_topk(ix, q, k=10).collect()
+        timings[f"bm25_df_q{i}"] = round(time.monotonic() - t0, 3)
+    if segments is not None:
+        for i, q in enumerate(bench_queries):
+            t0 = time.monotonic()
+            wand_topk(segments, ix.terms, q, k=10).collect()
+            timings[f"bm25_wand_q{i}"] = round(time.monotonic() - t0, 3)
+
+    # ---- operator suite over the driver testdata ------------------------
+    suite = [
+        "bm25_topk", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+        "simhash_pairs", "embedding_topk", "srp_ann_topk",
+        "token_counts", "quality_scores", "fingerprints",
+        "event_windows", "top_users_per_event",
+    ]
+    qs = entrymod.queries()
+    for name in suite:
+        t0 = time.monotonic()
+        try:
+            qs[name](spark, sf_dir).collect()
+            timings[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # keep the bench line intact on failure
+            log(f"bench query {name} failed: {exc}")
+            timings[name] = -1.0
+
+    total = round(time.monotonic() - t_all, 3)
+    out = {
+        "metric": "index_build_plus_query_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "index_build": {
+            "n_turns": n_turns,
+            "build_sec": round(build_sec, 3),
+            "turns_per_sec": round(turns_per_sec, 1),
+            "segment_encode_sec": round(seg_sec, 3),
+            "cpus": cpus,
+        },
+    }
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

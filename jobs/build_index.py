@@ -1,0 +1,67 @@
+"""spark-submit entry point: batch inverted-index build (north_rule
+packaging: `spark-submit --py-files engine.zip jobs/build_index.py`).
+
+Usage:
+    spark-submit [--master ...] --py-files engine.zip jobs/build_index.py \
+        --input <iceberg-table-or-parquet-path> --output <index_dir> \
+        [--n-synthetic-convs N] [--bucket-width W] [--no-resume]
+
+On a real cluster --input is the Iceberg transcript table identifier;
+locally a parquet path or a synthetic corpus (--n-synthetic-convs).
+The job is resumable: per-bucket manifests are consulted on restart and
+only missing buckets are rebuilt (sources/index_store.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", default=None, help="Iceberg table id or parquet path")
+    p.add_argument("--output", required=True, help="index directory")
+    p.add_argument("--n-synthetic-convs", type=int, default=None)
+    p.add_argument("--bucket-width", type=int, default=1 << 16)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--local-cpus", type=int, default=None,
+                   help="build a local[N] session instead of spark-submit's")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from search_engine_spark.corpus import synthesize_transcripts
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.sources.index_store import write_index
+    from search_engine_spark.sources.transcripts import read_transcripts
+
+    if args.local_cpus:
+        from search_engine_spark.session import build_session
+
+        spark = build_session("build_index", cpus=args.local_cpus)
+    else:
+        spark = SparkSession.builder.appName("build_index").getOrCreate()
+
+    if args.input:
+        transcripts = read_transcripts(spark, args.input)
+        desc = args.input
+    elif args.n_synthetic_convs:
+        transcripts = synthesize_transcripts(spark, args.n_synthetic_convs)
+        desc = f"synthetic:{args.n_synthetic_convs}"
+    else:
+        p.error("need --input or --n-synthetic-convs")
+
+    ix = build_index(transcripts, use_arrow_udf=True, weighted=True)
+    metrics = write_index(ix, args.output, input_desc=desc,
+                          bucket_width=args.bucket_width,
+                          resume=not args.no_resume)
+    metrics["n_docs"] = ix.stats.n_docs
+    metrics["turns_per_sec"] = round(ix.stats.n_docs / metrics["elapsed_sec"], 1)
+    print(json.dumps(metrics), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

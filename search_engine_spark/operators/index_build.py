@@ -176,7 +176,7 @@ def build_index_from_docs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    use_arrow_udf: bool = False,
+    use_arrow_udf: bool = True,
     weighted: bool = False,
 ) -> InvertedIndex:
     """Index build over a generic document table that already carries a
