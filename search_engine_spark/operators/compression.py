@@ -56,13 +56,15 @@ SEGMENT_SCHEMA = (
 # ---------------------------------------------------------------------------
 # varbyte codec (numpy-vectorized)
 # ---------------------------------------------------------------------------
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """LEB128-style varbyte: 7 payload bits/byte, high bit = continuation."""
+def varbyte_encode_with_lengths(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-style varbyte of a whole array at once; returns
+    (byte buffer as uint8 array, per-value byte count) so callers can
+    slice the buffer at arbitrary value boundaries (block splitting
+    without re-encoding)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     with np.errstate(over="ignore"):
-        # bytes needed per value: ceil(bit_length/7), min 1
         nbytes = np.ones(v.size, dtype=np.int64)
         tmp = v >> np.uint64(7)
         while tmp.any():
@@ -83,7 +85,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
             rest[alive] >>= np.uint64(7)
             offset[alive] += 1
             alive = offset < nbytes
-    return out.tobytes()
+    return out, nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """LEB128-style varbyte: 7 payload bits/byte, high bit = continuation."""
+    return varbyte_encode_with_lengths(values)[0].tobytes()
 
 
 def varbyte_decode(buf: bytes) -> np.ndarray:
@@ -155,50 +162,131 @@ def scored_postings(index: InvertedIndex) -> DataFrame:
     )
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    term_id = int(pdf["term_id"].iloc[0])
-    bucket = int(pdf["bucket"].iloc[0])
-    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-    doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
-    scores = pdf["score"].to_numpy()[order].astype(np.float64)
-    rows = []
-    for b0 in range(0, len(doc_ids), BLOCK_SIZE):
-        d = doc_ids[b0 : b0 + BLOCK_SIZE]
-        s = scores[b0 : b0 + BLOCK_SIZE]
-        docs_b, scores_b = encode_block(d.astype(np.uint64), s)
-        rows.append(
-            (
-                term_id,
-                bucket,
-                b0 // BLOCK_SIZE,
-                len(d),
-                int(d[0]),
-                int(d[-1]),
-                float(s.max()),
-                docs_b,
-                scores_b,
-            )
-        )
-    return pd.DataFrame(
-        rows,
-        columns=[
-            "term_id", "bucket", "block_id", "doc_count", "first_doc",
-            "last_doc", "block_max_score", "doc_ids", "scores",
+_SEG_COLUMNS = [
+    "term_id", "bucket", "block_id", "doc_count", "first_doc",
+    "last_doc", "block_max_score", "doc_ids", "scores",
+]
+
+
+def _encode_sorted_run(
+    term_ids: np.ndarray,
+    buckets: np.ndarray,
+    doc_ids: np.ndarray,
+    scores: np.ndarray,
+) -> pd.DataFrame:
+    """Encode a run of postings sorted by (term_id, bucket, doc_id) —
+    possibly MANY (term,bucket) groups — into block rows, fully
+    numpy-vectorized: one varbyte pass over the whole run, then blocks
+    are byte-range slices of that single buffer.
+
+    Delta chains restart at every block start (each block's first value
+    is the absolute doc_id), so slicing at block boundaries yields
+    exactly the bytes :func:`encode_block` would have produced and
+    :func:`decode_block` round-trips each block independently.
+    """
+    n = doc_ids.size
+    if n == 0:
+        return pd.DataFrame({c: [] for c in _SEG_COLUMNS})
+    change = (term_ids[1:] != term_ids[:-1]) | (buckets[1:] != buckets[:-1])
+    group_starts = np.flatnonzero(np.concatenate(([True], change)))
+    group_id = np.cumsum(np.concatenate(([0], change.astype(np.int64))))
+    idx_in_group = np.arange(n, dtype=np.int64) - group_starts[group_id]
+    block_starts = np.flatnonzero(idx_in_group % BLOCK_SIZE == 0)
+    block_ends = np.concatenate((block_starts[1:], [n]))
+
+    d64 = doc_ids.astype(np.uint64)
+    deltas = d64.copy()
+    deltas[1:] -= d64[:-1]
+    deltas[block_starts] = d64[block_starts]  # absolute at block start
+    buf, nbytes = varbyte_encode_with_lengths(deltas)
+    byte_off = np.concatenate(([0], np.cumsum(nbytes)))
+
+    block_max = np.maximum.reduceat(scores, block_starts)
+    buf_bytes = buf.tobytes()
+    scores64 = np.ascontiguousarray(scores, dtype=np.float64)
+    sbytes = scores64.tobytes()
+
+    rows = {
+        "term_id": term_ids[block_starts],
+        "bucket": buckets[block_starts],
+        "block_id": (idx_in_group[block_starts] // BLOCK_SIZE).astype(np.int32),
+        "doc_count": (block_ends - block_starts).astype(np.int32),
+        "first_doc": doc_ids[block_starts],
+        "last_doc": doc_ids[block_ends - 1],
+        "block_max_score": block_max,
+        "doc_ids": [
+            buf_bytes[byte_off[s] : byte_off[e]]
+            for s, e in zip(block_starts, block_ends)
         ],
-    )
+        "scores": [
+            sbytes[8 * s : 8 * e] for s, e in zip(block_starts, block_ends)
+        ],
+    }
+    return pd.DataFrame(rows)
+
+
+def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: encode a whole sorted partition, carrying the
+    trailing (possibly batch-split) group over between Arrow batches so
+    no group is ever encoded twice. ONE Python call per Arrow batch —
+    not per (term,bucket) group (the applyInPandas-per-group version was
+    measured 6× slower on 385k small groups)."""
+    pend: pd.DataFrame | None = None
+    for pdf in batches:
+        if pend is not None:
+            pdf = pd.concat([pend, pdf], ignore_index=True)
+            pend = None
+        if pdf.empty:
+            continue
+        t = pdf["term_id"].to_numpy()
+        b = pdf["bucket"].to_numpy()
+        change = (t[1:] != t[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(np.concatenate(([True], change)))
+        if starts.size <= 1:
+            pend = pdf  # whole batch is one (possibly incomplete) group
+            continue
+        cut = int(starts[-1])
+        head = pdf.iloc[:cut]
+        pend = pdf.iloc[cut:].reset_index(drop=True)
+        yield _encode_sorted_run(
+            head["term_id"].to_numpy(np.int64),
+            head["bucket"].to_numpy(np.int64),
+            head["doc_id"].to_numpy(np.int64),
+            head["score"].to_numpy(np.float64),
+        )
+    if pend is not None and not pend.empty:
+        yield _encode_sorted_run(
+            pend["term_id"].to_numpy(np.int64),
+            pend["bucket"].to_numpy(np.int64),
+            pend["doc_id"].to_numpy(np.int64),
+            pend["score"].to_numpy(np.float64),
+        )
 
 
 def build_segments(
-    index: InvertedIndex, bucket_width: int = DOC_BUCKET_WIDTH
+    index: InvertedIndex,
+    bucket_width: int = DOC_BUCKET_WIDTH,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Compressed segment blocks for the whole index.
 
-    One shuffle: groupBy(term_id, bucket). Group size ≤ bucket_width
-    postings regardless of term hotness."""
+    One shuffle: hash-repartition on (term_id, bucket) + in-partition
+    sort — the exact layout applyInPandas would shuffle to, but encoded
+    via mapInPandas so the Python boundary is crossed once per Arrow
+    batch instead of once per group. Group size stays ≤ bucket_width
+    postings regardless of term hotness (bounded memory at any scale);
+    a group never spans partitions because the partitioner hashes the
+    full (term_id, bucket) key."""
     sp = scored_postings(index).withColumn(
         "bucket", (F.col("doc_id") / F.lit(bucket_width)).cast("long")
     )
-    return sp.groupBy("term_id", "bucket").applyInPandas(_encode_group, SEGMENT_SCHEMA)
+    if num_partitions is None:
+        num_partitions = sp.sparkSession.sparkContext.defaultParallelism * 2
+    shaped = (
+        sp.repartition(num_partitions, "term_id", "bucket")
+        .sortWithinPartitions("term_id", "bucket", "doc_id")
+    )
+    return shaped.mapInPandas(_encode_partition, SEGMENT_SCHEMA)
 
 
 def decode_segments_pd(segment_rows: pd.DataFrame) -> pd.DataFrame:

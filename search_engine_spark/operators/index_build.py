@@ -188,8 +188,11 @@ def build_index_from_docs(
     lemma_rows = explode_lemmas(docs, text_col=text_col, use_arrow_udf=use_arrow_udf,
                                 weight_col=weight)
     postings = build_postings(lemma_rows).persist()
-    doclen = build_doclen(postings)
-    terms = build_terms(postings)
+    # doclen/terms are query-time dimensions touched by EVERY search —
+    # persist them so queries reuse the aggregates instead of re-running
+    # the groupBys over postings per query.
+    doclen = build_doclen(postings).persist()
+    terms = build_terms(postings).persist()
     stats = corpus_stats(doclen)
     return InvertedIndex(docs=docs, postings=postings, doclen=doclen,
                          terms=terms, stats=stats)
@@ -206,8 +209,8 @@ def build_index(
     weight = role_weight_col("role") if (weighted and "role" in docs.columns) else None
     lemma_rows = explode_lemmas(docs, use_arrow_udf=use_arrow_udf, weight_col=weight)
     postings = build_postings(lemma_rows).persist()
-    doclen = build_doclen(postings)
-    terms = build_terms(postings)
+    doclen = build_doclen(postings).persist()
+    terms = build_terms(postings).persist()
     stats = corpus_stats(doclen)
     return InvertedIndex(docs=docs, postings=postings, doclen=doclen,
                          terms=terms, stats=stats)

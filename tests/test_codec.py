@@ -9,14 +9,27 @@ from hypothesis import strategies as st
 
 from search_engine_spark.config import BLOCK_SIZE
 from search_engine_spark.operators.compression import (
-    _encode_group,
+    _encode_partition,
+    _encode_sorted_run,
     decode_block,
     delta_decode,
     delta_encode,
     encode_block,
     varbyte_decode,
     varbyte_encode,
+    varbyte_encode_with_lengths,
 )
+
+
+def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Single-group encode via the vectorized run encoder (test shim)."""
+    pdf = pdf.sort_values("doc_id")
+    return _encode_sorted_run(
+        pdf["term_id"].to_numpy(np.int64),
+        pdf["bucket"].to_numpy(np.int64),
+        pdf["doc_id"].to_numpy(np.int64),
+        pdf["score"].to_numpy(np.float64),
+    )
 
 
 def test_varbyte_roundtrip_simple():
@@ -81,3 +94,59 @@ def test_encode_group_block_invariants():
     # content round-trips exactly
     all_docs = np.concatenate([decode_block(r.doc_ids, r.scores)[0] for r in out.itertuples(index=False)])
     assert (all_docs == np.sort(pdf["doc_id"].to_numpy())).all()
+
+
+def test_varbyte_lengths_slicing():
+    """Per-value byte lengths let a single encode pass be sliced into
+    independently-decodable chunks at arbitrary value boundaries."""
+    vals = np.array([5, 300, 0, 2**40, 127, 128], dtype=np.uint64)
+    buf, nbytes = varbyte_encode_with_lengths(vals)
+    off = np.concatenate(([0], np.cumsum(nbytes)))
+    raw = buf.tobytes()
+    for i, v in enumerate(vals):
+        assert varbyte_decode(raw[off[i]:off[i + 1]])[0] == v
+
+
+def _multi_group_frame(rng, n_groups=17, max_rows=900):
+    frames = []
+    for g in range(n_groups):
+        n = int(rng.randint(1, max_rows))
+        docs = np.sort(rng.choice(10**6, size=n, replace=False))
+        frames.append(pd.DataFrame({
+            "term_id": g // 3, "bucket": g % 3,
+            "doc_id": docs, "score": rng.rand(n) + 0.01,
+        }))
+    pdf = pd.concat(frames, ignore_index=True)
+    return pdf.sort_values(["term_id", "bucket", "doc_id"]).reset_index(drop=True)
+
+
+def test_encode_partition_matches_per_group_and_carryover():
+    """The partition-level encoder (many groups, arbitrary Arrow batch
+    splits) must produce exactly the same blocks as encoding each
+    (term,bucket) group alone — including when batch boundaries split a
+    group mid-way (carry-over path)."""
+    rng = np.random.RandomState(42)
+    pdf = _multi_group_frame(rng)
+
+    expected = pd.concat(
+        [
+            _encode_group(g)
+            for _, g in pdf.groupby(["term_id", "bucket"], sort=True)
+        ],
+        ignore_index=True,
+    )
+
+    for batch_size in (pdf.shape[0], 64, 1):  # one batch / splits / per-row
+        batches = [
+            pdf.iloc[i : i + batch_size]
+            for i in range(0, len(pdf), batch_size)
+        ]
+        got = pd.concat(list(_encode_partition(iter(batches))), ignore_index=True)
+        got = got.sort_values(["term_id", "bucket", "block_id"]).reset_index(drop=True)
+        exp = expected.sort_values(["term_id", "bucket", "block_id"]).reset_index(drop=True)
+        assert len(got) == len(exp), batch_size
+        for c in ["term_id", "bucket", "block_id", "doc_count", "first_doc", "last_doc"]:
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), (batch_size, c)
+        assert np.allclose(got["block_max_score"], exp["block_max_score"])
+        assert list(got["doc_ids"]) == list(exp["doc_ids"]), batch_size
+        assert list(got["scores"]) == list(exp["scores"]), batch_size
