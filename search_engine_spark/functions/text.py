@@ -146,7 +146,9 @@ def lemmatize_text_py(text: str | None) -> list[str]:
 # Worker-local token→lemma memo. The corpus vocabulary is Zipf-shaped, so
 # most tokens repeat enormously; the cache persists across Arrow batches
 # within an executor python worker (measured ~1.7× over the plain map —
-# pandas .str vectorization was tried and is 20× SLOWER on object dtype).
+# pandas .str vectorization AND a pyarrow.compute + np.unique kernel
+# were both tried and are 3-20× SLOWER: np.unique's string sort costs
+# more than memoized dict hits on a Zipf vocabulary).
 _LEMMA_MEMO: dict[str, str] = {}
 
 
@@ -185,6 +187,55 @@ def lemmatize_text_udf(texts: pd.Series) -> pd.Series:
     to lemmatize_text_py (asserted by tests).
     """
     return _lemmatize_batch(texts)
+
+
+_TERM_COUNTS_TYPE = T.StructType(
+    [
+        T.StructField("lemmas", T.ArrayType(T.StringType())),
+        T.StructField("tfs", T.ArrayType(T.IntegerType())),
+        T.StructField("dl", T.LongType()),
+    ]
+)
+
+
+@F.pandas_udf(_TERM_COUNTS_TYPE)
+def doc_term_counts_udf(texts: pd.Series) -> pd.DataFrame:
+    """Arrow-batched lemmatize + PER-DOC tf aggregation in one pass:
+    Series[str] → (lemmas: list[str], tfs: list[int], dl: int) with one
+    (lemma, tf) entry per DISTINCT lemma of the doc and dl = Σ tf.
+
+    This is the reference's per-page lemma hash-map (count += 1 during
+    lemmatization, Lemmatization.java:104-129) — and the reason the
+    index build needs NO (doc_id, lemma) shuffle: a doc's tf map is
+    complete the moment its row is processed, so postings are a pure
+    explode and doclen rides along as a column. Per-doc dict counting
+    with the memoized token→lemma map beat a fully-vectorized
+    np.unique-over-(doc,code)-pairs kernel ~3× (string sort loses to
+    Zipf-warm dict hits).
+    """
+    memo = _LEMMA_MEMO
+    get = memo.get
+    lem_out: list[list[str]] = []
+    tf_out: list[list[int]] = []
+    dl_out: list[int] = []
+    for text in texts:
+        counts: dict[str, int] = {}
+        dl = 0
+        if text is not None:
+            for t in _TOKEN_RE.sub(" ", text.lower()).split():
+                l = get(t)
+                if l is None:
+                    l = lemmatize_py(t)
+                    if l in _STOPSET:
+                        l = ""
+                    memo[t] = l
+                if l:
+                    counts[l] = counts.get(l, 0) + 1
+                    dl += 1
+        lem_out.append(list(counts.keys()))
+        tf_out.append(list(counts.values()))
+        dl_out.append(dl)
+    return pd.DataFrame({"lemmas": lem_out, "tfs": tf_out, "dl": dl_out})
 
 
 # ---------------------------------------------------------------------------

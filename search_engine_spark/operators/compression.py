@@ -138,10 +138,11 @@ def decode_block(doc_bytes: bytes, score_bytes: bytes) -> tuple[np.ndarray, np.n
 # Segment build (applyInPandas per (term_id, bucket))
 # ---------------------------------------------------------------------------
 def scored_postings(index: InvertedIndex) -> DataFrame:
-    """postings + doclen + terms → (term_id, doc_id, score) with the BM25
+    """postings + terms → (term_id, doc_id, score) with the BM25
     per-posting weight computed ONCE, JVM-side, with the exact same
     column expression the DataFrame scorer uses (rank-identity by
-    construction; SURVEY.md §7 hard-part (b))."""
+    construction; SURVEY.md §7 hard-part (b)). Doc length comes from the
+    dl column the build attached to every posting — no doclen join."""
     stats = index.stats
     terms_b = F.broadcast(
         index.terms.withColumn(
@@ -149,7 +150,7 @@ def scored_postings(index: InvertedIndex) -> DataFrame:
         ).select("lemma", "term_id", "_idf")
     )
     return (
-        index.postings.join(index.doclen, "doc_id")
+        index.postings
         .join(terms_b, "lemma")
         .select(
             "term_id",

@@ -39,7 +39,11 @@ from search_engine_spark.config import (
     ROLE_WEIGHTS,
     SALT_FACTOR,
 )
-from search_engine_spark.functions.text import lemmas_col, lemmatize_text_udf
+from search_engine_spark.functions.text import (
+    doc_term_counts_udf,
+    lemmas_col,
+    lemmatize_text_udf,
+)
 from search_engine_spark.operators.docids import assign_dense_ids
 
 
@@ -71,6 +75,42 @@ def explode_lemmas(
     cols = [F.col(id_col), F.explode(lem).alias("lemma")]
     out = docs.select(*cols, *( [weight_col.alias("weight")] if weight_col is not None else [] ))
     return out
+
+
+def build_postings_no_shuffle(
+    docs: DataFrame,
+    text_col: str = "text",
+    weight_col: F.Column | None = None,
+) -> DataFrame:
+    """docs → postings(doc_id, lemma, tf, rank, dl) with ZERO shuffles.
+
+    The (doc_id, lemma) grouping unit is the doc itself, so per-doc tf
+    maps computed inside the Arrow UDF (doc_term_counts_udf) make the
+    groupBy(doc_id, lemma) shuffle of the exploded path unnecessary —
+    postings are a pure explode pipelined into the scan stage, and the
+    doc length rides along as a column (so query-time scoring needs no
+    doclen join either). rank = tf × field weight (the weight is a
+    per-doc role attribute, applied post-explode JVM-side).
+    Identical rows to explode_lemmas→build_postings (tested).
+    """
+    w = weight_col if weight_col is not None else F.lit(1.0)
+    enriched = docs.select(
+        F.col("doc_id"),
+        doc_term_counts_udf(F.col(text_col)).alias("_tc"),
+        w.alias("_w"),
+    )
+    return enriched.select(
+        "doc_id",
+        F.explode(F.arrays_zip("_tc.lemmas", "_tc.tfs")).alias("_z"),
+        "_w",
+        F.col("_tc.dl").alias("dl"),
+    ).select(
+        "doc_id",
+        F.col("_z.lemmas").alias("lemma"),
+        F.col("_z.tfs").alias("tf"),
+        (F.col("_z.tfs").cast("double") * F.col("_w")).alias("rank"),
+        "dl",
+    )
 
 
 def build_postings(lemma_rows: DataFrame) -> DataFrame:
@@ -185,13 +225,37 @@ def build_index_from_docs(
     if id_col != "doc_id":
         docs = docs.withColumnRenamed(id_col, "doc_id")
     weight = role_weight_col("role") if (weighted and "role" in docs.columns) else None
-    lemma_rows = explode_lemmas(docs, text_col=text_col, use_arrow_udf=use_arrow_udf,
-                                weight_col=weight)
-    postings = build_postings(lemma_rows).persist()
-    # doclen/terms are query-time dimensions touched by EVERY search —
-    # persist them so queries reuse the aggregates instead of re-running
-    # the groupBys over postings per query.
-    doclen = build_doclen(postings).persist()
+    return _assemble_index(docs, text_col, use_arrow_udf, weight)
+
+
+def _assemble_index(
+    docs: DataFrame,
+    text_col: str,
+    use_arrow_udf: bool,
+    weight: F.Column | None,
+) -> InvertedIndex:
+    """Shared tail of the two build entry points.
+
+    Arrow path: per-doc tf aggregation inside the UDF → zero-shuffle
+    postings with dl attached (the lemma-dictionary groupBy is the only
+    shuffle in the whole build; the UDF runs exactly once). JVM
+    expression path: explode + groupBy + dl join — kept as the
+    differential twin (identical rows, tested). Both paths emit the
+    SAME postings schema (doc_id, lemma, tf, rank, dl). doclen/terms
+    are persisted so queries reuse the aggregates."""
+    if use_arrow_udf:
+        postings = build_postings_no_shuffle(
+            docs, text_col=text_col, weight_col=weight
+        ).persist()
+        doclen = (
+            postings.groupBy("doc_id").agg(F.first("dl").alias("dl")).persist()
+        )
+    else:
+        lemma_rows = explode_lemmas(docs, text_col=text_col, use_arrow_udf=False,
+                                    weight_col=weight)
+        bare = build_postings(lemma_rows)
+        doclen = build_doclen(bare).persist()
+        postings = bare.join(doclen, "doc_id").persist()
     terms = build_terms(postings).persist()
     stats = corpus_stats(doclen)
     return InvertedIndex(docs=docs, postings=postings, doclen=doclen,
@@ -207,10 +271,4 @@ def build_index(
     /api/startIndexing analog, ApiService.java:260-292 — minus the crawl)."""
     docs = assign_dense_ids(transcripts, ["conv_id", "turn_idx"], "doc_id")
     weight = role_weight_col("role") if (weighted and "role" in docs.columns) else None
-    lemma_rows = explode_lemmas(docs, use_arrow_udf=use_arrow_udf, weight_col=weight)
-    postings = build_postings(lemma_rows).persist()
-    doclen = build_doclen(postings).persist()
-    terms = build_terms(postings).persist()
-    stats = corpus_stats(doclen)
-    return InvertedIndex(docs=docs, postings=postings, doclen=doclen,
-                         terms=terms, stats=stats)
+    return _assemble_index(docs, "text", use_arrow_udf, weight)

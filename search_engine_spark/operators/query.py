@@ -79,12 +79,19 @@ def bm25_topk(
         return index.postings.sparkSession.createDataFrame(
             [], "doc_id long, score double"
         )
-    hits = candidate_docs(index.postings, lemmas)
     stats = index.stats
+    # Single-pass plan: filter postings to the query lemmas (IN-list,
+    # pruned at the scan), score every posting using the dl column the
+    # build attached (no doclen join), then ONE groupBy(doc_id)
+    # producing both the AND-match arity and the score — the arity
+    # filter (count = n_lemmas) replaces the separate candidate
+    # intersection pass (reference retainAll, SearchService.java:192-209)
+    # without a second shuffle. Only shuffles: the tiny broadcast of the
+    # query-term dictionary rows and the final per-doc aggregate.
+    hits = index.postings.filter(F.col("lemma").isin(lemmas))
     scored = (
         hits.join(F.broadcast(index.terms.filter(F.col("lemma").isin(lemmas))
                               .select("lemma", "df")), "lemma")
-        .join(index.doclen, "doc_id")
         .withColumn("_idf", idf_col(F.col("df").cast("double"), stats.n_docs))
         .withColumn(
             "_w",
@@ -92,7 +99,8 @@ def bm25_topk(
                             F.col("_idf"), stats.avgdl, k1, b),
         )
         .groupBy("doc_id")
-        .agg(F.sum("_w").alias("score_raw"))
+        .agg(F.count("*").alias("_nt"), F.sum("_w").alias("score_raw"))
+        .filter(F.col("_nt") == len(lemmas))  # AND semantics
         .withColumn("score", F.round(F.col("score_raw"), SCORE_DECIMALS))
     )
     return (
@@ -119,13 +127,16 @@ def reference_relevance(
         return index.postings.sparkSession.createDataFrame(
             [], "doc_id long, abs_rel double, rel_rel double"
         )
-    hits = candidate_docs(index.postings, lemmas)
     res = (
-        hits.groupBy("doc_id")
+        index.postings.filter(F.col("lemma").isin(lemmas))
+        .groupBy("doc_id")
         .agg(
+            F.count("*").alias("_nt"),
             F.round(F.sum("rank"), SCORE_DECIMALS).alias("abs_rel"),
             F.round(F.sum("rank") / F.max("rank"), SCORE_DECIMALS).alias("rel_rel"),
         )
+        .filter(F.col("_nt") == len(lemmas))  # AND semantics, same pass
+        .drop("_nt")
         .orderBy(F.col("abs_rel").desc(), F.col("rel_rel").desc(), F.col("doc_id").asc())
     )
     return res.limit(k) if k else res

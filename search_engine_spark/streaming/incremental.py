@@ -27,9 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from search_engine_spark.operators.index_build import (
-    build_doclen,
-    build_postings,
-    explode_lemmas,
+    build_postings_no_shuffle,
     role_weight_col,
 )
 from search_engine_spark.sources.transcripts import TRANSCRIPT_SCHEMA
@@ -61,12 +59,13 @@ def incremental_index_refresh(
         if batch_df.isEmpty():
             return
         docs = batch_df.withColumn("doc_id", streamed_doc_id_col())
-        lemma_rows = explode_lemmas(docs, weight_col=role_weight_col("role"))
-        postings = build_postings(lemma_rows)
-        postings.write.mode("append").parquet(os.path.join(index_dir, "postings"))
-        build_doclen(postings).write.mode("append").parquet(
-            os.path.join(index_dir, "doclen")
+        postings = build_postings_no_shuffle(
+            docs, weight_col=role_weight_col("role")
         )
+        postings.write.mode("append").parquet(os.path.join(index_dir, "postings"))
+        postings.groupBy("doc_id").agg(F.first("dl").alias("dl")).write.mode(
+            "append"
+        ).parquet(os.path.join(index_dir, "doclen"))
         # dictionary delta: df/cf adds for this epoch (merged on read or
         # by a periodic compaction — MERGE INTO once Iceberg is present)
         delta = postings.groupBy("lemma").agg(

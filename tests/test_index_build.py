@@ -78,8 +78,21 @@ def test_role_weights_applied(spark):
 
 
 def test_arrow_udf_path_equals_jvm_path(spark, tiny_transcripts):
-    a = build_index(tiny_transcripts, use_arrow_udf=False, weighted=False)
-    b = build_index(tiny_transcripts, use_arrow_udf=True, weighted=False)
-    pa = {(r["doc_id"], r["lemma"], r["tf"]) for r in a.postings.collect()}
-    pb = {(r["doc_id"], r["lemma"], r["tf"]) for r in b.postings.collect()}
-    assert pa == pb
+    """The zero-shuffle Arrow path (per-doc tf maps inside the UDF) must
+    produce byte-identical postings/doclen/terms to the explode+groupBy
+    JVM-expression path, including role-weighted ranks."""
+    for weighted in (False, True):
+        a = build_index(tiny_transcripts, use_arrow_udf=False, weighted=weighted)
+        b = build_index(tiny_transcripts, use_arrow_udf=True, weighted=weighted)
+        pa = {(r["doc_id"], r["lemma"], r["tf"], round(r["rank"], 9))
+              for r in a.postings.collect()}
+        pb = {(r["doc_id"], r["lemma"], r["tf"], round(r["rank"], 9))
+              for r in b.postings.collect()}
+        assert pa == pb, f"postings diverge (weighted={weighted})"
+        da = {r["doc_id"]: r["dl"] for r in a.doclen.collect()}
+        db = {r["doc_id"]: r["dl"] for r in b.doclen.collect()}
+        assert da == db
+        ta = {r["lemma"]: (r["df"], r["cf"]) for r in a.terms.collect()}
+        tb = {r["lemma"]: (r["df"], r["cf"]) for r in b.terms.collect()}
+        assert ta == tb
+        assert a.stats == b.stats
