@@ -58,6 +58,13 @@ from search_engine_spark.operators.query import (
     reference_relevance,
     snippets,
 )
+from search_engine_spark.operators.serving import (
+    corpus_statistics,
+    extract_title,
+    lemma_frequency,
+    merge_results,
+    scope_docs,
+)
 from search_engine_spark.operators.similarity import (
     brute_force_topk,
     build_srp_index,
@@ -221,6 +228,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _documents(spark, sf).select("doc_id", *langid_features("text"))
         return d.select("doc_id", langid_label_col().alias("lang_label"))
 
+    def q_result_merge(spark, sf):
+        ix = _index_for(spark, sf)
+        a = bm25_topk(ix, Q_MAIN, k=20).select("doc_id", "score")
+        b = bm25_topk(ix, Q_REL, k=20).select("doc_id", "score")
+        # null-absent sides coalesced to 0.0 (hash-stable across engines)
+        return merge_results(a, b).select(
+            "doc_id",
+            F.coalesce("score_a", F.lit(0.0)).alias("score_a"),
+            F.coalesce("score_b", F.lit(0.0)).alias("score_b"),
+            "score_merged",
+        )
+
+    def q_statistics(spark, sf):
+        ix = _index_for(spark, sf)
+        return corpus_statistics(ix.docs, ix.postings, scope_col="source").select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_lemmas").cast("long").alias("n_lemmas"),
+            F.col("n_postings").cast("long").alias("n_postings"),
+        )
+
+    def q_lemma_freq(spark, sf):
+        return lemma_frequency(_index_for(spark, sf).terms, limit=10).select(
+            "lemma", F.col("df").cast("long").alias("df")
+        )
+
+    def q_scoped_bm25(spark, sf):
+        docs = _documents(spark, sf)
+        scope = docs.select("source").orderBy("source").limit(1).head()[0]
+        scoped = build_index_from_docs(scope_docs(docs, "source", scope))
+        return bm25_topk(scoped, Q_MAIN, k=10).select("doc_id", "score")
+
+    def q_titles(spark, sf):
+        return extract_title(_documents(spark, sf)).select("doc_id", "title")
+
+    def q_paginated(spark, sf):
+        from search_engine_spark.operators.query import paginate
+
+        top = bm25_topk(_index_for(spark, sf), Q_MAIN, k=20).select("doc_id", "score")
+        return paginate(top, offset=5, limit=5)
+
     def q_event_windows(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
         return (
@@ -263,6 +311,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "quality_scores": q_quality,
         "langid": q_langid,
+        "result_merge": q_result_merge,
+        "statistics": q_statistics,
+        "lemma_frequency_top10": q_lemma_freq,
+        "bm25_topk_scoped": q_scoped_bm25,
+        "titles": q_titles,
+        "bm25_paginated": q_paginated,
         "event_windows": q_event_windows,
         "top_users_per_event": q_top_users,
     }
@@ -300,11 +354,20 @@ _POSTINGS = f"""
 """
 
 
-def _bm25_sql(query: str, k: int = 10) -> str:
+_SCOPED_DOCS = (
+    "scoped_documents AS (SELECT * FROM documents "
+    "WHERE source = (SELECT min(source) FROM documents))"
+)
+_POSTINGS_SCOPED = (
+    _SCOPED_DOCS + ",\n" + _POSTINGS.replace("FROM documents", "FROM scoped_documents")
+)
+
+
+def _bm25_sql(query: str, k: int = 10, cte: str = _POSTINGS) -> str:
     lemmas = parse_query(query)
     in_list = "(" + ", ".join(f"'{l}'" for l in lemmas) + ")"
     return f"""
-    WITH {_POSTINGS},
+    WITH {cte},
     cand AS (
         SELECT doc_id FROM postings WHERE lemma IN {in_list}
         GROUP BY doc_id HAVING count(*) = {len(lemmas)}
@@ -462,6 +525,43 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'unknown'
                    END AS lang_label
             FROM documents
+        """,
+        "result_merge": f"""
+            WITH a AS ({_bm25_sql(Q_MAIN, 20)}),
+                 b AS ({_bm25_sql(Q_REL, 20)})
+            SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                   coalesce(a.score, 0.0) AS score_a,
+                   coalesce(b.score, 0.0) AS score_b,
+                   coalesce(a.score, 0.0) + coalesce(b.score, 0.0) AS score_merged
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        """,
+        "statistics": f"""
+            WITH {_POSTINGS},
+            d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+            p AS (
+                SELECT dd.source,
+                       count(*) AS n_postings,
+                       count(DISTINCT postings.lemma) AS n_lemmas
+                FROM postings JOIN documents dd USING (doc_id)
+                GROUP BY dd.source
+            )
+            SELECT source, n_docs, n_lemmas, n_postings
+            FROM d LEFT JOIN p USING (source)
+        """,
+        "lemma_frequency_top10": f"""
+            WITH {_POSTINGS}
+            SELECT lemma, df FROM terms ORDER BY df ASC, lemma ASC LIMIT 10
+        """,
+        "bm25_topk_scoped": _bm25_sql(Q_MAIN, 10, cte=_POSTINGS_SCOPED),
+        "titles": """
+            SELECT doc_id,
+                   rtrim(substr(regexp_extract(text, '^([^.!?]*)', 1), 1, 60)) AS title
+            FROM documents
+        """,
+        "bm25_paginated": f"""
+            WITH t AS ({_bm25_sql(Q_MAIN, 20)})
+            SELECT doc_id, score FROM t
+            ORDER BY score DESC, doc_id ASC LIMIT 5 OFFSET 5
         """,
         "event_windows": """
             SELECT date_trunc('hour', ts) AS ws, event_type,

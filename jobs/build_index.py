@@ -53,7 +53,8 @@ def main() -> None:
     else:
         p.error("need --input or --n-synthetic-convs")
 
-    ix = build_index(transcripts, use_arrow_udf=True, weighted=True)
+    ix = build_index(transcripts, use_arrow_udf=True, weighted=True,
+                     scratch_dir=args.output)
     metrics = write_index(ix, args.output, input_desc=desc,
                           bucket_width=args.bucket_width,
                           resume=not args.no_resume)

@@ -25,6 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_build(cpus: int, n_conv: int, corpus_path: str) -> dict:
+    import shutil
+    import tempfile
+
     from search_engine_spark.operators.compression import build_segments
     from search_engine_spark.operators.index_build import build_index
     from search_engine_spark.session import build_session
@@ -32,13 +35,17 @@ def run_build(cpus: int, n_conv: int, corpus_path: str) -> dict:
     spark = build_session(f"scaling_{cpus}", cpus=cpus)
     corpus = spark.read.parquet(corpus_path)
     n_turns = corpus.count()
+    scratch = tempfile.mkdtemp(prefix=f"scaling_ix_{cpus}_")
     t0 = time.monotonic()
-    ix = build_index(corpus, use_arrow_udf=True, weighted=True)
-    ix.postings.count()
+    # the full job: docID assign → lemmatize/postings (parquet-spilled,
+    # the at-scale materialization) → dictionary → compressed segments
+    ix = build_index(corpus, use_arrow_udf=True, weighted=True,
+                     scratch_dir=scratch)
     segments = build_segments(ix, bucket_width=1 << 16)
-    segments.count()
+    segments.write.mode("overwrite").parquet(f"{scratch}/segments")
     sec = time.monotonic() - t0
     spark.stop()
+    shutil.rmtree(scratch, ignore_errors=True)
     return {"cpus": cpus, "n_turns": n_turns, "sec": round(sec, 2),
             "turns_per_sec": round(n_turns / sec, 1)}
 

@@ -1,0 +1,107 @@
+"""Serving-side result shaping — the reference's API/UI surface
+re-expressed as DataFrame operators.
+
+Covers the SURVEY.md §2 rows that live between the scorer and the HTTP
+response in the reference:
+
+- U4  result merge        listMerge/listMergeEx outer-merge of two result
+                          lists keyed by pageId (SearchService.java:162-190)
+- J7  scope filter + join per-site search scoping and site-info join
+                          (ApiService.java:36-47; SearchService.java:315-321)
+- J8/A6 statistics        page/lemma/index counts per site joined to site
+                          (SiteRepository.java:43-54)
+- A4/O3 lemma frequency   all-site lemma frequency list ordered by df
+                          (SearchService.java:289-296; SearchComponent.java:638-644)
+- P6  title extract       substring-of-content title (ApiService.java:116-124)
+- P8  snippet             ±window chars around the first match, <b>-wrapped
+                          (ApiService.java:134-200) — lives in operators/query.py
+- O2  offset/limit        pagination (ApiService.java:97-113) — query.paginate
+
+All are built-ins only (no UDF) so every one is DuckDB-oracle checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_results(
+    a: DataFrame,
+    b: DataFrame,
+    key: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Full-outer merge of two top-k result sets keyed by doc, keeping
+    each side's score and a combined score (sum of present sides) —
+    the reference's ``listMerge``/``listMergeEx`` (SearchService.java:
+    162-190; there the second list's path wins, here both scores are
+    kept explicitly). Both inputs are top-k sized → no shuffle concern.
+    """
+    left = a.select(F.col(key), F.col(score_col).alias("score_a"))
+    right = b.select(F.col(key), F.col(score_col).alias("score_b"))
+    return (
+        left.join(right, key, "full_outer")
+        .select(
+            key,
+            "score_a",
+            "score_b",
+            (F.coalesce("score_a", F.lit(0.0)) + F.coalesce("score_b", F.lit(0.0)))
+            .alias("score_merged"),
+        )
+    )
+
+
+def scope_docs(docs: DataFrame, scope_col: str, scope_value: str) -> DataFrame:
+    """Per-scope search restriction — the reference's per-site search
+    (siteId != 0 path, ApiService.java:36-47). A plain pushed-down
+    predicate: at scale the doc store is partitioned by the scope column
+    so this prunes whole partitions."""
+    return docs.filter(F.col(scope_col) == scope_value)
+
+
+def corpus_statistics(
+    docs: DataFrame,
+    postings: DataFrame,
+    scope_col: str = "source",
+) -> DataFrame:
+    """Per-scope corpus statistics — the reference /api/statistics
+    3-way join (SiteRepository.java:43-54): doc count, distinct-lemma
+    count, posting count per scope. Three partial-agg groupBys joined on
+    the scope key; the scope dimension is tiny → broadcast joins."""
+    d = docs.groupBy(scope_col).agg(F.count("*").alias("n_docs"))
+    scoped = postings.join(
+        docs.select("doc_id", scope_col), "doc_id"
+    )
+    p = scoped.groupBy(scope_col).agg(
+        F.count("*").alias("n_postings"),
+        F.countDistinct("lemma").alias("n_lemmas"),
+    )
+    return d.join(p, scope_col, "left").select(
+        scope_col, "n_docs", "n_lemmas", "n_postings"
+    )
+
+
+def lemma_frequency(terms: DataFrame, limit: int | None = None) -> DataFrame:
+    """All-site lemma frequency list ordered by ascending df then lemma —
+    the reference's lemma grid ordering (Sort.by("frequency"),
+    SearchComponent.java:638-644; SQL `order by frequency`,
+    SearchService.java:289-296)."""
+    out = terms.select("lemma", "df").orderBy(F.col("df").asc(), F.col("lemma").asc())
+    return out.limit(limit) if limit else out
+
+
+def extract_title(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_chars: int = 60,
+) -> DataFrame:
+    """Title extraction — the reference slices content between <title>
+    tags (ApiService.java:116-124); transcripts/documents have no HTML,
+    so the analog is the first sentence clipped to n_chars (regexp_extract
+    + substring, both codegen built-ins)."""
+    first_sentence = F.regexp_extract(F.col(text_col), r"^([^.!?]*)", 1)
+    return docs.withColumn(
+        "title",
+        F.rtrim(F.substring(first_sentence, 1, n_chars)),
+    )

@@ -72,12 +72,18 @@ def write_index(
     metrics: dict = {"input": input_desc}
 
     docs_path = os.path.join(index_dir, "docs")
-    if not resume or not os.path.isdir(docs_path):
-        index.docs.write.mode("overwrite").parquet(docs_path)
-        index.postings.write.mode("overwrite").parquet(os.path.join(index_dir, "postings"))
+    stats_path = os.path.join(index_dir, "stats.json")
+    # a build with scratch_dir == index_dir already wrote docs/postings
+    # here — don't copy a table onto itself (stats.json marks a complete
+    # dimension-table write, so spilled-but-incomplete dirs still finish)
+    spilled_here = os.path.normpath(index.backing_dir or "") == os.path.normpath(index_dir)
+    if not resume or not os.path.exists(stats_path):
+        if not spilled_here:
+            index.docs.write.mode("overwrite").parquet(docs_path)
+            index.postings.write.mode("overwrite").parquet(os.path.join(index_dir, "postings"))
         index.doclen.write.mode("overwrite").parquet(os.path.join(index_dir, "doclen"))
         index.terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
-        with open(os.path.join(index_dir, "stats.json"), "w") as fh:
+        with open(stats_path, "w") as fh:
             json.dump({"n_docs": index.stats.n_docs, "avgdl": index.stats.avgdl}, fh)
 
     all_buckets = set(range((index.stats.n_docs + bucket_width - 1) // bucket_width or 1))

@@ -1,0 +1,75 @@
+"""Physical-plan guardrails (SURVEY §4): the properties we rely on at
+scale must actually appear in Catalyst's chosen plan — broadcast join
+for query terms, no shuffle in the Arrow postings path, pushed filters
+on parquet scans, whole-stage codegen on the JVM lemmatizer path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.text import lemmas_col
+from search_engine_spark.operators.index_build import (
+    build_postings_no_shuffle,
+    role_weight_col,
+)
+from search_engine_spark.operators.query import bm25_topk
+from search_engine_spark.plans.explain import (
+    assert_broadcast_join,
+    count_shuffles,
+    physical_plan,
+)
+
+
+def test_bm25_plan_broadcasts_query_terms(tiny_index):
+    plan_df = bm25_topk(tiny_index, "w00000 w00001s", k=10)
+    assert_broadcast_join(plan_df)
+
+
+def test_bm25_plan_single_aggregate_shuffle(tiny_index):
+    """The doclen join must NOT add a shuffle join to the QUERY (dl is a
+    postings column); only the broadcast dictionary join and the per-doc
+    aggregate appear above the cached postings scan. (The build lineage
+    stored inside InMemoryRelation is out of scope — cut it off.)"""
+    plan = physical_plan(bm25_topk(tiny_index, "w00000", k=10))
+    query_plan = plan.split("InMemoryRelation")[0]
+    assert "SortMergeJoin" not in query_plan, query_plan
+    assert "HashAggregate" in query_plan, query_plan
+    assert "TakeOrderedAndProject" in query_plan, query_plan
+
+
+def test_postings_build_is_shuffle_free(spark):
+    docs = spark.createDataFrame(
+        [(0, "user", "alpha beta"), (1, "tool", "beta gamma")],
+        "doc_id long, role string, text string",
+    )
+    p = build_postings_no_shuffle(docs, weight_col=role_weight_col("role"))
+    assert count_shuffles(p) == 0, physical_plan(p)
+
+
+def test_jvm_lemma_path_has_no_python(tiny_index):
+    """The JVM lemma expression must compile to pure Catalyst expressions
+    (no Arrow/Python eval node anywhere in the plan); the Arrow UDF path
+    must show exactly one ArrowEvalPython."""
+    jvm = tiny_index.docs.select(F.explode(lemmas_col("text")).alias("lemma"))
+    plan = physical_plan(jvm)
+    assert "EvalPython" not in plan, plan
+
+    from search_engine_spark.operators.index_build import (
+        build_postings_no_shuffle,
+    )
+
+    arrow = build_postings_no_shuffle(tiny_index.docs)
+    aplan = physical_plan(arrow)
+    assert "ArrowEvalPython" in aplan, aplan       # vectorized Arrow transfer
+    assert "BatchEvalPython" not in aplan, aplan   # never row-at-a-time Python
+
+
+def test_parquet_scan_prunes_columns(spark, tmp_path):
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "doc_id long, text string, extra string"
+    ).write.parquet(path)
+    df = spark.read.parquet(path).filter(F.col("doc_id") == 1).select("text")
+    plan = physical_plan(df)
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,1)]" in plan, plan
+    assert "extra" not in plan.split("ReadSchema")[1].splitlines()[0], plan

@@ -1,0 +1,86 @@
+"""Serving-side operators (SURVEY §2 U4/J7/J8/A4/P6/O2): result merge,
+scope filter, statistics join, lemma-frequency ordering, title extract,
+pagination — semantics pinned against hand-computed expectations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.query import bm25_topk, paginate
+from search_engine_spark.operators.serving import (
+    corpus_statistics,
+    extract_title,
+    lemma_frequency,
+    merge_results,
+    scope_docs,
+)
+
+
+def test_merge_results_full_outer(spark):
+    a = spark.createDataFrame([(1, 2.0), (2, 1.0)], "doc_id long, score double")
+    b = spark.createDataFrame([(2, 0.5), (3, 4.0)], "doc_id long, score double")
+    got = {r["doc_id"]: (r["score_a"], r["score_b"], r["score_merged"])
+           for r in merge_results(a, b).collect()}
+    assert got == {
+        1: (2.0, None, 2.0),
+        2: (1.0, 0.5, 1.5),
+        3: (None, 4.0, 4.0),
+    }
+
+
+def test_scope_docs_restricts_and_rescopes_stats(spark, tiny_transcripts):
+    """Scoped search == building an index over only the scoped docs:
+    df/N/avgdl all re-derive from the scope (reference one-site path)."""
+    from search_engine_spark.operators.index_build import build_index
+
+    scoped_rows = tiny_transcripts.filter(F.col("role") == "user")
+    ix = build_index(scoped_rows, use_arrow_udf=True, weighted=False)
+    assert ix.stats.n_docs == scoped_rows.count()
+    # every result doc is a user turn
+    top = bm25_topk(ix, "w00000", k=5)
+    ids = [r["doc_id"] for r in top.collect()]
+    roles = {r["doc_id"]: r["role"] for r in ix.docs.collect()}
+    assert all(roles[i] == "user" for i in ids)
+
+
+def test_corpus_statistics_counts(spark):
+    docs = spark.createDataFrame(
+        [(0, "s1"), (1, "s1"), (2, "s2")], "doc_id long, source string"
+    )
+    postings = spark.createDataFrame(
+        [(0, "a", 1), (0, "b", 2), (1, "a", 1), (2, "c", 3)],
+        "doc_id long, lemma string, tf int",
+    )
+    got = {r["source"]: (r["n_docs"], r["n_lemmas"], r["n_postings"])
+           for r in corpus_statistics(docs, postings).collect()}
+    assert got == {"s1": (2, 2, 3), "s2": (1, 1, 1)}
+
+
+def test_lemma_frequency_order(spark):
+    terms = spark.createDataFrame(
+        [("b", 5), ("a", 5), ("z", 1)], "lemma string, df long"
+    )
+    rows = lemma_frequency(terms).collect()
+    assert [(r["lemma"], r["df"]) for r in rows] == [("z", 1), ("a", 5), ("b", 5)]
+
+
+def test_extract_title(spark):
+    docs = spark.createDataFrame(
+        [(0, "Hello world. More text follows"), (1, "no sentence end here"),
+         (2, "x" * 100 + ". tail")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["title"] for r in extract_title(docs).collect()}
+    assert got[0] == "Hello world"
+    assert got[1] == "no sentence end here"
+    assert got[2] == "x" * 60
+
+
+def test_paginate_slices_ordered_results(spark, tiny_index):
+    top = bm25_topk(tiny_index, "w00000", k=10).select("doc_id", "score")
+    full = [(r["doc_id"], r["score"]) for r in
+            top.orderBy(F.desc("score"), F.asc("doc_id")).collect()]
+    page = [(r["doc_id"], r["score"]) for r in
+            paginate(top, offset=3, limit=4)
+            .orderBy(F.desc("score"), F.asc("doc_id")).collect()]
+    assert page == full[3:7]
