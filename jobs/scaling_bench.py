@@ -2,15 +2,25 @@
 ≥ 0.8 growing from N to 4N executors).
 
 No real cluster exists in this sandbox, so per the BASELINE protocol the
-same index-build job runs at two parallelism levels — local[N] and
-local[4N] cores — over the byte-identical synthetic corpus (corpus
-generation is partition-invariant by construction, tests/test_corpus.py)
-and reports throughput at both plus efficiency:
+same index-build job runs at two parallelism levels over the
+byte-identical synthetic corpus (corpus generation is
+partition-invariant by construction, tests/test_corpus.py) and reports
+throughput at both plus efficiency:
 
     efficiency = (T_N / T_4N) / 4
 
-Usage: python jobs/scaling_bench.py [--n-conv 30000] [--base-cpus 8]
+CPU pinning: ``local[N]`` alone does NOT model an N-core cluster — the
+JVM's GC/shuffle/Arrow-serialization threads and the Python UDF workers
+run UNCAPPED, so a local[2] "cluster" borrows 4-6 machine cores and the
+baseline throughput is inflated (efficiency understated). Each level
+therefore runs in its own subprocess pinned with ``taskset -c`` to
+exactly N cores — the faithful analog of an N-executor cluster where
+node resources scale WITH the executor count.
+
+Usage: python jobs/scaling_bench.py [--n-conv 30000] [--base-cpus 2]
+       [--corpus DIR] [--no-taskset]
 Writes one JSON line to stdout; details to stderr.
+``--single-cpus N`` (internal): run one pinned level and emit its JSON.
 """
 
 from __future__ import annotations
@@ -18,13 +28,17 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil as _shutil
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_build(cpus: int, n_conv: int, corpus_path: str) -> dict:
+def run_build(cpus: int, n_conv: int, corpus_path: str,
+              cluster: bool = False) -> dict:
+    import os as _os
     import shutil
     import tempfile
 
@@ -32,7 +46,20 @@ def run_build(cpus: int, n_conv: int, corpus_path: str) -> dict:
     from search_engine_spark.operators.index_build import build_index
     from search_engine_spark.session import build_session
 
-    spark = build_session(f"scaling_{cpus}", cpus=cpus)
+    if cluster:
+        # N separate 1-core executor JVMs — per-executor GC/python
+        # workers/shuffle, the faithful N-executor cluster analog
+        repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        spark = build_session(
+            f"scaling_{cpus}", cpus=cpus,
+            master=f"local-cluster[{cpus},1,6144]",
+            extra_conf={
+                "spark.executor.memory": "5g",
+                "spark.executorEnv.PYTHONPATH": repo,
+            },
+        )
+    else:
+        spark = build_session(f"scaling_{cpus}", cpus=cpus)
     corpus = spark.read.parquet(corpus_path)
     n_turns = corpus.count()
     scratch = tempfile.mkdtemp(prefix=f"scaling_ix_{cpus}_")
@@ -50,12 +77,38 @@ def run_build(cpus: int, n_conv: int, corpus_path: str) -> dict:
             "turns_per_sec": round(n_turns / sec, 1)}
 
 
+def _pinned_run(cpus: int, n_conv: int, corpus: str,
+                cluster: bool = False) -> dict:
+    """Re-exec this script pinned to `cpus` cores; parse its JSON line."""
+    cmd = [
+        "taskset", "-c", f"0-{cpus - 1}",
+        sys.executable, os.path.abspath(__file__),
+        "--single-cpus", str(cpus), "--n-conv", str(n_conv),
+        "--corpus", corpus,
+    ] + (["--cluster"] if cluster else [])
+    res = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=sys.stderr)
+    res.check_returncode()
+    return json.loads(res.stdout.decode().strip().splitlines()[-1])
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--n-conv", type=int, default=30000)
-    p.add_argument("--base-cpus", type=int, default=8)
+    p.add_argument("--base-cpus", type=int, default=2)
     p.add_argument("--corpus", default="/tmp/scaling_corpus")
+    p.add_argument("--no-taskset", action="store_true",
+                   help="run unpinned local[N] sessions in-process")
+    p.add_argument("--cluster", action="store_true",
+                   help="local-cluster[N,1,…]: one 1-core executor JVM per N")
+    p.add_argument("--single-cpus", type=int, default=None,
+                   help="internal: run one level and emit its JSON")
     args = p.parse_args()
+
+    if args.single_cpus:
+        print(json.dumps(run_build(args.single_cpus, args.n_conv, args.corpus,
+                                   cluster=args.cluster)),
+              flush=True)
+        return
 
     # materialize the corpus once (identical input for both runs)
     if not os.path.isdir(args.corpus):
@@ -66,9 +119,15 @@ def main() -> None:
         synthesize_transcripts(spark, args.n_conv).write.mode("overwrite").parquet(args.corpus)
         spark.stop()
 
-    lo = run_build(args.base_cpus, args.n_conv, args.corpus)
+    pin = not args.no_taskset and _shutil.which("taskset") is not None
+    runner = (
+        (lambda c: _pinned_run(c, args.n_conv, args.corpus, args.cluster))
+        if pin
+        else (lambda c: run_build(c, args.n_conv, args.corpus, args.cluster))
+    )
+    lo = runner(args.base_cpus)
     print(f"local[{args.base_cpus}]: {lo}", file=sys.stderr, flush=True)
-    hi = run_build(args.base_cpus * 4, args.n_conv, args.corpus)
+    hi = runner(args.base_cpus * 4)
     print(f"local[{args.base_cpus * 4}]: {hi}", file=sys.stderr, flush=True)
 
     efficiency = (lo["sec"] / hi["sec"]) / 4.0
@@ -76,6 +135,7 @@ def main() -> None:
         "metric": "index_build_scaling_efficiency_Nx4N",
         "value": round(efficiency, 3),
         "unit": "ratio",
+        "cpu_pinned": pin,
         "runs": [lo, hi],
         "pass_0.8": efficiency >= 0.8,
     }

@@ -18,20 +18,32 @@ def build_session(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master`` overrides the default ``local[cpus]`` — e.g.
+    ``local-cluster[N,1,6144]`` for N separate 1-core executor JVMs (the
+    closest single-box analog of an N-executor cluster: per-executor GC,
+    python workers, and shuffle clients, used by jobs/scaling_bench.py)."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        # ~cores for local mode; a real cluster would size this to
-        # 2-3× total executor cores (or rely on AQE coalescing).
-        shuffle_partitions = max(cpus, 8)
+        # 4 waves/core: task granularity fine enough that one straggler
+        # doesn't idle the rest of the stage (1 task/core measurably
+        # loses ~25% of stage time to the tail).
+        shuffle_partitions = max(cpus * 4, 16)
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesce targets: small enough to keep multiple waves/core
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(16 * 1024 * 1024))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # cap scan splits at 16MB so a file scan never degenerates to
+        # ~one wave (Spark's bytesPerCore heuristic would): event-log
+        # analysis showed 1.25-wave stages idling 23% of an 8-core run
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
