@@ -346,10 +346,13 @@ _POSTINGS = f"""
     postings AS (
         SELECT doc_id, lemma, count(*) AS tf FROM lemma_rows GROUP BY doc_id, lemma
     ),
-    doclen AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY doc_id),
+    doclen AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id
+    ),
     stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
     terms AS (
-        SELECT lemma, count(*) AS df, sum(tf) AS cf FROM postings GROUP BY lemma
+        SELECT lemma, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        FROM postings GROUP BY lemma
     )
 """
 

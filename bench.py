@@ -48,19 +48,26 @@ def main() -> None:
     timings: dict[str, float] = {}
     t_all = time.monotonic()
 
+    # per-invocation scratch dirs: concurrent bench runs on one machine
+    # must not overwrite each other's spilled tables (ADVICE r1)
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bench_")
+
     # ---- headline: index build throughput (turns/sec) -------------------
     t0 = time.monotonic()
     transcripts = synthesize_transcripts(spark, n_conv)
     # materialize corpus first so generation cost isn't counted as build
-    transcripts.write.mode("overwrite").parquet("/tmp/bench_corpus")
-    corpus = spark.read.parquet("/tmp/bench_corpus")
+    transcripts.write.mode("overwrite").parquet(f"{work}/corpus")
+    corpus = spark.read.parquet(f"{work}/corpus")
     n_turns = corpus.count()
     gen_sec = time.monotonic() - t0
     log(f"corpus: {n_turns} turns in {gen_sec:.1f}s")
 
     t0 = time.monotonic()
     ix = build_index(corpus, use_arrow_udf=True, weighted=True,
-                     scratch_dir="/tmp/bench_index")
+                     scratch_dir=f"{work}/index")
     core_sec = time.monotonic() - t0
 
     seg_sec = 0.0
@@ -123,6 +130,7 @@ def main() -> None:
     }
     print(json.dumps(out), flush=True)
     spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":

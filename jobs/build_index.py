@@ -53,11 +53,38 @@ def main() -> None:
     else:
         p.error("need --input or --n-synthetic-convs")
 
-    ix = build_index(transcripts, use_arrow_udf=True, weighted=True,
-                     scratch_dir=args.output)
+    from search_engine_spark.sources.index_store import DiskIndex, load_stats
+
+    # Resume gate BEFORE the build spills into --output (the build with
+    # scratch_dir == output overwrites docs/postings unconditionally, so
+    # the check must happen here, not inside write_index — ADVICE r1):
+    # - complete index from the same input  → no-op re-run
+    # - complete index from a DIFFERENT input → refuse (a silent rebuild
+    #   would publish segments/stats from old postings next to new ones)
+    # - incomplete index (dims written, some buckets missing) from the
+    #   same input → reuse the spilled tables, rebuild only the missing
+    #   buckets (the actual point of resume: the UDF pass does not rerun)
+    resume = not args.no_resume
+    stats = load_stats(args.output) if resume else None
+    if stats is not None and stats.get("input") != desc:
+        p.error(
+            f"--output holds an index built from {stats.get('input')!r}, "
+            f"not {desc!r}; pass --no-resume to rebuild from scratch"
+        )
+    if stats is not None and stats.get("complete"):
+        print(json.dumps({"input": desc, "skipped": "index already complete",
+                          "n_docs": stats["n_docs"]}), flush=True)
+        spark.stop()
+        return
+    if stats is not None:
+        ix = DiskIndex(spark, args.output).as_inverted_index()
+        ix.backing_dir = args.output
+    else:
+        ix = build_index(transcripts, use_arrow_udf=True, weighted=True,
+                         scratch_dir=args.output)
     metrics = write_index(ix, args.output, input_desc=desc,
                           bucket_width=args.bucket_width,
-                          resume=not args.no_resume)
+                          resume=resume)
     metrics["n_docs"] = ix.stats.n_docs
     metrics["turns_per_sec"] = round(ix.stats.n_docs / metrics["elapsed_sec"], 1)
     print(json.dumps(metrics), flush=True)

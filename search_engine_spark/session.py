@@ -19,6 +19,7 @@ def build_session(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
     master: str | None = None,
+    max_partition_bytes: int | None = None,
 ) -> SparkSession:
     """``master`` overrides the default ``local[cpus]`` — e.g.
     ``local-cluster[N,1,6144]`` for N separate 1-core executor JVMs (the
@@ -40,10 +41,17 @@ def build_session(
         # AQE coalesce targets: small enough to keep multiple waves/core
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(16 * 1024 * 1024))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # cap scan splits at 16MB so a file scan never degenerates to
+        # cap scan splits so a small-corpus file scan never degenerates to
         # ~one wave (Spark's bytesPerCore heuristic would): event-log
-        # analysis showed 1.25-wave stages idling 23% of an 8-core run
-        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # analysis showed 1.25-wave stages idling 23% of an 8-core run.
+        # Scaled with core count rather than a flat 16MB: on genuinely
+        # large inputs a tiny cap inflates task counts ~8× over the 128MB
+        # default and the scheduler overhead dominates (ADVICE r1) —
+        # callers with big inputs pass max_partition_bytes explicitly.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            str(max_partition_bytes or 16 * 1024 * 1024),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))

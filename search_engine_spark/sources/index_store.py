@@ -32,8 +32,23 @@ from search_engine_spark.operators.compression import build_segments
 from search_engine_spark.operators.index_build import CorpusStats, InvertedIndex
 
 
+# bumped when the on-disk schema changes (v2: postings carry a dl
+# column; the query engines no longer join doclen). Loads of older dirs
+# fail with a clear message instead of an AnalysisException at query time.
+INDEX_FORMAT_VERSION = 2
+
+
 def _manifest_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "manifests")
+
+
+def load_stats(index_dir: str) -> dict | None:
+    """stats.json payload, or None if absent (no/partial index)."""
+    path = os.path.join(index_dir, "stats.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
 
 
 def completed_buckets(index_dir: str) -> set[int]:
@@ -75,8 +90,13 @@ def write_index(
     stats_path = os.path.join(index_dir, "stats.json")
     # a build with scratch_dir == index_dir already wrote docs/postings
     # here — don't copy a table onto itself (stats.json marks a complete
-    # dimension-table write, so spilled-but-incomplete dirs still finish)
-    spilled_here = os.path.normpath(index.backing_dir or "") == os.path.normpath(index_dir)
+    # dimension-table write, so spilled-but-incomplete dirs still finish).
+    # realpath on both sides: a relative scratch_dir vs absolute index_dir
+    # (or a symlink) naming the same directory must not trigger a
+    # self-overwriting parquet write (ADVICE r1).
+    spilled_here = os.path.realpath(
+        os.path.abspath(index.backing_dir or "/nonexistent")
+    ) == os.path.realpath(os.path.abspath(index_dir))
     if not resume or not os.path.exists(stats_path):
         if not spilled_here:
             index.docs.write.mode("overwrite").parquet(docs_path)
@@ -84,7 +104,16 @@ def write_index(
         index.doclen.write.mode("overwrite").parquet(os.path.join(index_dir, "doclen"))
         index.terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
         with open(stats_path, "w") as fh:
-            json.dump({"n_docs": index.stats.n_docs, "avgdl": index.stats.avgdl}, fh)
+            json.dump(
+                {
+                    "n_docs": index.stats.n_docs,
+                    "avgdl": index.stats.avgdl,
+                    "format": INDEX_FORMAT_VERSION,
+                    "input": input_desc,
+                    "complete": False,
+                },
+                fh,
+            )
 
     all_buckets = set(range((index.stats.n_docs + bucket_width - 1) // bucket_width or 1))
     done = completed_buckets(index_dir) if resume else set()
@@ -126,6 +155,15 @@ def write_index(
                     "bucket_width": bucket_width,
                 },
             )
+    # all buckets committed → flip the completeness marker (consulted by
+    # jobs/build_index.py's resume gate so a re-run never clobbers a
+    # finished index, ADVICE r1)
+    stats = load_stats(index_dir) or {}
+    stats["complete"] = True
+    tmp = stats_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(stats, fh)
+    os.replace(tmp, stats_path)
     metrics["buckets_built"] = len(todo)
     metrics["elapsed_sec"] = time.monotonic() - t0
     return metrics
@@ -139,6 +177,13 @@ class DiskIndex:
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "stats.json")) as fh:
             s = json.load(fh)
+        fmt = int(s.get("format", 1))
+        if fmt > INDEX_FORMAT_VERSION:
+            raise ValueError(
+                f"index at {index_dir} has format v{fmt}, newer than this "
+                f"engine's v{INDEX_FORMAT_VERSION} — upgrade the library"
+            )
+        self.format = fmt
         self.stats = CorpusStats(n_docs=int(s["n_docs"]), avgdl=float(s["avgdl"]))
 
     @property
@@ -154,10 +199,16 @@ class DiskIndex:
         return self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
 
     def as_inverted_index(self) -> InvertedIndex:
+        postings = self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+        doclen = self.spark.read.parquet(os.path.join(self.index_dir, "doclen"))
+        if "dl" not in postings.columns:
+            # format-v1 dirs (pre-dl postings): fall back to the doclen
+            # join so old indexes stay queryable (ADVICE r1)
+            postings = postings.join(doclen, "doc_id")
         return InvertedIndex(
             docs=self.docs,
-            postings=self.spark.read.parquet(os.path.join(self.index_dir, "postings")),
-            doclen=self.spark.read.parquet(os.path.join(self.index_dir, "doclen")),
+            postings=postings,
+            doclen=doclen,
             terms=self.terms,
             stats=self.stats,
         )
