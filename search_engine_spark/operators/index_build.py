@@ -247,6 +247,10 @@ class InvertedIndex:
     terms: DataFrame       # term_id, lemma, df, cf
     stats: CorpusStats
     backing_dir: str | None = None
+    # set when the spilled docs table stores _mid instead of doc_id
+    # (operators/docids.assign_dense_ids_spilled); persisted in stats.json
+    # so DiskIndex re-derives identical ids on read
+    docid_adjust: dict[int, int] | None = None
 
 
 def build_index_from_docs(
@@ -272,6 +276,8 @@ def _assemble_index(
     use_arrow_udf: bool,
     weight: F.Column | None,
     scratch_dir: str | None = None,
+    docs_spilled: bool = False,
+    docid_adjust: dict[int, int] | None = None,
 ) -> InvertedIndex:
     """Shared tail of the two build entry points.
 
@@ -291,7 +297,7 @@ def _assemble_index(
     (scratch_dir=None). doclen/terms are small per-doc/per-term
     dimensions → always persisted."""
     spark = docs.sparkSession
-    if scratch_dir:
+    if scratch_dir and not docs_spilled:
         docs.write.mode("overwrite").parquet(f"{scratch_dir}/docs")
         docs = spark.read.parquet(f"{scratch_dir}/docs")
     if use_arrow_udf:
@@ -331,7 +337,8 @@ def _assemble_index(
     terms = build_terms(postings).persist()
     stats = corpus_stats(doclen)
     return InvertedIndex(docs=docs, postings=postings, doclen=doclen,
-                         terms=terms, stats=stats, backing_dir=scratch_dir)
+                         terms=terms, stats=stats, backing_dir=scratch_dir,
+                         docid_adjust=docid_adjust)
 
 
 def build_index(
@@ -343,7 +350,20 @@ def build_index(
     """Full batch index build over a transcript table (the reference's
     /api/startIndexing analog, ApiService.java:260-292 — minus the crawl).
     Pass ``scratch_dir`` (usually the index output dir) to spill docs +
-    postings to parquet — the at-scale materialization path."""
-    docs = assign_dense_ids(transcripts, ["conv_id", "turn_idx"], "doc_id")
+    postings to parquet — the at-scale materialization path. The spilled
+    path fuses docID assignment with the docs write (one shuffle + one
+    materialization; see docids.assign_dense_ids_spilled) — id values are
+    identical to :func:`assign_dense_ids` (tested)."""
+    adjust = None
+    if scratch_dir:
+        from search_engine_spark.operators.docids import assign_dense_ids_spilled
+
+        docs, adjust = assign_dense_ids_spilled(
+            transcripts, ["conv_id", "turn_idx"], f"{scratch_dir}/docs"
+        )
+    else:
+        docs = assign_dense_ids(transcripts, ["conv_id", "turn_idx"], "doc_id")
     weight = role_weight_col("role") if (weighted and "role" in docs.columns) else None
-    return _assemble_index(docs, "text", use_arrow_udf, weight, scratch_dir)
+    return _assemble_index(docs, "text", use_arrow_udf, weight, scratch_dir,
+                           docs_spilled=scratch_dir is not None,
+                           docid_adjust=adjust)

@@ -111,6 +111,11 @@ def write_index(
                     "format": INDEX_FORMAT_VERSION,
                     "input": input_desc,
                     "complete": False,
+                    # docs spilled with fused id assignment store _mid;
+                    # doc_id = _mid + adjust[_mid >> 33] on read
+                    "docid_adjust": {
+                        str(k): int(v) for k, v in (index.docid_adjust or {}).items()
+                    },
                 },
                 fh,
             )
@@ -185,10 +190,18 @@ class DiskIndex:
             )
         self.format = fmt
         self.stats = CorpusStats(n_docs=int(s["n_docs"]), avgdl=float(s["avgdl"]))
+        self.docid_adjust = {
+            int(k): int(v) for k, v in (s.get("docid_adjust") or {}).items()
+        }
 
     @property
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        if "doc_id" not in docs.columns:
+            from search_engine_spark.operators.docids import with_derived_doc_id
+
+            docs = with_derived_doc_id(docs, self.docid_adjust)
+        return docs
 
     @property
     def terms(self) -> DataFrame:

@@ -27,6 +27,38 @@ def test_ids_independent_of_partition_count(spark, tiny_transcripts):
     assert am == bm
 
 
+def test_spilled_ids_equal_window_ids(spark, tiny_transcripts, tmp_path):
+    """The fused spill path (mono-id + footer counts) must assign the
+    EXACT ids of the classic two-pass window path, at any partitioning."""
+    from search_engine_spark.operators.docids import assign_dense_ids_spilled
+
+    ref = {
+        (r["conv_id"], r["turn_idx"]): r["doc_id"]
+        for r in assign_dense_ids(
+            tiny_transcripts, ["conv_id", "turn_idx"], "doc_id"
+        ).collect()
+    }
+    for parts in (2, 11):
+        docs, adjust = assign_dense_ids_spilled(
+            tiny_transcripts, ["conv_id", "turn_idx"],
+            str(tmp_path / f"docs_{parts}"), num_partitions=parts,
+        )
+        got = {
+            (r["conv_id"], r["turn_idx"]): r["doc_id"] for r in docs.collect()
+        }
+        assert got == ref
+        assert "_mid" not in docs.columns
+        # round-trip through the stored _mid + adjust map (DiskIndex path)
+        from search_engine_spark.operators.docids import with_derived_doc_id
+
+        raw = spark.read.parquet(str(tmp_path / f"docs_{parts}"))
+        rt = {
+            (r["conv_id"], r["turn_idx"]): r["doc_id"]
+            for r in with_derived_doc_id(raw, adjust).collect()
+        }
+        assert rt == ref
+
+
 def test_per_turn_text_equality(spark, tiny_transcripts, tiny_index):
     """input_hint invariant: the indexed doc store preserves per-turn text
     byte-for-byte under the stable (conv_id, turn_idx) ordering."""
