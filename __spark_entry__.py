@@ -80,6 +80,7 @@ Q_REL = "slow window"
 
 JACCARD_N = 3
 JACCARD_THRESHOLD = 0.7
+JACCARD_MAX_DF = 128  # shingle-df cap for candidate generation (skew guard)
 
 _INDEX_CACHE: dict[str, object] = {}
 
@@ -171,7 +172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_jaccard(spark, sf):
         return ngram_jaccard_pairs(
-            _documents(spark, sf), threshold=JACCARD_THRESHOLD, n=JACCARD_N
+            _documents(spark, sf), threshold=JACCARD_THRESHOLD, n=JACCARD_N,
+            max_shingle_df=JACCARD_MAX_DF,
         ).select("doc_a", "doc_b", "jaccard")
 
     def q_minhash(spark, sf):
@@ -395,6 +397,87 @@ def _bm25_sql(query: str, k: int = 10, cte: str = _POSTINGS) -> str:
     """
 
 
+def _srp_ann_sql(n_planes: int = 8, n_tables: int = 4, dim: int = 64,
+                 k: int = 10) -> str:
+    """Exact DuckDB twin of build_srp_index + srp_query_topk: the SRP
+    probe is pure arithmetic over LITERAL hyperplanes (similarity.py
+    derives them from splitmix64, no RNG state), so the whole
+    bucket-assignment + 1-bit-multiprobe + cosine-rerank pipeline is
+    SQL-expressible. ``bit_count(xor(bucket, sig)) <= 1`` is exactly the
+    {sig} ∪ {sig with one flipped bit} probe set."""
+    from search_engine_spark.operators.similarity import _hyperplanes
+
+    def plane_lit(row) -> str:
+        return "[" + ", ".join(repr(float(c)) for c in row) + "]::DOUBLE[]"
+
+    def bucket_expr(vcol: str, t: int) -> str:
+        planes = _hyperplanes(dim, n_planes, t)
+        parts = [
+            f"(CASE WHEN list_dot_product({vcol}, {plane_lit(planes[p])}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        ]
+        return "(" + " + ".join(parts) + ")"
+
+    buck_cols = ", ".join(f"{bucket_expr('v', t)} AS b{t}" for t in range(n_tables))
+    sig_cols = ", ".join(f"{bucket_expr('qv', t)} AS s{t}" for t in range(n_tables))
+    probe_cond = " OR ".join(
+        f"bit_count(xor(b{t}, s{t})) <= 1" for t in range(n_tables)
+    )
+    return f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    buck AS (SELECT vec_id, {buck_cols} FROM e),
+    sig AS (SELECT {sig_cols} FROM q),
+    cand AS (
+        SELECT DISTINCT vec_id FROM buck CROSS JOIN sig WHERE {probe_cond}
+    )
+    SELECT e.vec_id,
+           round(
+             list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+             6) AS cosine
+    FROM e JOIN cand USING (vec_id) CROSS JOIN q
+    ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """Exact DuckDB twin of simhash_near_duplicates: same 60-bit md5
+    token hash (dedup.token_hash60_col), same weighted bit-fold sign
+    rule (v > 0), then brute-force Hamming over the 64-bit signatures —
+    the Spark pigeonhole chunk-join finds exactly the pairs within
+    max_hamming, so the brute twin is equality, not containment."""
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY doc_id, tok
+    ),
+    th AS (
+        SELECT doc_id, tf,
+               CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM toks
+    ),
+    bits AS (
+        SELECT doc_id, bb.b AS b,
+               sum(tf * (CASE WHEN ((h >> bb.b) & 1) = 1 THEN 1 ELSE -1 END)) AS v
+        FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bb
+        GROUP BY doc_id, bb.b
+    ),
+    sim AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+    """
+
+
 def _shingle_sql() -> str:
     n = JACCARD_N
     return f"""
@@ -467,7 +550,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
             FROM documents GROUP BY text
         """,
+        # mirrors dedup.ngram_jaccard_pairs: candidates share >=1 RARE
+        # shingle (df <= cap, the hot-shingle skew guard); jaccard is
+        # verified over the full shingle sets
         "ngram_jaccard_pairs": f"""
+            WITH {_shingle_sql()},
+            rare AS (
+                SELECT shingle FROM sh GROUP BY shingle
+                HAVING count(*) <= {JACCARD_MAX_DF}
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM sh a
+                JOIN rare USING (shingle)
+                JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            ),
+            inter AS (
+                SELECT doc_a, doc_b, count(*) AS n_inter
+                FROM cand
+                JOIN sh x ON x.doc_id = doc_a
+                JOIN sh y ON y.doc_id = doc_b AND y.shingle = x.shingle
+                GROUP BY doc_a, doc_b
+            )
+            SELECT doc_a, doc_b,
+                   round(n_inter / (sa.n_sh + sb.n_sh - n_inter)::double, 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter)::double >= {JACCARD_THRESHOLD}
+        """,
+        # LSH band-bucketing uses xxhash64 (not DuckDB-expressible), but
+        # the REPORTED pairs carry exact verified Jaccard, and on this
+        # corpus (planted near-dups far above the banding S-curve, all
+        # hashing deterministic) the LSH output equals the exact
+        # shingle-join ground truth — so the uncapped exact-Jaccard SQL
+        # is an equality oracle: it fails if LSH ever reports a false
+        # positive OR misses a true pair.
+        "minhash_lsh_pairs": f"""
             WITH {_shingle_sql()},
             inter AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -482,8 +601,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter)::double >= {JACCARD_THRESHOLD}
         """,
-        # minhash_lsh_pairs / simhash_pairs / srp_ann_topk: xxhash64-based —
-        # not DuckDB-expressible; driver records rows-only checks.
+        "simhash_pairs": _simhash_sql(max_hamming=3),
+        "srp_ann_topk": _srp_ann_sql(n_planes=8, n_tables=4, dim=64, k=10),
         "embedding_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

@@ -96,22 +96,46 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 # Exact n-gram Jaccard (oracle-checkable ground truth)
 # ---------------------------------------------------------------------------
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, n: int = 3,
-                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """All doc pairs with Jaccard(shingle sets) ≥ threshold.
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_shingle_df: int | None = 128) -> DataFrame:
+    """All doc pairs sharing ≥1 rare shingle with Jaccard(full shingle
+    sets) ≥ threshold.
 
-    Candidates = pairs sharing ≥1 shingle (self-join on shingle), so the
-    join never goes quadratic on unrelated docs. At 100 TB, drop
-    ultra-common shingles first (df cap) to bound the hot-shingle
-    blowup — same skew lever as the term salting.
+    The candidate self-join runs ONLY over shingles with document
+    frequency ≤ ``max_shingle_df`` — the hot-shingle skew lever (same
+    idea as the term salting): an ultra-common shingle otherwise
+    contributes df² join rows and the plan goes quadratic on unrelated
+    docs. Jaccard is then verified over the FULL shingle sets, so
+    reported values are exact; only pairs whose every shared shingle is
+    ultra-common can be missed (at near-dup thresholds such pairs share
+    rare shingles too). ``max_shingle_df=None`` disables the cap (exact
+    ground truth for tests). The DuckDB oracle mirrors the same rule.
     """
     sh = doc_shingles(docs, id_col, text_col, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    cand_sh = sh
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle").agg(F.count("*").alias("_sdf"))
+            .filter(F.col("_sdf") <= max_shingle_df)
+            .select("shingle")
+        )
+        cand_sh = sh.join(rare, "shingle", "left_semi")
+    a = cand_sh.alias("a")
+    b = cand_sh.alias("b")
+    cands = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact intersection size over the FULL shingle sets (verify pass)
+    a_sh = sh.withColumnRenamed("doc_id", "doc_a")
+    b_sh = sh.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        cands.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
     out = (
@@ -212,6 +236,16 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.8,
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
+def token_hash60_col(col: str | F.Column) -> F.Column:
+    """60-bit token hash both engines can compute: first 15 hex chars of
+    md5, parsed base-16. Used instead of xxhash64 (Spark-only) so the
+    whole SimHash pipeline has an exact DuckDB twin
+    (``('0x' || substring(md5(tok), 1, 15))::BIGINT``). md5 costs more
+    than xxhash64 per token — swap back for max throughput when oracle
+    checkability is not needed."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 @F.pandas_udf(T.LongType())
 def _simhash_fold(hashes: pd.Series, tfs: pd.Series) -> pd.Series:
     """Per row: arrays of token hashes + tfs → 64-bit SimHash (vectorized
@@ -233,12 +267,15 @@ def _simhash_fold(hashes: pd.Series, tfs: pd.Series) -> pd.Series:
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash:long) — token hashes JVM-side, fold in Arrow UDF."""
+    """(doc_id, simhash:long) — token hashes JVM-side (60-bit md5 prefix,
+    cross-engine verifiable), fold in Arrow UDF. Bits 60-63 are always 0
+    (their bit-sums are strictly negative), so the signature fits a
+    BIGINT in both engines."""
     toks = (
         docs.select(F.col(id_col).alias("doc_id"),
                     F.explode(tokenize_expr(F.col(text_col))).alias("tok"))
         .groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-        .withColumn("th", F.xxhash64("tok"))
+        .withColumn("th", token_hash60_col("tok"))
         .groupBy("doc_id")
         .agg(F.collect_list("th").alias("hs"), F.collect_list("tf").alias("ws"))
     )
