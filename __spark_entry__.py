@@ -2,13 +2,22 @@
 
 ``entry(spark)`` — flagship BM25 search over the sf0.001 documents table.
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2):
-inverted-index build, BM25/relevance retrieval, dedup (exact / n-gram
-Jaccard / MinHash-LSH / SimHash), embedding similarity (brute + SRP-LSH
-ANN), text analysis (token counts / fingerprints / quality / langid),
-and event-stream shaped aggregations.
-``oracle_sql()`` — ANSI-SQL DuckDB twins for every SQL-expressible query;
-the lemma CASE rules are shared text between both engines
-(search_engine_spark/functions/text.py is the single source of truth).
+inverted-index build, BM25 retrieval via THREE differential engines
+(DataFrame / block-max WAND / generated-SQL CTE join — the reference's
+own 3-strategy harness), reference relevance, dedup (exact / n-gram
+Jaccard with shingle-df cap / MinHash-LSH / SimHash), embedding
+similarity (brute + SRP-LSH ANN), text analysis (token counts /
+fingerprints / quality / langid), serving parity (titles, snippets,
+pagination, scoping, statistics, field subtraction), input-contract
+dead-lettering, multimodal feature plumbing, and event-stream shaped
+aggregations.
+``oracle_sql()`` — ANSI-SQL DuckDB twins for EVERY query (round 2: the
+LSH/SimHash/SRP families gained exact equality oracles — deterministic
+hashing makes LSH output reproducible, SimHash uses a 60-bit md5 token
+hash both engines compute, and the SRP probe is literal-hyperplane
+arithmetic fully expressible in SQL); the lemma CASE rules are shared
+text between both engines (search_engine_spark/functions/text.py is the
+single source of truth).
 
 Engines under test live in search_engine_spark/; the transcript-corpus
 variants of the same operators are covered by tests/ against the
@@ -53,9 +62,11 @@ from search_engine_spark.operators.index_build import (
 )
 from search_engine_spark.operators.query import (
     bm25_topk,
+    bm25_topk_sql,
     candidate_docs,
     parse_query,
     reference_relevance,
+    snippet_sql,
     snippets,
 )
 from search_engine_spark.operators.serving import (
@@ -151,7 +162,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         ix = _index_for(spark, sf)
         segs = build_segments(ix, bucket_width=4096)
-        return wand_topk(segs, ix.terms, Q_MAIN, k=10).select("doc_id", "score")
+        return wand_topk(segs, ix.terms, Q_MAIN, k=10, stats=ix.stats).select(
+            "doc_id", "score"
+        )
+
+    def q_bm25_sql(spark, sf):
+        # engine #3 (generated-SQL CTE join, reference J2) on the same
+        # query as q_bm25 — same oracle, 3-way differential harness
+        return bm25_topk_sql(_index_for(spark, sf), Q_MAIN, k=10).select(
+            "doc_id", "score"
+        )
 
     def q_and_search(spark, sf):
         ix = _index_for(spark, sf)
@@ -265,11 +285,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_titles(spark, sf):
         return extract_title(_documents(spark, sf)).select("doc_id", "title")
 
+    def q_snippets(spark, sf):
+        return snippets(_documents(spark, sf), Q_MAIN, window=25).select(
+            "doc_id", "snippet"
+        )
+
     def q_paginated(spark, sf):
         from search_engine_spark.operators.query import paginate
 
         top = bm25_topk(_index_for(spark, sf), Q_MAIN, k=20).select("doc_id", "score")
         return paginate(top, offset=5, limit=5)
+
+    def q_multimodal_features(spark, sf):
+        # multimodal plumbing over real driver data: documents' utf-8
+        # bytes as opaque payloads through the mapInPandas feature
+        # pipeline; n_bytes + sha256 are DuckDB-recomputable (hard
+        # oracle for the Arrow batch path)
+        from search_engine_spark.operators.multimodal import extract_features
+
+        media = _documents(spark, sf).select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+        return extract_features(media).select(
+            "media_id",
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            "sha256",
+        )
+
+    def q_dead_letters(spark, sf):
+        # input-contract classification (ST5 dead-letter rule); the 800-
+        # char bound exercises the oversized branch on clean testdata
+        from search_engine_spark.sources.dead_letter import contract_reason_col
+
+        return _documents(spark, sf).select(
+            "doc_id",
+            contract_reason_col(
+                max_text_chars=800, key_cols=("doc_id", "doc_id")
+            ).alias("reason"),
+        )
+
+    def q_field_subtraction(spark, sf):
+        from search_engine_spark.operators.serving import field_subtraction
+
+        docs = _documents(spark, sf)
+        srcs = [r[0] for r in docs.select("source").distinct().orderBy("source").collect()]
+        return field_subtraction(docs, "source", srcs[0], srcs[-1]).select(
+            "lemma",
+            F.col("cnt_a").cast("long").alias("cnt_a"),
+            F.col("cnt_b").cast("long").alias("cnt_b"),
+            F.col("diff").cast("long").alias("diff"),
+        )
 
     def q_event_windows(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
@@ -301,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25,
         "bm25_topk_rare": q_bm25_rare,
         "bm25_topk_wand": q_bm25_wand,
+        "bm25_topk_sql": q_bm25_sql,
         "and_search": q_and_search,
         "reference_relevance": q_relevance,
         "dedup_exact": q_dedup_exact,
@@ -318,6 +386,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lemma_frequency_top10": q_lemma_freq,
         "bm25_topk_scoped": q_scoped_bm25,
         "titles": q_titles,
+        "snippets": q_snippets,
+        "multimodal_features": q_multimodal_features,
+        "dead_letters": q_dead_letters,
+        "field_subtraction": q_field_subtraction,
         "bm25_paginated": q_paginated,
         "event_windows": q_event_windows,
         "top_users_per_event": q_top_users,
@@ -527,6 +599,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(Q_MAIN),
         "bm25_topk_rare": _bm25_sql(Q_RARE),
         "bm25_topk_wand": _bm25_sql(Q_MAIN),
+        "bm25_topk_sql": _bm25_sql(Q_MAIN),
         "and_search": f"""
             WITH {_POSTINGS}
             SELECT doc_id FROM postings WHERE lemma IN {and_in}
@@ -679,6 +752,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    rtrim(substr(regexp_extract(text, '^([^.!?]*)', 1), 1, 60)) AS title
             FROM documents
+        """,
+        # snippet_sql is ANSI (position/substring/regexp_replace/concat)
+        # — the exact template string the Spark engine F.expr()s
+        "snippets": f"""
+            SELECT doc_id, {snippet_sql(parse_query(Q_MAIN)[0], 25)} AS snippet
+            FROM documents
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
+        "dead_letters": """
+            SELECT doc_id,
+                   CASE WHEN doc_id IS NULL THEN 'null_key'
+                        WHEN text IS NULL THEN 'null_text'
+                        WHEN length(trim(text)) = 0 THEN 'empty_text'
+                        WHEN length(text) > 800 THEN 'oversized_text'
+                        ELSE 'ok' END AS reason
+            FROM documents
+        """,
+        "field_subtraction": f"""
+            WITH ab AS (SELECT min(source) AS a, max(source) AS b FROM documents),
+            lemma_src AS (
+                SELECT source, {_CASE} AS lemma
+                FROM (
+                    SELECT source, unnest({_TOKS}) AS token FROM documents
+                    WHERE source IN (SELECT a FROM ab) OR source IN (SELECT b FROM ab)
+                )
+                WHERE token <> '' AND ({_CASE}) NOT IN {_STOPS}
+            )
+            SELECT lemma,
+                   CAST(sum(CASE WHEN source = (SELECT a FROM ab) THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+                   CAST(sum(CASE WHEN source = (SELECT b FROM ab) THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b,
+                   CAST(sum(CASE WHEN source = (SELECT a FROM ab) THEN 1 ELSE -1 END) AS BIGINT) AS diff
+            FROM lemma_src GROUP BY lemma
         """,
         "bm25_paginated": f"""
             WITH t AS ({_bm25_sql(Q_MAIN, 20)})

@@ -93,15 +93,16 @@ def main() -> None:
     if segments is not None:
         for i, q in enumerate(bench_queries):
             t0 = time.monotonic()
-            wand_topk(segments, ix.terms, q, k=10).collect()
+            wand_topk(segments, ix.terms, q, k=10, stats=ix.stats).collect()
             timings[f"bm25_wand_q{i}"] = round(time.monotonic() - t0, 3)
 
     # ---- operator suite over the driver testdata ------------------------
     suite = [
-        "bm25_topk", "ngram_jaccard_pairs", "minhash_lsh_pairs",
-        "simhash_pairs", "embedding_topk", "srp_ann_topk",
-        "token_counts", "quality_scores", "fingerprints",
-        "event_windows", "top_users_per_event",
+        "bm25_topk", "bm25_topk_sql", "ngram_jaccard_pairs",
+        "minhash_lsh_pairs", "simhash_pairs", "embedding_topk",
+        "srp_ann_topk", "token_counts", "quality_scores", "fingerprints",
+        "snippets", "multimodal_features", "dead_letters",
+        "field_subtraction", "event_windows", "top_users_per_event",
     ]
     qs = entrymod.queries()
     for name in suite:

@@ -79,13 +79,27 @@ def main() -> None:
     if stats is not None:
         ix = DiskIndex(spark, args.output).as_inverted_index()
         ix.backing_dir = args.output
+        n_dead = 0
     else:
+        # dead-letter the rows violating the input contract instead of
+        # letting them poison the build (ST5; reference keep_link
+        # ERROR_LINK, Parser.java:285-292)
+        from search_engine_spark.sources.dead_letter import (
+            split_valid,
+            write_dead_letters,
+        )
+
+        transcripts, dead = split_valid(transcripts)
+        n_dead = dead.count()
+        if n_dead:
+            write_dead_letters(dead, args.output, run_id=desc)
         ix = build_index(transcripts, use_arrow_udf=True, weighted=True,
                          scratch_dir=args.output)
     metrics = write_index(ix, args.output, input_desc=desc,
                           bucket_width=args.bucket_width,
                           resume=resume)
     metrics["n_docs"] = ix.stats.n_docs
+    metrics["n_dead_lettered"] = n_dead
     metrics["turns_per_sec"] = round(ix.stats.n_docs / metrics["elapsed_sec"], 1)
     print(json.dumps(metrics), flush=True)
     spark.stop()

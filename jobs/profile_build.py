@@ -88,11 +88,7 @@ def main() -> None:
             "overwrite"
         ).parquet(f"{scratch}/doc_terms")
     enriched = spark.read.parquet(f"{scratch}/doc_terms")
-    with phase("postings_explode_write"):
-        explode_doc_term_maps(enriched).write.mode("overwrite").parquet(
-            f"{scratch}/postings"
-        )
-    postings = spark.read.parquet(f"{scratch}/postings")
+    postings = explode_doc_term_maps(enriched)  # view, not materialized
     with phase("doclen_persist"):
         doclen = doclen_from_term_maps(enriched).persist()
         doclen.count()

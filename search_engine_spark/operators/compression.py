@@ -1,5 +1,6 @@
-"""Compressed posting segments: docID-delta + varbyte blocks with
-per-block max-score metadata (north_star physical layout).
+"""Compressed posting segments: docID-delta + varbyte blocks carrying
+raw (tf, dl) with per-block (max_tf, min_dl) pruning metadata
+(north_star physical layout).
 
 The reference materializes one posting ROW per (term, doc) in a
 PostgreSQL ``index`` table with B-tree indexes (reference
@@ -7,18 +8,46 @@ entity/Index.java:12-24, IndexRepository.java:28-37) — fine for 64
 pages, hopeless at 10^12 turns. Here each term's posting list is packed
 into ≤BLOCK_SIZE-posting blocks:
 
-    doc_ids : varbyte(delta(sorted doc_ids))       (binary)
-    scores  : float64 LE array of BM25 weights      (binary)
-    block_max_score, first_doc, last_doc            (pruning metadata)
+    doc_ids : varbyte(delta(sorted doc_ids))        (binary)
+    tfs     : varbyte(term frequencies)             (binary)
+    dls     : varbyte(doc lengths)                  (binary)
+    block_max_tf, block_min_dl, first_doc, last_doc (pruning metadata)
 
-Doc-space is range-bucketed (bucket = doc_id // DOC_BUCKET_WIDTH) BEFORE
-the per-term grouping, so a Zipf-head term's postings are split across
-buckets and no single applyInPandas group can exceed
-DOC_BUCKET_WIDTH postings — bounded executor memory at any scale (the
-skew story for the encode stage; the aggregation skew story is
-index_build.term_df_salted). Blocks never span buckets; block-max WAND
-correctness only needs (first_doc, last_doc, block_max) per block, which
-bucketing preserves.
+Blocks are keyed by ``term_key = xxhash64(lemma)`` and store RAW tf/dl,
+not precomputed BM25 weights — a round-2 redesign with three wins:
+
+1. **No dictionary join in the build.** Scoring needs idf(df)/avgdl;
+   storing tf/dl instead defers that to query time, so segment encode
+   is a single self-contained pass over the postings stream (the
+   broadcast-join probe on the lemma string cost ~5s/13s at 8/2 pinned
+   cores and capped scaling). At 100 TB a 100M-term dictionary could
+   not be broadcast at all; xxhash64 keys need no dictionary ever
+   (collision odds ~(V^2)/2^64 — negligible at any realistic vocab).
+2. **Stats-independent segments.** df/avgdl drift (e.g. single-doc
+   re-index, sources/index_store.reindex_turn) never stales block
+   contents — the authoritative dictionary is consulted per query.
+3. **Smaller blocks.** tf+dl varbytes are ~2-3 bytes/posting vs 8-byte
+   float64 weights.
+
+Per-term BM25 weights are computed at query time in numpy with the
+EXACT operation order of index_build.bm25_weight_col and idf doubles
+collected from the JVM (bit-identical float64 — np.log and Math.log
+differ in the last ulp, so idf is never recomputed Python-side); the
+block upper bound is idf·f(max_tf, min_dl), valid because the weight is
+monotone increasing in tf and decreasing in dl.
+
+Doc-space is range-bucketed (bucket = doc_id // DOC_BUCKET_WIDTH) so a
+Zipf-head term's postings split across buckets and no encode group can
+exceed DOC_BUCKET_WIDTH postings — bounded executor memory at any scale
+(the skew story for the encode stage; the aggregation skew story is
+index_build.term_df_salted). Blocks never span buckets.
+
+Two encode strategies, identical decoded content (differential-tested):
+- colocated (default): ZERO shuffle — postings arrive doc-ordered from
+  the build, buckets are doc ranges, so each scan task encodes whole
+  buckets in one numeric-only mapInPandas pass.
+- shuffled: (term_key, bucket) exchange + sort, for inputs without doc
+  order.
 
 Encode/decode are numpy-vectorized (no per-element Python in the varint
 loop beyond the ≤10-round byte-peel, each round a whole-array op).
@@ -40,17 +69,36 @@ from search_engine_spark.config import (
     DOC_BUCKET_WIDTH,
 )
 from search_engine_spark.operators.index_build import (
-    CorpusStats,
     InvertedIndex,
-    bm25_weight_col,
-    idf_col,
 )
 
 SEGMENT_SCHEMA = (
-    "term_id long, bucket long, block_id int, doc_count int, "
-    "first_doc long, last_doc long, block_max_score double, "
-    "doc_ids binary, scores binary"
+    "term_key long, bucket long, block_id int, doc_count int, "
+    "first_doc long, last_doc long, block_max_tf int, block_min_dl int, "
+    "doc_ids binary, tfs binary, dls binary"
 )
+
+
+def term_key_col(lemma_col: str | F.Column = "lemma") -> F.Column:
+    """64-bit segment key for a lemma — the same xxhash64 both the build
+    and the query side compute (seed 42, Spark default)."""
+    return F.xxhash64(lemma_col)
+
+
+def bm25_scores_np(
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    idf: float,
+    avgdl: float,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> np.ndarray:
+    """numpy twin of index_build.bm25_weight_col — IDENTICAL operation
+    order, so float64 results are bit-equal to the DataFrame engine's
+    given the same (JVM-computed) idf."""
+    tf = tfs.astype(np.float64)
+    dl = dls.astype(np.float64)
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
 
 
 # ---------------------------------------------------------------------------
@@ -122,63 +170,60 @@ def delta_decode(deltas: np.ndarray) -> np.ndarray:
     return np.cumsum(np.asarray(deltas, dtype=np.uint64), dtype=np.uint64)
 
 
-def encode_block(doc_ids: np.ndarray, scores: np.ndarray) -> tuple[bytes, bytes]:
-    """(sorted doc_ids, aligned float64 scores) → (docs varbyte, raw scores)."""
-    return varbyte_encode(delta_encode(doc_ids)), np.asarray(scores, dtype=np.float64).tobytes()
+def encode_block(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
+) -> tuple[bytes, bytes, bytes]:
+    """(sorted doc_ids, aligned tfs, aligned dls) →
+    (docs varbyte-of-deltas, tfs varbyte, dls varbyte)."""
+    return (
+        varbyte_encode(delta_encode(doc_ids)),
+        varbyte_encode(np.asarray(tfs, dtype=np.uint64)),
+        varbyte_encode(np.asarray(dls, dtype=np.uint64)),
+    )
 
 
-def decode_block(doc_bytes: bytes, score_bytes: bytes) -> tuple[np.ndarray, np.ndarray]:
+def decode_block(
+    doc_bytes: bytes, tf_bytes: bytes, dl_bytes: bytes
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return (
         delta_decode(varbyte_decode(doc_bytes)).astype(np.int64),
-        np.frombuffer(score_bytes, dtype=np.float64),
+        varbyte_decode(tf_bytes).astype(np.int64),
+        varbyte_decode(dl_bytes).astype(np.int64),
     )
 
 
 # ---------------------------------------------------------------------------
-# Segment build (applyInPandas per (term_id, bucket))
+# Segment build
 # ---------------------------------------------------------------------------
-def scored_postings(index: InvertedIndex) -> DataFrame:
-    """postings + terms → (term_id, doc_id, score) with the BM25
-    per-posting weight computed ONCE, JVM-side, with the exact same
-    column expression the DataFrame scorer uses (rank-identity by
-    construction; SURVEY.md §7 hard-part (b)). Doc length comes from the
-    dl column the build attached to every posting — no doclen join."""
-    stats = index.stats
-    terms_b = F.broadcast(
-        index.terms.withColumn(
-            "_idf", idf_col(F.col("df").cast("double"), stats.n_docs)
-        ).select("lemma", "term_id", "_idf")
-    )
-    return (
-        index.postings
-        .join(terms_b, "lemma")
-        .select(
-            "term_id",
-            "doc_id",
-            bm25_weight_col(
-                F.col("tf").cast("double"), F.col("dl").cast("double"),
-                F.col("_idf"), stats.avgdl, BM25_K1, BM25_B,
-            ).alias("score"),
-        )
+def keyed_postings(index: InvertedIndex) -> DataFrame:
+    """postings → (term_key, doc_id, tf, dl), all numeric, no join —
+    the encode input stream. xxhash64 is codegen'd JVM-side; nothing
+    else is computed here (scores are a query-time concern)."""
+    return index.postings.select(
+        term_key_col("lemma").alias("term_key"),
+        "doc_id",
+        F.col("tf").cast("int").alias("tf"),
+        F.col("dl").cast("int").alias("dl"),
     )
 
 
 _SEG_COLUMNS = [
-    "term_id", "bucket", "block_id", "doc_count", "first_doc",
-    "last_doc", "block_max_score", "doc_ids", "scores",
+    "term_key", "bucket", "block_id", "doc_count", "first_doc",
+    "last_doc", "block_max_tf", "block_min_dl", "doc_ids", "tfs", "dls",
 ]
 
 
 def _encode_sorted_run(
-    term_ids: np.ndarray,
+    term_keys: np.ndarray,
     buckets: np.ndarray,
     doc_ids: np.ndarray,
-    scores: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
 ) -> pd.DataFrame:
-    """Encode a run of postings sorted by (term_id, bucket, doc_id) —
+    """Encode a run of postings sorted by (term_key, bucket, doc_id) —
     possibly MANY (term,bucket) groups — into block rows, fully
-    numpy-vectorized: one varbyte pass over the whole run, then blocks
-    are byte-range slices of that single buffer.
+    numpy-vectorized: one varbyte pass per payload over the whole run,
+    then blocks are byte-range slices of those buffers.
 
     Delta chains restart at every block start (each block's first value
     is the absolute doc_id), so slicing at block boundaries yields
@@ -188,7 +233,7 @@ def _encode_sorted_run(
     n = doc_ids.size
     if n == 0:
         return pd.DataFrame({c: [] for c in _SEG_COLUMNS})
-    change = (term_ids[1:] != term_ids[:-1]) | (buckets[1:] != buckets[:-1])
+    change = (term_keys[1:] != term_keys[:-1]) | (buckets[1:] != buckets[:-1])
     group_starts = np.flatnonzero(np.concatenate(([True], change)))
     group_id = np.cumsum(np.concatenate(([0], change.astype(np.int64))))
     idx_in_group = np.arange(n, dtype=np.int64) - group_starts[group_id]
@@ -199,38 +244,58 @@ def _encode_sorted_run(
     deltas = d64.copy()
     deltas[1:] -= d64[:-1]
     deltas[block_starts] = d64[block_starts]  # absolute at block start
-    buf, nbytes = varbyte_encode_with_lengths(deltas)
-    byte_off = np.concatenate(([0], np.cumsum(nbytes)))
+    dbuf, dnbytes = varbyte_encode_with_lengths(deltas)
+    doff = np.concatenate(([0], np.cumsum(dnbytes)))
+    tbuf, tnbytes = varbyte_encode_with_lengths(tfs.astype(np.uint64))
+    toff = np.concatenate(([0], np.cumsum(tnbytes)))
+    lbuf, lnbytes = varbyte_encode_with_lengths(dls.astype(np.uint64))
+    loff = np.concatenate(([0], np.cumsum(lnbytes)))
 
-    block_max = np.maximum.reduceat(scores, block_starts)
-    buf_bytes = buf.tobytes()
-    scores64 = np.ascontiguousarray(scores, dtype=np.float64)
-    sbytes = scores64.tobytes()
+    block_max_tf = np.maximum.reduceat(tfs, block_starts)
+    block_min_dl = np.minimum.reduceat(dls, block_starts)
+    dbytes, tbytes, lbytes = dbuf.tobytes(), tbuf.tobytes(), lbuf.tobytes()
 
     rows = {
-        "term_id": term_ids[block_starts],
+        "term_key": term_keys[block_starts],
         "bucket": buckets[block_starts],
         "block_id": (idx_in_group[block_starts] // BLOCK_SIZE).astype(np.int32),
         "doc_count": (block_ends - block_starts).astype(np.int32),
         "first_doc": doc_ids[block_starts],
         "last_doc": doc_ids[block_ends - 1],
-        "block_max_score": block_max,
+        "block_max_tf": block_max_tf.astype(np.int32),
+        "block_min_dl": block_min_dl.astype(np.int32),
         "doc_ids": [
-            buf_bytes[byte_off[s] : byte_off[e]]
-            for s, e in zip(block_starts, block_ends)
+            dbytes[doff[s] : doff[e]] for s, e in zip(block_starts, block_ends)
         ],
-        "scores": [
-            sbytes[8 * s : 8 * e] for s, e in zip(block_starts, block_ends)
+        "tfs": [
+            tbytes[toff[s] : toff[e]] for s, e in zip(block_starts, block_ends)
+        ],
+        "dls": [
+            lbytes[loff[s] : loff[e]] for s, e in zip(block_starts, block_ends)
         ],
     }
     return pd.DataFrame(rows)
 
 
+def _run_from_pdf(pdf: pd.DataFrame, order: np.ndarray | None = None) -> pd.DataFrame:
+    cols = (
+        pdf["term_key"].to_numpy(np.int64),
+        pdf["bucket"].to_numpy(np.int64),
+        pdf["doc_id"].to_numpy(np.int64),
+        pdf["tf"].to_numpy(np.int64),
+        pdf["dl"].to_numpy(np.int64),
+    )
+    if order is not None:
+        cols = tuple(c[order] for c in cols)
+    return _encode_sorted_run(*cols)
+
+
 def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: encode a whole sorted partition, carrying the
-    trailing (possibly batch-split) group over between Arrow batches so
-    no group is ever encoded twice. ONE Python call per Arrow batch —
-    not per (term,bucket) group (the applyInPandas-per-group version was
+    """mapInPandas worker for the SHUFFLED strategy: encode a whole
+    (term_key, bucket, doc_id)-sorted partition, carrying the trailing
+    (possibly batch-split) group over between Arrow batches so no group
+    is ever encoded twice. ONE Python call per Arrow batch — not per
+    (term,bucket) group (the applyInPandas-per-group version was
     measured 6× slower on 385k small groups)."""
     pend: pd.DataFrame | None = None
     for pdf in batches:
@@ -239,7 +304,7 @@ def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             pend = None
         if pdf.empty:
             continue
-        t = pdf["term_id"].to_numpy()
+        t = pdf["term_key"].to_numpy()
         b = pdf["bucket"].to_numpy()
         change = (t[1:] != t[:-1]) | (b[1:] != b[:-1])
         starts = np.flatnonzero(np.concatenate(([True], change)))
@@ -249,36 +314,41 @@ def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         cut = int(starts[-1])
         head = pdf.iloc[:cut]
         pend = pdf.iloc[cut:].reset_index(drop=True)
-        yield _encode_sorted_run(
-            head["term_id"].to_numpy(np.int64),
-            head["bucket"].to_numpy(np.int64),
-            head["doc_id"].to_numpy(np.int64),
-            head["score"].to_numpy(np.float64),
-        )
+        yield _run_from_pdf(head)
     if pend is not None and not pend.empty:
-        yield _encode_sorted_run(
-            pend["term_id"].to_numpy(np.int64),
-            pend["bucket"].to_numpy(np.int64),
-            pend["doc_id"].to_numpy(np.int64),
-            pend["score"].to_numpy(np.float64),
-        )
+        yield _run_from_pdf(pend)
 
 
 def build_segments(
     index: InvertedIndex,
     bucket_width: int = DOC_BUCKET_WIDTH,
     num_partitions: int | None = None,
+    strategy: str = "colocated",
 ) -> DataFrame:
     """Compressed segment blocks for the whole index.
 
-    One shuffle: hash-repartition on (term_id, bucket) + in-partition
-    sort — the exact layout applyInPandas would shuffle to, but encoded
-    via mapInPandas so the Python boundary is crossed once per Arrow
-    batch instead of once per group. Group size stays ≤ bucket_width
-    postings regardless of term hotness (bounded memory at any scale);
-    a group never spans partitions because the partitioner hashes the
-    full (term_id, bucket) key."""
-    sp = scored_postings(index).withColumn(
+    ``strategy="colocated"`` (default): zero-shuffle encode over the
+    doc-ordered postings stream — see :func:`build_segments_colocated`.
+    ``strategy="shuffled"``: the (term_key, bucket) exchange + sort
+    variant (kept as the differential twin and for inputs that are not
+    doc-ordered)."""
+    if strategy == "colocated":
+        return build_segments_colocated(index, bucket_width)
+    return build_segments_shuffled(index, bucket_width, num_partitions)
+
+
+def build_segments_shuffled(
+    index: InvertedIndex,
+    bucket_width: int = DOC_BUCKET_WIDTH,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Shuffle-based segment build.
+
+    One shuffle: hash-repartition on (term_key, bucket) + in-partition
+    sort. Group size stays ≤ bucket_width postings regardless of term
+    hotness (bounded memory at any scale); a group never spans
+    partitions because the partitioner hashes the full key."""
+    sp = keyed_postings(index).withColumn(
         "bucket", (F.col("doc_id") / F.lit(bucket_width)).cast("long")
     )
     if num_partitions is None:
@@ -286,19 +356,103 @@ def build_segments(
         # the tail of the stage (2/core measurably lost ~15% to skew)
         num_partitions = sp.sparkSession.sparkContext.defaultParallelism * 4
     shaped = (
-        sp.repartition(num_partitions, "term_id", "bucket")
-        .sortWithinPartitions("term_id", "bucket", "doc_id")
+        sp.repartition(num_partitions, "term_key", "bucket")
+        .sortWithinPartitions("term_key", "bucket", "doc_id")
     )
     return shaped.mapInPandas(_encode_partition, SEGMENT_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Zero-shuffle segment build (co-located encode over doc-ordered postings)
+# ---------------------------------------------------------------------------
+def build_segments_colocated(
+    index: InvertedIndex,
+    bucket_width: int = DOC_BUCKET_WIDTH,
+) -> DataFrame:
+    """Compressed segment blocks with NO shuffle and NO join.
+
+    The postings stream is already DOC-ORDERED (docs were range-sorted
+    for id assignment and the per-doc term maps inherit that order), and
+    a bucket IS a doc range — so each scan task holds whole buckets
+    already: term_key hashing happens JVM-side, then per-bucket stable
+    sort by term + block encode run inside ONE numeric-only mapInPandas
+    pass. Per-flush memory is bounded by one bucket's postings (the same
+    DOC_BUCKET_WIDTH bound the shuffled path guarantees).
+
+    Layout differences vs the shuffled path are benign: a bucket whose
+    doc range spans two scan splits emits two block runs for the same
+    (term_key, bucket) — the WAND scorer merges blocks by doc range, not
+    block_id, and decoded postings are identical (differential-tested).
+    """
+    width = bucket_width
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def flush(chunks: list[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+                chunks, ignore_index=True
+            )
+            if pdf.empty:
+                return
+            doc_ids = pdf["doc_id"].to_numpy(np.int64)
+            term_keys = pdf["term_key"].to_numpy(np.int64)
+            buckets = doc_ids // width
+            pdf = pdf.assign(bucket=buckets)
+            # bucket runs are change-delimited (docs usually ascend, but
+            # Spark may bin-pack file splits out of order — runs, not
+            # sort positions, so correctness never assumes monotonicity)
+            edges = np.flatnonzero(
+                np.concatenate(([True], buckets[1:] != buckets[:-1]))
+            )
+            edges = np.concatenate((edges, [doc_ids.size]))
+            for s, e in zip(edges[:-1], edges[1:]):
+                d = doc_ids[s:e]
+                if d.size > 1 and (d[1:] < d[:-1]).any():
+                    # out-of-order run (packed splits): full (term, doc)
+                    # lexsort; otherwise the cheap stable term sort keeps
+                    # the existing doc order
+                    order = np.lexsort((d, term_keys[s:e])) + s
+                else:
+                    order = np.argsort(term_keys[s:e], kind="stable") + s
+                yield _run_from_pdf(pdf, order)
+
+        pend: list[pd.DataFrame] = []
+        pend_bucket = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            db = pdf["doc_id"].to_numpy(np.int64) // width
+            last_bucket = int(db[-1])
+            # rows of the trailing bucket stay pending (the next batch
+            # usually continues it); everything before is flushed
+            not_last = db != last_bucket
+            cut = int(np.flatnonzero(not_last).max() + 1) if not_last.any() else 0
+            if pend and int(db[0]) != pend_bucket:
+                yield from flush(pend)
+                pend = []
+            if cut > 0:
+                yield from flush(pend + [pdf.iloc[:cut]])
+                pend = []
+            tail = pdf.iloc[cut:]
+            if not tail.empty:
+                pend.append(tail)
+                pend_bucket = last_bucket
+        if pend:
+            yield from flush(pend)
+
+    # numeric-only stream into Python (no strings cross Arrow, no join):
+    # the scan order survives projection, so no exchange is introduced
+    return keyed_postings(index).mapInPandas(encode, SEGMENT_SCHEMA)
+
+
 def decode_segments_pd(segment_rows: pd.DataFrame) -> pd.DataFrame:
-    """Utility: blocks → exploded (term_id, doc_id, score) pandas frame
+    """Utility: blocks → exploded (term_key, doc_id, tf, dl) pandas frame
     (tests/round-trip verification)."""
     parts = []
     for r in segment_rows.itertuples(index=False):
-        docs, scores = decode_block(r.doc_ids, r.scores)
-        parts.append(pd.DataFrame({"term_id": r.term_id, "doc_id": docs, "score": scores}))
+        docs, tfs, dls = decode_block(r.doc_ids, r.tfs, r.dls)
+        parts.append(pd.DataFrame({
+            "term_key": r.term_key, "doc_id": docs, "tf": tfs, "dl": dls,
+        }))
     if not parts:
-        return pd.DataFrame(columns=["term_id", "doc_id", "score"])
+        return pd.DataFrame(columns=["term_key", "doc_id", "tf", "dl"])
     return pd.concat(parts, ignore_index=True)

@@ -13,7 +13,7 @@ so we use the classic two-pass zipWithIndex pattern instead:
 
 The result is a bijection doc_id ↔ rank over (conv_id, turn_idx)
 regardless of partition boundaries (input_hint invariant: per-turn text
-equality under stable turn ordering — tests/test_invariants.py).
+equality under stable turn ordering — tests/test_docids.py).
 """
 
 from __future__ import annotations

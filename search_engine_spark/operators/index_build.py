@@ -190,7 +190,7 @@ def term_df_salted(lemma_rows: DataFrame, salt: int = SALT_FACTOR) -> DataFrame:
     Stage 1 groups by (lemma, salt=doc_id%S) — hot keys split S ways and
     dedup happens inside each salt bucket; stage 2 sums S partial
     distinct-counts (buckets partition doc space, so counts add exactly).
-    Tested equal to the unsalted aggregate (tests/test_salting.py).
+    Tested equal to the unsalted aggregate (tests/test_index_build.py).
     """
     stage1 = (
         lemma_rows.withColumn("_salt", (F.col("doc_id") % salt).cast("int"))
@@ -278,6 +278,7 @@ def _assemble_index(
     scratch_dir: str | None = None,
     docs_spilled: bool = False,
     docid_adjust: dict[int, int] | None = None,
+    materialize_postings: bool = True,
 ) -> InvertedIndex:
     """Shared tail of the two build entry points.
 
@@ -309,10 +310,19 @@ def _assemble_index(
                 "overwrite"
             ).parquet(f"{scratch_dir}/doc_terms")
             enriched = spark.read.parquet(f"{scratch_dir}/doc_terms")
-            explode_doc_term_maps(enriched).write.mode("overwrite").parquet(
-                f"{scratch_dir}/postings"
-            )
-            postings = spark.read.parquet(f"{scratch_dir}/postings")
+            if materialize_postings:
+                explode_doc_term_maps(enriched).write.mode("overwrite").parquet(
+                    f"{scratch_dir}/postings"
+                )
+                postings = spark.read.parquet(f"{scratch_dir}/postings")
+            else:
+                # at 100 TB the compressed segments ARE the posting store
+                # — writing an uncompressed postings copy doubles the
+                # biggest table's IO for nothing. The exploded view over
+                # doc_terms serves every consumer (terms agg, segment
+                # scoring, the differential DataFrame engine) with the
+                # identical rows, re-deriving the explode per read.
+                postings = explode_doc_term_maps(enriched)
             doclen = doclen_from_term_maps(enriched).persist()
         else:
             postings = build_postings_no_shuffle(
@@ -346,6 +356,7 @@ def build_index(
     use_arrow_udf: bool = True,
     weighted: bool = True,
     scratch_dir: str | None = None,
+    materialize_postings: bool = True,
 ) -> InvertedIndex:
     """Full batch index build over a transcript table (the reference's
     /api/startIndexing analog, ApiService.java:260-292 — minus the crawl).
@@ -366,4 +377,5 @@ def build_index(
     weight = role_weight_col("role") if (weighted and "role" in docs.columns) else None
     return _assemble_index(docs, "text", use_arrow_udf, weight, scratch_dir,
                            docs_spilled=scratch_dir is not None,
-                           docid_adjust=adjust)
+                           docid_adjust=adjust,
+                           materialize_postings=materialize_postings)

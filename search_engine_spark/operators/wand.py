@@ -10,11 +10,17 @@ global merge (the north_star "per-partition heaps + treeAggregate"
 design; expressed as applyInPandas + TakeOrderedAndProject which is the
 DataFrame-native same thing).
 
+Blocks store raw (tf, dl) keyed by xxhash64(lemma) (compression.py v2):
+per-term BM25 weights are computed here at query time — idf doubles are
+collected from the JVM (idf_col) and the numpy formula replicates
+bm25_weight_col's exact operation order, so scores are bit-identical to
+the DataFrame engine's.
+
 Plan shape:
 - query terms resolved against the dictionary on the driver (a handful
   of rows — reference J5 broadcast lookup, LemmaRepository.java:14-16),
-- segment scan filtered by term_id ∈ query (parquet min/max pruning;
-  segments are written sorted by term_id),
+- segment scan filtered by term_key ∈ query (parquet min/max pruning;
+  segments are written sorted by term_key),
 - groupBy(bucket) applyInPandas — shuffle moves only the few query
   terms' blocks, never the whole index,
 - intersection runs rarest-term-first (reference selectivity ordering
@@ -22,12 +28,12 @@ Plan shape:
   block [lo, hi]:
     1. range:   other-term blocks outside [lo, hi] are never decoded;
     2. block-max score: the block's best-possible total
-       ``block_max(rarest) + Σ_t max(block_max of t's overlapping
-       blocks)`` is compared against the running kth score θ of the
-       bucket's top-k heap — blocks that cannot beat θ are skipped
-       WITHOUT decoding (true block-max WAND; the upper bound is exact
-       because every candidate in the block scores ≤ each term's
-       block-max).
+       ``ub(rarest) + Σ_t max(ub of t's overlapping blocks)`` — where a
+       block's ub = idf·w(max_tf, min_dl), a true bound because the
+       BM25 weight is monotone ↑ in tf and ↓ in dl — is compared
+       against the running kth score θ of the bucket's top-k heap;
+       blocks that cannot beat θ are skipped WITHOUT decoding (true
+       block-max WAND).
   Pruning is score-safe: a skipped block cannot contain a top-k doc,
   so results are exactly the unpruned top-k (differential-tested
   against the DataFrame engine and pinned by a skip-count pytest).
@@ -45,8 +51,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from search_engine_spark.config import DEFAULT_TOP_K
-from search_engine_spark.operators.compression import decode_block
+from search_engine_spark.config import BM25_B, BM25_K1, DEFAULT_TOP_K
+from search_engine_spark.operators.compression import (
+    bm25_scores_np,
+    decode_block,
+    term_key_col,
+)
+from search_engine_spark.operators.index_build import CorpusStats, idf_col
 from search_engine_spark.operators.query import SCORE_DECIMALS, parse_query
 
 RESULT_SCHEMA = "doc_id long, score_raw double"
@@ -56,34 +67,47 @@ _EMPTY = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
 
 
 class _TermBlocks:
-    """One term's blocks in a bucket: sorted metadata + lazy decode."""
+    """One term's blocks in a bucket: sorted metadata, per-block score
+    upper bounds, lazy decode + on-decode scoring."""
 
-    def __init__(self, g: pd.DataFrame):
+    def __init__(self, g: pd.DataFrame, idf: float, avgdl: float,
+                 k1: float, b: float):
         g = g.sort_values("first_doc").reset_index(drop=True)
         self.first = g["first_doc"].to_numpy(np.int64)
         self.last = g["last_doc"].to_numpy(np.int64)
-        self.bmax = g["block_max_score"].to_numpy(np.float64)
+        max_tf = g["block_max_tf"].to_numpy(np.float64)
+        min_dl = g["block_min_dl"].to_numpy(np.float64)
+        # true per-block weight bound: monotone ↑ tf, ↓ dl
+        self.ub = idf * (max_tf * (k1 + 1.0)) / (
+            max_tf + k1 * ((1.0 - b) + b * min_dl / avgdl)
+        )
         self.doc_bytes = g["doc_ids"].to_list()
-        self.score_bytes = g["scores"].to_list()
+        self.tf_bytes = g["tfs"].to_list()
+        self.dl_bytes = g["dls"].to_list()
+        self.idf, self.avgdl, self.k1, self.b = idf, avgdl, k1, b
         self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
-    def overlapping(self, lo: int, hi: int) -> range:
-        """Index range of blocks intersecting [lo, hi] (doc-sorted)."""
-        start = int(np.searchsorted(self.last, lo, side="left"))
-        stop = int(np.searchsorted(self.first, hi, side="right"))
-        return range(start, stop)
+    def overlapping(self, lo: int, hi: int) -> np.ndarray:
+        """Indices of blocks intersecting [lo, hi]. A mask, not a
+        searchsorted range: block ranges may OVERLAP when the encode
+        input was not doc-ordered, so ``last`` isn't monotone."""
+        return np.flatnonzero((self.last >= lo) & (self.first <= hi))
 
-    def max_bound(self, idxs: range) -> float:
-        if idxs.start >= idxs.stop:
+    def max_bound(self, idxs: np.ndarray) -> float:
+        if idxs.size == 0:
             return float("-inf")
-        return float(self.bmax[idxs.start : idxs.stop].max())
+        return float(self.ub[idxs].max())
 
-    def decode(self, idxs: range, counters: dict | None):
+    def decode(self, idxs, counters: dict | None):
         docs_parts, score_parts = [], []
         for i in idxs:
             cached = self._decoded.get(i)
             if cached is None:
-                cached = decode_block(self.doc_bytes[i], self.score_bytes[i])
+                d, tf, dl = decode_block(
+                    self.doc_bytes[i], self.tf_bytes[i], self.dl_bytes[i]
+                )
+                s = bm25_scores_np(tf, dl, self.idf, self.avgdl, self.k1, self.b)
+                cached = (d, s)
                 self._decoded[i] = cached
                 if counters is not None:
                     counters["blocks_decoded"] += 1
@@ -91,51 +115,66 @@ class _TermBlocks:
             score_parts.append(cached[1])
         if not docs_parts:
             return np.empty(0, np.int64), np.empty(0, np.float64)
-        return np.concatenate(docs_parts), np.concatenate(score_parts)
+        docs = np.concatenate(docs_parts)
+        scores = np.concatenate(score_parts)
+        if docs.size > 1 and (docs[1:] < docs[:-1]).any():
+            # blocks of one (term, bucket) may carry OVERLAPPING doc
+            # ranges when the encode input was not doc-ordered (e.g. the
+            # shuffle-built postings path) — the first_doc sort then
+            # doesn't yield globally ascending docs, and searchsorted
+            # intersection requires it
+            order = np.argsort(docs, kind="stable")
+            docs, scores = docs[order], scores[order]
+        return docs, scores
 
 
 def score_bucket_pd(
     pdf: pd.DataFrame,
     term_order: list[int],
+    idf_by_key: dict[int, float],
+    avgdl: float,
     k: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
     counters: dict | None = None,
 ) -> pd.DataFrame:
     """One doc-range bucket → ≤k (doc_id, score_raw) rows.
 
     Pure-pandas core (directly testable; the Spark path wraps it in
-    applyInPandas). ``counters``: optional dict accumulating
-    blocks_decoded / blocks_skipped for the pruning pytest.
+    applyInPandas). ``term_order``: query term_keys rarest-first.
+    ``counters``: optional dict accumulating blocks_decoded /
+    blocks_skipped_* for the pruning pytest.
     """
     if counters is not None:
         for key in ("blocks_decoded", "blocks_skipped_range", "blocks_skipped_bound"):
             counters.setdefault(key, 0)
     n_terms = len(term_order)
-    present = set(int(t) for t in pdf["term_id"].unique())
+    present = set(int(t) for t in pdf["term_key"].unique())
     if len(present) < n_terms:
         return _EMPTY  # some query term absent in this doc range → AND fails
     terms = {
-        int(t): _TermBlocks(g)
-        for t, g in pdf.groupby("term_id", sort=False)
+        int(t): _TermBlocks(g, idf_by_key[int(t)], avgdl, k1, b)
+        for t, g in pdf.groupby("term_key", sort=False)
     }
     rarest = term_order[0]
     others = term_order[1:]
     r = terms[rarest]
-    # ascending-term_id accumulation order, pinned for reproducible float
+    # ascending-key accumulation order, pinned for reproducible float
     # sums across engines (SURVEY.md §7 hard-part (b))
     sum_order = sorted(term_order)
 
-    heap: list[tuple[float, int]] = []  # min-heap of (score, doc_id)
+    heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
     theta = float("-inf")
 
     for bi in range(len(r.first)):
         lo, hi = int(r.first[bi]), int(r.last[bi])
         overlaps = {t: terms[t].overlapping(lo, hi) for t in others}
-        if any(o.start >= o.stop for o in overlaps.values()):
+        if any(o.size == 0 for o in overlaps.values()):
             if counters is not None:
                 counters["blocks_skipped_range"] += 1
             continue  # a required term has no docs in this range
         # block-max upper bound for any doc in this rarest block
-        bound = float(r.bmax[bi]) + sum(
+        bound = float(r.ub[bi]) + sum(
             terms[t].max_bound(overlaps[t]) for t in others
         )
         # strict <: at bound == theta an equal-score doc with a smaller
@@ -148,8 +187,7 @@ def score_bucket_pd(
             continue  # cannot reach the running kth score — skip decode
         cand, _ = r.decode(range(bi, bi + 1), counters)
         per_term: dict[int, np.ndarray] = {}
-        rd, rs = r._decoded[bi]
-        per_term[rarest] = rs
+        per_term[rarest] = r._decoded[bi][1]
         alive = np.ones(cand.size, dtype=bool)
         for t in others:
             docs, scores = terms[t].decode(overlaps[t], counters)
@@ -190,8 +228,15 @@ def wand_topk(
     terms: DataFrame,
     query: str,
     k: int = DEFAULT_TOP_K,
+    stats: CorpusStats | None = None,
 ) -> DataFrame:
-    """Top-k (doc_id, score) by BM25 over compressed segments."""
+    """Top-k (doc_id, score) by BM25 over compressed segments.
+
+    ``stats`` (n_docs, avgdl) is required: blocks store raw tf/dl and
+    the BM25 weights are computed here (segments are stats-independent,
+    compression.py v2)."""
+    if stats is None:
+        raise ValueError("wand_topk requires CorpusStats (index.stats)")
     spark = segments.sparkSession
     lemmas = parse_query(query)
     empty = spark.createDataFrame([], "doc_id long, score double, score_raw double")
@@ -199,20 +244,28 @@ def wand_topk(
         return empty
     qrows = (
         terms.filter(F.col("lemma").isin(lemmas))
-        .select("term_id", "lemma", "df")
+        .select(
+            term_key_col("lemma").alias("term_key"),
+            "df",
+            # idf computed JVM-side → bit-identical to the DataFrame
+            # engine (np.log differs in the last ulp)
+            idf_col(F.col("df").cast("double"), stats.n_docs).alias("idf"),
+        )
         .collect()
     )
     if len(qrows) < len(lemmas):
         # a query lemma missing from the dictionary → empty result without
         # launching the scan (reference early-exit, ApiService.java:83-85)
         return empty
-    by_df = sorted(qrows, key=lambda r: (r["df"], r["term_id"]))
-    term_order = [int(r["term_id"]) for r in by_df]
+    by_df = sorted(qrows, key=lambda r: (r["df"], r["term_key"]))
+    term_order = [int(r["term_key"]) for r in by_df]
+    idf_by_key = {int(r["term_key"]): float(r["idf"]) for r in qrows}
+    avgdl = stats.avgdl
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        return score_bucket_pd(pdf, term_order, k)
+        return score_bucket_pd(pdf, term_order, idf_by_key, avgdl, k)
 
-    seg = segments.filter(F.col("term_id").isin(term_order))
+    seg = segments.filter(F.col("term_key").isin(term_order))
     per_bucket = seg.groupBy("bucket").applyInPandas(score_bucket, RESULT_SCHEMA)
     return (
         per_bucket.withColumn("score", F.round(F.col("score_raw"), SCORE_DECIMALS))

@@ -13,7 +13,7 @@ Layout under <index_dir>/:
     postings/    parquet   (doc_id, lemma, tf, rank)         [DataFrame scorer]
     doclen/      parquet   (doc_id, dl)
     terms/       parquet   (term_id, lemma, df, cf)
-    segments/    parquet   bucket=<n>/ partitions, rows sorted by term_id
+    segments/    parquet   bucket=<n>/ partitions, rows sorted by term_key
     stats.json             {n_docs, avgdl}
     manifests/bucket=<n>.json   lineage per completed bucket
 """
@@ -101,6 +101,13 @@ def write_index(
         if not spilled_here:
             index.docs.write.mode("overwrite").parquet(docs_path)
             index.postings.write.mode("overwrite").parquet(os.path.join(index_dir, "postings"))
+        elif not os.path.isdir(os.path.join(index_dir, "postings")):
+            # build ran with materialize_postings=False (postings is the
+            # exploded view over doc_terms) — publish a materialized copy
+            # for the serving-side DataFrame engine
+            index.postings.write.mode("overwrite").parquet(
+                os.path.join(index_dir, "postings")
+            )
         index.doclen.write.mode("overwrite").parquet(os.path.join(index_dir, "doclen"))
         index.terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
         with open(stats_path, "w") as fh:
@@ -128,17 +135,31 @@ def write_index(
 
     if todo:
         seg = build_segments(index, bucket_width).filter(F.col("bucket").isin([int(b) for b in todo]))
+        # run totals via observe() — the reference's sequence-counter
+        # surface (counters without a second scan,
+        # ConfigRepository.java:64-83): metrics ride on the write job
+        from pyspark.sql import Observation
+
+        obs = Observation("segment_write")
+        seg = seg.observe(
+            obs,
+            F.count(F.lit(1)).alias("blocks"),
+            F.sum("doc_count").alias("postings"),
+            F.sum(
+                F.length("doc_ids") + F.length("tfs") + F.length("dls")
+            ).alias("payload_bytes"),
+        )
         # one output dir per bucket → per-bucket atomicity; rows sorted by
-        # term_id so parquet rowgroup min/max prune query-term scans
-        seg = seg.repartition("bucket").sortWithinPartitions("term_id", "block_id").persist()
+        # term_key so parquet rowgroup min/max prune query-term scans
+        seg = seg.repartition("bucket").sortWithinPartitions("term_key", "block_id").persist()
         stats_rows = (
             seg.groupBy("bucket").agg(
                 F.count("*").alias("blocks"),
                 F.sum("doc_count").alias("postings"),
-                F.min("term_id").alias("term_min"),
-                F.max("term_id").alias("term_max"),
+                F.min("term_key").alias("term_min"),
+                F.max("term_key").alias("term_max"),
                 # bit_xor: order-insensitive, overflow-free under ANSI mode
-                F.expr("bit_xor(xxhash64(term_id, block_id, doc_ids, scores))").alias("checksum"),
+                F.expr("bit_xor(xxhash64(term_key, block_id, doc_ids, tfs, dls))").alias("checksum"),
             )
         ).collect()
         by_bucket = {int(r["bucket"]): r for r in stats_rows}
@@ -153,8 +174,8 @@ def write_index(
                     "bucket": b,
                     "blocks": int(r["blocks"]) if r else 0,
                     "postings": int(r["postings"]) if r else 0,
-                    "term_id_min": int(r["term_min"]) if r else None,
-                    "term_id_max": int(r["term_max"]) if r else None,
+                    "term_key_min": int(r["term_min"]) if r else None,
+                    "term_key_max": int(r["term_max"]) if r else None,
                     "checksum": int(r["checksum"]) if r else 0,
                     "input_splits": [input_desc],
                     "bucket_width": bucket_width,
@@ -169,9 +190,181 @@ def write_index(
     with open(tmp, "w") as fh:
         json.dump(stats, fh)
     os.replace(tmp, stats_path)
+    if todo:
+        metrics["observed"] = {k: int(v) for k, v in obs.get.items()}
     metrics["buckets_built"] = len(todo)
     metrics["elapsed_sec"] = time.monotonic() - t0
     return metrics
+
+
+def _swap_write(df: DataFrame, path: str) -> None:
+    """Rewrite a parquet dir we may be reading from: write to a sibling
+    tmp dir, then atomically swap (Spark refuses to overwrite an input
+    of a running plan, and a crash mid-write must not clobber the old
+    table)."""
+    import shutil
+
+    tmp = path + ".tmp_swap"
+    df.write.mode("overwrite").parquet(tmp)
+    old = path + ".old"
+    if os.path.isdir(path):
+        os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def reindex_turn(
+    spark: SparkSession,
+    index_dir: str,
+    conv_id: str,
+    turn_idx: int,
+    new_text: str,
+    bucket_width: int = DOC_BUCKET_WIDTH,
+) -> dict:
+    """Single-document delete + reinsert — the reference's
+    ``/api/indexPage`` (Parser.java:181-256: remove the page's postings,
+    re-lemmatize, re-insert, adjust the lemma dictionary).
+
+    The turn keeps its doc_id (the docID space is a stable bijection);
+    its postings/doclen rows are replaced, the dictionary is updated by
+    DELTA arithmetic (df -= old-presence, += new-presence; cf -= old-tf,
+    += new-tf; brand-new lemmas get fresh ids past the current max — no
+    full dictionary rebuild), stats.json's avgdl is recomputed from the
+    updated doclen, and ONLY the affected doc-range segment bucket is
+    re-encoded + its manifest rewritten. Because segments store raw
+    tf/dl (stats-independent, compression.py v2), the untouched buckets
+    stay EXACT under the new df/avgdl — after a reindex, both engines
+    equal a from-scratch build immediately (pinned by
+    tests/test_reindex.py). At 100 TB the tmp-swap rewrites become
+    partition-pruned file replacements (Iceberg MERGE INTO); the small
+    tables and the one-bucket re-encode are unchanged."""
+    from search_engine_spark.operators.compression import build_segments
+    from search_engine_spark.operators.index_build import (
+        InvertedIndex,
+        build_postings_no_shuffle,
+        role_weight_col,
+    )
+
+    disk = DiskIndex(spark, index_dir)
+    docs = disk.docs
+    hit = docs.filter(
+        (F.col("conv_id") == conv_id) & (F.col("turn_idx") == turn_idx)
+    ).collect()
+    if len(hit) != 1:
+        raise ValueError(f"({conv_id!r}, {turn_idx}) matches {len(hit)} docs")
+    row = hit[0]
+    d = int(row["doc_id"])
+
+    # new postings for the one replaced doc (same Arrow UDF lineage)
+    one = docs.filter(F.col("doc_id") == d).drop("text").withColumn(
+        "text", F.lit(new_text)
+    )
+    weight = role_weight_col("role") if "role" in docs.columns else None
+    new_post = build_postings_no_shuffle(one, weight_col=weight).persist()
+
+    postings_path = os.path.join(index_dir, "postings")
+    postings = spark.read.parquet(postings_path)
+    old_post = postings.filter(F.col("doc_id") == d).persist()
+    # materialize BOTH deltas before any table swap — their plans read
+    # the very dirs the swaps replace, and persist() alone is lazy
+    old_post.count()
+    new_post.count()
+
+    # dictionary delta (no rebuild): df/cf adjusted per lemma
+    terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+    oldc = old_post.groupBy("lemma").agg(F.sum("tf").alias("_otf"))
+    newc = new_post.groupBy("lemma").agg(F.sum("tf").alias("_ntf"))
+    max_id = terms.agg(F.max("term_id")).collect()[0][0] or 0
+    merged = (
+        terms.join(oldc, "lemma", "full_outer")
+        .join(newc, "lemma", "full_outer")
+        .withColumn(
+            "df",
+            F.coalesce("df", F.lit(0))
+            - F.when(F.col("_otf").isNotNull(), 1).otherwise(0)
+            + F.when(F.col("_ntf").isNotNull(), 1).otherwise(0),
+        )
+        .withColumn(
+            "cf",
+            F.coalesce("cf", F.lit(0)).cast("long")
+            - F.coalesce("_otf", F.lit(0)).cast("long")
+            + F.coalesce("_ntf", F.lit(0)).cast("long"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    from pyspark.sql import Window
+
+    new_id_w = Window.orderBy("lemma")
+    merged = merged.withColumn(
+        "term_id",
+        F.coalesce(
+            "term_id",
+            F.row_number().over(new_id_w) + F.lit(int(max_id)),
+        ),
+    ).select("term_id", "lemma", "df", "cf")
+
+    new_postings = postings.filter(F.col("doc_id") != d).unionByName(new_post)
+    _swap_write(new_postings, postings_path)
+    doclen_path = os.path.join(index_dir, "doclen")
+    doclen = spark.read.parquet(doclen_path)
+    new_dl = new_post.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    _swap_write(
+        doclen.filter(F.col("doc_id") != d).unionByName(new_dl), doclen_path
+    )
+    _swap_write(merged, os.path.join(index_dir, "terms"))
+    docs_raw = spark.read.parquet(os.path.join(index_dir, "docs"))
+    key = F.col("conv_id") == conv_id
+    _swap_write(
+        docs_raw.withColumn(
+            "text",
+            F.when(key & (F.col("turn_idx") == turn_idx), new_text).otherwise(
+                F.col("text")
+            ),
+        ),
+        os.path.join(index_dir, "docs"),
+    )
+    old_post.unpersist()
+    new_post.unpersist()
+
+    # exact stats refresh (doclen is the small per-doc dimension)
+    dstats = spark.read.parquet(doclen_path).agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    stats = load_stats(index_dir) or {}
+    stats["n_docs"], stats["avgdl"] = int(dstats["n"]), float(dstats["avgdl"])
+    with open(os.path.join(index_dir, "stats.json"), "w") as fh:
+        json.dump(stats, fh)
+
+    # re-encode ONLY the affected bucket from the updated tables
+    bucket = d // bucket_width
+    disk2 = DiskIndex(spark, index_dir)
+    ix = disk2.as_inverted_index()
+    lo, hi = bucket * bucket_width, (bucket + 1) * bucket_width
+    ix_b = InvertedIndex(
+        docs=ix.docs,
+        postings=ix.postings.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ),
+        doclen=ix.doclen,
+        terms=ix.terms,
+        stats=disk2.stats,
+    )
+    seg_b = build_segments(ix_b, bucket_width).sortWithinPartitions(
+        "term_key", "block_id"
+    )
+    _swap_write(
+        seg_b.drop("bucket"),
+        os.path.join(index_dir, "segments", f"bucket={bucket}"),
+    )
+    n_blocks = spark.read.parquet(
+        os.path.join(index_dir, "segments", f"bucket={bucket}")
+    ).count()
+    _write_manifest(
+        index_dir, bucket,
+        {"bucket": bucket, "blocks": int(n_blocks), "reindexed": [conv_id, turn_idx],
+         "bucket_width": bucket_width},
+    )
+    return {"doc_id": d, "bucket": bucket, "blocks": int(n_blocks)}
 
 
 class DiskIndex:

@@ -3,7 +3,9 @@
 Reference analog: the reference supports continuous crawl + single-page
 re-index (/api/indexPage deletes and re-inserts one URL's postings —
 Parser.java:181-256) and resumable indexing via its keep_link state
-table (ST1-ST4 in SURVEY.md §2.7). Our input is a table, so "new pages
+table (ST1-ST4 in SURVEY.md §2.7). The exact single-doc delete+reinsert
+(ST4) lives in sources/index_store.reindex_turn; this module covers the
+append-only streaming refresh. Our input is a table, so "new pages
 arrive" = new files/snapshots in the transcript location. The stream:
 
     readStream(new transcript files)
@@ -58,6 +60,16 @@ def incremental_index_refresh(
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # contract-violating rows → dead-letter registry, not the index
+        # (ST5; reference ERROR_LINK parking, Parser.java:285-292)
+        from search_engine_spark.sources.dead_letter import (
+            split_valid,
+            write_dead_letters,
+        )
+
+        batch_df, dead = split_valid(batch_df)
+        if not dead.isEmpty():
+            write_dead_letters(dead, index_dir, run_id=f"epoch_{epoch_id}")
         docs = batch_df.withColumn("doc_id", streamed_doc_id_col())
         postings = build_postings_no_shuffle(
             docs, weight_col=role_weight_col("role")

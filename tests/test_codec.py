@@ -25,10 +25,11 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Single-group encode via the vectorized run encoder (test shim)."""
     pdf = pdf.sort_values("doc_id")
     return _encode_sorted_run(
-        pdf["term_id"].to_numpy(np.int64),
+        pdf["term_key"].to_numpy(np.int64),
         pdf["bucket"].to_numpy(np.int64),
         pdf["doc_id"].to_numpy(np.int64),
-        pdf["score"].to_numpy(np.float64),
+        pdf["tf"].to_numpy(np.int64),
+        pdf["dl"].to_numpy(np.int64),
     )
 
 
@@ -58,24 +59,30 @@ def test_delta_varbyte_sorted_ids(ids):
 
 
 def test_block_roundtrip_and_compression_wins():
-    ids = np.sort(np.random.RandomState(7).choice(10**6, size=5000, replace=False)).astype(np.uint64)
-    scores = np.random.RandomState(8).rand(5000)
-    db, sb = encode_block(ids, scores)
-    d, s = decode_block(db, sb)
+    rng = np.random.RandomState(7)
+    ids = np.sort(rng.choice(10**6, size=5000, replace=False)).astype(np.uint64)
+    tfs = rng.randint(1, 50, size=5000)
+    dls = rng.randint(5, 400, size=5000)
+    db, tb, lb = encode_block(ids, tfs, dls)
+    d, t, l = decode_block(db, tb, lb)
     assert (d == ids.astype(np.int64)).all()
-    assert np.allclose(s, scores)
+    assert (t == tfs).all() and (l == dls).all()
     # dense-ish sorted ids: delta+varbyte must beat raw int64
     assert len(db) < ids.nbytes / 2
+    # tf/dl varbytes must beat the old 8-byte float64 weights
+    assert len(tb) + len(lb) < 8 * ids.size / 2
 
 
 def test_encode_group_block_invariants():
     n = 1000
+    rng = np.random.RandomState(2)
     pdf = pd.DataFrame(
         {
-            "term_id": 7,
+            "term_key": 7,
             "bucket": 3,
             "doc_id": np.random.RandomState(1).permutation(np.arange(n) * 3),
-            "score": np.random.RandomState(2).rand(n) + 0.01,
+            "tf": rng.randint(1, 30, size=n),
+            "dl": rng.randint(4, 500, size=n),
         }
     )
     out = _encode_group(pdf)
@@ -84,15 +91,17 @@ def test_encode_group_block_invariants():
     assert list(out["block_id"]) == list(range(len(out)))
     prev_last = -1
     for r in out.itertuples(index=False):
-        docs, scores = decode_block(r.doc_ids, r.scores)
+        docs, tfs, dls = decode_block(r.doc_ids, r.tfs, r.dls)
         assert (np.diff(docs) > 0).all()            # strictly sorted
         assert docs[0] == r.first_doc and docs[-1] == r.last_doc
         assert docs[0] > prev_last                   # blocks ordered, disjoint
         prev_last = docs[-1]
-        assert np.isclose(r.block_max_score, scores.max())
-        assert (scores <= r.block_max_score + 1e-12).all()
+        assert r.block_max_tf == tfs.max()
+        assert r.block_min_dl == dls.min()
     # content round-trips exactly
-    all_docs = np.concatenate([decode_block(r.doc_ids, r.scores)[0] for r in out.itertuples(index=False)])
+    all_docs = np.concatenate(
+        [decode_block(r.doc_ids, r.tfs, r.dls)[0] for r in out.itertuples(index=False)]
+    )
     assert (all_docs == np.sort(pdf["doc_id"].to_numpy())).all()
 
 
@@ -113,11 +122,13 @@ def _multi_group_frame(rng, n_groups=17, max_rows=900):
         n = int(rng.randint(1, max_rows))
         docs = np.sort(rng.choice(10**6, size=n, replace=False))
         frames.append(pd.DataFrame({
-            "term_id": g // 3, "bucket": g % 3,
-            "doc_id": docs, "score": rng.rand(n) + 0.01,
+            "term_key": g // 3, "bucket": g % 3,
+            "doc_id": docs,
+            "tf": rng.randint(1, 40, size=n),
+            "dl": rng.randint(4, 300, size=n),
         }))
     pdf = pd.concat(frames, ignore_index=True)
-    return pdf.sort_values(["term_id", "bucket", "doc_id"]).reset_index(drop=True)
+    return pdf.sort_values(["term_key", "bucket", "doc_id"]).reset_index(drop=True)
 
 
 def test_encode_partition_matches_per_group_and_carryover():
@@ -131,7 +142,7 @@ def test_encode_partition_matches_per_group_and_carryover():
     expected = pd.concat(
         [
             _encode_group(g)
-            for _, g in pdf.groupby(["term_id", "bucket"], sort=True)
+            for _, g in pdf.groupby(["term_key", "bucket"], sort=True)
         ],
         ignore_index=True,
     )
@@ -142,11 +153,86 @@ def test_encode_partition_matches_per_group_and_carryover():
             for i in range(0, len(pdf), batch_size)
         ]
         got = pd.concat(list(_encode_partition(iter(batches))), ignore_index=True)
-        got = got.sort_values(["term_id", "bucket", "block_id"]).reset_index(drop=True)
-        exp = expected.sort_values(["term_id", "bucket", "block_id"]).reset_index(drop=True)
+        got = got.sort_values(["term_key", "bucket", "block_id"]).reset_index(drop=True)
+        exp = expected.sort_values(["term_key", "bucket", "block_id"]).reset_index(drop=True)
         assert len(got) == len(exp), batch_size
-        for c in ["term_id", "bucket", "block_id", "doc_count", "first_doc", "last_doc"]:
+        for c in ["term_key", "bucket", "block_id", "doc_count", "first_doc",
+                  "last_doc", "block_max_tf", "block_min_dl"]:
             assert (got[c].to_numpy() == exp[c].to_numpy()).all(), (batch_size, c)
-        assert np.allclose(got["block_max_score"], exp["block_max_score"])
-        assert list(got["doc_ids"]) == list(exp["doc_ids"]), batch_size
-        assert list(got["scores"]) == list(exp["scores"]), batch_size
+        for c in ("doc_ids", "tfs", "dls"):
+            assert list(got[c]) == list(exp[c]), (batch_size, c)
+
+
+def test_colocated_segments_match_shuffled(tiny_index):
+    """Zero-shuffle colocated encode must decode to the exact same
+    (term_key, doc_id, tf, dl) postings as the shuffled exchange+sort
+    path (block layout may differ; content may not)."""
+    from search_engine_spark.operators.compression import (
+        build_segments_colocated,
+        build_segments_shuffled,
+        decode_segments_pd,
+    )
+
+    a = decode_segments_pd(
+        build_segments_colocated(tiny_index, bucket_width=512).toPandas()
+    )
+    b = decode_segments_pd(
+        build_segments_shuffled(tiny_index, bucket_width=512).toPandas()
+    )
+    key = ["term_key", "doc_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_colocated_blocks_respect_bucket_and_order(tiny_index):
+    from search_engine_spark.operators.compression import (
+        build_segments_colocated,
+        decode_block,
+    )
+
+    rows = build_segments_colocated(tiny_index, bucket_width=512).collect()
+    assert rows
+    for r in rows:
+        docs, tfs, dls = decode_block(r["doc_ids"], r["tfs"], r["dls"])
+        assert (docs[1:] > docs[:-1]).all()  # ascending within block
+        assert docs[0] == r["first_doc"] and docs[-1] == r["last_doc"]
+        assert all(d // 512 == r["bucket"] for d in (docs[0], docs[-1]))
+        assert r["block_max_tf"] == tfs.max()
+        assert r["block_min_dl"] == dls.min()
+
+
+def test_bm25_scores_np_matches_jvm(tiny_index):
+    """The query-time numpy scorer must be bit-identical to the JVM
+    bm25_weight_col for the same idf doubles (same operation order)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.compression import bm25_scores_np
+    from search_engine_spark.operators.index_build import (
+        bm25_weight_col,
+        idf_col,
+    )
+
+    stats = tiny_index.stats
+    sample = (
+        tiny_index.postings.join(
+            tiny_index.terms.select("lemma", "df"), "lemma"
+        )
+        .select(
+            "tf", "dl",
+            idf_col(F.col("df").cast("double"), stats.n_docs).alias("idf"),
+            bm25_weight_col(
+                F.col("tf").cast("double"), F.col("dl").cast("double"),
+                idf_col(F.col("df").cast("double"), stats.n_docs), stats.avgdl,
+            ).alias("w"),
+        )
+        .limit(5000)
+        .collect()
+    )
+    tfs = np.array([r["tf"] for r in sample], dtype=np.int64)
+    dls = np.array([r["dl"] for r in sample], dtype=np.int64)
+    for i in range(len(sample)):
+        got = bm25_scores_np(tfs[i : i + 1], dls[i : i + 1],
+                             float(sample[i]["idf"]), stats.avgdl)[0]
+        assert got == sample[i]["w"], i  # bit-identical

@@ -1,0 +1,104 @@
+"""Multimodal plumbing end-to-end (operators/multimodal.py): schema,
+mapInPandas batch shape, deterministic features, frame sampling, resize
+math, and the features→ANN round trip."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.multimodal import (
+    FEATURE_DIM,
+    _decode_audio_real,
+    _decode_image_real,
+    extract_features,
+    fake_features,
+    resize_metadata,
+    sample_frames,
+    synthesize_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synthesize_media(spark, 64).cache()
+
+
+def test_stubs_name_their_dependency():
+    for stub in (_decode_image_real, _decode_audio_real):
+        with pytest.raises(NotImplementedError):
+            stub(b"x")
+
+
+def test_extract_features_schema_and_determinism(media):
+    feats = extract_features(media)
+    assert feats.columns == ["media_id", "kind", "n_bytes", "sha256", "features"]
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 64
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, r in rows.items():
+        assert r["n_bytes"] == len(src[mid])
+        assert r["sha256"] == hashlib.sha256(src[mid]).hexdigest()
+        v = np.array(r["features"], dtype=np.float64)
+        assert v.size == FEATURE_DIM
+        assert abs(np.sqrt((v**2).sum()) - 1.0) < 1e-5  # unit-normalized
+        np.testing.assert_allclose(
+            v, fake_features(src[mid]).astype(np.float64), rtol=1e-6
+        )
+    # run twice → identical (no RNG state anywhere)
+    again = {r["media_id"]: r["sha256"] for r in extract_features(media).collect()}
+    assert again == {k: r["sha256"] for k, r in rows.items()}
+
+
+def test_features_feed_similarity_ann(media, spark):
+    """decode → embed → ANN round trip: each media item's own feature
+    vector must retrieve it first (self-similarity 1.0)."""
+    from search_engine_spark.operators.similarity import brute_force_topk
+
+    feats = extract_features(media).select(
+        F.col("media_id").alias("vec_id"), F.col("features").alias("embedding")
+    ).cache()
+    some = {r["vec_id"]: r["embedding"] for r in feats.limit(5).collect()}
+    for vid, vec in some.items():
+        top = brute_force_topk(feats, [float(x) for x in vec], k=1).collect()
+        assert top[0]["vec_id"] == vid
+        assert abs(top[0]["cosine"] - 1.0) < 1e-6
+
+
+def test_sample_frames_deterministic_and_video_only(media):
+    frames = sample_frames(media, every_ms=1000).collect()
+    src = {r["media_id"]: r for r in media.collect()}
+    by_media: dict[int, list] = {}
+    for fr in frames:
+        assert src[fr["media_id"]]["kind"] == "video"
+        by_media.setdefault(fr["media_id"], []).append(fr)
+    for mid, frs in by_media.items():
+        dur = src[mid]["duration_ms"]
+        assert len(frs) == (dur + 999) // 1000
+        frs.sort(key=lambda r: r["frame_idx"])
+        for i, fr in enumerate(frs):
+            assert fr["frame_ts_ms"] == i * 1000
+            want = hashlib.sha256(
+                bytes(src[mid]["payload"]) + i.to_bytes(4, "little")
+            ).hexdigest()
+            assert fr["frame_sha256"] == want
+    # every video row produced frames
+    n_videos = sum(1 for r in src.values() if r["kind"] == "video")
+    assert len(by_media) == n_videos
+
+
+def test_resize_metadata_preserves_aspect(media):
+    rows = resize_metadata(media, max_side=512).collect()
+    for r in rows:
+        if r["width"] is None:
+            continue
+        assert max(r["target_width"], r["target_height"]) <= 512
+        if max(r["width"], r["height"]) <= 512:
+            assert (r["target_width"], r["target_height"]) == (r["width"], r["height"])
+        else:
+            ar_src = r["width"] / r["height"]
+            ar_dst = r["target_width"] / r["target_height"]
+            assert abs(ar_src - ar_dst) / ar_src < 0.02

@@ -52,10 +52,24 @@ def test_dataframe_scorer_matches_golden(tiny_index, py_twin, query):
 @pytest.mark.parametrize("query", QUERIES)
 def test_wand_scorer_matches_dataframe(tiny_index, segments, query):
     a = _rows(bm25_topk(tiny_index, query, k=10))
-    b = _rows(wand_topk(segments, tiny_index.terms, query, k=10))
+    b = _rows(wand_topk(segments, tiny_index.terms, query, k=10,
+                        stats=tiny_index.stats))
     assert [d for d, _ in a] == [d for d, _ in b], query
     for (ad, asc), (_, bs) in zip(a, b):
         assert math.isclose(asc, bs, rel_tol=1e-6, abs_tol=1e-6), (query, ad)
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_sql_scorer_matches_dataframe(tiny_index, query):
+    """Engine #3 (generated-SQL CTE join) — the reference's 3-way
+    equivalence harness completed (README.md:224-228)."""
+    from search_engine_spark.operators.query import bm25_topk_sql
+
+    a = _rows(bm25_topk(tiny_index, query, k=10))
+    c = _rows(bm25_topk_sql(tiny_index, query, k=10))
+    assert [d for d, _ in a] == [d for d, _ in c], query
+    for (ad, asc), (_, cs) in zip(a, c):
+        assert math.isclose(asc, cs, rel_tol=1e-6, abs_tol=1e-6), (query, ad)
 
 
 def test_needle_is_found(tiny_index, py_twin):

@@ -19,7 +19,8 @@ from search_engine_spark.sources.index_store import (
 def _segment_content(spark, index_dir):
     seg = DiskIndex(spark, index_dir).segments
     return {
-        (r["term_id"], r["bucket"], r["block_id"], bytes(r["doc_ids"]), bytes(r["scores"]))
+        (r["term_key"], r["bucket"], r["block_id"], bytes(r["doc_ids"]),
+         bytes(r["tfs"]), bytes(r["dls"]))
         for r in seg.collect()
     }
 
@@ -37,6 +38,20 @@ def test_initial_build_metrics(built, tiny_index):
     assert metrics["buckets_built"] == n_buckets
     assert metrics["buckets_skipped_resume"] == 0
     assert completed_buckets(d) == set(range(n_buckets))
+
+
+def test_observed_run_metrics(spark, built):
+    """observe() totals ride on the write job (A7, reference counter
+    surface ConfigRepository.java:64-83) and must equal a real count."""
+    d, metrics = built
+    obs = metrics["observed"]
+    seg = DiskIndex(spark, d).segments
+    want = seg.agg(
+        F.count("*").alias("blocks"), F.sum("doc_count").alias("postings")
+    ).collect()[0]
+    assert obs["blocks"] == want["blocks"]
+    assert obs["postings"] == want["postings"]
+    assert obs["payload_bytes"] > 0
 
 
 def test_rerun_is_noop(spark, built, tiny_index):
@@ -68,5 +83,6 @@ def test_disk_roundtrip_serves_queries(spark, built, tiny_index):
     disk = DiskIndex(spark, d)
     mem = [(r["doc_id"], r["score"]) for r in bm25_topk(tiny_index, "w00000", k=5).collect()]
     served = [(r["doc_id"], r["score"])
-              for r in wand_topk(disk.segments, disk.terms, "w00000", k=5).collect()]
+              for r in wand_topk(disk.segments, disk.terms, "w00000", k=5,
+                                 stats=disk.stats).collect()]
     assert mem == served

@@ -84,3 +84,37 @@ def test_paginate_slices_ordered_results(spark, tiny_index):
             paginate(top, offset=3, limit=4)
             .orderBy(F.desc("score"), F.asc("doc_id")).collect()]
     assert page == full[3:7]
+
+
+def test_field_subtraction_matches_manual(spark):
+    """P5 diagnostic: per-lemma signed-count difference between two
+    fields equals hand-computed counts (serving.field_subtraction)."""
+    from search_engine_spark.functions.text import lemmatize_text_py
+    from search_engine_spark.operators.serving import field_subtraction
+
+    rows = [
+        (0, "a", "tables query fast"),
+        (1, "a", "query filter"),
+        (2, "b", "query query slow"),
+        (3, "c", "ignored entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    got = {
+        r["lemma"]: (r["cnt_a"], r["cnt_b"], r["diff"])
+        for r in field_subtraction(docs, "src", "a", "b").collect()
+    }
+    from collections import Counter
+
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    for _, src, text in rows:
+        if src == "a":
+            ca.update(lemmatize_text_py(text))
+        elif src == "b":
+            cb.update(lemmatize_text_py(text))
+    want = {
+        lem: (ca.get(lem, 0), cb.get(lem, 0), ca.get(lem, 0) - cb.get(lem, 0))
+        for lem in set(ca) | set(cb)
+    }
+    assert got == want
+    assert any(v[2] < 0 for v in got.values())  # subtraction goes negative

@@ -49,6 +49,43 @@ def test_cosine_near_duplicates(emb):
     assert len(got) < 10  # random vectors in 16-dim shouldn't collide
 
 
+def test_srp_disk_index_matches_memory_and_prunes_partitions(emb, spark, tmp_path):
+    """The at-scale SRP path: ids-only index partitioned by
+    (table, bucket); a probe is a partition-pruned read (round-1 verdict
+    item — no OR-filter full scan), results identical to the in-memory
+    variant."""
+    from search_engine_spark.operators.similarity import (
+        _probe_condition,
+        srp_query_topk_disk,
+        write_srp_index,
+    )
+    from search_engine_spark.plans.explain import physical_plan
+
+    v = _vecs()
+    out = str(tmp_path / "srp_idx")
+    write_srp_index(emb, out, dim=DIM, n_planes=8, n_tables=4)
+    q = [float(x) for x in v[3]]
+
+    mem_idx = build_srp_index(emb, dim=DIM, n_planes=8, n_tables=4)
+    want = [(r["vec_id"], r["cosine"])
+            for r in srp_query_topk(mem_idx, q, k=5, n_planes=8, n_tables=4).collect()]
+    got = [(r["vec_id"], r["cosine"])
+           for r in srp_query_topk_disk(emb, out, q, k=5, n_planes=8,
+                                        n_tables=4).collect()]
+    assert got == want
+
+    # index stores ids only — vectors are never duplicated per table
+    stored = spark.read.parquet(out)
+    assert set(stored.columns) == {"vec_id", "table", "bucket"}
+
+    # plan-pinned: the probe scan carries non-empty PartitionFilters
+    cond = _probe_condition(np.asarray(q, dtype=np.float64), 8, 4, 1)
+    plan = physical_plan(spark.read.parquet(out).filter(cond))
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "table" in pf and "bucket" in pf, plan
+
+
 def test_srp_ann_recall(emb):
     v = _vecs()
     idx = build_srp_index(emb, dim=DIM, n_planes=8, n_tables=4).cache()

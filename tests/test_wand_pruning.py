@@ -7,75 +7,101 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from search_engine_spark.operators.compression import BLOCK_SIZE, encode_block
+from search_engine_spark.config import BLOCK_SIZE, BM25_B, BM25_K1
+from search_engine_spark.operators.compression import (
+    bm25_scores_np,
+    encode_block,
+)
 from search_engine_spark.operators.wand import score_bucket_pd
 
-A, B = 1, 2  # term ids (A = rarest)
+A, B = 1, 2  # term keys (A = rarest)
+AVGDL = 100.0
+IDF = {A: 1.0, B: 1.0}
 
 
-def _blocks(term_id: int, doc_ids: np.ndarray, scores: np.ndarray) -> list[dict]:
+def _blocks(term_key: int, doc_ids: np.ndarray, tfs: np.ndarray,
+            dls: np.ndarray) -> list[dict]:
     rows = []
     for bi, s in enumerate(range(0, doc_ids.size, BLOCK_SIZE)):
-        d, sc = doc_ids[s : s + BLOCK_SIZE], scores[s : s + BLOCK_SIZE]
-        db, sb = encode_block(d, sc)
+        d = doc_ids[s : s + BLOCK_SIZE]
+        tf, dl = tfs[s : s + BLOCK_SIZE], dls[s : s + BLOCK_SIZE]
+        db, tb, lb = encode_block(d, tf, dl)
         rows.append({
-            "term_id": term_id, "bucket": 0, "block_id": bi,
+            "term_key": term_key, "bucket": 0, "block_id": bi,
             "doc_count": d.size, "first_doc": int(d[0]), "last_doc": int(d[-1]),
-            "block_max_score": float(sc.max()), "doc_ids": db, "scores": sb,
+            "block_max_tf": int(tf.max()), "block_min_dl": int(dl.min()),
+            "doc_ids": db, "tfs": tb, "dls": lb,
         })
     return rows
 
 
-def _skewed_fixture():
-    """Rare term A: first block scores 10.0, later blocks 0.001 (cannot
-    reach top-k once the heap fills). Hot term B: every doc, score 1.0."""
-    a_docs = np.arange(0, 10000, 10, dtype=np.int64)          # 1000 postings
-    a_scores = np.where(a_docs < 10 * BLOCK_SIZE, 10.0, 0.001)
-    b_docs = np.arange(0, 10000, dtype=np.int64)
-    b_scores = np.full(b_docs.size, 1.0)
-    pdf = pd.DataFrame(_blocks(A, a_docs, a_scores) + _blocks(B, b_docs, b_scores))
-    truth = {int(d): float(sa + 1.0) for d, sa in zip(a_docs, a_scores)}
-    return pdf, truth
+def _truth(a_docs, a_tfs, a_dls, b_tfs_by_doc, b_dls_by_doc):
+    sa = bm25_scores_np(a_tfs, a_dls, IDF[A], AVGDL)
+    out = {}
+    for d, s in zip(a_docs.tolist(), sa.tolist()):
+        sb = bm25_scores_np(
+            np.array([b_tfs_by_doc[d]]), np.array([b_dls_by_doc[d]]),
+            IDF[B], AVGDL,
+        )[0]
+        out[int(d)] = s + float(sb)
+    return out
 
 
 def _topk(truth: dict[int, float], k: int) -> list[tuple[int, float]]:
     return sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
 
-def test_bound_pruning_skips_blocks_and_keeps_topk_exact():
-    pdf, truth = _skewed_fixture()
-    counters: dict = {}
-    out = score_bucket_pd(pdf, term_order=[A, B], k=5, counters=counters)
-    got = sorted(
+def _run(pdf, k, counters=None):
+    out = score_bucket_pd(pdf, [A, B], IDF, AVGDL, k, BM25_K1, BM25_B,
+                          counters=counters)
+    return sorted(
         zip(out["doc_id"].tolist(), out["score_raw"].tolist()),
         key=lambda kv: (-kv[1], kv[0]),
     )
+
+
+def test_bound_pruning_skips_blocks_and_keeps_topk_exact():
+    """Rare term A: first block has huge tf (score ~max), later blocks
+    tf=1 with big dl (cannot reach top-k once the heap fills)."""
+    a_docs = np.arange(0, 10000, 10, dtype=np.int64)          # 1000 postings
+    a_tfs = np.where(a_docs < 10 * BLOCK_SIZE, 50, 1)
+    a_dls = np.where(a_docs < 10 * BLOCK_SIZE, 10, 5000)
+    b_docs = np.arange(0, 10000, dtype=np.int64)
+    b_tfs = np.full(b_docs.size, 3)
+    b_dls = np.where(np.isin(b_docs, a_docs), np.where(
+        b_docs < 10 * BLOCK_SIZE, 10, 5000), 100)
+    pdf = pd.DataFrame(
+        _blocks(A, a_docs, a_tfs, a_dls) + _blocks(B, b_docs, b_tfs, b_dls)
+    )
+    counters: dict = {}
+    got = _run(pdf, 5, counters)
+    truth = _truth(a_docs, a_tfs, a_dls,
+                   dict(zip(b_docs.tolist(), b_tfs.tolist())),
+                   dict(zip(b_docs.tolist(), b_dls.tolist())))
     assert got == _topk(truth, 5)
-    # 8 rarest-term blocks; all but the first carry bound 0.001+1.0 < θ
+    # 8 rarest-term blocks; the low-tf/high-dl tail cannot beat θ
     assert counters["blocks_skipped_bound"] >= 6
-    # skipped blocks were never decoded: only block 0 of A (+ B overlaps)
-    assert counters["blocks_decoded"] < 8 + len(pdf[pdf.term_id == B])
+    assert counters["blocks_decoded"] < 8 + len(pdf[pdf.term_key == B])
 
 
 def test_unskewed_scores_unchanged_by_pruning():
     """With uniform scores nothing can be pruned — results must equal the
     exhaustive top-k (pruning is an optimization, not an approximation)."""
-    a_docs = np.arange(0, 5000, 7, dtype=np.int64)
     rng = np.random.RandomState(7)
-    a_scores = rng.uniform(0.5, 2.0, a_docs.size)
+    a_docs = np.arange(0, 5000, 7, dtype=np.int64)
+    a_tfs = rng.randint(1, 20, a_docs.size)
+    a_dls = rng.randint(50, 200, a_docs.size)
     b_docs = np.arange(0, 5000, dtype=np.int64)
-    b_scores = rng.uniform(0.5, 2.0, b_docs.size)
-    pdf = pd.DataFrame(_blocks(A, a_docs, a_scores) + _blocks(B, b_docs, b_scores))
-    truth = {
-        int(d): float(sa + b_scores[d])
-        for d, sa in zip(a_docs, a_scores)
-    }
-    out = score_bucket_pd(pdf, term_order=[A, B], k=10)
-    got = sorted(
-        zip(out["doc_id"].tolist(), out["score_raw"].tolist()),
-        key=lambda kv: (-kv[1], kv[0]),
+    b_tfs = rng.randint(1, 20, b_docs.size)
+    b_dls = rng.randint(50, 200, b_docs.size)
+    pdf = pd.DataFrame(
+        _blocks(A, a_docs, a_tfs, a_dls) + _blocks(B, b_docs, b_tfs, b_dls)
     )
-    want = [(d, s) for d, s in _topk(truth, 10)]
+    got = _run(pdf, 10)
+    truth = _truth(a_docs, a_tfs, a_dls,
+                   dict(zip(b_docs.tolist(), b_tfs.tolist())),
+                   dict(zip(b_docs.tolist(), b_dls.tolist())))
+    want = _topk(truth, 10)
     assert [d for d, _ in got] == [d for d, _ in want]
     np.testing.assert_allclose(
         [s for _, s in got], [s for _, s in want], rtol=1e-12
@@ -86,10 +112,12 @@ def test_equal_score_ties_prefer_smaller_doc_id():
     """Exact ties (duplicate docs are real in dedup corpora): the bucket
     top-k must keep the smaller doc_ids among equal scores."""
     a_docs = np.arange(0, 2000, 2, dtype=np.int64)
-    a_scores = np.full(a_docs.size, 1.0)
+    ones = np.full(a_docs.size, 1)
     b_docs = np.arange(0, 2000, dtype=np.int64)
-    b_scores = np.full(b_docs.size, 1.0)
-    pdf = pd.DataFrame(_blocks(A, a_docs, a_scores) + _blocks(B, b_docs, b_scores))
-    out = score_bucket_pd(pdf, term_order=[A, B], k=5)
-    got = sorted(out["doc_id"].tolist())
-    assert got == [0, 2, 4, 6, 8]
+    b_ones = np.full(b_docs.size, 1)
+    pdf = pd.DataFrame(
+        _blocks(A, a_docs, ones, ones * 100)
+        + _blocks(B, b_docs, b_ones, b_ones * 100)
+    )
+    out = score_bucket_pd(pdf, [A, B], IDF, AVGDL, 5)
+    assert sorted(out["doc_id"].tolist()) == [0, 2, 4, 6, 8]
