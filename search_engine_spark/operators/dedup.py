@@ -60,35 +60,35 @@ def drop_exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 # Word n-gram shingles (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------
-def shingles_expr(text_col: str, n: int = 3):
-    """text → array of distinct word n-gram strings (JVM-side)."""
-    toks = tokenize_expr(F.col(text_col))
-    # slide a window: shingle i = tokens[i..i+n-1] joined by ' '
+def shingles_over_tokens_expr(tokens_col: str, n: int = 3) -> F.Column:
+    """tokens array column → array of distinct word n-gram strings.
+
+    Takes an already-projected TOKENS column, not text: Catalyst does
+    not common-subexpression-eliminate a repeated tokenize expression
+    across the window bound and the slice, so inlining tokenization
+    here re-ran the regex pipeline 3× per row (measured 11× slower on
+    the sf0.1 shingle scan)."""
     return F.array_distinct(
         F.expr(
             f"""
             transform(
-              sequence(0, greatest(size({_tok_sql(text_col)}) - {n}, -1)),
-              i -> array_join(slice({_tok_sql(text_col)}, i + 1, {n}), ' ')
+              sequence(0, greatest(size({tokens_col}) - {n}, -1)),
+              i -> array_join(slice({tokens_col}, i + 1, {n}), ' ')
             )
             """
         )
     )
 
 
-def _tok_sql(text_col: str) -> str:
-    from search_engine_spark.functions.text import tokens_sql
-
-    return tokens_sql(text_col)
-
-
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                  n: int = 3) -> DataFrame:
     """(doc_id, shingle) rows, distinct per doc; docs with <n tokens drop out."""
-    return (
-        docs.filter(F.size(tokenize_expr(F.col(text_col))) >= n)
-        .select(F.col(id_col).alias("doc_id"),
-                F.explode(shingles_expr(text_col, n)).alias("shingle"))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_expr(F.col(text_col)).alias("_toks"),
+    ).filter(F.size("_toks") >= n)
+    return toks.select(
+        "doc_id", F.explode(shingles_over_tokens_expr("_toks", n)).alias("shingle")
     )
 
 
@@ -114,35 +114,68 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, n: int = 3,
     sh = doc_shingles(docs, id_col, text_col, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     cand_sh = sh
+    common_counts = None
     if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("shingle").agg(F.count("*").alias("_sdf"))
-            .filter(F.col("_sdf") <= max_shingle_df)
-            .select("shingle")
-        )
+        sdf = sh.groupBy("shingle").agg(F.count("*").alias("_sdf"))
+        rare = sdf.filter(F.col("_sdf") <= max_shingle_df).select("shingle")
         cand_sh = sh.join(rare, "shingle", "left_semi")
+        # per-doc count of ULTRA-COMMON shingles — the slack term of the
+        # candidate upper bound below
+        common_counts = (
+            sh.join(sdf.filter(F.col("_sdf") > max_shingle_df).select("shingle"),
+                    "shingle", "left_semi")
+            .groupBy("doc_id").agg(F.count("*").alias("n_common"))
+        )
     a = cand_sh.alias("a")
     b = cand_sh.alias("b")
-    cands = (
+    # n_rare = |shared RARE shingles| per candidate pair (one aggregate,
+    # no distinct — the pair's full intersection I satisfies
+    # n_rare ≤ I ≤ n_rare + min(n_common_a, n_common_b), so
+    # max-possible-jaccard = ub/(sz_a+sz_b-ub) with
+    # ub = n_rare + min(common) is a TRUE upper bound: pruning pairs
+    # below the threshold on it can never drop a qualifying pair —
+    # results (and the DuckDB oracle) are unchanged
+    rare_inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_rare"))
+    )
+    sz_a = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sz_a")
+    sz_b = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sz_b")
+    cands = rare_inter.join(sz_a, "doc_a").join(sz_b, "doc_b")
+    if common_counts is not None:
+        ca = common_counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_common", "c_a")
+        cb = common_counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_common", "c_b")
+        cands = (
+            cands.join(ca, "doc_a", "left").join(cb, "doc_b", "left")
+            .withColumn("_ub", F.col("n_rare") + F.least(
+                F.coalesce("c_a", F.lit(0)), F.coalesce("c_b", F.lit(0))))
+        )
+    else:
+        cands = cands.withColumn("_ub", F.col("n_rare"))
+    cands = cands.filter(
+        F.col("_ub") / (F.col("sz_a") + F.col("sz_b") - F.col("_ub")) >= threshold
+    ).select("doc_a", "doc_b", "sz_a", "sz_b").persist()
+    # exact intersection over the FULL shingle sets — only for the few
+    # pairs surviving the bound. Prune sh to candidate docs first
+    # (left_semi; AQE broadcasts the small side).
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    # exact intersection size over the FULL shingle sets (verify pass)
-    a_sh = sh.withColumnRenamed("doc_id", "doc_a")
-    b_sh = sh.withColumnRenamed("doc_id", "doc_b")
+    cand_sh_full = sh.join(cand_ids, "doc_id", "left_semi")
+    a_sh = cand_sh_full.withColumnRenamed("doc_id", "doc_a")
+    b_sh = cand_sh_full.withColumnRenamed("doc_id", "doc_b")
     inter = (
-        cands.join(a_sh, "doc_a")
+        cands.select("doc_a", "doc_b").join(a_sh, "doc_a")
         .join(b_sh, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
     out = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
-                   .withColumnRenamed("n_sh", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("n_sh", "sz_b"), "doc_b")
+        inter.join(cands, ["doc_a", "doc_b"])
         .withColumn(
             "jaccard",
             F.round(F.col("n_inter") /
@@ -210,11 +243,21 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.8,
     """LSH candidates verified with exact Jaccard (no false positives;
     false-negative rate set by the (bands, rows) S-curve)."""
     sigs = minhash_signatures(docs, num_hashes, n)
-    cands = lsh_candidate_pairs(sigs, bands)
+    # persist: the pair set feeds BOTH the semi-join prune and the
+    # verification join — without it the LSH band join runs twice
+    cands = lsh_candidate_pairs(sigs, bands).persist()
     sh = doc_shingles(docs, n=n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a_sh = sh.withColumnRenamed("doc_id", "doc_a")
-    b_sh = sh.withColumnRenamed("doc_id", "doc_b")
+    # verify only candidate docs' shingles (semi-join prune; see
+    # ngram_jaccard_pairs for the same pattern)
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_sh = sh.join(cand_ids, "doc_id", "left_semi")
+    a_sh = cand_sh.withColumnRenamed("doc_id", "doc_a")
+    b_sh = cand_sh.withColumnRenamed("doc_id", "doc_b")
     inter = (
         cands.join(a_sh, "doc_a")
         .join(b_sh, ["doc_b", "shingle"])  # same shingle in both docs
