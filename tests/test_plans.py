@@ -64,6 +64,42 @@ def test_jvm_lemma_path_has_no_python(tiny_index):
     assert "BatchEvalPython" not in aplan, aplan   # never row-at-a-time Python
 
 
+def test_colocated_segment_build_is_shuffle_and_join_free(spark, tiny_index, tmp_path):
+    """The v2 segment encode over the at-scale (parquet-backed) postings
+    must stay a single pipelined stage: no exchange (zero-shuffle claim)
+    and no join (the xxhash64 term_key replaces the dictionary
+    broadcast probe)."""
+    from search_engine_spark.operators.compression import (
+        build_segments_colocated,
+    )
+    from search_engine_spark.operators.index_build import InvertedIndex
+
+    path = str(tmp_path / "postings")
+    tiny_index.postings.write.parquet(path)
+    ix = InvertedIndex(
+        docs=tiny_index.docs, postings=spark.read.parquet(path),
+        doclen=tiny_index.doclen, terms=tiny_index.terms,
+        stats=tiny_index.stats,
+    )
+    seg = build_segments_colocated(ix, bucket_width=512)
+    plan = physical_plan(seg)
+    assert count_shuffles(seg) == 0, plan
+    assert "Join" not in plan, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+
+
+def test_sql_engine_plans_like_dataframe(tiny_index):
+    """Engine #3 hands the generated CTE join to Catalyst — the per-term
+    CTE sides are tiny, so the N-way doc_id join must not degrade to a
+    cartesian product and must end in TakeOrderedAndProject."""
+    from search_engine_spark.operators.query import bm25_topk_sql
+
+    plan = physical_plan(bm25_topk_sql(tiny_index, "w00000 w00001s", k=10))
+    head = plan.split("InMemoryRelation")[0]
+    assert "CartesianProduct" not in head, head
+    assert "TakeOrderedAndProject" in head, head
+
+
 def test_parquet_scan_prunes_columns(spark, tmp_path):
     path = str(tmp_path / "docs")
     spark.createDataFrame(

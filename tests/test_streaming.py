@@ -55,3 +55,52 @@ def test_merged_terms_equals_batch_rebuild(spark, dirs):
                        use_arrow_udf=False)
     want = {r["lemma"]: (r["df"], r["cf"]) for r in full.terms.collect()}
     assert merged == want
+
+
+def test_sessionize_stateful_timeout(spark, tmp_path):
+    """applyInPandasWithState sessionizer: a conversation's summary row
+    is emitted only after the watermark passes its last turn + gap, and
+    its counts match the raw turns (streaming/sessionize.py)."""
+    import datetime
+
+    from search_engine_spark.streaming.sessionize import (
+        run_sessionize_batchwise,
+    )
+
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def rows(conv, ts_offsets, role="user"):
+        return [
+            (conv, i, role if i % 2 == 0 else "assistant", f"turn {i} text",
+             None, base + datetime.timedelta(seconds=off))
+            for i, off in enumerate(ts_offsets)
+        ]
+
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    # batch 1: conv A finishes early; conv B still active
+    spark.createDataFrame(
+        rows("conv-A", [0, 10, 20]) + rows("conv-B", [500]), schema
+    ).write.mode("overwrite").parquet(input_dir)
+    run_sessionize_batchwise(spark, input_dir, out_dir, ckpt, gap_seconds=60)
+
+    # batch 2: much later turns for conv B → watermark passes A's gap
+    spark.createDataFrame(
+        rows("conv-B", [900, 950]), schema
+    ).write.mode("append").parquet(input_dir)
+    run_sessionize_batchwise(spark, input_dir, out_dir, ckpt, gap_seconds=60)
+
+    import os
+
+    assert os.path.isdir(out_dir)
+    got = {r["conv_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert "conv-A" in got  # quiesced → emitted exactly once
+    a = got["conv-A"]
+    assert a["n_turns"] == 3 and a["n_user"] == 2 and a["n_assistant"] == 1
+    assert a["last_ts"] - a["first_ts"] == 20_000  # ms
+    assert a["total_chars"] == sum(len(f"turn {i} text") for i in range(3))
+    # conv B's last turn is within the gap of the final watermark → open
+    assert "conv-B" not in got
