@@ -97,3 +97,41 @@ def test_srp_ann_recall(emb):
         if got and got[0]["vec_id"] == qi:
             hits += 1
     assert hits >= 9  # self always lands in its own bucket: expect 10/10
+
+
+def test_ivf_ann_self_recall_and_determinism(emb, spark):
+    """IVF coarse-quantizer path: every vector's own query retrieves it
+    first; index assignment is deterministic across builds; probing all
+    clusters equals brute force exactly."""
+    from search_engine_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query_topk,
+    )
+
+    v = _vecs()
+    idx1, cent1 = build_ivf_index(emb, dim=DIM, n_clusters=8)
+    idx2, cent2 = build_ivf_index(emb, dim=DIM, n_clusters=8)
+    np.testing.assert_array_equal(cent1, cent2)
+    a1 = {r["vec_id"]: r["cluster"] for r in idx1.collect()}
+    a2 = {r["vec_id"]: r["cluster"] for r in idx2.collect()}
+    assert a1 == a2 and len(a1) == N
+
+    idx = idx1.cache()
+    hits = 0
+    for qi in range(0, 40, 5):
+        got = ivf_query_topk(emb, idx, cent1, [float(x) for x in v[qi]],
+                             k=1, n_probe=1).collect()
+        if got and got[0]["vec_id"] == qi:
+            hits += 1
+    assert hits >= 7  # own cluster always probed first
+
+    # planted near-dup pair (0,1) lands in the same cluster
+    assert a1[0] == a1[1]
+
+    # n_probe = n_clusters → identical to exact brute force
+    q = [float(x) for x in v[3]]
+    full = [(r["vec_id"], r["cosine"])
+            for r in ivf_query_topk(emb, idx, cent1, q, k=10, n_probe=8).collect()]
+    brute = [(r["vec_id"], r["cosine"])
+             for r in brute_force_topk(emb, q, k=10).collect()]
+    assert full == brute
