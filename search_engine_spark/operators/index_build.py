@@ -289,14 +289,20 @@ def _assemble_index(
     differential twin (identical rows, tested). Both paths emit the
     SAME postings schema (doc_id, lemma, tf, rank, dl).
 
-    ``scratch_dir``: spill docs + postings to compressed parquet and
+    ``scratch_dir``: spill docs + doc_terms to compressed parquet and
     read them back instead of caching. Measured 3× faster than a
     deserialized-row persist at 131M postings on local[32] — object
     caching anti-scales with task concurrency (GC pressure), columnar
     writes don't — and it is the only strategy whose memory footprint
     is flat at 10^12 turns. Tests/small corpora keep the persist path
     (scratch_dir=None). doclen/terms are small per-doc/per-term
-    dimensions → always persisted."""
+    dimensions → always persisted.
+
+    ``materialize_postings``: with False (the at-scale default used by
+    the scaling/bench jobs) the uncompressed postings table is NOT
+    written — the compressed segments are the posting store, and
+    ``postings`` is the exploded view over doc_terms (identical rows,
+    re-derived per read)."""
     spark = docs.sparkSession
     if scratch_dir and not docs_spilled:
         docs.write.mode("overwrite").parquet(f"{scratch_dir}/docs")
