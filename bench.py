@@ -95,6 +95,8 @@ def main() -> None:
 
     # ---- query latency on the built transcript index --------------------
     bench_queries = ["w00000", "w00159 w00268", "needlealpha", "w00000s w00001"]
+    # one untimed warmup query: steady-state latency, not first-query JIT
+    bm25_topk(ix, "w00042", k=10).collect()
     for i, q in enumerate(bench_queries):
         t0 = time.monotonic()
         bm25_topk(ix, q, k=10).collect()

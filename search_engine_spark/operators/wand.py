@@ -252,25 +252,20 @@ def score_bucket_pd(
     })
 
 
-def wand_topk(
+def _per_bucket_scores(
     segments: DataFrame,
     terms: DataFrame,
     query: str,
-    k: int = DEFAULT_TOP_K,
-    stats: CorpusStats | None = None,
-) -> DataFrame:
-    """Top-k (doc_id, score) by BM25 over compressed segments.
-
-    ``stats`` (n_docs, avgdl) is required: blocks store raw tf/dl and
-    the BM25 weights are computed here (segments are stats-independent,
-    compression.py v2)."""
-    if stats is None:
-        raise ValueError("wand_topk requires CorpusStats (index.stats)")
-    spark = segments.sparkSession
+    k: int,
+    stats: CorpusStats,
+) -> DataFrame | None:
+    """Shared front half of both WAND variants: resolve query terms on
+    the driver, filter the segment scan, run the bucket scorers.
+    Returns None for an invalid/missing-term query (reference
+    early-exit, ApiService.java:83-85)."""
     lemmas = parse_query(query)
-    empty = spark.createDataFrame([], "doc_id long, score double, score_raw double")
     if not lemmas:
-        return empty
+        return None
     qrows = (
         terms.filter(F.col("lemma").isin(lemmas))
         .select(
@@ -283,9 +278,7 @@ def wand_topk(
         .collect()
     )
     if len(qrows) < len(lemmas):
-        # a query lemma missing from the dictionary → empty result without
-        # launching the scan (reference early-exit, ApiService.java:83-85)
-        return empty
+        return None
     by_df = sorted(qrows, key=lambda r: (r["df"], r["term_key"]))
     term_order = [int(r["term_key"]) for r in by_df]
     idf_by_key = {int(r["term_key"]): float(r["idf"]) for r in qrows}
@@ -295,10 +288,75 @@ def wand_topk(
         return score_bucket_pd(pdf, term_order, idf_by_key, avgdl, k)
 
     seg = segments.filter(F.col("term_key").isin(term_order))
-    per_bucket = seg.groupBy("bucket").applyInPandas(score_bucket, RESULT_SCHEMA)
+    return seg.groupBy("bucket").applyInPandas(score_bucket, RESULT_SCHEMA)
+
+
+def wand_topk(
+    segments: DataFrame,
+    terms: DataFrame,
+    query: str,
+    k: int = DEFAULT_TOP_K,
+    stats: CorpusStats | None = None,
+) -> DataFrame:
+    """Top-k (doc_id, score) by BM25 over compressed segments.
+
+    ``stats`` (n_docs, avgdl) is required: blocks store raw tf/dl and
+    the BM25 weights are computed here (segments are stats-independent,
+    compression.py v2). The global merge is TakeOrderedAndProject (the
+    DataFrame-native per-partition-heap merge); :func:`wand_topk_tree`
+    is the explicit treeAggregate formulation for very large k."""
+    if stats is None:
+        raise ValueError("wand_topk requires CorpusStats (index.stats)")
+    spark = segments.sparkSession
+    per_bucket = _per_bucket_scores(segments, terms, query, k, stats)
+    if per_bucket is None:
+        return spark.createDataFrame(
+            [], "doc_id long, score double, score_raw double"
+        )
     return (
         per_bucket.withColumn("score", F.round(F.col("score_raw"), SCORE_DECIMALS))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .select("doc_id", "score", "score_raw")
         .limit(k)
     )
+
+
+def wand_topk_tree(
+    segments: DataFrame,
+    terms: DataFrame,
+    query: str,
+    k: int = DEFAULT_TOP_K,
+    stats: CorpusStats | None = None,
+    depth: int = 2,
+) -> list[tuple[int, float]]:
+    """The north_star's literal ``treeAggregate`` top-k heap merge
+    (UD4): per-partition top-k lists combine through an executor tree
+    before one driver-side merge — the shape that wins over
+    TakeOrderedAndProject when k is large (top-10k over 1000 executors:
+    the driver merges depth-combined partials, not P heaps). Returns
+    [(doc_id, score)] rank-identical to :func:`wand_topk` (tested)."""
+    if stats is None:
+        raise ValueError("wand_topk_tree requires CorpusStats (index.stats)")
+    per_bucket = _per_bucket_scores(segments, terms, query, k, stats)
+    if per_bucket is None:
+        return []
+
+    def key(item: tuple[int, float]) -> tuple[float, int]:
+        doc, raw = item
+        return (-round(raw, SCORE_DECIMALS), doc)
+
+    def seq(acc: list, row) -> list:
+        acc.append((int(row["doc_id"]), float(row["score_raw"])))
+        if len(acc) > 4 * k:
+            acc.sort(key=key)
+            del acc[k:]
+        return acc
+
+    def comb(a: list, b: list) -> list:
+        a.extend(b)
+        a.sort(key=key)
+        return a[:k]
+
+    merged = per_bucket.rdd.treeAggregate([], seq, comb, depth)
+    merged.sort(key=key)
+    return [(d, round(raw, SCORE_DECIMALS)) for d, raw in merged[:k]]

@@ -100,3 +100,16 @@ def test_pagination(tiny_index):
 def test_parse_query_dedupes_and_orders():
     assert parse_query("tables table the tables") == ["table"]
     assert parse_query("") == []
+
+
+@pytest.mark.parametrize("query", ["w00000", "w00159 w00268", "zzznot"])
+def test_treeaggregate_merge_matches_wand(tiny_index, segments, query):
+    """UD4: the explicit treeAggregate heap merge returns rank-identical
+    results to the TakeOrderedAndProject path."""
+    from search_engine_spark.operators.wand import wand_topk_tree
+
+    want = _rows(wand_topk(segments, tiny_index.terms, query, k=10,
+                           stats=tiny_index.stats))
+    got = wand_topk_tree(segments, tiny_index.terms, query, k=10,
+                         stats=tiny_index.stats)
+    assert got == want, query
