@@ -340,9 +340,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_event_windows(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
+        # avg via an exact decimal SUM then one double division: a pure
+        # double avg differs across engines by accumulation order, and
+        # at ~3k windows one lands on a round() boundary (seen at sf0.1)
         return (
             ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-            .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+            .agg(
+                F.count("*").alias("n"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(24,6)")).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("avg_value"),
+            )
             .select(F.col("w.start").alias("ws"), "event_type", "n", "avg_value")
         )
 
@@ -699,13 +709,22 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string({_TOKS}, ' ')) AS fingerprint
             FROM documents
         """,
+        # decimal arithmetic, mirroring quality_score_col: 0.3 * a
+        # 6-decimal ratio can land exactly on a .5 boundary at the 7th
+        # decimal where double round() differs across engines
         "quality_scores": f"""
             SELECT doc_id, n_chars, n_tokens, mean_token_len, punct_ratio,
                    digit_ratio, stopword_ratio, uniq_token_ratio,
-                   round(0.4 * (CASE WHEN n_tokens >= 5 AND n_tokens <= 5000
-                                     THEN 1.0 ELSE 0.0 END)
-                         + 0.3 * (1.0 - least(punct_ratio * 4.0, 1.0))
-                         + 0.3 * uniq_token_ratio, 6) AS quality_score
+                   CAST(round(
+                        0.4 * (CASE WHEN n_tokens >= 5 AND n_tokens <= 5000
+                                    THEN 1.0 ELSE 0.0 END)
+                        + 0.3 * (CAST(1.0 AS DECIMAL(13,7)) -
+                                 (CASE WHEN CAST(punct_ratio AS DECIMAL(10,6)) * 4.0 > 1.0
+                                       THEN CAST(1.0 AS DECIMAL(13,7))
+                                       ELSE CAST(CAST(punct_ratio AS DECIMAL(10,6)) * 4.0
+                                                 AS DECIMAL(13,7)) END))
+                        + 0.3 * CAST(uniq_token_ratio AS DECIMAL(10,6))
+                        , 6) AS DOUBLE) AS quality_score
             FROM ({quality_inner})
         """,
         "langid": """
@@ -797,7 +816,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_windows": """
             SELECT date_trunc('hour', ts) AS ws, event_type,
-                   count(*) AS n, round(avg(value), 6) AS avg_value
+                   count(*) AS n,
+                   round(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+                         / count(*), 6) AS avg_value
             FROM events GROUP BY 1, 2
         """,
         "top_users_per_event": """

@@ -92,13 +92,28 @@ def quality_features(text_col: str = "text") -> list[Column]:
 
 def quality_score_col() -> Column:
     """Scalar quality score ∈ [0,1] from the feature columns (pinned
-    linear mix; deterministic, documented — not a learned model)."""
-    length_ok = F.when((F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 5000), 1.0).otherwise(0.0)
-    return F.round(
-        0.4 * length_ok
-        + 0.3 * (1.0 - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0)))
-        + 0.3 * F.col("uniq_token_ratio"),
-        6,
+    linear mix; deterministic, documented — not a learned model).
+
+    Computed in DECIMAL, not double: the inputs are 6-decimal-rounded
+    ratios, so 0.3·ratio can land EXACTLY on a .5 boundary at the 7th
+    decimal, where Spark's and DuckDB's double round() disagree by one
+    ulp (observed at sf0.1). Exact decimal arithmetic makes both engines
+    produce the identical value, bit-for-bit after the final double
+    cast."""
+    # the punct clamp is a CASE, not least(): DuckDB's least() returns
+    # DOUBLE even for two identical DECIMAL arguments, which reintroduces
+    # the boundary problem in the oracle twin
+    return F.expr(
+        "CAST(round("
+        "  0.4 * (CASE WHEN n_tokens >= 5 AND n_tokens <= 5000"
+        "              THEN 1.0 ELSE 0.0 END)"
+        "  + 0.3 * (CAST(1.0 AS DECIMAL(13,7)) -"
+        "           (CASE WHEN CAST(punct_ratio AS DECIMAL(10,6)) * 4.0 > 1.0"
+        "                 THEN CAST(1.0 AS DECIMAL(13,7))"
+        "                 ELSE CAST(CAST(punct_ratio AS DECIMAL(10,6)) * 4.0"
+        "                           AS DECIMAL(13,7)) END))"
+        "  + 0.3 * CAST(uniq_token_ratio AS DECIMAL(10,6))"
+        ", 6) AS DOUBLE)"
     )
 
 
