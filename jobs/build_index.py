@@ -16,7 +16,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# driver-side import path when run as a bare script (python jobs/…);
+# executors get the package via --py-files (scripts/submit_build.sh)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
