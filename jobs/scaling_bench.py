@@ -39,6 +39,46 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _stage_manifest(event_dir: str, after_ms: float) -> dict:
+    """Per-stage metrics summary from the Spark event log (the BASELINE
+    protocol's "metrics manifest": stages, rows through shuffles, bytes)
+    for stages submitted after the measured region started."""
+    import glob as _glob
+    import json as _json
+
+    agg = {"stages": 0, "input_mb": 0.0, "shuffle_read_mb": 0.0,
+           "shuffle_write_mb": 0.0, "shuffle_write_rows": 0,
+           "executor_run_sec": 0.0}
+    want = {
+        "internal.metrics.input.bytesRead": ("input_mb", 1 / 1048576),
+        "internal.metrics.shuffle.read.remoteBytesRead": ("shuffle_read_mb", 1 / 1048576),
+        "internal.metrics.shuffle.read.localBytesRead": ("shuffle_read_mb", 1 / 1048576),
+        "internal.metrics.shuffle.write.bytesWritten": ("shuffle_write_mb", 1 / 1048576),
+        "internal.metrics.shuffle.write.recordsWritten": ("shuffle_write_rows", 1),
+        "internal.metrics.executorRunTime": ("executor_run_sec", 1 / 1000),
+    }
+    # Spark 4 writes a rolling event-log DIRECTORY per app
+    paths = [
+        p for p in _glob.glob(os.path.join(event_dir, "**", "*"), recursive=True)
+        if os.path.isfile(p)
+    ]
+    for path in paths:
+        with open(path, errors="ignore") as fh:
+            for line in fh:
+                if '"SparkListenerStageCompleted"' not in line:
+                    continue
+                info = _json.loads(line).get("Stage Info", {})
+                if info.get("Submission Time", 0) < after_ms:
+                    continue
+                agg["stages"] += 1
+                for acc in info.get("Accumulables", []):
+                    hit = want.get(acc.get("Name", ""))
+                    if hit:
+                        key, scale = hit
+                        agg[key] = round(agg[key] + acc.get("Value", 0) * scale, 2)
+    return agg
+
+
 def run_build(cpus: int, n_conv: int, corpus_path: str,
               cluster: bool = False) -> dict:
     import os as _os
@@ -49,6 +89,11 @@ def run_build(cpus: int, n_conv: int, corpus_path: str,
     from search_engine_spark.operators.index_build import build_index
     from search_engine_spark.session import build_session
 
+    event_dir = tempfile.mkdtemp(prefix=f"scaling_ev_{cpus}_")
+    ev_conf = {"spark.eventLog.enabled": "true",
+               "spark.eventLog.dir": f"file://{event_dir}",
+               # plain JSON lines (Spark 4 zstd-compresses by default)
+               "spark.eventLog.compress": "false"}
     if cluster:
         # N separate 1-core executor JVMs — per-executor GC/python
         # workers/shuffle, the faithful N-executor cluster analog
@@ -59,10 +104,11 @@ def run_build(cpus: int, n_conv: int, corpus_path: str,
             extra_conf={
                 "spark.executor.memory": "5g",
                 "spark.executorEnv.PYTHONPATH": repo,
+                **ev_conf,
             },
         )
     else:
-        spark = build_session(f"scaling_{cpus}", cpus=cpus)
+        spark = build_session(f"scaling_{cpus}", cpus=cpus, extra_conf=ev_conf)
     corpus = spark.read.parquet(corpus_path)
     n_turns = corpus.count()
     scratch = tempfile.mkdtemp(prefix=f"scaling_ix_{cpus}_")
@@ -81,6 +127,7 @@ def run_build(cpus: int, n_conv: int, corpus_path: str,
     shutil.rmtree(wdir, ignore_errors=True)
 
     t0 = time.monotonic()
+    t0_ms = time.time() * 1000
     # the full job: docID assign → lemmatize/doc_terms (parquet-spilled,
     # the at-scale materialization) → dictionary → compressed segments.
     # materialize_postings=False: the segments ARE the posting store;
@@ -92,9 +139,12 @@ def run_build(cpus: int, n_conv: int, corpus_path: str,
     segments.write.mode("overwrite").parquet(f"{scratch}/segments")
     sec = time.monotonic() - t0
     spark.stop()
+    stage_metrics = _stage_manifest(event_dir, t0_ms)
     shutil.rmtree(scratch, ignore_errors=True)
+    shutil.rmtree(event_dir, ignore_errors=True)
     return {"cpus": cpus, "n_turns": n_turns, "sec": round(sec, 2),
-            "turns_per_sec": round(n_turns / sec, 1)}
+            "turns_per_sec": round(n_turns / sec, 1),
+            "stage_metrics": stage_metrics}
 
 
 def _pinned_run(cpus: int, n_conv: int, corpus: str,
