@@ -12,14 +12,19 @@ Spark-first:
   aggregations → delta+varbyte compressed posting segments with
   per-block max-score metadata (reference ``lemma``/``index`` tables,
   entity/Lemma.java:14-27, entity/Index.java:12-24)
-- query: BM25 / reference-formula top-k via either a pure-DataFrame
-  scorer (Catalyst-optimized joins+aggs) or a block-max WAND scorer
-  over compressed segments (reference SearchService.java:53-131's three
-  equivalent strategies → our two differential engines)
+- query: BM25 / reference-formula top-k via THREE differential engines
+  (pure-DataFrame scorer, block-max WAND over compressed tf/dl
+  segments, generated-SQL CTE join) — the reference's own 3-strategy
+  equivalence harness (SearchService.java:53-131,
+  SearchComponent.java:450-551) rebuilt on Spark
+- beyond the reference: training-data-pipeline operators (exact /
+  MinHash-LSH / SimHash / n-gram-Jaccard dedup, SRP-LSH + IVF ANN,
+  text quality/langid/fingerprints, multimodal binary columns,
+  dead-letter input gating, stateful conversation sessionization)
 
 Everything here derives from public knowledge only: the Apache Spark /
 PySpark API, the reference repo's observable behavior, and published IR
 literature (varbyte/delta postings, block-max WAND, BM25).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -386,41 +386,69 @@ def build_segments_colocated(
     """
     width = bucket_width
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def flush(chunks: list[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            pdf = chunks[0] if len(chunks) == 1 else pd.concat(
-                chunks, ignore_index=True
+    def encode(batches):
+        import pyarrow as pa
+
+        out_schema = pa.schema([
+            ("term_key", pa.int64()), ("bucket", pa.int64()),
+            ("block_id", pa.int32()), ("doc_count", pa.int32()),
+            ("first_doc", pa.int64()), ("last_doc", pa.int64()),
+            ("block_max_tf", pa.int32()), ("block_min_dl", pa.int32()),
+            ("doc_ids", pa.binary()), ("tfs", pa.binary()),
+            ("dls", pa.binary()),
+        ])
+
+        def to_np(batch: pa.RecordBatch) -> tuple[np.ndarray, ...]:
+            # zero-copy for non-null int columns
+            return tuple(
+                batch.column(name).to_numpy(zero_copy_only=False)
+                for name in ("term_key", "doc_id", "tf", "dl")
             )
-            if pdf.empty:
+
+        def emit(run: pd.DataFrame) -> pa.RecordBatch:
+            return pa.RecordBatch.from_arrays(
+                [pa.array(run[f.name], type=f.type) for f in out_schema],
+                schema=out_schema,
+            )
+
+        def flush(chunks: list[tuple[np.ndarray, ...]]):
+            if len(chunks) == 1:
+                tk, doc, tf, dl = chunks[0]
+            else:
+                tk, doc, tf, dl = (
+                    np.concatenate([c[i] for c in chunks]) for i in range(4)
+                )
+            if doc.size == 0:
                 return
-            doc_ids = pdf["doc_id"].to_numpy(np.int64)
-            term_keys = pdf["term_key"].to_numpy(np.int64)
-            buckets = doc_ids // width
-            pdf = pdf.assign(bucket=buckets)
+            buckets = doc // width
             # bucket runs are change-delimited (docs usually ascend, but
             # Spark may bin-pack file splits out of order — runs, not
             # sort positions, so correctness never assumes monotonicity)
             edges = np.flatnonzero(
                 np.concatenate(([True], buckets[1:] != buckets[:-1]))
             )
-            edges = np.concatenate((edges, [doc_ids.size]))
+            edges = np.concatenate((edges, [doc.size]))
             for s, e in zip(edges[:-1], edges[1:]):
-                d = doc_ids[s:e]
+                d = doc[s:e]
                 if d.size > 1 and (d[1:] < d[:-1]).any():
                     # out-of-order run (packed splits): full (term, doc)
                     # lexsort; otherwise the cheap stable term sort keeps
                     # the existing doc order
-                    order = np.lexsort((d, term_keys[s:e])) + s
+                    order = np.lexsort((d, tk[s:e])) + s
                 else:
-                    order = np.argsort(term_keys[s:e], kind="stable") + s
-                yield _run_from_pdf(pdf, order)
+                    order = np.argsort(tk[s:e], kind="stable") + s
+                yield emit(_encode_sorted_run(
+                    tk[order], buckets[order], doc[order],
+                    tf[order].astype(np.int64), dl[order].astype(np.int64),
+                ))
 
-        pend: list[pd.DataFrame] = []
+        pend: list[tuple[np.ndarray, ...]] = []
         pend_bucket = None
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            db = pdf["doc_id"].to_numpy(np.int64) // width
+            cols = to_np(batch)
+            db = cols[1] // width
             last_bucket = int(db[-1])
             # rows of the trailing bucket stay pending (the next batch
             # usually continues it); everything before is flushed
@@ -430,18 +458,18 @@ def build_segments_colocated(
                 yield from flush(pend)
                 pend = []
             if cut > 0:
-                yield from flush(pend + [pdf.iloc[:cut]])
+                yield from flush(pend + [tuple(c[:cut] for c in cols)])
                 pend = []
-            tail = pdf.iloc[cut:]
-            if not tail.empty:
-                pend.append(tail)
+            if cut < cols[1].size:
+                pend.append(tuple(c[cut:] for c in cols))
                 pend_bucket = last_bucket
         if pend:
             yield from flush(pend)
 
-    # numeric-only stream into Python (no strings cross Arrow, no join):
-    # the scan order survives projection, so no exchange is introduced
-    return keyed_postings(index).mapInPandas(encode, SEGMENT_SCHEMA)
+    # numeric-only stream into Python (no strings, no join, no pandas —
+    # mapInArrow hands the worker zero-copy int columns); the scan order
+    # survives projection, so no exchange is introduced
+    return keyed_postings(index).mapInArrow(encode, SEGMENT_SCHEMA)
 
 
 def decode_segments_pd(segment_rows: pd.DataFrame) -> pd.DataFrame:
