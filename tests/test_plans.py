@@ -85,7 +85,9 @@ def test_colocated_segment_build_is_shuffle_and_join_free(spark, tiny_index, tmp
     plan = physical_plan(seg)
     assert count_shuffles(seg) == 0, plan
     assert "Join" not in plan, plan
-    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+    assert (
+        "MapInArrow" in plan or "ArrowEvalPython" in plan or "MapInPandas" in plan
+    ), plan
 
 
 def test_sql_engine_plans_like_dataframe(tiny_index):
