@@ -56,6 +56,9 @@ TOKEN_KEEP_REGEX: str = "[^a-z0-9]+"  # applied after lower(); replaced by space
 # ---------------------------------------------------------------------------
 BLOCK_SIZE: int = 128
 DOC_BUCKET_WIDTH: int = 1 << 16  # docs per doc-range bucket (tunable per scale)
+# Segment payload codec: "auto" prices varbyte vs PForDelta per block and
+# keeps the smaller buffer; "varbyte" pins the LEB128 path (debug/compat).
+SEGMENT_CODEC: str = "auto"
 
 # Salting for skewed term-keyed aggregation (north_rule requirement):
 # terms with df above this threshold get SALT_FACTOR-way two-stage aggs.

@@ -33,9 +33,14 @@ from search_engine_spark.operators.index_build import CorpusStats, InvertedIndex
 
 
 # bumped when the on-disk schema changes (v2: postings carry a dl
-# column; the query engines no longer join doclen). Loads of older dirs
-# fail with a clear message instead of an AnalysisException at query time.
-INDEX_FORMAT_VERSION = 2
+# column; the query engines no longer join doclen. v3: segment payload
+# buffers are tag-prefixed varbyte/PForDelta — untagged v2 buffers are
+# not decodable by the v3 reader). Loads of older dirs fail with a clear
+# message instead of an AnalysisException/garbage at query time.
+INDEX_FORMAT_VERSION = 3
+# oldest format whose SEGMENTS this reader can decode (dimension tables
+# stay readable further back: v1 postings fall back to the doclen join)
+MIN_SEGMENT_FORMAT = 3
 
 
 def _manifest_dir(index_dir: str) -> str:
@@ -133,54 +138,11 @@ def write_index(
     metrics["buckets_total"] = len(all_buckets)
     metrics["buckets_skipped_resume"] = len(all_buckets) - len(todo)
 
-    if todo:
-        seg = build_segments(index, bucket_width).filter(F.col("bucket").isin([int(b) for b in todo]))
-        # run totals via observe() — the reference's sequence-counter
-        # surface (counters without a second scan,
-        # ConfigRepository.java:64-83): metrics ride on the write job
-        from pyspark.sql import Observation
-
-        obs = Observation("segment_write")
-        seg = seg.observe(
-            obs,
-            F.count(F.lit(1)).alias("blocks"),
-            F.sum("doc_count").alias("postings"),
-            F.sum(
-                F.length("doc_ids") + F.length("tfs") + F.length("dls")
-            ).alias("payload_bytes"),
-        )
-        # one output dir per bucket → per-bucket atomicity; rows sorted by
-        # term_key so parquet rowgroup min/max prune query-term scans
-        seg = seg.repartition("bucket").sortWithinPartitions("term_key", "block_id").persist()
-        stats_rows = (
-            seg.groupBy("bucket").agg(
-                F.count("*").alias("blocks"),
-                F.sum("doc_count").alias("postings"),
-                F.min("term_key").alias("term_min"),
-                F.max("term_key").alias("term_max"),
-                # bit_xor: order-insensitive, overflow-free under ANSI mode
-                F.expr("bit_xor(xxhash64(term_key, block_id, doc_ids, tfs, dls))").alias("checksum"),
-            )
-        ).collect()
-        by_bucket = {int(r["bucket"]): r for r in stats_rows}
-        seg.write.mode("append").partitionBy("bucket").parquet(os.path.join(index_dir, "segments"))
-        seg.unpersist()
-        for b in todo:
-            r = by_bucket.get(b)
-            _write_manifest(
-                index_dir,
-                b,
-                {
-                    "bucket": b,
-                    "blocks": int(r["blocks"]) if r else 0,
-                    "postings": int(r["postings"]) if r else 0,
-                    "term_key_min": int(r["term_min"]) if r else None,
-                    "term_key_max": int(r["term_max"]) if r else None,
-                    "checksum": int(r["checksum"]) if r else 0,
-                    "input_splits": [input_desc],
-                    "bucket_width": bucket_width,
-                },
-            )
+    seg_metrics = (
+        _write_segment_buckets(index, index_dir, todo, bucket_width, input_desc)
+        if todo
+        else {}
+    )
     # all buckets committed → flip the completeness marker (consulted by
     # jobs/build_index.py's resume gate so a re-run never clobbers a
     # finished index, ADVICE r1)
@@ -190,10 +152,111 @@ def write_index(
     with open(tmp, "w") as fh:
         json.dump(stats, fh)
     os.replace(tmp, stats_path)
-    if todo:
-        metrics["observed"] = {k: int(v) for k, v in obs.get.items()}
+    metrics.update(seg_metrics)
     metrics["buckets_built"] = len(todo)
     metrics["elapsed_sec"] = time.monotonic() - t0
+    return metrics
+
+
+def _write_segment_buckets(
+    index: InvertedIndex,
+    index_dir: str,
+    todo: list[int],
+    bucket_width: int,
+    input_desc: str,
+) -> dict:
+    """Encode + append the given segment buckets and commit one manifest
+    per bucket. Shared by write_index (fresh/resumed builds) and
+    rebuild_segments (format migration)."""
+    seg = build_segments(index, bucket_width).filter(
+        F.col("bucket").isin([int(b) for b in todo])
+    )
+    # run totals via observe() — the reference's sequence-counter
+    # surface (counters without a second scan,
+    # ConfigRepository.java:64-83): metrics ride on the write job
+    from pyspark.sql import Observation
+
+    obs = Observation("segment_write")
+    seg = seg.observe(
+        obs,
+        F.count(F.lit(1)).alias("blocks"),
+        F.sum("doc_count").alias("postings"),
+        F.sum(
+            F.length("doc_ids") + F.length("tfs") + F.length("dls")
+        ).alias("payload_bytes"),
+    )
+    # one output dir per bucket → per-bucket atomicity; rows sorted by
+    # term_key so parquet rowgroup min/max prune query-term scans
+    seg = seg.repartition("bucket").sortWithinPartitions("term_key", "block_id").persist()
+    stats_rows = (
+        seg.groupBy("bucket").agg(
+            F.count("*").alias("blocks"),
+            F.sum("doc_count").alias("postings"),
+            F.min("term_key").alias("term_min"),
+            F.max("term_key").alias("term_max"),
+            # bit_xor: order-insensitive, overflow-free under ANSI mode
+            F.expr("bit_xor(xxhash64(term_key, block_id, doc_ids, tfs, dls))").alias("checksum"),
+        )
+    ).collect()
+    by_bucket = {int(r["bucket"]): r for r in stats_rows}
+    seg.write.mode("append").partitionBy("bucket").parquet(os.path.join(index_dir, "segments"))
+    seg.unpersist()
+    for b in todo:
+        r = by_bucket.get(b)
+        _write_manifest(
+            index_dir,
+            b,
+            {
+                "bucket": b,
+                "blocks": int(r["blocks"]) if r else 0,
+                "postings": int(r["postings"]) if r else 0,
+                "term_key_min": int(r["term_min"]) if r else None,
+                "term_key_max": int(r["term_max"]) if r else None,
+                "checksum": int(r["checksum"]) if r else 0,
+                "input_splits": [input_desc],
+                "bucket_width": bucket_width,
+            },
+        )
+    return {"observed": {k: int(v) for k, v in obs.get.items()}}
+
+
+def rebuild_segments(
+    spark: SparkSession,
+    index_dir: str,
+    bucket_width: int = DOC_BUCKET_WIDTH,
+) -> dict:
+    """Re-encode ALL segment buckets from the persisted postings tables
+    (codec/format migration — e.g. v2 untagged varbyte → v3 tagged
+    varbyte/PForDelta). Dimension tables (docs/postings/doclen/terms)
+    are untouched; segments + manifests are replaced and stats.json's
+    format is bumped. Not checkpointed mid-flight: a crash leaves the
+    old format marker in place, so queries keep failing cleanly and the
+    fix is to re-run the rebuild."""
+    import shutil
+
+    stats = load_stats(index_dir)
+    if stats is None:
+        raise ValueError(f"no index at {index_dir} (stats.json missing)")
+    disk = DiskIndex(spark, index_dir)
+    ix = disk.as_inverted_index()
+    ix.backing_dir = index_dir
+    seg_dir = os.path.join(index_dir, "segments")
+    shutil.rmtree(seg_dir, ignore_errors=True)
+    shutil.rmtree(_manifest_dir(index_dir), ignore_errors=True)
+    metrics = _write_segment_buckets(
+        ix,
+        index_dir,
+        todo=sorted(
+            range((ix.stats.n_docs + bucket_width - 1) // bucket_width or 1)
+        ),
+        bucket_width=bucket_width,
+        input_desc=str(stats.get("input", "")),
+    )
+    stats["format"] = INDEX_FORMAT_VERSION
+    tmp = os.path.join(index_dir, "stats.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(stats, fh)
+    os.replace(tmp, os.path.join(index_dir, "stats.json"))
     return metrics
 
 
@@ -402,6 +465,13 @@ class DiskIndex:
 
     @property
     def segments(self) -> DataFrame:
+        if self.format < MIN_SEGMENT_FORMAT:
+            raise ValueError(
+                f"index at {self.index_dir} stores format-v{self.format} "
+                "segments (untagged payload buffers); rebuild them — "
+                "rebuild_segments(spark, index_dir) — or query via the "
+                "DataFrame engine (as_inverted_index)"
+            )
         return self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
 
     def as_inverted_index(self) -> InvertedIndex:

@@ -58,6 +58,96 @@ def test_delta_varbyte_sorted_ids(ids):
     assert (delta_decode(varbyte_decode(enc)) == arr).all()
 
 
+def test_payload_roundtrip_simple():
+    from search_engine_spark.operators.compression import (
+        decode_payload,
+        encode_payload,
+    )
+
+    for vals in (
+        [],
+        [0],
+        [2**63 - 1],
+        [1] * 128,
+        [0] * 128,
+        list(range(128)),
+        [2**33] + [3] * 127,       # absolute-first outlier → exception
+        [5, 2**40, 7, 2**50, 1],   # multiple exceptions
+    ):
+        arr = np.array(vals, dtype=np.uint64)
+        got = decode_payload(encode_payload(arr))
+        assert got.size == arr.size and (got == arr).all(), vals
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=256))
+def test_payload_roundtrip_property(vals):
+    from search_engine_spark.operators.compression import (
+        decode_payload,
+        encode_payload,
+    )
+
+    arr = np.array(vals, dtype=np.uint64)
+    got = decode_payload(encode_payload(arr))
+    assert got.size == arr.size and (got == arr).all()
+
+
+def test_payload_batched_equals_single_block():
+    """encode_payload_blocks must emit, per block, exactly the bytes the
+    single-block encoder produces (codec choice included) — the run
+    encoder slices/groups batched buffers and must not drift."""
+    from search_engine_spark.operators.compression import (
+        decode_payload,
+        encode_payload,
+        encode_payload_blocks,
+    )
+
+    rng = np.random.RandomState(3)
+    v = np.concatenate([
+        np.concatenate(([2**33 + 17], rng.randint(1, 30, size=127))),  # pfor+exc
+        rng.randint(1, 2**20, size=128),                               # pfor wide
+        rng.randint(1, 6, size=50),                                    # ragged tail
+        rng.randint(2**45, 2**55, size=16),                            # varbyte wins? priced
+    ]).astype(np.uint64)
+    starts = np.array([0, 128, 256, 306], dtype=np.int64)
+    ends = np.array([128, 256, 306, 322], dtype=np.int64)
+    bufs = encode_payload_blocks(v, starts, ends)
+    for j, (s, e) in enumerate(zip(starts, ends)):
+        assert bufs[j] == encode_payload(v[s:e]), j
+        assert (decode_payload(bufs[j]) == v[s:e]).all(), j
+
+
+def test_pfor_chosen_and_smaller_on_typical_tf():
+    """tf-like payloads (tiny values) must pick PFor and beat varbyte's
+    1-byte-per-value floor by ≥2×; the codec="varbyte" pin must still
+    produce tagged varbyte."""
+    from search_engine_spark.operators.compression import (
+        TAG_PFOR,
+        TAG_VARBYTE,
+        decode_payload,
+        encode_payload,
+        varbyte_encode,
+    )
+
+    tfs = np.random.RandomState(5).randint(1, 6, size=128).astype(np.uint64)
+    auto = encode_payload(tfs)
+    assert auto[0] == TAG_PFOR
+    assert len(auto) * 2 <= len(varbyte_encode(tfs)) + 1
+    pinned = encode_payload(tfs, codec="varbyte")
+    assert pinned[0] == TAG_VARBYTE
+    assert (decode_payload(pinned) == tfs).all()
+    assert (decode_payload(auto) == tfs).all()
+
+
+def test_decode_payload_rejects_unknown_tag():
+    import pytest
+
+    from search_engine_spark.operators.compression import decode_payload
+
+    with pytest.raises(ValueError, match="codec tag"):
+        decode_payload(b"\x7fzzz")
+
+
 def test_block_roundtrip_and_compression_wins():
     rng = np.random.RandomState(7)
     ids = np.sort(rng.choice(10**6, size=5000, replace=False)).astype(np.uint64)

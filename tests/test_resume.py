@@ -86,3 +86,33 @@ def test_disk_roundtrip_serves_queries(spark, built, tiny_index):
               for r in wand_topk(disk.segments, disk.terms, "w00000", k=5,
                                  stats=disk.stats).collect()]
     assert mem == served
+
+
+def test_old_segment_format_guard_and_rebuild(spark, built, tiny_index, tmp_path):
+    """A format-v2 dir (untagged payload buffers) must fail segment reads
+    with a clear message, stay queryable via the DataFrame engine, and
+    come back segment-identical after rebuild_segments (v3 migration)."""
+    import json
+
+    from search_engine_spark.sources.index_store import rebuild_segments
+
+    src, _ = built
+    d = str(tmp_path / "old_index")
+    shutil.copytree(src, d)
+    stats_path = os.path.join(d, "stats.json")
+    with open(stats_path) as fh:
+        stats = json.load(fh)
+    stats["format"] = 2
+    with open(stats_path, "w") as fh:
+        json.dump(stats, fh)
+
+    disk = DiskIndex(spark, d)
+    with pytest.raises(ValueError, match="rebuild"):
+        _ = disk.segments
+    # dimension tables stay readable regardless of segment format
+    assert disk.as_inverted_index().postings.count() > 0
+
+    rebuild_segments(spark, d, bucket_width=512)
+    disk2 = DiskIndex(spark, d)
+    assert disk2.format >= 3
+    assert _segment_content(spark, d) == _segment_content(spark, src)
