@@ -81,6 +81,7 @@ def main() -> None:
                           "n_docs": stats["n_docs"]}), flush=True)
         spark.stop()
         return
+    docid_path = "resume"
     if stats is not None:
         ix = DiskIndex(spark, args.output).as_inverted_index()
         ix.backing_dir = args.output
@@ -98,13 +99,39 @@ def main() -> None:
         n_dead = dead.count()
         if n_dead:
             write_dead_letters(dead, args.output, run_id=desc)
-        ix = build_index(transcripts, use_arrow_udf=True, weighted=True,
-                         scratch_dir=args.output)
+        # Presorted fast path: a clean parquet corpus already globally
+        # sorted by (conv_id, turn_idx) needs NO range exchange and NO
+        # docs copy (doc_id = file offset + row_index; sortedness is
+        # proven by a key-column scan, operators/docids.py). Dead-
+        # lettered rows break row_index density → range-exchange path.
+        pres = None
+        if n_dead == 0 and args.input and os.path.isdir(args.input):
+            from search_engine_spark.operators.docids import docs_from_sorted_dir
+
+            pres = docs_from_sorted_dir(
+                spark, args.input, ["conv_id", "turn_idx"]
+            )
+        if pres is not None:
+            from search_engine_spark.operators.index_build import (
+                build_index_presorted,
+            )
+            from search_engine_spark.sources.dead_letter import scrub_nulls_col
+
+            ix = build_index_presorted(
+                pres, use_arrow_udf=True, weighted=True,
+                scratch_dir=args.output,
+                text_transform=scrub_nulls_col("text"),
+            )
+        else:
+            ix = build_index(transcripts, use_arrow_udf=True, weighted=True,
+                             scratch_dir=args.output)
+        docid_path = "presorted" if pres is not None else "range_exchange"
     metrics = write_index(ix, args.output, input_desc=desc,
                           bucket_width=args.bucket_width,
                           resume=resume)
     metrics["n_docs"] = ix.stats.n_docs
     metrics["n_dead_lettered"] = n_dead
+    metrics["docid_path"] = docid_path
     metrics["turns_per_sec"] = round(ix.stats.n_docs / metrics["elapsed_sec"], 1)
     print(json.dumps(metrics), flush=True)
     spark.stop()

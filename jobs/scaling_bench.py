@@ -182,14 +182,26 @@ def main() -> None:
               flush=True)
         return
 
-    # materialize the corpus once (identical input for both runs)
-    if not os.path.isdir(args.corpus):
+    # materialize the corpus once (identical input for both runs). A
+    # marker file records n_conv: a leftover corpus of a DIFFERENT size
+    # must be regenerated, not silently reused (a stale 30k-conv dir
+    # once shrank a --n-conv 100000 run to a third of the intended
+    # corpus and sank the measured efficiency with fixed costs).
+    marker = os.path.join(args.corpus, "_scaling_corpus_meta.json")
+    have = None
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            have = json.load(fh).get("n_conv")
+    if have != args.n_conv:
         from search_engine_spark.corpus import synthesize_transcripts
         from search_engine_spark.session import build_session
 
+        _shutil.rmtree(args.corpus, ignore_errors=True)
         spark = build_session("scaling_gen", cpus=args.base_cpus * 4)
         synthesize_transcripts(spark, args.n_conv).write.mode("overwrite").parquet(args.corpus)
         spark.stop()
+        with open(marker, "w") as fh:
+            json.dump({"n_conv": args.n_conv}, fh)
 
     pin = not args.no_taskset and _shutil.which("taskset") is not None
     runner = (

@@ -18,8 +18,10 @@ equality under stable turn ordering — tests/test_docids.py).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -182,3 +184,195 @@ def with_derived_doc_id(
     return docs.withColumn(
         id_col, (F.col("_mid") + F.element_at(amap, pid_col)).cast("long")
     ).drop("_mid")
+
+
+# --------------------------------------------------------------------------
+# Presorted-input fast path: ZERO-shuffle id assignment + zero docs copy
+# --------------------------------------------------------------------------
+# The range exchange exists only to establish the (conv_id, turn_idx)
+# total order. When the input parquet is ALREADY globally sorted by the
+# ordering key — the common case for a corpus written by a partitioned
+# pipeline (spark.range partitions are contiguous conv ranges; log
+# compaction jobs sort on write) — the order is free:
+#
+#     doc_id = file_offset[file] + _metadata.row_index
+#
+# where file_offset is the cumulative row count of all earlier files in
+# key order (driver-side parquet-footer read). No exchange, no second
+# copy of the corpus: the input files ARE the docs table, and the index
+# records {file basename → offset} so readers re-derive the same ids.
+#
+# Sortedness is PROVEN, not assumed, by one distributed scan of only the
+# key columns (column-pruned — a few % of corpus bytes vs shuffling 100%
+# of them): each task emits per contiguous (file, row-range) run its
+# first/last key and an in-run violation count; the driver checks runs
+# tile each file exactly ([0, num_rows), no gaps), chain in order inside
+# each file, and chain across files. Any violation → return None and the
+# caller falls back to the range-exchange path. Verification is exact —
+# parquet footer min/max stats alone can't see inside a row group and
+# falsely reject sorted files whose row-group boundary splits a
+# conversation, so stats are used only for row counts.
+
+
+@dataclass
+class PresortedDocs:
+    """Docs table derived from a sorted input dir (no copy, no shuffle)."""
+
+    docs: DataFrame                 # input columns + doc_id
+    input_dir: str
+    file_offsets: dict[str, int]    # file basename → first doc_id
+
+
+def derive_ids_from_offsets(
+    spark: SparkSession,
+    input_dir: str,
+    file_offsets: dict[str, int],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Read ``input_dir`` with ``id_col = offset[basename] + row_index``.
+
+    A broadcast join on the file basename (not a literal map — 100 TB is
+    ~10^6 files and a million-entry literal breaks codegen). Basenames
+    make the mapping relocatable across schemes/mount points; parquet
+    part-file names are unique per directory (asserted at offset build).
+    """
+    offsets_df = spark.createDataFrame(
+        [(b, int(o)) for b, o in file_offsets.items()], "_file string, _off long"
+    )
+    docs = spark.read.parquet(input_dir).select(
+        "*",
+        F.substring_index(F.col("_metadata.file_path"), "/", -1).alias("_file"),
+        F.col("_metadata.row_index").alias("_ridx"),
+    )
+    return (
+        docs.join(F.broadcast(offsets_df), "_file")
+        .withColumn(id_col, (F.col("_off") + F.col("_ridx")).cast("long"))
+        .drop("_file", "_off", "_ridx")
+    )
+
+
+def _file_row_counts(input_dir: str) -> dict[str, int]:
+    """basename → num_rows from parquet footers (driver-side, no job)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    counts: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(input_dir, "*.parquet"))):
+        n = pq.ParquetFile(path).metadata.num_rows
+        if n:
+            counts[os.path.basename(path)] = n
+    return counts
+
+
+def _collect_sorted_runs(
+    spark: SparkSession, input_dir: str, order_cols: list[str]
+) -> list:
+    """One column-pruned scan emitting, per contiguous (file, row-range)
+    run inside each task, the run's bounds, first/last key, and the
+    count of in-run order violations (key < previous key, or null key).
+    Output is O(#file-splits), collected to the driver."""
+    import numpy as np
+    import pandas as pd
+
+    src = spark.read.parquet(input_dir)
+    key_fields = {f.name: f.dataType.simpleString() for f in src.schema.fields}
+    meta = src.select(
+        F.substring_index(F.col("_metadata.file_path"), "/", -1).alias("_file"),
+        F.col("_metadata.row_index").alias("_ridx"),
+        *[F.col(c) for c in order_cols],
+    )
+    out_schema = "file string, lo long, hi long, viol long, " + ", ".join(
+        f"f_{c} {key_fields[c]}, l_{c} {key_fields[c]}" for c in order_cols
+    )
+
+    def runs(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            f = pdf["_file"].to_numpy()
+            r = pdf["_ridx"].to_numpy()
+            is_start = np.concatenate(
+                ([True], (f[1:] != f[:-1]) | (r[1:] != r[:-1] + 1))
+            )
+            prev = pdf[order_cols].shift(1)
+            lt = pd.Series(False, index=pdf.index)
+            eq = pd.Series(True, index=pdf.index)
+            for c in order_cols:
+                lt = lt | (eq & (pdf[c] < prev[c]))
+                eq = eq & (pdf[c] == prev[c])
+            viol = (
+                (lt.to_numpy() & ~is_start)
+                | pdf[order_cols].isnull().any(axis=1).to_numpy()
+            )
+            starts = np.flatnonzero(is_start)
+            ends = np.append(starts[1:], len(pdf))
+            rows = {
+                "file": f[starts],
+                "lo": r[starts],
+                "hi": r[ends - 1] + 1,
+                "viol": np.add.reduceat(viol.astype(np.int64), starts),
+            }
+            for c in order_cols:
+                rows[f"f_{c}"] = pdf[c].to_numpy()[starts]
+                rows[f"l_{c}"] = pdf[c].to_numpy()[ends - 1]
+            yield pd.DataFrame(rows)
+
+    return meta.mapInPandas(runs, out_schema).collect()
+
+
+def docs_from_sorted_dir(
+    spark: SparkSession,
+    input_dir: str,
+    order_cols: list[str],
+    id_col: str = "doc_id",
+) -> PresortedDocs | None:
+    """Zero-shuffle dense-id assignment over an already-sorted parquet
+    dir, or None when the layout cannot be proven globally sorted by
+    ``order_cols`` (the caller falls back to the range-exchange path).
+
+    The returned ids are the SAME bijection doc_id ↔ rank over
+    ``order_cols`` that :func:`assign_dense_ids` produces (pinned by
+    tests/test_docids.py), so the two paths are interchangeable."""
+    counts = _file_row_counts(input_dir)
+    if not counts:
+        return None
+    rows = _collect_sorted_runs(spark, input_dir, order_cols)
+    if any(r["viol"] for r in rows):
+        return None
+    key_f = lambda r: tuple(r[f"f_{c}"] for c in order_cols)  # noqa: E731
+    key_l = lambda r: tuple(r[f"l_{c}"] for c in order_cols)  # noqa: E731
+    by_file: dict[str, list] = {}
+    for r in rows:
+        by_file.setdefault(r["file"], []).append(r)
+    file_keys: list[tuple[tuple, tuple, str]] = []
+    for fname, fruns in by_file.items():
+        if fname not in counts:
+            return None  # scan saw a file the footer pass didn't
+        fruns.sort(key=lambda r: r["lo"])
+        pos = 0
+        for i, r in enumerate(fruns):
+            if r["lo"] != pos:
+                return None  # gap/overlap — split accounting broken
+            if i and key_l(fruns[i - 1]) > key_f(r):
+                return None  # out of order across a split boundary
+            pos = r["hi"]
+        if pos != counts[fname]:
+            return None
+        file_keys.append((key_f(fruns[0]), key_l(fruns[-1]), fname))
+    if len(file_keys) != len(counts):
+        return None
+    file_keys.sort(key=lambda t: t[0])
+    offsets: dict[str, int] = {}
+    acc = 0
+    for i, (first, last, fname) in enumerate(file_keys):
+        if i and file_keys[i - 1][1] > first:
+            return None  # files overlap in key space
+        offsets[fname] = acc
+        acc += counts[fname]
+    return PresortedDocs(
+        docs=derive_ids_from_offsets(spark, input_dir, offsets, id_col),
+        input_dir=input_dir,
+        file_offsets=offsets,
+    )

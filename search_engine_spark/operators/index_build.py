@@ -251,6 +251,11 @@ class InvertedIndex:
     # (operators/docids.assign_dense_ids_spilled); persisted in stats.json
     # so DiskIndex re-derives identical ids on read
     docid_adjust: dict[int, int] | None = None
+    # set when docs live in the (presorted) INPUT dir instead of a copy
+    # under the index dir: (input_dir, {file basename → first doc_id}).
+    # Persisted in stats.json; DiskIndex re-derives doc_id on read
+    # (operators/docids.docs_from_sorted_dir).
+    docs_source: tuple[str, dict[str, int]] | None = None
 
 
 def build_index_from_docs(
@@ -279,6 +284,7 @@ def _assemble_index(
     docs_spilled: bool = False,
     docid_adjust: dict[int, int] | None = None,
     materialize_postings: bool = True,
+    docs_source: tuple[str, dict[str, int]] | None = None,
 ) -> InvertedIndex:
     """Shared tail of the two build entry points.
 
@@ -354,7 +360,37 @@ def _assemble_index(
     stats = corpus_stats(doclen)
     return InvertedIndex(docs=docs, postings=postings, doclen=doclen,
                          terms=terms, stats=stats, backing_dir=scratch_dir,
-                         docid_adjust=docid_adjust)
+                         docid_adjust=docid_adjust, docs_source=docs_source)
+
+
+def build_index_presorted(
+    pres,  # operators.docids.PresortedDocs
+    use_arrow_udf: bool = True,
+    weighted: bool = True,
+    scratch_dir: str | None = None,
+    materialize_postings: bool = True,
+    text_transform: F.Column | None = None,
+) -> InvertedIndex:
+    """Index build over a PROVEN-presorted input dir
+    (operators/docids.docs_from_sorted_dir): docID assignment costs zero
+    shuffles and the corpus is never copied — the input files are the
+    docs table, published by reference (stats.json docs_source).
+
+    ``text_transform``: optional replacement text column (e.g. the
+    dead-letter 0x00 scrub) applied before lemmatization. It must be a
+    pure projection — it cannot drop rows (dropping would break the
+    row_index→doc_id density; callers with rows to drop must use
+    :func:`build_index`'s range-exchange path)."""
+    docs = pres.docs
+    if text_transform is not None:
+        docs = docs.withColumn("text", text_transform)
+    weight = role_weight_col("role") if (weighted and "role" in docs.columns) else None
+    return _assemble_index(
+        docs, "text", use_arrow_udf, weight, scratch_dir,
+        docs_spilled=True,  # never copy the corpus — served from source
+        materialize_postings=materialize_postings,
+        docs_source=(pres.input_dir, pres.file_offsets),
+    )
 
 
 def build_index(

@@ -104,7 +104,10 @@ def write_index(
     ) == os.path.realpath(os.path.abspath(index_dir))
     if not resume or not os.path.exists(stats_path):
         if not spilled_here:
-            index.docs.write.mode("overwrite").parquet(docs_path)
+            if index.docs_source is None:
+                # presorted builds never copy the corpus — the docs
+                # table is served from the input files by reference
+                index.docs.write.mode("overwrite").parquet(docs_path)
             index.postings.write.mode("overwrite").parquet(os.path.join(index_dir, "postings"))
         elif not os.path.isdir(os.path.join(index_dir, "postings")):
             # build ran with materialize_postings=False (postings is the
@@ -128,6 +131,19 @@ def write_index(
                     "docid_adjust": {
                         str(k): int(v) for k, v in (index.docid_adjust or {}).items()
                     },
+                    # presorted build: docs live in the input dir;
+                    # doc_id = file_offsets[basename] + row_index
+                    "docs_source": (
+                        {
+                            "dir": index.docs_source[0],
+                            "file_offsets": {
+                                k: int(v)
+                                for k, v in index.docs_source[1].items()
+                            },
+                        }
+                        if index.docs_source
+                        else None
+                    ),
                 },
                 fh,
             )
@@ -375,7 +391,15 @@ def reindex_turn(
         doclen.filter(F.col("doc_id") != d).unionByName(new_dl), doclen_path
     )
     _swap_write(merged, os.path.join(index_dir, "terms"))
-    docs_raw = spark.read.parquet(os.path.join(index_dir, "docs"))
+    # Presorted indexes serve docs from the immutable input files —
+    # a reindex is the first write, so materialize the docs table into
+    # the index dir (copy-on-first-write) with explicit doc_id and drop
+    # the by-reference mapping from stats below.
+    docs_raw = (
+        disk.docs
+        if disk.docs_source
+        else spark.read.parquet(os.path.join(index_dir, "docs"))
+    )
     key = F.col("conv_id") == conv_id
     _swap_write(
         docs_raw.withColumn(
@@ -395,6 +419,8 @@ def reindex_turn(
     ).collect()[0]
     stats = load_stats(index_dir) or {}
     stats["n_docs"], stats["avgdl"] = int(dstats["n"]), float(dstats["avgdl"])
+    if disk.docs_source:
+        stats["docs_source"] = None  # docs materialized locally above
     with open(os.path.join(index_dir, "stats.json"), "w") as fh:
         json.dump(stats, fh)
 
@@ -449,9 +475,22 @@ class DiskIndex:
         self.docid_adjust = {
             int(k): int(v) for k, v in (s.get("docid_adjust") or {}).items()
         }
+        self.docs_source = s.get("docs_source") or None
 
     @property
     def docs(self) -> DataFrame:
+        if self.docs_source:
+            # presorted build: the input files ARE the docs table
+            # (never copied); ids re-derived from the persisted offsets
+            from search_engine_spark.operators.docids import (
+                derive_ids_from_offsets,
+            )
+
+            return derive_ids_from_offsets(
+                self.spark,
+                self.docs_source["dir"],
+                {k: int(v) for k, v in self.docs_source["file_offsets"].items()},
+            )
         docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
         if "doc_id" not in docs.columns:
             from search_engine_spark.operators.docids import with_derived_doc_id
