@@ -71,8 +71,21 @@ def main() -> None:
     # The uncompressed postings copy is NOT part of the at-scale build
     # (the segments are the posting store) — it is materialized untimed
     # afterwards so the DataFrame-engine query latencies stay comparable.
-    ix = build_index(corpus, use_arrow_udf=True, weighted=True,
-                     scratch_dir=f"{work}/index", materialize_postings=False)
+    # Same auto-detection as jobs/build_index.py: a provably presorted
+    # corpus dir takes the zero-shuffle docID path (the verification
+    # scan is measured — it IS the assignment cost).
+    from search_engine_spark.operators.docids import docs_from_sorted_dir
+    from search_engine_spark.operators.index_build import build_index_presorted
+
+    pres = docs_from_sorted_dir(spark, f"{work}/corpus", ["conv_id", "turn_idx"])
+    if pres is not None:
+        ix = build_index_presorted(pres, use_arrow_udf=True, weighted=True,
+                                   scratch_dir=f"{work}/index",
+                                   materialize_postings=False)
+    else:
+        ix = build_index(corpus, use_arrow_udf=True, weighted=True,
+                         scratch_dir=f"{work}/index", materialize_postings=False)
+    log(f"docid path: {'presorted' if pres is not None else 'range_exchange'}")
     core_sec = time.monotonic() - t0
 
     seg_sec = 0.0

@@ -128,13 +128,27 @@ def run_build(cpus: int, n_conv: int, corpus_path: str,
 
     t0 = time.monotonic()
     t0_ms = time.time() * 1000
-    # the full job: docID assign → lemmatize/doc_terms (parquet-spilled,
-    # the at-scale materialization) → dictionary → compressed segments.
+    # the full job, same auto-detection as jobs/build_index.py: when the
+    # corpus dir is provably presorted by (conv_id, turn_idx), docID
+    # assignment is the zero-shuffle file-offset path (its key-column
+    # verification scan is part of the measured region — it IS the
+    # assignment cost); otherwise the range-exchange path. Then
+    # lemmatize/doc_terms (parquet-spilled, the at-scale
+    # materialization) → dictionary → compressed segments.
     # materialize_postings=False: the segments ARE the posting store;
     # an uncompressed postings copy is storage the at-scale build does
     # not write (the exploded view serves the DataFrame engine).
-    ix = build_index(corpus, use_arrow_udf=True, weighted=True,
-                     scratch_dir=scratch, materialize_postings=False)
+    from search_engine_spark.operators.docids import docs_from_sorted_dir
+    from search_engine_spark.operators.index_build import build_index_presorted
+
+    pres = docs_from_sorted_dir(spark, corpus_path, ["conv_id", "turn_idx"])
+    if pres is not None:
+        ix = build_index_presorted(pres, use_arrow_udf=True, weighted=True,
+                                   scratch_dir=scratch,
+                                   materialize_postings=False)
+    else:
+        ix = build_index(corpus, use_arrow_udf=True, weighted=True,
+                         scratch_dir=scratch, materialize_postings=False)
     segments = build_segments(ix, bucket_width=1 << 16)
     segments.write.mode("overwrite").parquet(f"{scratch}/segments")
     sec = time.monotonic() - t0
@@ -144,6 +158,7 @@ def run_build(cpus: int, n_conv: int, corpus_path: str,
     shutil.rmtree(event_dir, ignore_errors=True)
     return {"cpus": cpus, "n_turns": n_turns, "sec": round(sec, 2),
             "turns_per_sec": round(n_turns / sec, 1),
+            "docid_path": "presorted" if pres is not None else "range_exchange",
             "stage_metrics": stage_metrics}
 
 
