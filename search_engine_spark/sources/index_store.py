@@ -276,6 +276,211 @@ def rebuild_segments(
     return metrics
 
 
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    bucket_width: int = DOC_BUCKET_WIDTH,
+) -> dict:
+    """Fold streamed deltas back into the canonical dense index — the
+    Lucene-merge analog closing the streaming lifecycle
+    (streaming/incremental.py appends postings/doclen/terms_delta/
+    docs_stream with hash-range ids; until compaction those docs are
+    served only by the delta-aware views).
+
+    1. Streamed docs get DENSE ids continuing the batch space, ordered
+       by (conv_id, turn_idx); a streamed turn whose key already exists
+       in the batch docs is DROPPED (batch-wins — updates go through
+       reindex_turn), its postings deleted.
+    2. postings / doclen / docs are rewritten with the remapped ids
+       (broadcast remap join). At test scale this is a table swap; at
+       100 TB only the delta files appended since the last compaction
+       contain streamed ids, so a table format with file-level rewrite
+       (Iceberg MERGE) touches nothing else.
+    3. The dictionary is rebuilt EXACTLY from the rewritten postings
+       (one aggregate — the same shuffle the batch build pays), keeping
+       existing term_ids via a lemma join; terms_delta is discarded
+       (delta arithmetic cannot see dropped duplicates).
+    4. stats.json is refreshed and only the tail doc-range buckets
+       covering the new ids are (re-)encoded into segments.
+
+    After compaction all three engines serve batch+streamed docs with
+    scores identical to a from-scratch build over the merged corpus
+    (ids may differ — batch docs keep theirs; pinned by
+    tests/test_compaction.py)."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from search_engine_spark.streaming.incremental import STREAM_ID_BASE
+
+    stats = load_stats(index_dir)
+    if stats is None:
+        raise ValueError(f"no index at {index_dir} (stats.json missing)")
+    stream_docs_path = os.path.join(index_dir, "docs_stream")
+    delta_path = os.path.join(index_dir, "terms_delta")
+    if not os.path.isdir(stream_docs_path) and not os.path.isdir(delta_path):
+        return {"compacted": False, "reason": "no streamed deltas"}
+    disk = DiskIndex(spark, index_dir)
+
+    # docs with explicit ids, materialized locally if mapped (_mid /
+    # by-reference) — same copy-on-first-write as reindex_turn
+    docs_path = os.path.join(index_dir, "docs")
+    base_docs = disk._base_docs
+    if disk.docs_source or "doc_id" not in (
+        spark.read.parquet(docs_path).columns
+        if os.path.isdir(docs_path)
+        else []
+    ):
+        _swap_write(base_docs, docs_path)
+        stats["docs_source"] = None
+        stats["docid_adjust"] = {}
+        base_docs = spark.read.parquet(docs_path)
+
+    if not os.path.isdir(stream_docs_path):
+        # delta-only layout (stream store predates this feature or was
+        # already folded): nothing to remap — rebuild the dictionary
+        # from postings and refresh stats, then drop the delta log
+        _compact_terms_and_stats(spark, index_dir, stats)
+        shutil.rmtree(delta_path, ignore_errors=True)
+        return {"compacted": True, "n_streamed": 0, "n_dup_dropped": 0}
+
+    # a key re-delivered across epochs appears multiple times in the
+    # stream store (same hash id) — keep one version; exact-duplicate
+    # postings rows below collapse the same way. Re-streaming a key
+    # with DIFFERENT text is not an update mechanism (use reindex_turn).
+    streamed = spark.read.parquet(stream_docs_path)
+    key = ["conv_id", "turn_idx"]
+    streamed = streamed.dropDuplicates(key)
+    dup = streamed.join(base_docs.select(*key), key, "left_semi")
+    fresh = streamed.join(base_docs.select(*key), key, "left_anti")
+    n_dup = dup.count()
+    base_max = base_docs.agg(F.max("doc_id")).collect()[0][0]
+    next_id = int(base_max) + 1 if base_max is not None else 0
+
+    # dense tail ids for the fresh streamed docs. Streamed volume per
+    # compaction cycle is bounded (it is the un-merged delta, not the
+    # corpus), so a single-partition window is fine here; a huge
+    # backlog would swap in operators/docids.assign_dense_ids.
+    w = Window.orderBy(*key)
+    remap = (
+        fresh.select(F.col("doc_id").alias("_old"), *key)
+        .withColumn(
+            "_new", F.row_number().over(w).cast("long") + F.lit(next_id - 1)
+        )
+        .select("_old", "_new")
+    ).persist()
+    n_new = remap.count()
+
+    # rewrite postings / doclen: remapped fresh ids, duplicates deleted.
+    # Exact-duplicate delta rows (re-delivered identical content) are
+    # collapsed before the remap — scoped to the stream id range so the
+    # batch side never shuffles through a distinct.
+    postings_path = os.path.join(index_dir, "postings")
+    stream_ids = F.col("doc_id") >= F.lit(STREAM_ID_BASE).cast("long")
+
+    def rewrite(df: DataFrame, dedup: bool = False) -> DataFrame:
+        if dedup:
+            df = df.filter(~stream_ids).unionByName(
+                df.filter(stream_ids).dropDuplicates()
+            )
+        joined = df.join(
+            F.broadcast(remap), df["doc_id"] == F.col("_old"), "left"
+        )
+        return (
+            joined.filter(~stream_ids | F.col("_new").isNotNull())
+            .withColumn("doc_id", F.coalesce("_new", "doc_id"))
+            .drop("_old", "_new")
+        )
+
+    _swap_write(rewrite(spark.read.parquet(postings_path), dedup=True), postings_path)
+    doclen_path = os.path.join(index_dir, "doclen")
+    _swap_write(rewrite(spark.read.parquet(doclen_path), dedup=True), doclen_path)
+    _swap_write(
+        base_docs.unionByName(
+            rewrite(fresh), allowMissingColumns=True
+        ),
+        docs_path,
+    )
+    # the stream checkpoint SURVIVES compaction — already-drained input
+    # files must not re-ingest on the next refresh
+    shutil.rmtree(stream_docs_path, ignore_errors=True)
+
+    # exact dictionary rebuild + stats refresh, then drop the delta log
+    _compact_terms_and_stats(spark, index_dir, stats)
+    shutil.rmtree(delta_path, ignore_errors=True)
+
+    # (re-)encode only the tail buckets covering the new dense ids
+    metrics: dict = {"compacted": True, "n_streamed": n_new, "n_dup_dropped": n_dup}
+    if n_new:
+        lo_b = next_id // bucket_width
+        hi_b = (next_id + n_new - 1) // bucket_width
+        affected = list(range(lo_b, hi_b + 1))
+        for b in affected:
+            shutil.rmtree(
+                os.path.join(index_dir, "segments", f"bucket={b}"),
+                ignore_errors=True,
+            )
+            try:
+                os.remove(os.path.join(_manifest_dir(index_dir), f"bucket={b}.json"))
+            except FileNotFoundError:
+                pass
+        disk2 = DiskIndex(spark, index_dir)
+        ix = disk2.as_inverted_index()
+        ix.backing_dir = index_dir
+        lo_doc = lo_b * bucket_width
+        ix.postings = ix.postings.filter(F.col("doc_id") >= lo_doc)
+        metrics.update(
+            _write_segment_buckets(
+                ix, index_dir, affected, bucket_width,
+                input_desc=f"compaction:+{n_new}",
+            )
+        )
+        metrics["buckets_reencoded"] = len(affected)
+    remap.unpersist()
+    return metrics
+
+
+def _compact_terms_and_stats(
+    spark: SparkSession, index_dir: str, stats: dict
+) -> None:
+    """Exact dictionary rebuild from the (rewritten) postings table,
+    term_id-stable via a lemma join (reindex_turn pattern), plus a
+    stats.json refresh from doclen."""
+    from pyspark.sql import Window
+
+    from search_engine_spark.operators.index_build import build_terms
+
+    old_terms = spark.read.parquet(os.path.join(index_dir, "terms")).select(
+        "term_id", "lemma"
+    )
+    fresh_terms = build_terms(
+        spark.read.parquet(os.path.join(index_dir, "postings")),
+        assign_ids=False,
+    )
+    max_id = old_terms.agg(F.max("term_id")).collect()[0][0] or 0
+    new_id_w = Window.orderBy("lemma")
+    merged = (
+        fresh_terms.join(old_terms, "lemma", "left")
+        .withColumn(
+            "term_id",
+            F.coalesce(
+                "term_id", F.row_number().over(new_id_w) + F.lit(int(max_id))
+            ),
+        )
+        .select("term_id", "lemma", "df", "cf")
+    )
+    _swap_write(merged, os.path.join(index_dir, "terms"))
+
+    dstats = spark.read.parquet(os.path.join(index_dir, "doclen")).agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    stats["n_docs"], stats["avgdl"] = int(dstats["n"]), float(dstats["avgdl"])
+    tmp = os.path.join(index_dir, "stats.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(stats, fh)
+    os.replace(tmp, os.path.join(index_dir, "stats.json"))
+
+
 def _swap_write(df: DataFrame, path: str) -> None:
     """Rewrite a parquet dir we may be reading from: write to a sibling
     tmp dir, then atomically swap (Spark refuses to overwrite an input
@@ -396,7 +601,7 @@ def reindex_turn(
     # the index dir (copy-on-first-write) with explicit doc_id and drop
     # the by-reference mapping from stats below.
     docs_raw = (
-        disk.docs
+        disk._base_docs
         if disk.docs_source
         else spark.read.parquet(os.path.join(index_dir, "docs"))
     )
@@ -479,6 +684,17 @@ class DiskIndex:
 
     @property
     def docs(self) -> DataFrame:
+        base = self._base_docs
+        stream_path = os.path.join(self.index_dir, "docs_stream")
+        if os.path.isdir(stream_path):
+            # streamed turns not yet folded back by compact_index
+            base = base.unionByName(
+                self.spark.read.parquet(stream_path), allowMissingColumns=True
+            )
+        return base
+
+    @property
+    def _base_docs(self) -> DataFrame:
         if self.docs_source:
             # presorted build: the input files ARE the docs table
             # (never copied); ids re-derived from the persisted offsets

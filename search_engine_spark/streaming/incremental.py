@@ -35,12 +35,17 @@ from search_engine_spark.operators.index_build import (
 from search_engine_spark.sources.transcripts import TRANSCRIPT_SCHEMA
 
 
+# streamed ids live in [2^62, 2^63) — disjoint from any dense batch id.
+# sources/index_store.compact_index folds them back into the dense space.
+STREAM_ID_BASE = 1 << 62
+
+
 def streamed_doc_id_col() -> F.Column:
     """Stable 63-bit id for streamed docs: top bit set + xxhash64 of the
     natural key (avoids coordinating with the batch dense-id space)."""
     return (
         F.shiftrightunsigned(F.xxhash64("conv_id", "turn_idx"), 1)
-        .bitwiseOR(F.lit(1 << 62).cast("long"))
+        .bitwiseOR(F.lit(STREAM_ID_BASE).cast("long"))
         .alias("doc_id")
     )
 
@@ -71,6 +76,11 @@ def incremental_index_refresh(
         if not dead.isEmpty():
             write_dead_letters(dead, index_dir, run_id=f"epoch_{epoch_id}")
         docs = batch_df.withColumn("doc_id", streamed_doc_id_col())
+        # doc store for streamed turns (content lookup pre-compaction).
+        # A separate dir: the main docs table may store _mid (spilled
+        # build) or live by reference in the input dir (presorted build)
+        # — appending doc_id-schema rows there would mix schemas.
+        docs.write.mode("append").parquet(os.path.join(index_dir, "docs_stream"))
         postings = build_postings_no_shuffle(
             docs, weight_col=role_weight_col("role")
         )
