@@ -79,6 +79,11 @@ from search_engine_spark.operators.serving import (
 from search_engine_spark.operators.similarity import (
     brute_force_topk,
     build_srp_index,
+    cosine_near_duplicates,
+    hash_centroids,
+    ivf_assign,
+    ivf_query_topk,
+    srp_neardup_pairs,
     srp_query_topk,
 )
 from search_engine_spark.operators.wand import wand_topk
@@ -92,6 +97,9 @@ Q_REL = "slow window"
 JACCARD_N = 3
 JACCARD_THRESHOLD = 0.7
 JACCARD_MAX_DF = 128  # shingle-df cap for candidate generation (skew guard)
+COSINE_NEARDUP_THRESHOLD = 0.42  # top-tail of the synthetic embedding table
+IVF_CLUSTERS = 16
+IVF_NPROBE = 4
 
 _INDEX_CACHE: dict[str, object] = {}
 
@@ -222,6 +230,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return srp_query_topk(idx, qvec, k=10, n_planes=8, n_tables=4).select(
             "vec_id", "cosine"
         )
+
+    def q_cosine_neardup(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return cosine_near_duplicates(
+            emb, threshold=COSINE_NEARDUP_THRESHOLD
+        ).select("vec_a", "vec_b", "cosine")
+
+    def q_srp_neardup(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return srp_neardup_pairs(
+            emb, dim=64, threshold=COSINE_NEARDUP_THRESHOLD,
+            n_planes=6, n_tables=4,
+        ).select("vec_a", "vec_b", "cosine")
+
+    def q_ivf_ann(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+        qvec = [float(x) for x in row[0]]
+        cent = hash_centroids(64, IVF_CLUSTERS)
+        idx = ivf_assign(emb, cent)
+        return ivf_query_topk(
+            emb, idx, cent, qvec, k=10, n_probe=IVF_NPROBE
+        ).select("vec_id", "cosine")
 
     def q_token_counts(spark, sf):
         return _documents(spark, sf).select(
@@ -387,6 +418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash,
         "embedding_topk": q_embed_topk,
         "srp_ann_topk": q_srp_ann,
+        "ivf_ann_topk": q_ivf_ann,
+        "embedding_neardup_pairs": q_cosine_neardup,
+        "srp_neardup_pairs": q_srp_neardup,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "quality_scores": q_quality,
@@ -513,6 +547,98 @@ def _srp_ann_sql(n_planes: int = 8, n_tables: int = 4, dim: int = 64,
     sig AS (SELECT {sig_cols} FROM q),
     cand AS (
         SELECT DISTINCT vec_id FROM buck CROSS JOIN sig WHERE {probe_cond}
+    )
+    SELECT e.vec_id,
+           round(
+             list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+             6) AS cosine
+    FROM e JOIN cand USING (vec_id) CROSS JOIN q
+    ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _srp_neardup_sql(threshold: float, n_planes: int = 6, n_tables: int = 4,
+                     dim: int = 64) -> str:
+    """Exact DuckDB twin of srp_neardup_pairs: replay the literal-
+    hyperplane bucket assignment per table, join same-(table,bucket)
+    pairs, union tables, distinct, then the same rounded-cosine verify."""
+    from search_engine_spark.operators.similarity import _hyperplanes
+
+    def plane_lit(row) -> str:
+        return "[" + ", ".join(repr(float(c)) for c in row) + "]::DOUBLE[]"
+
+    def bucket_expr(vcol: str, t: int) -> str:
+        planes = _hyperplanes(dim, n_planes, t)
+        parts = [
+            f"(CASE WHEN list_dot_product({vcol}, {plane_lit(planes[p])}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        ]
+        return "(" + " + ".join(parts) + ")"
+
+    per_table = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket_expr('v', t)} AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    buck AS ({per_table}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+        FROM buck a JOIN buck b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT va AS vec_a, vb AS vec_b,
+           round(
+             list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v))
+                * sqrt(list_dot_product(eb.v, eb.v))),
+             6) AS cosine
+    FROM cand JOIN e ea ON ea.vec_id = va JOIN e eb ON eb.vec_id = vb
+    WHERE round(
+             list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v))
+                * sqrt(list_dot_product(eb.v, eb.v))),
+             6) >= {threshold}
+    """
+
+
+def _ivf_ann_sql(n_clusters: int = 16, n_probe: int = 4, dim: int = 64,
+                 k: int = 10) -> str:
+    """Exact DuckDB twin of hash_centroids + ivf_assign + ivf_query_topk:
+    the centroids are deterministic literals, assignment is
+    first-position-of-max over the per-centroid dot list (numpy argmax
+    and Spark array_position both take the first max), probe order is
+    (dot desc, cluster asc), rerank is the shared rounded-cosine top-k."""
+    from search_engine_spark.operators.similarity import hash_centroids
+
+    cent = hash_centroids(dim, n_clusters)
+
+    def cent_lit(row) -> str:
+        return "[" + ", ".join(repr(float(c)) for c in row) + "]::DOUBLE[]"
+
+    dots = "[" + ", ".join(
+        f"list_dot_product(v, {cent_lit(cent[c])})" for c in range(n_clusters)
+    ) + "]"
+    cent_rows = ", ".join(
+        f"({c}, {cent_lit(cent[c])})" for c in range(n_clusters)
+    )
+    return f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign AS (
+        SELECT vec_id, list_position(dots, list_max(dots)) - 1 AS cluster
+        FROM (SELECT vec_id, {dots} AS dots FROM e)
+    ),
+    cent(cluster_id, cv) AS (VALUES {cent_rows}),
+    probe AS (
+        SELECT cluster_id FROM cent CROSS JOIN q
+        ORDER BY list_dot_product(cv, qv) DESC, cluster_id ASC
+        LIMIT {n_probe}
+    ),
+    cand AS (
+        SELECT vec_id FROM assign JOIN probe ON assign.cluster = probe.cluster_id
     )
     SELECT e.vec_id,
            round(
@@ -686,6 +812,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_pairs": _simhash_sql(max_hamming=3),
         "srp_ann_topk": _srp_ann_sql(n_planes=8, n_tables=4, dim=64, k=10),
+        "ivf_ann_topk": _ivf_ann_sql(
+            n_clusters=IVF_CLUSTERS, n_probe=IVF_NPROBE, dim=64, k=10
+        ),
+        "embedding_neardup_pairs": f"""
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(
+                     list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))),
+                     6) AS cosine
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
+            JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
+              ON a.vec_id < b.vec_id
+            WHERE round(
+                     list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))),
+                     6) >= {COSINE_NEARDUP_THRESHOLD}
+        """,
+        "srp_neardup_pairs": _srp_neardup_sql(
+            COSINE_NEARDUP_THRESHOLD, n_planes=6, n_tables=4, dim=64
+        ),
         "embedding_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

@@ -76,7 +76,7 @@ def cosine_near_duplicates(
     """All pairs with cosine ≥ threshold — exact, via self-join.
 
     Quadratic by design (ground truth / small collections); the scale
-    path is :func:`lsh_ann_pairs`, which prunes to same-bucket pairs.
+    path is :func:`srp_neardup_pairs`, which prunes to same-bucket pairs.
     """
     e = with_norm(embeddings, vec_col).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), "_norm"
@@ -95,6 +95,77 @@ def cosine_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"), "cosine")
+    )
+
+
+def srp_neardup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.42,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (the scale
+    path for :func:`cosine_near_duplicates`).
+
+    Candidates are pairs that collide in at least one SRP table (standard
+    OR-amplification band join, same shape as MinHash-LSH in dedup.py);
+    candidates are exact-verified with the rounded cosine. Cost is
+    O(sum of bucket sizes squared) per table — never an all-pairs join —
+    and at 100 TB the bucket join shuffles (table, bucket, id) triples
+    only, with vectors joined back just for the surviving candidates.
+
+    Recall is the standard SRP bound: a pair at cosine c collides per
+    table with prob (1 - acos(c)/pi)^n_planes; raise n_tables (or lower
+    n_planes) for more recall, exactly like the reference's lemma-bucket
+    candidate generation. Deterministic hyperplanes → DuckDB-twin
+    expressible (oracle replays the same bucket arithmetic on literals).
+    """
+    e = with_norm(embeddings, vec_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), "_norm"
+    )
+    buckets = None
+    for t in range(n_tables):
+        bt = e.select(
+            "vid",
+            F.lit(t).alias("table"),
+            srp_bucket_expr("vec", dim, n_planes, t).alias("bucket"),
+        )
+        buckets = bt if buckets is None else buckets.unionByName(bt)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("va"), F.col("b.vid").alias("vb"))
+        .distinct()
+    )
+    ea = e.select(
+        F.col("vid").alias("va"), F.col("vec").alias("vec_a"),
+        F.col("_norm").alias("norm_a"),
+    )
+    eb = e.select(
+        F.col("vid").alias("vb"), F.col("vec").alias("vec_b"),
+        F.col("_norm").alias("norm_b"),
+    )
+    return (
+        cand.join(ea, "va").join(eb, "vb")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(_dot_sql("vec_a", "vec_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                COS_DECIMALS,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("va").alias("vec_a"), F.col("vb").alias("vec_b"), "cosine")
     )
 
 
@@ -255,6 +326,50 @@ def _kmeans_centroids(
     return cent
 
 
+def hash_centroids(dim: int, n_clusters: int, table: int = 101) -> np.ndarray:
+    """Deterministic data-independent coarse quantizer: splitmix64-derived
+    unit vectors (same generator as the SRP hyperplanes). Lower recall per
+    probe than k-means centroids, but reproducible from (dim, n_clusters)
+    alone — both the query side and the DuckDB differential oracle can
+    replay the exact assignment arithmetic from literals, giving the IVF
+    path a hard equality oracle (k-means quality is pytest-pinned via
+    :func:`build_ivf_index` instead)."""
+    c = _hyperplanes(dim, n_clusters, table)
+    norms = np.sqrt((c * c).sum(axis=1))
+    norms[norms == 0] = 1.0
+    return c / norms[:, None]
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) assignment via pure JVM expressions: one literal-
+    folded dot product per centroid, argmax = first position of the max.
+    Whole-stage-codegen'd — no UDF, no shuffle; at scale this is a single
+    narrow map over the vector table (write partitionBy("cluster") for
+    partition-pruned probes, mirroring write_srp_index).
+
+    The dots array is projected ONCE before the argmax (Catalyst does not
+    CSE a repeated array constructor across array_max/array_position)."""
+    dots = "array(" + ", ".join(
+        _dot_sql(
+            vec_col,
+            "array(" + ", ".join(f"cast({float(c)!r} as double)" for c in row) + ")",
+        )
+        for row in centroids
+    ) + ")"
+    with_dots = embeddings.select(F.col(id_col), F.expr(dots).alias("_dots"))
+    return with_dots.select(
+        id_col,
+        (F.expr("array_position(_dots, array_max(_dots))").cast("int") - 1).alias(
+            "cluster"
+        ),
+    )
+
+
 def build_ivf_index(
     embeddings: DataFrame, dim: int, n_clusters: int = 16,
     sample_size: int = 2048, id_col: str = "vec_id", vec_col: str = "embedding",
@@ -312,7 +427,9 @@ def ivf_query_topk(
     O(n_probe/n_clusters) of the corpus; recall grows with n_probe."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / (float(np.sqrt((q * q).sum())) or 1.0)
-    order = np.argsort(-(centroids @ qn))[:n_probe]
+    dots = centroids @ qn
+    # tie-stable probe order (dot desc, cluster asc) — matches the SQL twin
+    order = sorted(range(len(dots)), key=lambda c: (-dots[c], c))[:n_probe]
     cand_ids = ivf_index.filter(
         F.col("cluster").isin([int(c) for c in order])
     ).select(id_col)

@@ -135,3 +135,47 @@ def test_ivf_ann_self_recall_and_determinism(emb, spark):
     brute = [(r["vec_id"], r["cosine"])
              for r in brute_force_topk(emb, q, k=10).collect()]
     assert full == brute
+
+
+def test_srp_neardup_pairs_subset_of_exact(emb):
+    """LSH near-dup pairs are a subset of the exact all-pairs result with
+    identical cosines, and the planted pair (0,1) — cosine ≈ 1 — collides
+    in every table, so it is always recalled."""
+    from search_engine_spark.operators.similarity import srp_neardup_pairs
+
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in cosine_near_duplicates(emb, 0.99).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in srp_neardup_pairs(
+            emb, dim=DIM, threshold=0.99, n_planes=6, n_tables=4
+        ).collect()
+    }
+    assert (0, 1) in lsh
+    assert set(lsh) <= set(exact)
+    for pair, cos in lsh.items():
+        assert cos == exact[pair]
+
+
+def test_ivf_assign_matches_numpy_argmax(emb):
+    """JVM-expression assignment (no UDF) equals numpy argmax over the
+    same deterministic hash centroids; the plan contains no Python eval
+    node (the dots are literal-folded codegen expressions)."""
+    from search_engine_spark.operators.similarity import hash_centroids, ivf_assign
+    from search_engine_spark.plans.explain import physical_plan
+
+    cent = hash_centroids(DIM, 8)
+    np.testing.assert_allclose(np.sqrt((cent * cent).sum(axis=1)), 1.0)
+    np.testing.assert_array_equal(cent, hash_centroids(DIM, 8))
+
+    v = _vecs()
+    want = np.argmax(v @ cent.T, axis=1)
+    assigned = ivf_assign(emb, cent)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert got == {i: int(want[i]) for i in range(N)}
+
+    plan = physical_plan(assigned)
+    for node in ("EvalPython", "MapInPandas", "MapInArrow", "FlatMapGroups"):
+        assert node not in plan, plan
