@@ -234,7 +234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_cosine_neardup(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         return cosine_near_duplicates(
-            emb, threshold=COSINE_NEARDUP_THRESHOLD
+            emb, threshold=COSINE_NEARDUP_THRESHOLD, dim=64
         ).select("vec_a", "vec_b", "cosine")
 
     def q_srp_neardup(spark, sf):

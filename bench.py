@@ -10,7 +10,9 @@ Prints ONE JSON line:
      "queries": {...}, "sf": ..., "index_build": {...}}
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), BENCH_N_CONV (default 30000 convs
+SPARK_GRAFT_CPUS (default: measured effective parallelism — see
+session.effective_cpu_count; raw nproc thrashes on hosts whose vCPUs
+are hypervisor-oversubscribed), BENCH_N_CONV (default 30000 convs
 ≈ 630k turns), BENCH_SKIP_SEGMENTS=1 to skip segment encoding.
 """
 
@@ -39,8 +41,14 @@ def main() -> None:
     from search_engine_spark.operators.wand import wand_topk
     from search_engine_spark.session import build_session
 
+    from search_engine_spark.session import effective_cpu_count
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    env_cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    # default: measured usable parallelism, not nproc — this host's 32
+    # vCPUs carry ~16 cores of real capacity and a 32-thread session
+    # thrashes (see session.effective_cpu_count)
+    cpus = int(env_cpus) if env_cpus else effective_cpu_count()
     n_conv = int(os.environ.get("BENCH_N_CONV", "30000"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
@@ -124,7 +132,9 @@ def main() -> None:
     suite = [
         "bm25_topk", "bm25_topk_sql", "ngram_jaccard_pairs",
         "minhash_lsh_pairs", "simhash_pairs", "embedding_topk",
-        "srp_ann_topk", "token_counts", "quality_scores", "fingerprints",
+        "srp_ann_topk", "ivf_ann_topk", "embedding_neardup_pairs",
+        "srp_neardup_pairs",
+        "token_counts", "quality_scores", "fingerprints",
         "snippets", "multimodal_features", "dead_letters",
         "field_subtraction", "event_windows", "top_users_per_event",
     ]

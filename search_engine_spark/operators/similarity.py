@@ -23,21 +23,37 @@ from pyspark.sql import functions as F
 COS_DECIMALS = 6
 
 
-def _dot_sql(a: str, b: str) -> str:
+def _dot_sql(a: str, b: str, dim: int | None = None) -> str:
     """Sequential left-fold dot product — same accumulation order as the
-    DuckDB oracle's list arithmetic (cross-engine float parity)."""
+    DuckDB oracle's list arithmetic (cross-engine float parity).
+
+    With ``dim`` known, the fold is unrolled into a left-associative
+    arithmetic expression (identical IEEE accumulation order: 0 + p0 is
+    exactly p0, and SQL ``+`` is left-associative) — unlike the
+    ``aggregate``/``zip_with`` higher-order functions, which Catalyst
+    cannot whole-stage-codegen (interpreted lambdas, ~50µs per 64-dim
+    pair), the unrolled form codegens and runs ~20-40× faster. ANSI mode
+    turns a shorter-than-dim array into a hard INVALID_ARRAY_INDEX error
+    rather than a silent wrong answer."""
+    if dim is not None:
+        return " + ".join(
+            f"(cast({a}[{i}] as double) * cast({b}[{i}] as double))"
+            for i in range(dim)
+        )
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
         f"cast(0.0 as double), (acc, v) -> acc + v)"
     )
 
 
-def _norm_sql(a: str) -> str:
-    return f"sqrt({_dot_sql(a, a)})"
+def _norm_sql(a: str, dim: int | None = None) -> str:
+    return f"sqrt({_dot_sql(a, a, dim)})"
 
 
-def with_norm(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return embeddings.withColumn("_norm", F.expr(_norm_sql(vec_col)))
+def with_norm(
+    embeddings: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    return embeddings.withColumn("_norm", F.expr(_norm_sql(vec_col, dim)))
 
 
 def brute_force_topk(
@@ -48,15 +64,21 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k: one scan, TakeOrderedAndProject (no shuffle
-    beyond the final k-row merge)."""
+    beyond the final k-row merge).
+
+    Zero-norm rows are excluded (cosine undefined; under Spark 4 ANSI
+    mode the division would otherwise be a hard DIVIDE_BY_ZERO error)."""
     q = [float(x) for x in query_vec]
     qnorm = float(np.sqrt(np.dot(q, q)))
+    if qnorm == 0.0:
+        raise ValueError("query_vec must be non-zero (cosine undefined)")
     q_sql = "array(" + ", ".join(f"cast({x!r} as double)" for x in q) + ")"
-    scored = embeddings.withColumn(
+    dim = len(q)
+    scored = with_norm(embeddings, vec_col, dim).filter(F.col("_norm") > 0).withColumn(
         "cosine",
         F.round(
-            F.expr(_dot_sql(vec_col, q_sql))
-            / (F.expr(_norm_sql(vec_col)) * F.lit(qnorm)),
+            F.expr(_dot_sql(vec_col, q_sql, dim))
+            / (F.col("_norm") * F.lit(qnorm)),
             COS_DECIMALS,
         ),
     )
@@ -72,23 +94,37 @@ def cosine_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — exact, via self-join.
 
     Quadratic by design (ground truth / small collections); the scale
     path is :func:`srp_neardup_pairs`, which prunes to same-bucket pairs.
+
+    The N² pair stream must not collapse into one task: the broadcast
+    nested-loop join inherits the left side's partitioning, and a small
+    parquet scan is a single partition — so the left side is repartitioned
+    to the session's parallelism (interpreted higher-order-function dots
+    at ~50µs/pair make a single-task plan minutes-slow even at 2k
+    vectors). Pass ``dim`` to unroll the dot into codegen arithmetic.
+
+    Zero-norm vectors are excluded (cosine undefined; ANSI mode makes
+    the division a hard error).
     """
-    e = with_norm(embeddings, vec_col).select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), "_norm"
+    e = with_norm(embeddings, vec_col, dim).filter(F.col("_norm") > 0).select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("vec"),
+        "_norm",
     )
-    a = e.alias("a")
+    spark = embeddings.sparkSession
+    a = e.repartition(spark.sparkContext.defaultParallelism).alias("a")
     b = e.alias("b")
     return (
         a.join(b, F.col("a.vid") < F.col("b.vid"))
         .withColumn(
             "cosine",
             F.round(
-                F.expr(_dot_sql("a.vec", "b.vec"))
+                F.expr(_dot_sql("a.vec", "b.vec", dim))
                 / (F.col("a._norm") * F.col("b._norm")),
                 COS_DECIMALS,
             ),
@@ -122,8 +158,11 @@ def srp_neardup_pairs(
     n_planes) for more recall, exactly like the reference's lemma-bucket
     candidate generation. Deterministic hyperplanes → DuckDB-twin
     expressible (oracle replays the same bucket arithmetic on literals).
+
+    Zero-norm vectors are excluded (cosine undefined; ANSI mode makes
+    the division a hard error).
     """
-    e = with_norm(embeddings, vec_col).select(
+    e = with_norm(embeddings, vec_col, dim).filter(F.col("_norm") > 0).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), "_norm"
     )
     buckets = None
@@ -159,7 +198,7 @@ def srp_neardup_pairs(
         .withColumn(
             "cosine",
             F.round(
-                F.expr(_dot_sql("vec_a", "vec_b"))
+                F.expr(_dot_sql("vec_a", "vec_b", dim))
                 / (F.col("norm_a") * F.col("norm_b")),
                 COS_DECIMALS,
             ),
@@ -200,7 +239,10 @@ def srp_bucket_expr(vec_col: str, dim: int, n_planes: int, table: int):
     bits = []
     for p in range(n_planes):
         coeffs = "array(" + ", ".join(f"cast({c!r} as double)" for c in planes[p]) + ")"
-        bits.append(f"(case when {_dot_sql(vec_col, coeffs)} >= 0 then {1 << p} else 0 end)")
+        bits.append(
+            f"(case when {_dot_sql(vec_col, coeffs, dim)} >= 0 "
+            f"then {1 << p} else 0 end)"
+        )
     return F.expr(" + ".join(bits)).cast("long")
 
 
@@ -216,7 +258,7 @@ def build_srp_index(
     simplicity; at scale store ids only and join back to the vector
     table). Repartitioned by (table, bucket) so one probe touches one
     partition-pruned slice."""
-    e = with_norm(embeddings, vec_col)
+    e = with_norm(embeddings, vec_col, dim)
     tables = [
         e.withColumn("table", F.lit(t)).withColumn(
             "bucket", srp_bucket_expr(vec_col, dim, n_planes, t)
@@ -354,11 +396,15 @@ def ivf_assign(
 
     The dots array is projected ONCE before the argmax (Catalyst does not
     CSE a repeated array constructor across array_max/array_position)."""
+    dim = centroids.shape[1]
     dots = "array(" + ", ".join(
-        _dot_sql(
+        "("
+        + _dot_sql(
             vec_col,
             "array(" + ", ".join(f"cast({float(c)!r} as double)" for c in row) + ")",
+            dim,
         )
+        + ")"
         for row in centroids
     ) + ")"
     with_dots = embeddings.select(F.col(id_col), F.expr(dots).alias("_dots"))
@@ -389,7 +435,7 @@ def build_ivf_index(
     from pyspark.sql import types as T
 
     norm_sample = (
-        with_norm(embeddings, vec_col)
+        with_norm(embeddings, vec_col, dim)
         .filter(F.col("_norm") > 0)
         .limit(sample_size)
         .select(vec_col, "_norm")

@@ -12,6 +12,70 @@ import os
 
 from pyspark.sql import SparkSession
 
+_EFFECTIVE_CPUS: int | None = None
+
+
+def _probe_work(_):
+    """CPU-bound probe unit for effective_cpu_count (module-level: Pool
+    workers need to pickle it)."""
+    import hashlib
+
+    h = b"x" * 64
+    for _ in range(400_000):
+        h = hashlib.md5(h).digest()
+    return 1
+
+
+def effective_cpu_count(max_cpus: int | None = None) -> int:
+    """Usable parallel compute width, MEASURED — not ``os.cpu_count()``.
+
+    Virtualized hosts can present more vCPUs than the hypervisor backs
+    with physical cores, and the guest topology still claims independent
+    cores (observed in this sandbox: 32 vCPUs / "32 cores" per lscpu,
+    but a CPU-bound pool tops out at ~15× and efficiency halves at 32
+    workers). Oversubscribing Spark ``local[N]`` on such a host does not
+    just plateau — measured task time inflated ~13× (GC + context-switch
+    thrash made a pinned 32-thread index build 3× slower in wall-clock
+    than the same build at 8 threads), so sizing to measured capacity is
+    a correctness-of-benchmark issue, not a tuning nicety.
+
+    Probe: one CPU-bound work unit timed solo, then pools of descending
+    width; returns the first width with parallel efficiency ≥ 0.7.
+    Cached per process and exported as SPARK_GRAFT_EFFECTIVE_CPUS so
+    child processes (pinned bench legs, spark-submit wrappers) skip the
+    ~2 s probe."""
+    global _EFFECTIVE_CPUS
+    if max_cpus is None:
+        max_cpus = os.cpu_count() or 1
+    env = os.environ.get("SPARK_GRAFT_EFFECTIVE_CPUS")
+    if env:
+        return min(int(env), max_cpus)
+    if _EFFECTIVE_CPUS is not None:
+        return min(_EFFECTIVE_CPUS, max_cpus)
+
+    import multiprocessing as mp
+    import time
+
+    t0 = time.perf_counter()
+    _probe_work(0)
+    solo = time.perf_counter() - t0
+
+    chosen = 1
+    width = max_cpus
+    while width >= 2:
+        with mp.Pool(width) as pool:
+            pool.map(_probe_work, range(width))  # warm the pool (fork cost)
+            t0 = time.perf_counter()
+            pool.map(_probe_work, range(width))
+            elapsed = time.perf_counter() - t0
+        if solo / elapsed >= 0.7:
+            chosen = width
+            break
+        width //= 2
+    _EFFECTIVE_CPUS = chosen
+    os.environ["SPARK_GRAFT_EFFECTIVE_CPUS"] = str(chosen)
+    return chosen
+
 
 def build_session(
     app_name: str = "search_engine_spark",
@@ -26,7 +90,10 @@ def build_session(
     closest single-box analog of an N-executor cluster: per-executor GC,
     python workers, and shuffle clients, used by jobs/scaling_bench.py)."""
     if cpus is None:
-        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        # no explicit width → size to measured capacity, not nproc
+        # (oversubscribed vCPUs thrash; see effective_cpu_count)
+        cpus = int(env) if env else effective_cpu_count()
     if shuffle_partitions is None:
         # 4 waves/core: task granularity fine enough that one straggler
         # doesn't idle the rest of the stage (1 task/core measurably

@@ -179,3 +179,30 @@ def test_ivf_assign_matches_numpy_argmax(emb):
     plan = physical_plan(assigned)
     for node in ("EvalPython", "MapInPandas", "MapInArrow", "FlatMapGroups"):
         assert node not in plan, plan
+
+
+def test_zero_norm_vectors_excluded(spark):
+    """Cosine is undefined for a zero vector; under Spark 4 ANSI mode an
+    unguarded norm division is a hard DIVIDE_BY_ZERO error. All three
+    cosine operators must exclude zero-norm rows instead of crashing."""
+    from search_engine_spark.operators.similarity import srp_neardup_pairs
+
+    rows = [
+        (0, [0.0] * 8),               # zero vector
+        (1, [1.0, 2.0] + [0.0] * 6),
+        (2, [1.0, 2.0] + [0.0] * 6),  # exact dup of 1
+        (3, [-1.0, 4.0] + [0.0] * 6),
+    ]
+    emb0 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    top = brute_force_topk(emb0, [1.0, 2.0] + [0.0] * 6, k=10).collect()
+    assert [r["vec_id"] for r in top] == [1, 2, 3]  # id 0 excluded, no error
+
+    pairs = cosine_near_duplicates(emb0, threshold=0.999, dim=8).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in pairs} == {(1, 2)}
+
+    srp = srp_neardup_pairs(emb0, dim=8, threshold=0.999).collect()
+    assert all(0 not in (r["vec_a"], r["vec_b"]) for r in srp)
+
+    with pytest.raises(ValueError):
+        brute_force_topk(emb0, [0.0] * 8)
