@@ -39,11 +39,19 @@ def effective_cpu_count(max_cpus: int | None = None) -> int:
     than the same build at 8 threads), so sizing to measured capacity is
     a correctness-of-benchmark issue, not a tuning nicety.
 
-    Probe: one CPU-bound work unit timed solo, then pools of descending
-    width; returns the first width with parallel efficiency ≥ 0.7.
-    Cached per process and exported as SPARK_GRAFT_EFFECTIVE_CPUS so
-    child processes (pinned bench legs, spark-submit wrappers) skip the
-    ~2 s probe."""
+    Probe: one CPU-bound work unit timed solo, then pools at max, max/2,
+    max/4, max/8; the BEST speedup any width achieves estimates the real
+    core capacity, and that capacity — NOT the pool width that reached
+    it — is the Spark task-slot count. A Spark session runs far more
+    threads than ``local[N]`` slots (GC, shuffle, Arrow serialization,
+    one Python worker per slot), so slots must equal real cores, not
+    schedulable-thread count: this host's pool probe peaks at speedup ~9
+    (at width 16 or 32 — run-to-run noise), and the REAL index build
+    measured local[8] at 6,672 turns/s vs local[16] at 3,477 and
+    local[32] at 3,179 — sizing slots to the pool-width answer halves
+    throughput. Cached per process and exported as
+    SPARK_GRAFT_EFFECTIVE_CPUS so child processes (pinned bench legs,
+    spark-submit wrappers) skip the ~5 s probe."""
     global _EFFECTIVE_CPUS
     if max_cpus is None:
         max_cpus = os.cpu_count() or 1
@@ -60,18 +68,34 @@ def effective_cpu_count(max_cpus: int | None = None) -> int:
     _probe_work(0)
     solo = time.perf_counter() - t0
 
-    chosen = 1
+    speedups: dict[int, float] = {1: 1.0}
     width = max_cpus
     while width >= 2:
         with mp.Pool(width) as pool:
             pool.map(_probe_work, range(width))  # warm the pool (fork cost)
-            t0 = time.perf_counter()
-            pool.map(_probe_work, range(width))
-            elapsed = time.perf_counter() - t0
-        if solo / elapsed >= 0.7:
-            chosen = width
-            break
+            best = None
+            for _ in range(2):  # contention only deflates speedup → max
+                t0 = time.perf_counter()
+                pool.map(_probe_work, range(width))
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+        speedups[width] = width * solo / best
         width //= 2
+        if len(speedups) > 4:
+            break
+    capacity = max(speedups.values())
+    if capacity >= 0.85 * max_cpus:
+        chosen = max_cpus  # genuinely unshared cores: use them all
+    else:
+        # floor to a power of two: stable across the probe's run-to-run
+        # noise (host steal varies minute-to-minute), and staying UNDER
+        # the flickering capacity estimate is the safe side — measured
+        # local[32] on this host collapses (66-118s for a build that
+        # local[8]/local[16] finish in 14-30s)
+        chosen = 1
+        while chosen * 2 <= capacity:
+            chosen *= 2
+        chosen = min(chosen, max_cpus)
     _EFFECTIVE_CPUS = chosen
     os.environ["SPARK_GRAFT_EFFECTIVE_CPUS"] = str(chosen)
     return chosen

@@ -160,9 +160,12 @@ def test_srp_neardup_pairs_subset_of_exact(emb):
 
 
 def test_ivf_assign_matches_numpy_argmax(emb):
-    """JVM-expression assignment (no UDF) equals numpy argmax over the
-    same deterministic hash centroids; the plan contains no Python eval
-    node (the dots are literal-folded codegen expressions)."""
+    """Arrow-vectorized assignment equals numpy argmax over the same
+    deterministic hash centroids. Plan pin: the UDF is ArrowEvalPython
+    (vectorized batches), never BatchEvalPython (row-at-a-time Python) —
+    a pure-SQL dots array was tried and abandoned: n_clusters × dim
+    unrolled terms exceed Janino's 64 KB method limit, fall back to
+    interpretation, and run ~25× slower (round-2 bench)."""
     from search_engine_spark.operators.similarity import hash_centroids, ivf_assign
     from search_engine_spark.plans.explain import physical_plan
 
@@ -177,8 +180,8 @@ def test_ivf_assign_matches_numpy_argmax(emb):
     assert got == {i: int(want[i]) for i in range(N)}
 
     plan = physical_plan(assigned)
-    for node in ("EvalPython", "MapInPandas", "MapInArrow", "FlatMapGroups"):
-        assert node not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
 
 
 def test_zero_norm_vectors_excluded(spark):
