@@ -323,7 +323,12 @@ def _simhash_fold(hashes: pd.Series, tfs: pd.Series) -> pd.Series:
         chunk = rows[pos:end]
         flat_h = np.concatenate([np.asarray(hv[r], dtype=np.uint64) for r in chunk])
         flat_w = np.concatenate([np.asarray(wv[r], dtype=np.float64) for r in chunk])
-        bits = ((flat_h[:, None] >> shifts) & np.uint64(1)).astype(np.float64)
+        # unpackbits on the LE byte view: bit k of the value is bit k of
+        # the byte stream — ~100x cheaper than a broadcast shift matrix
+        bits = np.unpackbits(
+            flat_h.astype("<u8", copy=False).view(np.uint8).reshape(-1, 8),
+            axis=1, bitorder="little",
+        ).astype(np.float64)
         contrib = (bits * 2.0 - 1.0) * flat_w[:, None]
         starts = np.concatenate(([0], np.cumsum(lens[chunk])[:-1]))
         v = np.add.reduceat(contrib, starts, axis=0)  # (len(chunk), 64)
