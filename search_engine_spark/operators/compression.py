@@ -396,8 +396,15 @@ def decode_payload(buf: bytes) -> np.ndarray:
     if w:
         packed = np.frombuffer(buf, dtype=np.uint8, count=nb_packed, offset=pos)
         bits = np.unpackbits(packed, count=n * w, bitorder="little")
-        vals = (bits.reshape(n, w).astype(np.uint64) * _POW2[:w]).sum(
-            axis=1, dtype=np.uint64
+        # repack each value's w bits into a 64-bit lane and view as LE
+        # uint64 — no (n, w) uint64 multiply matrix (8x the temporaries)
+        lanes = np.zeros((n, 64), dtype=np.uint8)
+        lanes[:, :w] = bits.reshape(n, w)
+        vals = (
+            np.packbits(lanes, axis=1, bitorder="little")
+            .view("<u8")
+            .ravel()
+            .astype(np.uint64, copy=False)
         )
     else:
         vals = np.zeros(n, dtype=np.uint64)
