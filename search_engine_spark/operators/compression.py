@@ -128,6 +128,10 @@ def varbyte_encode_with_lengths(values: np.ndarray) -> tuple[np.ndarray, np.ndar
         return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     with np.errstate(over="ignore"):
         nbytes = _varbyte_size(_bit_lengths(v))
+        if v.max() < 128:
+            # single-byte fast path (tf columns and most delta blocks):
+            # byte == value, no continuation bit, no gather/repeat pass
+            return v.astype(np.uint8), nbytes
         ends = np.cumsum(nbytes)
         starts = ends - nbytes
         total = int(ends[-1])
