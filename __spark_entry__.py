@@ -542,7 +542,8 @@ def _srp_ann_sql(n_planes: int = 8, n_tables: int = 4, dim: int = 64,
     )
     return f"""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
     buck AS (SELECT vec_id, {buck_cols} FROM e),
     sig AS (SELECT {sig_cols} FROM q),
     cand AS (
@@ -582,7 +583,8 @@ def _srp_neardup_sql(threshold: float, n_planes: int = 6, n_tables: int = 4,
         for t in range(n_tables)
     )
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
     buck AS ({per_table}),
     cand AS (
         SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
@@ -626,7 +628,8 @@ def _ivf_ann_sql(n_clusters: int = 16, n_probe: int = 4, dim: int = 64,
     )
     return f"""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
     assign AS (
         SELECT vec_id, list_position(dots, list_max(dots)) - 1 AS cluster
         FROM (SELECT vec_id, {dots} AS dots FROM e)
@@ -822,8 +825,10 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(list_dot_product(a.v, a.v))
                         * sqrt(list_dot_product(b.v, b.v))),
                      6) AS cosine
-            FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
-            JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) a
+            JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0) b
               ON a.vec_id < b.vec_id
             WHERE round(
                      list_dot_product(a.v, b.v)
@@ -842,6 +847,7 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
                         * sqrt(list_dot_product(qv, qv))), 6) AS cosine
             FROM embeddings CROSS JOIN q
+            WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
         "token_counts": f"""

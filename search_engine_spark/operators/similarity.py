@@ -325,8 +325,10 @@ def build_srp_index(
     simplicity; at scale store ids only and join back to the vector
     table). Repartitioned by (table, bucket) so one probe touches one
     partition-pruned slice. Bucket assignment is one vectorized Arrow
-    pass for all tables + posexplode — one scan, not n_tables scans."""
-    e = with_norm(embeddings, vec_col, dim)
+    pass for all tables + posexplode — one scan, not n_tables scans.
+    NULL / zero-norm vectors are excluded (unusable for cosine probes;
+    a NULL array would also crash the Arrow batch stack)."""
+    e = with_norm(embeddings, vec_col, dim).filter(F.col("_norm") > 0)
     b = _buckets_udf(dim, n_planes, n_tables)
     out = e.select(
         F.col("*"), F.posexplode(b(F.col(vec_col))).alias("table", "bucket")
@@ -394,9 +396,10 @@ def write_srp_index(
     the handful of probed bucket directories, never a scan of the index
     DataFrame (round-1 verdict: the OR-filter full scan was the
     scale-weak spot). Rerank joins the candidate ids back to the vector
-    table."""
+    table. NULL / zero-norm vectors are excluded (see build_srp_index)."""
+    usable = with_norm(embeddings, vec_col, dim).filter(F.col("_norm") > 0)
     out = _with_table_buckets(
-        embeddings, dim, n_planes, n_tables, vec_col, keep=[id_col]
+        usable, dim, n_planes, n_tables, vec_col, keep=[id_col]
     )
     out.write.mode("overwrite").partitionBy("table", "bucket").parquet(out_dir)
 
@@ -452,9 +455,14 @@ def ivf_assign(
     partition-pruned probes, mirroring write_srp_index).
 
     Not a pure-SQL expression tree: n_clusters × dim unrolled terms blow
-    Janino's 64 KB method limit and interpret ~25× slower (see _dot_sql)."""
+    Janino's 64 KB method limit and interpret ~25× slower (see _dot_sql).
+
+    NULL / zero-norm vectors are excluded (no meaningful nearest centroid
+    under cosine; a NULL array would also crash the Arrow batch stack) —
+    mirrored by the DuckDB twin's norm predicate on its base CTE."""
     cent = np.asarray(centroids, dtype=np.float64)
     n_clusters, dim = cent.shape
+    embeddings = with_norm(embeddings, vec_col, dim).filter(F.col("_norm") > 0)
 
     @F.pandas_udf(T.IntegerType())
     def assign(vecs: pd.Series) -> pd.Series:

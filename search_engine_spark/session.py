@@ -64,9 +64,12 @@ def effective_cpu_count(max_cpus: int | None = None) -> int:
     import multiprocessing as mp
     import time
 
-    t0 = time.perf_counter()
-    _probe_work(0)
-    solo = time.perf_counter() - t0
+    solo = None
+    for _ in range(2):  # min-of-2: one stalled sample would inflate every
+        t0 = time.perf_counter()  # speedup and could select the
+        _probe_work(0)            # oversubscribed full width
+        el = time.perf_counter() - t0
+        solo = el if solo is None else min(solo, el)
 
     speedups: dict[int, float] = {1: 1.0}
     width = max_cpus

@@ -209,3 +209,101 @@ def test_zero_norm_vectors_excluded(spark):
 
     with pytest.raises(ValueError):
         brute_force_topk(emb0, [0.0] * 8)
+
+
+def test_null_and_zero_vectors_excluded_from_indexes(spark):
+    """NULL / zero-norm embeddings must be dropped by the index builders
+    (the Arrow stack would crash on a NULL array; a zero vector has no
+    cosine neighbourhood) — mirroring the oracle twins' norm predicate."""
+    from search_engine_spark.operators.similarity import (
+        hash_centroids,
+        ivf_assign,
+        write_srp_index,
+    )
+
+    rows = [
+        (0, None),
+        (1, [0.0] * 8),
+        (2, [1.0, -2.0, 0.5] + [0.0] * 5),
+        (3, [3.0, 1.0, -1.0] + [0.0] * 5),
+    ]
+    emb0 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    idx = build_srp_index(emb0, dim=8, n_planes=4, n_tables=2)
+    assert set(r["vec_id"] for r in idx.collect()) == {2, 3}
+
+    assigned = ivf_assign(emb0, hash_centroids(8, 4))
+    assert set(r["vec_id"] for r in assigned.collect()) == {2, 3}
+
+    import tempfile
+    d = tempfile.mkdtemp()
+    write_srp_index(emb0, d, dim=8, n_planes=4, n_tables=2)
+    disk = spark.read.parquet(d)
+    assert set(r["vec_id"] for r in disk.collect()) == {2, 3}
+
+
+def test_zero_vector_oracle_parity(spark):
+    """The DuckDB twins exclude zero-norm vectors exactly like the engine
+    (CLAUDE.md invariant: queries() and oracle_sql() value-identical) —
+    checked HERE on a table that actually contains a zero vector, which
+    the driver's sf0.01 fixtures do not."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    rows = [
+        (0, [1.0, 2.0] + [0.0] * 62),
+        (1, [0.0] * 64),                   # zero vector
+        (2, [1.0, 2.0] + [0.0] * 62),      # dup of 0
+        (3, [-1.0, 4.0] + [0.0] * 62),
+    ]
+    emb0 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}
+    )
+    con.register("embeddings", pdf)
+
+    sqls = entrymod.oracle_sql()
+    for name in ("embedding_topk", "embedding_neardup_pairs",
+                 "srp_neardup_pairs", "srp_ann_topk", "ivf_ann_topk"):
+        fn = entrymod.queries()[name]
+        # queries() loads from sf_dir; rebuild the same op on emb0 instead
+        if name == "embedding_topk":
+            got = brute_force_topk(emb0, rows[0][1], k=10)
+        elif name == "embedding_neardup_pairs":
+            got = cosine_near_duplicates(
+                emb0, threshold=entrymod.COSINE_NEARDUP_THRESHOLD, dim=64
+            ).select("vec_a", "vec_b", "cosine")
+        elif name == "srp_neardup_pairs":
+            from search_engine_spark.operators.similarity import srp_neardup_pairs
+            got = srp_neardup_pairs(
+                emb0, dim=64, threshold=entrymod.COSINE_NEARDUP_THRESHOLD,
+                n_planes=6, n_tables=4,
+            ).select("vec_a", "vec_b", "cosine")
+        elif name == "srp_ann_topk":
+            from search_engine_spark.operators.similarity import srp_query_topk
+            idx = build_srp_index(emb0, dim=64, n_planes=8, n_tables=4)
+            got = srp_query_topk(idx, rows[0][1], k=10, n_planes=8,
+                                 n_tables=4).select("vec_id", "cosine")
+        else:
+            from search_engine_spark.operators.similarity import (
+                hash_centroids, ivf_assign, ivf_query_topk)
+            cent = hash_centroids(64, entrymod.IVF_CLUSTERS)
+            idx = ivf_assign(emb0, cent)
+            got = ivf_query_topk(emb0, idx, cent, rows[0][1], k=10,
+                                 n_probe=entrymod.IVF_NPROBE
+                                 ).select("vec_id", "cosine")
+        scols = sorted(got.columns)
+        srows = sorted(tuple(round(v, 6) if isinstance(v, float) else v
+                             for v in (r[c] for c in scols))
+                       for r in got.collect())
+        ddf = con.sql(sqls[name]).df()
+        drows = sorted(tuple(round(v, 6) if isinstance(v, float) else v
+                             for v in rec)
+                       for rec in ddf[scols].itertuples(index=False))
+        assert srows == drows, f"{name}: spark={srows} duck={drows}"
+        id_cols = [c for c in scols if c != "cosine"]
+        ids = {r[id_cols.index(c) + 1] for r in srows for c in id_cols}
+        assert 1 not in ids, name  # the zero vector is excluded
