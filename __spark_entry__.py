@@ -4,7 +4,9 @@
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2):
 inverted-index build, BM25 retrieval via THREE differential engines
 (DataFrame / block-max WAND / generated-SQL CTE join — the reference's
-own 3-strategy harness), reference relevance, dedup (exact / n-gram
+own 3-strategy harness), exact phrase search (index-pruned candidates +
+codegen lemma-stream verify, no positional index), reference relevance,
+dedup (exact / n-gram
 Jaccard with shingle-df cap / MinHash-LSH / SimHash), embedding
 similarity (brute + SRP-LSH ANN), text analysis (token counts /
 fingerprints / quality / langid), serving parity (titles, snippets,
@@ -65,6 +67,8 @@ from search_engine_spark.operators.query import (
     bm25_topk_sql,
     candidate_docs,
     parse_query,
+    phrase_search,
+    phrase_tf_sql,
     reference_relevance,
     snippet_sql,
     snippets,
@@ -93,6 +97,7 @@ Q_MAIN = "query filter join"      # three hot terms
 Q_RARE = "dup key"                # rare term ('dup' marks planted near-dups)
 Q_AND = "fast key merge"
 Q_REL = "slow window"
+Q_PHRASE = "table hash"           # adjacent-lemma phrase (~10% doc df)
 
 JACCARD_N = 3
 JACCARD_THRESHOLD = 0.7
@@ -321,6 +326,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "snippet"
         )
 
+    def q_phrase_search(spark, sf):
+        # exact phrase over the stop-filtered lemma stream: index-pruned
+        # candidates + codegen substring verify (no positional index)
+        return phrase_search(
+            _index_for(spark, sf), _documents(spark, sf), Q_PHRASE, k=10
+        )
+
     def q_paginated(spark, sf):
         from search_engine_spark.operators.query import paginate
 
@@ -434,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "dead_letters": q_dead_letters,
         "field_subtraction": q_field_subtraction,
+        "phrase_search": q_phrase_search,
         "bm25_paginated": q_paginated,
         "event_windows": q_event_windows,
         "top_users_per_event": q_top_users,
@@ -710,6 +723,33 @@ def oracle_sql() -> dict[str, str]:
     and_lemmas = parse_query(Q_AND)
     and_in = "(" + ", ".join(f"'{l}'" for l in and_lemmas) + ")"
 
+    # phrase oracle: same candidate prune + double-space lemma stream +
+    # shared phrase_tf_sql counting expression as the engine
+    from search_engine_spark.functions.text import lemmatize_text_py
+
+    ph_seq = lemmatize_text_py(Q_PHRASE)
+    ph_distinct = list(dict.fromkeys(ph_seq))
+    ph_in = "(" + ", ".join(f"'{l}'" for l in ph_distinct) + ")"
+    _case_t = LEMMA_CASE_SQL.format(tok="t")
+    phrase_oracle = f"""
+        WITH {_POSTINGS},
+        cand AS (
+            SELECT doc_id FROM postings WHERE lemma IN {ph_in}
+            GROUP BY doc_id HAVING count(*) = {len(ph_distinct)}
+        ),
+        streams AS (
+            SELECT d.doc_id,
+                   ' ' || array_to_string(
+                       list_filter(list_transform({_TOKS}, t -> {_case_t}),
+                                   l -> l NOT IN {_STOPS}), '  ') || ' ' AS _lt
+            FROM documents d JOIN cand USING (doc_id)
+        )
+        SELECT doc_id, {phrase_tf_sql(ph_seq)} AS phrase_tf
+        FROM streams
+        WHERE {phrase_tf_sql(ph_seq)} > 0
+        ORDER BY phrase_tf DESC, doc_id ASC LIMIT 10
+    """
+
     quality_inner = f"""
         SELECT doc_id,
                length(text) AS n_chars,
@@ -813,6 +853,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter)::double >= {JACCARD_THRESHOLD}
         """,
+        "phrase_search": phrase_oracle,
         "simhash_pairs": _simhash_sql(max_hamming=3),
         "srp_ann_topk": _srp_ann_sql(n_planes=8, n_tables=4, dim=64, k=10),
         "ivf_ann_topk": _ivf_ann_sql(

@@ -224,6 +224,80 @@ def enrich_results(results: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
+def phrase_needle(seq: list[str]) -> str:
+    """The phrase as a substring pattern over the double-space lemma
+    stream (see :func:`phrase_search`): one boundary space each side,
+    two spaces between lemmas, so adjacent non-overlapping occurrences
+    never share a character and a plain replace() count is exact."""
+    return " " + "  ".join(seq) + " "
+
+
+def phrase_tf_sql(seq: list[str], lemma_stream_col: str = "_lt") -> str:
+    """ANSI-SQL phrase-occurrence count, shared verbatim by the Spark
+    engine (F.expr) and the DuckDB oracle. Counts non-overlapping
+    left-to-right occurrences (str.count semantics — an "a a" phrase in
+    "a a a" counts once, the standard choice); the double-space encoding
+    makes back-to-back occurrences ("a b a b") count as 2 because each
+    match consumes only one space of the two-space gap."""
+    needle = phrase_needle(seq).replace("'", "''")
+    return (
+        f"CAST((length({lemma_stream_col}) - "
+        f"length(replace({lemma_stream_col}, '{needle}', ''))) "
+        f"/ {len(needle)} AS BIGINT)"
+    )
+
+
+def phrase_search(
+    index: InvertedIndex,
+    docs: DataFrame,
+    phrase: str,
+    k: int = DEFAULT_TOP_K,
+) -> DataFrame:
+    """Exact phrase search WITHOUT a positional index: candidate docs
+    come from the inverted index (AND-intersection over the phrase's
+    distinct lemmas — the J6 semi-join prefilter), then adjacency is
+    verified on the candidates only, by rebuilding each candidate's
+    stop-filtered lemma stream with the whole-stage-codegen pipeline
+    (functions/text.lemmas_sql) and counting the phrase as a substring
+    of the double-space-joined stream.
+
+    Scale shape: the expensive verify step is proportional to the
+    CANDIDATE set (docs containing all phrase lemmas), not the corpus —
+    the classic index-prune + text-verify design. The phrase is matched
+    on the post-stopword lemma stream (the index stores no stopwords),
+    so "the table hash" and "table hash" are the same phrase — standard
+    stop-filtered phrase semantics.
+
+    Returns top-k (doc_id, phrase_tf) ordered phrase_tf desc, doc_id
+    asc. phrase_tf counts non-overlapping occurrences (see
+    :func:`phrase_tf_sql`).
+    """
+    from search_engine_spark.functions.text import lemmas_sql, lemmatize_text_py
+
+    seq = lemmatize_text_py(phrase)
+    spark = index.postings.sparkSession
+    if not seq:
+        return spark.createDataFrame([], "doc_id long, phrase_tf long")
+    distinct = list(dict.fromkeys(seq))
+    cand = (
+        index.postings.filter(F.col("lemma").isin(distinct))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_nt"))  # postings unique per (doc,lemma)
+        .filter(F.col("_nt") == len(distinct))
+        .select("doc_id")
+    )
+    stream = f"concat(' ', array_join({lemmas_sql('text')}, '  '), ' ')"
+    return (
+        docs.join(cand, "doc_id")
+        .withColumn("_lt", F.expr(stream))
+        .withColumn("phrase_tf", F.expr(phrase_tf_sql(seq)))
+        .filter(F.col("phrase_tf") > 0)
+        .orderBy(F.col("phrase_tf").desc(), F.col("doc_id").asc())
+        .select("doc_id", "phrase_tf")
+        .limit(k)
+    )
+
+
 def snippet_sql(lemma: str, window: int = 25, text_col: str = "text") -> str:
     """ANSI-SQL snippet expression shared verbatim by the Spark engine
     (F.expr) and the DuckDB oracle — reference semantics

@@ -113,3 +113,97 @@ def test_treeaggregate_merge_matches_wand(tiny_index, segments, query):
     got = wand_topk_tree(segments, tiny_index.terms, query, k=10,
                          stats=tiny_index.stats)
     assert got == want, query
+
+
+# ---------------------------------------------------------------------------
+# phrase search (index-pruned candidates + codegen substring verify)
+# ---------------------------------------------------------------------------
+def _phrase_count_py(seq, phrase):
+    """Non-overlapping left-to-right occurrence count (str.count shape)."""
+    n = i = 0
+    while i + len(phrase) <= len(seq):
+        if seq[i : i + len(phrase)] == phrase:
+            n += 1
+            i += len(phrase)
+        else:
+            i += 1
+    return n
+
+
+def test_phrase_search_matches_bruteforce(tiny_index):
+    from search_engine_spark.functions.text import lemmatize_text_py
+    from search_engine_spark.operators.query import phrase_search
+
+    rows = tiny_index.docs.select("doc_id", "text").collect()
+    seqs = {int(r["doc_id"]): lemmatize_text_py(r["text"]) for r in rows}
+    # pick the corpus's most document-frequent bigram (self-calibrating)
+    from collections import Counter
+
+    df = Counter()
+    for seq in seqs.values():
+        df.update(set(zip(seq, seq[1:])))
+    (a, b), n_docs = df.most_common(1)[0]
+    assert n_docs >= 3
+    phrase = [a, b]
+    expected = sorted(
+        (
+            (doc, c)
+            for doc, seq in seqs.items()
+            if (c := _phrase_count_py(seq, phrase)) > 0
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:25]
+    got = [
+        (int(r["doc_id"]), int(r["phrase_tf"]))
+        for r in phrase_search(
+            tiny_index, tiny_index.docs, f"{a} {b}", k=25
+        ).collect()
+    ]
+    assert got == expected
+
+
+def test_phrase_search_counting_semantics(spark):
+    from search_engine_spark.operators.index_build import build_index_from_docs
+    from search_engine_spark.operators.query import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zig zag zig zag"),        # back-to-back: counts 2
+            (2, "zig zig zig"),            # overlapping "zig zig": counts 1
+            (3, "zigzag zig nope zag"),    # non-adjacent: 0 (pruned by verify)
+            (4, "the zig and zag"),        # stopwords dropped -> adjacent: 1
+            (5, "zag zig"),                # wrong order: 0
+        ],
+        "doc_id long, text string",
+    )
+    ix = build_index_from_docs(docs, use_arrow_udf=False)
+    got = {
+        int(r["doc_id"]): int(r["phrase_tf"])
+        for r in phrase_search(ix, docs, "zig zag", k=10).collect()
+    }
+    assert got == {1: 2, 4: 1}
+    got2 = {
+        int(r["doc_id"]): int(r["phrase_tf"])
+        for r in phrase_search(ix, docs, "zig zig", k=10).collect()
+    }
+    assert got2 == {2: 1}
+    # stopword-filtered phrase text maps onto the same lemma stream
+    got3 = {
+        int(r["doc_id"]): int(r["phrase_tf"])
+        for r in phrase_search(ix, docs, "the zig of zag", k=10).collect()
+    }
+    assert got3 == got
+
+
+def test_phrase_search_empty_inputs(tiny_index):
+    from search_engine_spark.operators.query import phrase_search
+
+    # stopword-only phrase lemmatizes to nothing -> empty result
+    out = phrase_search(tiny_index, tiny_index.docs, "the and of", k=10)
+    assert out.collect() == []
+    assert out.columns == ["doc_id", "phrase_tf"]
+    # absent vocabulary -> no candidates
+    assert (
+        phrase_search(tiny_index, tiny_index.docs, "qqqqx zzzzw", k=10).count()
+        == 0
+    )
