@@ -4,8 +4,9 @@
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2):
 inverted-index build, BM25 retrieval via THREE differential engines
 (DataFrame / block-max WAND / generated-SQL CTE join — the reference's
-own 3-strategy harness), exact phrase search (index-pruned candidates +
-codegen lemma-stream verify, no positional index), reference relevance,
+own 3-strategy harness), exact phrase search and NEAR/W proximity
+search (both: index-pruned candidates + codegen lemma-stream verify,
+no positional index), reference relevance,
 dedup (exact / n-gram
 Jaccard with shingle-df cap / MinHash-LSH / SimHash), embedding
 similarity (brute + SRP-LSH ANN), text analysis (token counts /
@@ -66,6 +67,7 @@ from search_engine_spark.operators.query import (
     bm25_topk,
     bm25_topk_sql,
     candidate_docs,
+    near_search,
     parse_query,
     phrase_search,
     phrase_tf_sql,
@@ -98,6 +100,7 @@ Q_RARE = "dup key"                # rare term ('dup' marks planted near-dups)
 Q_AND = "fast key merge"
 Q_REL = "slow window"
 Q_PHRASE = "table hash"           # adjacent-lemma phrase (~10% doc df)
+NEAR_WINDOW = 8                   # proximity window (lemmas) for near_search
 
 JACCARD_N = 3
 JACCARD_THRESHOLD = 0.7
@@ -333,6 +336,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _index_for(spark, sf), _documents(spark, sf), Q_PHRASE, k=10
         )
 
+    def q_near_search(spark, sf):
+        # proximity NEAR/W: all query lemmas inside one 8-lemma window;
+        # candidates index-pruned, windowed verify codegen-only
+        return near_search(
+            _index_for(spark, sf), _documents(spark, sf), Q_MAIN,
+            window=NEAR_WINDOW, k=10,
+        )
+
     def q_paginated(spark, sf):
         from search_engine_spark.operators.query import paginate
 
@@ -447,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dead_letters": q_dead_letters,
         "field_subtraction": q_field_subtraction,
         "phrase_search": q_phrase_search,
+        "near_search": q_near_search,
         "bm25_paginated": q_paginated,
         "event_windows": q_event_windows,
         "top_users_per_event": q_top_users,
@@ -750,6 +762,31 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY phrase_tf DESC, doc_id ASC LIMIT 10
     """
 
+    # NEAR/W oracle: same windowed-cover count as the engine (DuckDB
+    # list functions in place of Spark's sequence/filter/slice — the
+    # semantics, window bounds and short-doc whole-doc window match
+    # near_search exactly; no candidate CTE needed since n_windows > 0
+    # already implies all lemmas present)
+    near_lemmas = parse_query(Q_MAIN)
+    near_q = "[" + ", ".join(f"'{l}'" for l in near_lemmas) + "]"
+    W = NEAR_WINDOW
+    _nwin = (
+        f"CAST(len(list_filter(range(1, greatest(len(_ls) - {W} + 1, 1) + 1), "
+        f"i -> list_has_all(list_slice(_ls, i, i + {W} - 1), {near_q}))) AS BIGINT)"
+    )
+    near_oracle = f"""
+        WITH streams AS (
+            SELECT doc_id,
+                   list_filter(list_transform({_TOKS}, t -> {_case_t}),
+                               l -> l NOT IN {_STOPS}) AS _ls
+            FROM documents
+        )
+        SELECT doc_id, {_nwin} AS n_windows
+        FROM streams
+        WHERE {_nwin} > 0
+        ORDER BY n_windows DESC, doc_id ASC LIMIT 10
+    """
+
     quality_inner = f"""
         SELECT doc_id,
                length(text) AS n_chars,
@@ -854,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter)::double >= {JACCARD_THRESHOLD}
         """,
         "phrase_search": phrase_oracle,
+        "near_search": near_oracle,
         "simhash_pairs": _simhash_sql(max_hamming=3),
         "srp_ann_topk": _srp_ann_sql(n_planes=8, n_tables=4, dim=64, k=10),
         "ivf_ann_topk": _ivf_ann_sql(

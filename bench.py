@@ -135,7 +135,8 @@ def main() -> None:
         "srp_ann_topk", "ivf_ann_topk", "embedding_neardup_pairs",
         "srp_neardup_pairs",
         "token_counts", "quality_scores", "fingerprints",
-        "phrase_search", "snippets", "multimodal_features", "dead_letters",
+        "phrase_search", "near_search", "snippets", "multimodal_features",
+        "dead_letters",
         "field_subtraction", "event_windows", "top_users_per_event",
     ]
     qs = entrymod.queries()

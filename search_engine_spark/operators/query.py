@@ -298,6 +298,59 @@ def phrase_search(
     )
 
 
+def near_search(
+    index: InvertedIndex,
+    docs: DataFrame,
+    query: str,
+    window: int = 8,
+    k: int = DEFAULT_TOP_K,
+) -> DataFrame:
+    """Proximity (NEAR/W) search: docs where ALL query lemmas co-occur
+    inside some window of `window` consecutive lemmas of the
+    stop-filtered lemma stream. Same two-phase shape as
+    :func:`phrase_search` — index AND-intersection prunes to docs
+    containing all lemmas anywhere, then the windowed check runs only
+    on candidates, as codegen higher-order functions (sequence /
+    filter / slice / array_except), zero Python.
+
+    Returns top-k (doc_id, n_windows) where n_windows counts the
+    window START offsets whose window covers all query lemmas
+    (overlapping windows each count — a deterministic, cheap proximity
+    score: tighter/denser co-occurrence ⇒ more covering offsets).
+    Docs shorter than `window` are checked as one whole-doc window.
+    Ordered n_windows desc, doc_id asc.
+    """
+    from search_engine_spark.functions.text import lemmas_sql, lemmatize_text_py
+
+    lemmas = parse_query(query)
+    spark = index.postings.sparkSession
+    if not lemmas:
+        return spark.createDataFrame([], "doc_id long, n_windows long")
+    cand = (
+        index.postings.filter(F.col("lemma").isin(lemmas))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_nt"))
+        .filter(F.col("_nt") == len(lemmas))
+        .select("doc_id")
+    )
+    qarr = "array(" + ", ".join(f"'{l}'" for l in lemmas) + ")"
+    # window starts 1..max(size-W+1, 1): a doc shorter than W gets one
+    # whole-doc window (greatest() also keeps sequence() ascending)
+    n_win = (
+        f"CAST(size(filter(sequence(1, greatest(size(_ls) - {window} + 1, 1)), "
+        f"i -> size(array_except({qarr}, slice(_ls, i, {window}))) = 0)) AS BIGINT)"
+    )
+    return (
+        docs.join(cand, "doc_id")
+        .withColumn("_ls", F.expr(lemmas_sql("text")))
+        .withColumn("n_windows", F.expr(n_win))
+        .filter(F.col("n_windows") > 0)
+        .orderBy(F.col("n_windows").desc(), F.col("doc_id").asc())
+        .select("doc_id", "n_windows")
+        .limit(k)
+    )
+
+
 def snippet_sql(lemma: str, window: int = 25, text_col: str = "text") -> str:
     """ANSI-SQL snippet expression shared verbatim by the Spark engine
     (F.expr) and the DuckDB oracle — reference semantics

@@ -207,3 +207,62 @@ def test_phrase_search_empty_inputs(tiny_index):
         phrase_search(tiny_index, tiny_index.docs, "qqqqx zzzzw", k=10).count()
         == 0
     )
+
+
+def test_near_search_matches_bruteforce(tiny_index):
+    from search_engine_spark.functions.text import lemmatize_text_py
+    from search_engine_spark.operators.query import near_search
+
+    rows = tiny_index.docs.select("doc_id", "text").collect()
+    seqs = {int(r["doc_id"]): lemmatize_text_py(r["text"]) for r in rows}
+    # two fairly common lemmas from the corpus
+    from collections import Counter
+
+    df = Counter()
+    for seq in seqs.values():
+        df.update(set(seq))
+    (a, _), (b, _) = df.most_common(2)
+    W = 6
+    qset = {a, b}
+    expected = sorted(
+        (
+            (doc, n)
+            for doc, seq in seqs.items()
+            if (
+                n := sum(
+                    1
+                    for i in range(max(len(seq) - W + 1, 1))
+                    if qset <= set(seq[i : i + W])
+                )
+            )
+            > 0
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:25]
+    got = [
+        (int(r["doc_id"]), int(r["n_windows"]))
+        for r in near_search(
+            tiny_index, tiny_index.docs, f"{a} {b}", window=W, k=25
+        ).collect()
+    ]
+    assert got == expected
+
+
+def test_near_search_short_doc_whole_window(spark):
+    from search_engine_spark.operators.index_build import build_index_from_docs
+    from search_engine_spark.operators.query import near_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zig zag"),                       # shorter than W: one window
+            (2, "zig nope nope nope nope zag"),   # spread beyond W=4
+            (3, "nope zig nope zag nope"),        # covered by two W=4 windows
+        ],
+        "doc_id long, text string",
+    )
+    ix = build_index_from_docs(docs, use_arrow_udf=False)
+    got = {
+        int(r["doc_id"]): int(r["n_windows"])
+        for r in near_search(ix, docs, "zig zag", window=4, k=10).collect()
+    }
+    assert got == {1: 1, 3: 2}
