@@ -171,6 +171,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_bm25_rare(spark, sf):
         return bm25_topk(_index_for(spark, sf), Q_RARE, k=10).select("doc_id", "score")
 
+    def q_bm25_or(spark, sf):
+        # disjunctive retrieval: partial matches rank by summed weight
+        return bm25_topk(
+            _index_for(spark, sf), Q_AND, k=10, match_all=False
+        ).select("doc_id", "score")
+
     def q_bm25_wand(spark, sf):
         # engine #2 (block-max WAND over compressed segments) on the same
         # query as q_bm25 — same oracle, differential by construction
@@ -431,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclen": q_doclen,
         "bm25_topk": q_bm25,
         "bm25_topk_rare": q_bm25_rare,
+        "bm25_topk_or": q_bm25_or,
         "bm25_topk_wand": q_bm25_wand,
         "bm25_topk_sql": q_bm25_sql,
         "and_search": q_and_search,
@@ -509,15 +516,22 @@ _POSTINGS_SCOPED = (
 )
 
 
-def _bm25_sql(query: str, k: int = 10, cte: str = _POSTINGS) -> str:
+def _bm25_sql(query: str, k: int = 10, cte: str = _POSTINGS,
+              match_all: bool = True) -> str:
     lemmas = parse_query(query)
     in_list = "(" + ", ".join(f"'{l}'" for l in lemmas) + ")"
-    return f"""
-    WITH {cte},
+    if match_all:
+        cand_cte = f"""
     cand AS (
         SELECT doc_id FROM postings WHERE lemma IN {in_list}
         GROUP BY doc_id HAVING count(*) = {len(lemmas)}
-    ),
+    ),"""
+        cand_join = "JOIN cand USING (doc_id)"
+    else:  # disjunctive OR: any matching lemma contributes
+        cand_cte = ""
+        cand_join = ""
+    return f"""
+    WITH {cte},{cand_cte}
     scored AS (
         SELECT p.doc_id,
                sum(
@@ -526,7 +540,7 @@ def _bm25_sql(query: str, k: int = 10, cte: str = _POSTINGS) -> str:
                  / (p.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * d.dl / s.avgdl))
                ) AS raw
         FROM postings p
-        JOIN cand USING (doc_id)
+        {cand_join}
         JOIN doclen d USING (doc_id)
         JOIN terms t USING (lemma)
         CROSS JOIN stats s
@@ -814,6 +828,7 @@ def oracle_sql() -> dict[str, str]:
         "doclen": f"WITH {_POSTINGS} SELECT doc_id, dl FROM doclen",
         "bm25_topk": _bm25_sql(Q_MAIN),
         "bm25_topk_rare": _bm25_sql(Q_RARE),
+        "bm25_topk_or": _bm25_sql(Q_AND, match_all=False),
         "bm25_topk_wand": _bm25_sql(Q_MAIN),
         "bm25_topk_sql": _bm25_sql(Q_MAIN),
         "and_search": f"""

@@ -67,8 +67,15 @@ def bm25_topk(
     k: int = DEFAULT_TOP_K,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    match_all: bool = True,
 ) -> DataFrame:
     """Top-k (doc_id, score) by BM25 over the DataFrame index.
+
+    ``match_all=True`` (default) is the reference's AND semantics — a
+    doc must contain every query lemma (SearchService.java:192-209).
+    ``match_all=False`` is standard disjunctive (OR) retrieval: any
+    matching lemma contributes, partial matches rank by their summed
+    BM25 weight — same single-aggregate plan minus the arity filter.
 
     Tie-break pinned: score desc, doc_id asc (BASELINE.md). Scores are
     rounded to SCORE_DECIMALS for stable cross-engine comparison; the
@@ -100,7 +107,9 @@ def bm25_topk(
         )
         .groupBy("doc_id")
         .agg(F.count("*").alias("_nt"), F.sum("_w").alias("score_raw"))
-        .filter(F.col("_nt") == len(lemmas))  # AND semantics
+        .filter(
+            (F.col("_nt") == len(lemmas)) if match_all else F.lit(True)
+        )  # AND semantics (default) vs disjunctive OR
         .withColumn("score", F.round(F.col("score_raw"), SCORE_DECIMALS))
     )
     return (

@@ -89,22 +89,34 @@ def parse_query_py(query: str) -> list[str]:
 
 
 def bm25_topk_py(ix: PyIndex, query: str, k: int = 10,
-                 k1: float = BM25_K1, b: float = BM25_B) -> list[tuple[int, float]]:
-    """AND-semantics BM25 top-k: (doc_id, raw score), tie-break
-    (score desc, doc_id asc). Returns [] for invalid/missing-term query."""
+                 k1: float = BM25_K1, b: float = BM25_B,
+                 match_all: bool = True) -> list[tuple[int, float]]:
+    """BM25 top-k: (doc_id, raw score), tie-break (score desc, doc_id
+    asc). match_all=True is AND semantics (returns [] for
+    invalid/missing-term queries, like the engines' empty
+    intersection); match_all=False is disjunctive OR — any present
+    lemma contributes, absent lemmas contribute nothing."""
     lemmas = parse_query_py(query)
-    if not lemmas or any(l not in ix.postings for l in lemmas):
+    if not lemmas:
         return []
-    docs = set(ix.postings[lemmas[0]])
-    for l in lemmas[1:]:
-        docs &= set(ix.postings[l])
+    if match_all:
+        if any(l not in ix.postings for l in lemmas):
+            return []
+        docs = set(ix.postings[lemmas[0]])
+        for l in lemmas[1:]:
+            docs &= set(ix.postings[l])
+    else:
+        docs = set()
+        for l in lemmas:
+            docs |= set(ix.postings.get(l, ()))
     scored = []
     for d in docs:
         s = 0.0
         for l in lemmas:  # accumulate per query-lemma order… but engines
             # accumulate in unspecified shuffle order; the rounding at 6
             # decimals absorbs the 1-ulp reorder noise (SURVEY §7 (b)).
-            s += bm25_weight_py(ix.postings[l][d], ix.doclen[d], idf_py(ix.df[l], ix.n_docs), ix.avgdl, k1, b)
+            if d in ix.postings.get(l, ()):
+                s += bm25_weight_py(ix.postings[l][d], ix.doclen[d], idf_py(ix.df[l], ix.n_docs), ix.avgdl, k1, b)
         scored.append((d, s))
     scored.sort(key=lambda t: (-round(t[1], 6), t[0]))
     return scored[:k]

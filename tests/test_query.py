@@ -266,3 +266,24 @@ def test_near_search_short_doc_whole_window(spark):
         for r in near_search(ix, docs, "zig zag", window=4, k=10).collect()
     }
     assert got == {1: 1, 3: 2}
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_or_scorer_matches_golden(tiny_index, py_twin, query):
+    got = _rows(bm25_topk(tiny_index, query, k=10, match_all=False))
+    want = [
+        (d, round(s, 6))
+        for d, s in bm25_topk_py(py_twin, query, k=10, match_all=False)
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want], query
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-6, abs_tol=1e-6), (query, gd)
+
+
+def test_or_superset_of_and(tiny_index):
+    # every AND hit appears in OR results with the identical score
+    q = QUERIES[0]
+    and_rows = dict(_rows(bm25_topk(tiny_index, q, k=10)))
+    or_rows = dict(_rows(bm25_topk(tiny_index, q, k=200, match_all=False)))
+    for d, s in and_rows.items():
+        assert d in or_rows and math.isclose(or_rows[d], s, abs_tol=1e-6)
