@@ -150,6 +150,16 @@ def main() -> None:
             timings[name] = -1.0
 
     total = round(time.monotonic() - t_all, 3)
+
+    # untimed: host-capacity control (~5s), recorded so every wall-clock
+    # number above carries the machine state it was measured under
+    # (this sandbox's memory bandwidth drifts minute-to-minute —
+    # BASELINE.md "drifted host"; ratio ~cpus = healthy, <2 = starved)
+    from search_engine_spark.session import memory_bandwidth_control
+
+    control = memory_bandwidth_control(min(cpus, 8))
+    log(f"host control: {control}")
+
     out = {
         "metric": "index_build_plus_query_suite",
         "value": total,
@@ -163,6 +173,7 @@ def main() -> None:
             "segment_encode_sec": round(seg_sec, 3),
             "cpus": cpus,
         },
+        "host_control": control,
     }
     print(json.dumps(out), flush=True)
     spark.stop()

@@ -228,10 +228,17 @@ def main() -> None:
     # (single JVM runs show ±15-20% run-to-run noise — GC timing, page
     # cache, writeback — and the min is the standard steady-state
     # estimator; every raw run is reported alongside)
+    from search_engine_spark.session import memory_bandwidth_control
+
     all_runs: dict[int, list[dict]] = {}
     for _ in range(args.repeats):
         for c in (args.base_cpus, args.base_cpus * 4):
             r = runner(c)
+            # per-leg host-capacity control, taken right after the leg:
+            # the DRAM concurrency ratio this box offered at that moment
+            # (BASELINE.md "drifted host") — lets a reader reject legs
+            # measured inside a starved window instead of guessing
+            r["host_control"] = memory_bandwidth_control(args.base_cpus * 4)
             all_runs.setdefault(c, []).append(r)
             print(f"local[{c}]: {r}", file=sys.stderr, flush=True)
     lo = min(all_runs[args.base_cpus], key=lambda r: r["sec"])

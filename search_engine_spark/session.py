@@ -104,6 +104,48 @@ def effective_cpu_count(max_cpus: int | None = None) -> int:
     return chosen
 
 
+def _bandwidth_work(_):
+    """DRAM-bound probe unit for memory_bandwidth_control: streaming
+    copies over a buffer far larger than LLC, ~1.5 s."""
+    import time
+
+    import numpy as np
+
+    a = np.ones(1 << 24)  # 128 MB
+    b = np.empty_like(a)
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 1.5:
+        np.copyto(b, a)
+        n += 1
+    return n / (time.perf_counter() - t0)
+
+
+def memory_bandwidth_control(workers: int) -> dict[str, float]:
+    """Measured host memory-bandwidth concurrency control.
+
+    Returns {"solo": units, "agg": aggregate units at `workers`
+    concurrent streams, "concurrency_ratio": agg/solo}. On a healthy
+    box the ratio approaches min(workers, memory channels); on this
+    sandbox it drifts minute-to-minute (BASELINE.md "drifted host"
+    section) and has been observed BELOW 1.0 — i.e. N concurrent
+    streams move less total data than one. Recording it next to every
+    benchmark number lets a reader normalize wall-clock results by the
+    machine state they ran under, instead of guessing."""
+    import multiprocessing as mp
+
+    solo = max(_bandwidth_work(0) for _ in range(2))
+    with mp.Pool(workers) as pool:
+        aggs = pool.map(_bandwidth_work, range(workers))
+    agg = sum(aggs)
+    return {
+        "solo": round(solo, 2),
+        "agg": round(agg, 2),
+        "workers": workers,
+        "concurrency_ratio": round(agg / solo, 3) if solo else 0.0,
+    }
+
+
 def build_session(
     app_name: str = "search_engine_spark",
     cpus: int | None = None,
