@@ -6,7 +6,9 @@ inverted-index build, BM25 retrieval via THREE differential engines
 (DataFrame / block-max WAND / generated-SQL CTE join — the reference's
 own 3-strategy harness), exact phrase search and NEAR/W proximity
 search (both: index-pruned candidates + codegen lemma-stream verify,
-no positional index), reference relevance,
+no positional index), a composed mini query language (quoted phrase
+constraints + conjunctive BM25 terms), co-occurrence related-terms
+with PMI, reference relevance,
 dedup (exact / n-gram
 Jaccard with shingle-df cap / MinHash-LSH / SimHash), embedding
 similarity (brute + SRP-LSH ANN), text analysis (token counts /
@@ -71,6 +73,7 @@ from search_engine_spark.operators.query import (
     parse_query,
     phrase_search,
     phrase_tf_sql,
+    search,
     reference_relevance,
     snippet_sql,
     snippets,
@@ -80,6 +83,7 @@ from search_engine_spark.operators.serving import (
     extract_title,
     lemma_frequency,
     merge_results,
+    related_terms,
     scope_docs,
 )
 from search_engine_spark.operators.similarity import (
@@ -101,6 +105,8 @@ Q_AND = "fast key merge"
 Q_REL = "slow window"
 Q_PHRASE = "table hash"           # adjacent-lemma phrase (~10% doc df)
 NEAR_WINDOW = 8                   # proximity window (lemmas) for near_search
+RELATED_SEED = "merge"            # seed lemma for related_terms (mid df)
+Q_COMPOSED = '"table hash" join'  # mini-language: phrase constraint + term
 
 JACCARD_N = 3
 JACCARD_THRESHOLD = 0.7
@@ -342,6 +348,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _index_for(spark, sf), _documents(spark, sf), Q_PHRASE, k=10
         )
 
+    def q_search_composed(spark, sf):
+        # mini query language: quoted phrase constraint + BM25 AND term
+        return search(
+            _index_for(spark, sf), _documents(spark, sf), Q_COMPOSED, k=10
+        ).select("doc_id", "score")
+
+    def q_related_terms(spark, sf):
+        # co-doc "related terms" + PMI for one seed lemma; linear in the
+        # seed's df, no term-pair matrix
+        ix = _index_for(spark, sf)
+        return related_terms(
+            ix.postings, ix.terms, ix.stats.n_docs, RELATED_SEED, top=10
+        )
+
     def q_near_search(spark, sf):
         # proximity NEAR/W: all query lemmas inside one 8-lemma window;
         # candidates index-pruned, windowed verify codegen-only
@@ -466,6 +486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_subtraction": q_field_subtraction,
         "phrase_search": q_phrase_search,
         "near_search": q_near_search,
+        "related_terms": q_related_terms,
+        "search_composed": q_search_composed,
         "bm25_paginated": q_paginated,
         "event_windows": q_event_windows,
         "top_users_per_event": q_top_users,
@@ -776,6 +798,79 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY phrase_tf DESC, doc_id ASC LIMIT 10
     """
 
+    # related-terms oracle: co-doc counts + PMI, identical operand
+    # grouping ln(n_pair * n_docs / (df_seed * df)) so doubles match
+    related_oracle = f"""
+        WITH {_POSTINGS},
+        seed AS (SELECT doc_id FROM postings WHERE lemma = '{RELATED_SEED}'),
+        seed_df AS (SELECT df FROM terms WHERE lemma = '{RELATED_SEED}'),
+        co AS (
+            SELECT p.lemma, count(*) AS n_pair
+            FROM postings p JOIN seed USING (doc_id)
+            WHERE p.lemma <> '{RELATED_SEED}'
+            GROUP BY p.lemma
+        )
+        SELECT co.lemma,
+               CAST(n_pair AS BIGINT) AS n_pair,
+               round(ln(CAST(n_pair AS DOUBLE) * CAST(s.n_docs AS DOUBLE)
+                        / (CAST(sd.df AS DOUBLE) * CAST(t.df AS DOUBLE))), 6) AS pmi
+        FROM co
+        JOIN terms t ON t.lemma = co.lemma
+        CROSS JOIN stats s
+        CROSS JOIN seed_df sd
+        ORDER BY n_pair DESC, co.lemma ASC LIMIT 10
+    """
+
+    # composed-search oracle: phrase-constrained docs (same stream +
+    # count as phrase_oracle) semi-joined into the standard AND-BM25
+    from search_engine_spark.operators.query import parse_search_query
+
+    c_phrases, c_free = parse_search_query(Q_COMPOSED)
+    c_lemmas = parse_query(" ".join(c_phrases + [c_free]))
+    c_in = "(" + ", ".join(f"'{l}'" for l in c_lemmas) + ")"
+    c_seq = lemmatize_text_py(c_phrases[0])
+    c_distinct = list(dict.fromkeys(c_seq))
+    c_ph_in = "(" + ", ".join(f"'{l}'" for l in c_distinct) + ")"
+    composed_oracle = f"""
+    WITH {_POSTINGS},
+    pcand AS (
+        SELECT doc_id FROM postings WHERE lemma IN {c_ph_in}
+        GROUP BY doc_id HAVING count(*) = {len(c_distinct)}
+    ),
+    pstreams AS (
+        SELECT d.doc_id,
+               ' ' || array_to_string(
+                   list_filter(list_transform({_TOKS}, t -> {_case_t}),
+                               l -> l NOT IN {_STOPS}), '  ') || ' ' AS _lt
+        FROM documents d JOIN pcand USING (doc_id)
+    ),
+    pdocs AS (
+        SELECT doc_id FROM pstreams WHERE {phrase_tf_sql(c_seq)} > 0
+    ),
+    cand AS (
+        SELECT doc_id FROM postings WHERE lemma IN {c_in}
+        GROUP BY doc_id HAVING count(*) = {len(c_lemmas)}
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               sum(
+                 ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+                 * (p.tf * {BM25_K1 + 1.0!r})
+                 / (p.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * d.dl / s.avgdl))
+               ) AS raw
+        FROM postings p
+        JOIN cand USING (doc_id)
+        JOIN pdocs USING (doc_id)
+        JOIN doclen d USING (doc_id)
+        JOIN terms t USING (lemma)
+        CROSS JOIN stats s
+        WHERE p.lemma IN {c_in}
+        GROUP BY p.doc_id
+    )
+    SELECT doc_id, round(raw, 6) AS score FROM scored
+    ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+
     # NEAR/W oracle: same windowed-cover count as the engine (DuckDB
     # list functions in place of Spark's sequence/filter/slice — the
     # semantics, window bounds and short-doc whole-doc window match
@@ -907,6 +1002,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "phrase_search": phrase_oracle,
         "near_search": near_oracle,
+        "related_terms": related_oracle,
+        "search_composed": composed_oracle,
         "simhash_pairs": _simhash_sql(max_hamming=3),
         "srp_ann_topk": _srp_ann_sql(n_planes=8, n_tables=4, dim=64, k=10),
         "ivf_ann_topk": _ivf_ann_sql(

@@ -68,8 +68,13 @@ def bm25_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
     match_all: bool = True,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) by BM25 over the DataFrame index.
+
+    ``doc_filter`` (a doc_id DataFrame) restricts scoring to those docs
+    via a semi-join before the aggregate — the hook :func:`search` uses
+    to compose phrase constraints with BM25 ranking.
 
     ``match_all=True`` (default) is the reference's AND semantics — a
     doc must contain every query lemma (SearchService.java:192-209).
@@ -96,6 +101,8 @@ def bm25_topk(
     # without a second shuffle. Only shuffles: the tiny broadcast of the
     # query-term dictionary rows and the final per-doc aggregate.
     hits = index.postings.filter(F.col("lemma").isin(lemmas))
+    if doc_filter is not None:
+        hits = hits.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
     scored = (
         hits.join(F.broadcast(index.terms.filter(F.col("lemma").isin(lemmas))
                               .select("lemma", "df")), "lemma")
@@ -256,6 +263,36 @@ def phrase_tf_sql(seq: list[str], lemma_stream_col: str = "_lt") -> str:
     )
 
 
+def phrase_match_docs(
+    index: InvertedIndex, docs: DataFrame, phrase: str
+) -> DataFrame:
+    """All docs matching the phrase: (doc_id, phrase_tf), unordered and
+    unlimited — the reusable core of :func:`phrase_search`, also used
+    by :func:`search` as a doc_filter. Empty phrase → empty result."""
+    from search_engine_spark.functions.text import lemmas_sql, lemmatize_text_py
+
+    seq = lemmatize_text_py(phrase)
+    spark = index.postings.sparkSession
+    if not seq:
+        return spark.createDataFrame([], "doc_id long, phrase_tf long")
+    distinct = list(dict.fromkeys(seq))
+    cand = (
+        index.postings.filter(F.col("lemma").isin(distinct))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_nt"))  # postings unique per (doc,lemma)
+        .filter(F.col("_nt") == len(distinct))
+        .select("doc_id")
+    )
+    stream = f"concat(' ', array_join({lemmas_sql('text')}, '  '), ' ')"
+    return (
+        docs.join(cand, "doc_id")
+        .withColumn("_lt", F.expr(stream))
+        .withColumn("phrase_tf", F.expr(phrase_tf_sql(seq)))
+        .filter(F.col("phrase_tf") > 0)
+        .select("doc_id", "phrase_tf")
+    )
+
+
 def phrase_search(
     index: InvertedIndex,
     docs: DataFrame,
@@ -281,30 +318,58 @@ def phrase_search(
     asc. phrase_tf counts non-overlapping occurrences (see
     :func:`phrase_tf_sql`).
     """
-    from search_engine_spark.functions.text import lemmas_sql, lemmatize_text_py
-
-    seq = lemmatize_text_py(phrase)
-    spark = index.postings.sparkSession
-    if not seq:
-        return spark.createDataFrame([], "doc_id long, phrase_tf long")
-    distinct = list(dict.fromkeys(seq))
-    cand = (
-        index.postings.filter(F.col("lemma").isin(distinct))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("_nt"))  # postings unique per (doc,lemma)
-        .filter(F.col("_nt") == len(distinct))
-        .select("doc_id")
-    )
-    stream = f"concat(' ', array_join({lemmas_sql('text')}, '  '), ' ')"
     return (
-        docs.join(cand, "doc_id")
-        .withColumn("_lt", F.expr(stream))
-        .withColumn("phrase_tf", F.expr(phrase_tf_sql(seq)))
-        .filter(F.col("phrase_tf") > 0)
+        phrase_match_docs(index, docs, phrase)
         .orderBy(F.col("phrase_tf").desc(), F.col("doc_id").asc())
-        .select("doc_id", "phrase_tf")
         .limit(k)
     )
+
+
+def parse_search_query(query: str) -> tuple[list[str], str]:
+    """Split a mini-language query into quoted phrases and free text:
+    ``'"table hash" join'`` → (["table hash"], "join"). Unbalanced
+    quotes: the trailing fragment is treated as free text."""
+    import re as _re
+
+    phrases = _re.findall(r'"([^"]*)"', query)
+    free = _re.sub(r'"[^"]*"', " ", query)
+    return [p for p in phrases if p.strip()], free
+
+
+def search(
+    index: InvertedIndex,
+    docs: DataFrame,
+    query: str,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Composed retrieval with a mini query language: tokens inside
+    double quotes are exact-phrase constraints (every phrase must
+    match), the rest are conjunctive BM25 terms; ranking is BM25 over
+    ALL lemmas (phrase lemmas score too — a doc using the phrase words
+    often ranks above one meeting the bare constraint).
+
+    Composition, not new machinery: each phrase contributes a
+    :func:`phrase_match_docs` doc set (index-pruned + codegen verify);
+    their intersection feeds :func:`bm25_topk` as ``doc_filter``
+    (semi-join before the scoring aggregate). A query with no quotes
+    is exactly ``bm25_topk``; a query that is only one quoted phrase
+    still ranks by BM25 over the phrase's lemmas.
+
+    Returns top-k (doc_id, score, score_raw), tie-break score desc,
+    doc_id asc.
+    """
+    phrases, free = parse_search_query(query)
+    all_terms = " ".join(phrases + [free])
+    doc_filter: DataFrame | None = None
+    for ph in phrases:
+        matched = phrase_match_docs(index, docs, ph).select("doc_id")
+        doc_filter = (
+            matched if doc_filter is None
+            else doc_filter.join(matched, "doc_id")
+        )
+    return bm25_topk(index, all_terms, k=k, k1=k1, b=b, doc_filter=doc_filter)
 
 
 def near_search(

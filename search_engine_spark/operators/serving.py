@@ -91,6 +91,61 @@ def lemma_frequency(terms: DataFrame, limit: int | None = None) -> DataFrame:
     return out.limit(limit) if limit else out
 
 
+def related_terms(
+    postings: DataFrame,
+    terms: DataFrame,
+    n_docs: int,
+    lemma: str,
+    top: int = 10,
+) -> DataFrame:
+    """Co-occurrence "related terms" for one lemma: lemmas that share
+    documents with it, ranked by co-document count with a PMI score.
+
+        pmi = ln(n_pair · n_docs / (df_seed · df_other))
+
+    Plan: the seed lemma's postings give the doc set (ONE lemma — a
+    partition/zone-prunable scan on a lemma-keyed posting store), one
+    join back to postings on doc_id, one aggregate. Linear in the seed
+    lemma's df — no term×term pair explosion: the quadratic
+    all-pairs co-occurrence matrix is never materialized.
+
+    Returns (lemma, n_pair, pmi) ordered n_pair desc, lemma asc,
+    top-`top`; the seed lemma itself is excluded.
+    """
+    seed_docs = postings.filter(F.col("lemma") == lemma).select("doc_id")
+    df_seed = (
+        terms.filter(F.col("lemma") == lemma).select("df").head()
+    )
+    if df_seed is None:
+        return postings.sparkSession.createDataFrame(
+            [], "lemma string, n_pair long, pmi double"
+        )
+    co = (
+        postings.join(seed_docs, "doc_id")
+        .filter(F.col("lemma") != lemma)
+        .groupBy("lemma")
+        .agg(F.count("*").alias("n_pair"))  # postings unique per (doc,lemma)
+    )
+    return (
+        # co ≤ vocab rows; AQE broadcasts the measured-smaller side
+        co.join(terms.select("lemma", "df"), "lemma")
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    F.col("n_pair").cast("double")
+                    * float(n_docs)
+                    / (float(df_seed[0]) * F.col("df").cast("double"))
+                ),
+                6,
+            ),
+        )
+        .select("lemma", F.col("n_pair").cast("long").alias("n_pair"), "pmi")
+        .orderBy(F.col("n_pair").desc(), F.col("lemma").asc())
+        .limit(top)
+    )
+
+
 def field_subtraction(
     docs: DataFrame,
     field_col: str,

@@ -287,3 +287,52 @@ def test_or_superset_of_and(tiny_index):
     or_rows = dict(_rows(bm25_topk(tiny_index, q, k=200, match_all=False)))
     for d, s in and_rows.items():
         assert d in or_rows and math.isclose(or_rows[d], s, abs_tol=1e-6)
+
+
+def test_parse_search_query():
+    from search_engine_spark.operators.query import parse_search_query
+
+    def norm(q):
+        ph, free = parse_search_query(q)
+        return ph, free.split()
+
+    assert norm('"table hash" join') == (["table hash"], ["join"])
+    assert norm("no quotes") == ([], ["no", "quotes"])
+    assert norm('"a b" "c d" e') == (["a b", "c d"], ["e"])
+    assert norm('""  x') == ([], ["x"])
+
+
+def test_search_without_quotes_equals_bm25(tiny_index):
+    from search_engine_spark.operators.query import search
+
+    q = "w00000s w00001"
+    a = _rows(bm25_topk(tiny_index, q, k=10))
+    b = _rows(search(tiny_index, tiny_index.docs, q, k=10))
+    assert a == b
+
+
+def test_search_composed_is_phrase_constrained_bm25(tiny_index):
+    from search_engine_spark.functions.text import lemmatize_text_py
+    from search_engine_spark.operators.query import phrase_match_docs, search
+
+    rows = tiny_index.docs.select("doc_id", "text").collect()
+    seqs = {int(r["doc_id"]): lemmatize_text_py(r["text"]) for r in rows}
+    from collections import Counter
+
+    df = Counter()
+    for seq in seqs.values():
+        df.update(set(zip(seq, seq[1:])))
+    (a, b), n_docs = df.most_common(1)[0]
+    assert n_docs >= 3
+    q = f'"{a} {b}"'
+    got = _rows(search(tiny_index, tiny_index.docs, q, k=50))
+    phrase_docs = {
+        int(r["doc_id"])
+        for r in phrase_match_docs(tiny_index, tiny_index.docs, f"{a} {b}").collect()
+    }
+    assert got, "composed search found nothing"
+    assert {d for d, _ in got} <= phrase_docs
+    # ranking equals AND-BM25 over the phrase lemmas restricted to them
+    full = _rows(bm25_topk(tiny_index, f"{a} {b}", k=10_000))
+    want = [(d, s) for d, s in full if d in phrase_docs][:50]
+    assert got == want

@@ -118,3 +118,53 @@ def test_field_subtraction_matches_manual(spark):
     }
     assert got == want
     assert any(v[2] < 0 for v in got.values())  # subtraction goes negative
+
+
+def test_related_terms_matches_bruteforce(tiny_index):
+    import math as _math
+
+    from search_engine_spark.operators.serving import related_terms
+
+    seed = "w00005"
+    got = [
+        (r["lemma"], r["n_pair"], r["pmi"])
+        for r in related_terms(
+            tiny_index.postings, tiny_index.terms, tiny_index.stats.n_docs,
+            seed, top=10,
+        ).collect()
+    ]
+    # brute force over collected postings
+    rows = tiny_index.postings.select("doc_id", "lemma").collect()
+    by_doc: dict[int, set[str]] = {}
+    df: dict[str, int] = {}
+    for r in rows:
+        by_doc.setdefault(int(r["doc_id"]), set()).add(r["lemma"])
+        df[r["lemma"]] = df.get(r["lemma"], 0) + 1
+    n_docs = tiny_index.stats.n_docs
+    from collections import Counter
+
+    co: Counter = Counter()
+    for lemmas in by_doc.values():
+        if seed in lemmas:
+            co.update(l for l in lemmas if l != seed)
+    want = sorted(
+        (
+            (l, n, round(_math.log(n * n_docs / (df[seed] * df[l])), 6))
+            for l, n in co.items()
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert _math.isclose(g[2], w[2], abs_tol=1e-6), (g, w)
+
+
+def test_related_terms_missing_seed_empty(tiny_index):
+    from search_engine_spark.operators.serving import related_terms
+
+    out = related_terms(
+        tiny_index.postings, tiny_index.terms, tiny_index.stats.n_docs,
+        "zzznotaword", top=5,
+    )
+    assert out.collect() == []
+    assert out.columns == ["lemma", "n_pair", "pmi"]
