@@ -47,17 +47,28 @@ def parse_query(query: str) -> list[str]:
     return list(seen)
 
 
+def docs_with_all_lemmas(postings: DataFrame, lemmas: list[str]) -> DataFrame:
+    """(doc_id, _nt) of docs containing ALL the given lemmas — the
+    shared AND-intersection (reference retainAll,
+    SearchService.java:192-209) used by candidate_docs,
+    phrase_match_docs and near_search. The `_nt` arity column is kept
+    in the output on purpose: verify expressions downstream reference
+    it so their predicates depend on BOTH join sides and Catalyst
+    cannot push the expensive verify below the candidate join onto the
+    full corpus scan."""
+    return (
+        postings.filter(F.col("lemma").isin(lemmas))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_nt"))  # postings unique per (doc,lemma)
+        .filter(F.col("_nt") == len(lemmas))
+    )
+
+
 def candidate_docs(postings: DataFrame, lemmas: list[str]) -> DataFrame:
     """Docs containing ALL query lemmas (reference AND-intersection,
     SearchService.java:192-209) — postings rows for those docs only."""
-    n = len(lemmas)
     hits = postings.filter(F.col("lemma").isin(lemmas))
-    full = (
-        hits.groupBy("doc_id")
-        .agg(F.count("*").alias("_nt"))  # postings unique per (doc,lemma)
-        .filter(F.col("_nt") == n)
-        .select("doc_id")
-    )
+    full = docs_with_all_lemmas(postings, lemmas).select("doc_id")
     return hits.join(full, "doc_id")
 
 
@@ -89,7 +100,7 @@ def bm25_topk(
     lemmas = parse_query(query)
     if not lemmas:
         return index.postings.sparkSession.createDataFrame(
-            [], "doc_id long, score double"
+            [], "doc_id long, score double, score_raw double"
         )
     stats = index.stats
     # Single-pass plan: filter postings to the query lemmas (IN-list,
@@ -255,10 +266,12 @@ def phrase_tf_sql(seq: list[str], lemma_stream_col: str = "_lt") -> str:
     "a a a" counts once, the standard choice); the double-space encoding
     makes back-to-back occurrences ("a b a b") count as 2 because each
     match consumes only one space of the two-space gap."""
-    needle = phrase_needle(seq).replace("'", "''")
+    needle = phrase_needle(seq)
+    esc = needle.replace("'", "''")  # escape AFTER taking len(): the
+    # divisor must be the runtime needle length, not the escaped length
     return (
         f"CAST((length({lemma_stream_col}) - "
-        f"length(replace({lemma_stream_col}, '{needle}', ''))) "
+        f"length(replace({lemma_stream_col}, '{esc}', ''))) "
         f"/ {len(needle)} AS BIGINT)"
     )
 
@@ -276,18 +289,21 @@ def phrase_match_docs(
     if not seq:
         return spark.createDataFrame([], "doc_id long, phrase_tf long")
     distinct = list(dict.fromkeys(seq))
-    cand = (
-        index.postings.filter(F.col("lemma").isin(distinct))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("_nt"))  # postings unique per (doc,lemma)
-        .filter(F.col("_nt") == len(distinct))
-        .select("doc_id")
-    )
+    cand = docs_with_all_lemmas(index.postings, distinct)
     stream = f"concat(' ', array_join({lemmas_sql('text')}, '  '), ' ')"
+    # the verify expression is guarded on the cand-side `_nt` column (a
+    # data-dependent value, never constant-folded) so the phrase_tf > 0
+    # predicate references BOTH join sides: Catalyst then cannot push
+    # the expensive tokenize+count below the join onto the full corpus
+    # scan — verify really runs on candidates only (plan-pinned by
+    # tests/test_plans.py)
+    verify = (
+        f"CASE WHEN _nt > 0 THEN "
+        f"{phrase_tf_sql(seq, lemma_stream_col=stream)} ELSE 0 END"
+    )
     return (
         docs.join(cand, "doc_id")
-        .withColumn("_lt", F.expr(stream))
-        .withColumn("phrase_tf", F.expr(phrase_tf_sql(seq)))
+        .withColumn("phrase_tf", F.expr(verify))
         .filter(F.col("phrase_tf") > 0)
         .select("doc_id", "phrase_tf")
     )
@@ -360,10 +376,17 @@ def search(
     Returns top-k (doc_id, score, score_raw), tie-break score desc,
     doc_id asc.
     """
+    from search_engine_spark.functions.text import lemmatize_text_py
+
     phrases, free = parse_search_query(query)
     all_terms = " ".join(phrases + [free])
     doc_filter: DataFrame | None = None
     for ph in phrases:
+        if not lemmatize_text_py(ph):
+            # phrase was all stopwords — vacuous after stop-filtering,
+            # constrains nothing (same rule that makes '"the table
+            # hash"' ≡ '"table hash"'), NOT an empty doc set
+            continue
         matched = phrase_match_docs(index, docs, ph).select("doc_id")
         doc_filter = (
             matched if doc_filter is None
@@ -400,23 +423,23 @@ def near_search(
     spark = index.postings.sparkSession
     if not lemmas:
         return spark.createDataFrame([], "doc_id long, n_windows long")
-    cand = (
-        index.postings.filter(F.col("lemma").isin(lemmas))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("_nt"))
-        .filter(F.col("_nt") == len(lemmas))
-        .select("doc_id")
-    )
+    cand = docs_with_all_lemmas(index.postings, lemmas)
     qarr = "array(" + ", ".join(f"'{l}'" for l in lemmas) + ")"
+    ls = lemmas_sql("text")
     # window starts 1..max(size-W+1, 1): a doc shorter than W gets one
-    # whole-doc window (greatest() also keeps sequence() ascending)
+    # whole-doc window (greatest() also keeps sequence() ascending).
+    # Guarded on the cand-side `_nt` so the n_windows > 0 predicate
+    # references both join sides and Catalyst cannot push the windowed
+    # verify below the join onto the full corpus (see phrase_match_docs).
     n_win = (
+        f"CASE WHEN _nt > 0 THEN "
         f"CAST(size(filter(sequence(1, greatest(size(_ls) - {window} + 1, 1)), "
-        f"i -> size(array_except({qarr}, slice(_ls, i, {window}))) = 0)) AS BIGINT)"
+        f"i -> size(array_except({qarr}, slice(_ls, i, {window}))) = 0)) AS BIGINT) "
+        f"ELSE 0 END"
     )
     return (
         docs.join(cand, "doc_id")
-        .withColumn("_ls", F.expr(lemmas_sql("text")))
+        .withColumn("_ls", F.expr(ls))
         .withColumn("n_windows", F.expr(n_win))
         .filter(F.col("n_windows") > 0)
         .orderBy(F.col("n_windows").desc(), F.col("doc_id").asc())

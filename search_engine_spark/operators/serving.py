@@ -113,13 +113,15 @@ def related_terms(
     top-`top`; the seed lemma itself is excluded.
     """
     seed_docs = postings.filter(F.col("lemma") == lemma).select("doc_id")
-    df_seed = (
-        terms.filter(F.col("lemma") == lemma).select("df").head()
-    )
-    if df_seed is None:
-        return postings.sparkSession.createDataFrame(
-            [], "lemma string, n_pair long, pmi double"
+    # the seed's df rides along as a broadcast 1-row cross join (same
+    # relational shape as the DuckDB twin's CROSS JOIN seed_df): the
+    # plan stays fully lazy, and a missing seed yields the empty result
+    # naturally through the empty cross join
+    seed_df = F.broadcast(
+        terms.filter(F.col("lemma") == lemma).select(
+            F.col("df").alias("_df_seed")
         )
+    )
     co = (
         postings.join(seed_docs, "doc_id")
         .filter(F.col("lemma") != lemma)
@@ -129,13 +131,14 @@ def related_terms(
     return (
         # co ≤ vocab rows; AQE broadcasts the measured-smaller side
         co.join(terms.select("lemma", "df"), "lemma")
+        .crossJoin(seed_df)
         .withColumn(
             "pmi",
             F.round(
                 F.log(
                     F.col("n_pair").cast("double")
                     * float(n_docs)
-                    / (float(df_seed[0]) * F.col("df").cast("double"))
+                    / (F.col("_df_seed").cast("double") * F.col("df").cast("double"))
                 ),
                 6,
             ),

@@ -111,3 +111,21 @@ def test_parquet_scan_prunes_columns(spark, tmp_path):
     plan = physical_plan(df)
     assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,1)]" in plan, plan
     assert "extra" not in plan.split("ReadSchema")[1].splitlines()[0], plan
+
+
+def test_phrase_and_near_verify_not_pushed_below_candidate_join(tiny_index):
+    """The expensive lemma-stream verify (tokenize + count) must run on
+    CANDIDATES only: Catalyst used to push the phrase_tf>0 / n_windows>0
+    filter below the candidate join onto the full corpus scan. The
+    `_nt`-guarded expression pins it above the Join (it references both
+    join sides, so pushdown to either side is impossible)."""
+    from search_engine_spark.operators.query import near_search, phrase_search
+
+    for df in (
+        phrase_search(tiny_index, tiny_index.docs, "w00000 w00001", k=10),
+        near_search(tiny_index, tiny_index.docs, "w00000 w00001", window=6, k=10),
+    ):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        i_verify = plan.find("replace(")   # tokenize/count expression
+        i_join = plan.find("Join ")
+        assert 0 <= i_verify < i_join, plan

@@ -336,3 +336,14 @@ def test_search_composed_is_phrase_constrained_bm25(tiny_index):
     full = _rows(bm25_topk(tiny_index, f"{a} {b}", k=10_000))
     want = [(d, s) for d, s in full if d in phrase_docs][:50]
     assert got == want
+
+
+def test_search_vacuous_phrase_constrains_nothing(tiny_index):
+    from search_engine_spark.operators.query import search
+
+    q = "w00000s w00001"
+    base = _rows(search(tiny_index, tiny_index.docs, q, k=10))
+    with_vacuous = _rows(
+        search(tiny_index, tiny_index.docs, f'"the it" {q}', k=10)
+    )
+    assert with_vacuous == base
