@@ -7,8 +7,9 @@ inverted-index build, BM25 retrieval via THREE differential engines
 own 3-strategy harness), exact phrase search and NEAR/W proximity
 search (both: index-pruned candidates + codegen lemma-stream verify,
 no positional index), a composed mini query language (quoted phrase
-constraints + conjunctive BM25 terms), co-occurrence related-terms
-with PMI, reference relevance,
+constraints + conjunctive BM25 terms), wildcard-prefix and fuzzy
+(Levenshtein) retrieval via df-capped dictionary expansion,
+co-occurrence related-terms with PMI, reference relevance,
 dedup (exact / n-gram
 Jaccard with shingle-df cap / MinHash-LSH / SimHash), embedding
 similarity (brute + SRP-LSH ANN), text analysis (token counts /
@@ -69,10 +70,12 @@ from search_engine_spark.operators.query import (
     bm25_topk,
     bm25_topk_sql,
     candidate_docs,
+    fuzzy_search,
     near_search,
     parse_query,
     phrase_search,
     phrase_tf_sql,
+    prefix_search,
     search,
     reference_relevance,
     snippet_sql,
@@ -107,6 +110,9 @@ Q_PHRASE = "table hash"           # adjacent-lemma phrase (~10% doc df)
 NEAR_WINDOW = 8                   # proximity window (lemmas) for near_search
 RELATED_SEED = "merge"            # seed lemma for related_terms (mid df)
 Q_COMPOSED = '"table hash" join'  # mini-language: phrase constraint + term
+Q_PREFIX = "s"                    # wildcard s* (6 dictionary expansions)
+Q_FUZZY = "quer"                  # typo one edit away from 'query'
+MAX_EXPANSIONS = 16
 
 JACCARD_N = 3
 JACCARD_THRESHOLD = 0.7
@@ -354,6 +360,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _index_for(spark, sf), _documents(spark, sf), Q_COMPOSED, k=10
         ).select("doc_id", "score")
 
+    def q_prefix_search(spark, sf):
+        # wildcard s*: df-capped dictionary expansion + disjunctive BM25
+        return prefix_search(
+            _index_for(spark, sf), Q_PREFIX, k=10, max_expansions=MAX_EXPANSIONS
+        ).select("doc_id", "score")
+
+    def q_fuzzy_search(spark, sf):
+        # typo-tolerant: Levenshtein<=1 expansion + disjunctive BM25
+        return fuzzy_search(
+            _index_for(spark, sf), Q_FUZZY, k=10, max_dist=1,
+            max_expansions=MAX_EXPANSIONS,
+        ).select("doc_id", "score")
+
     def q_related_terms(spark, sf):
         # co-doc "related terms" + PMI for one seed lemma; linear in the
         # seed's df, no term-pair matrix
@@ -488,6 +507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_search": q_near_search,
         "related_terms": q_related_terms,
         "search_composed": q_search_composed,
+        "prefix_search": q_prefix_search,
+        "fuzzy_search": q_fuzzy_search,
         "bm25_paginated": q_paginated,
         "event_windows": q_event_windows,
         "top_users_per_event": q_top_users,
@@ -798,6 +819,41 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY phrase_tf DESC, doc_id ASC LIMIT 10
     """
 
+    # prefix/fuzzy oracles: DuckDB recomputes the dictionary expansion
+    # itself (same cap and ordering as expand_prefix/expand_fuzzy), then
+    # the disjunctive BM25 sum over the expansion set
+    def _expansion_bm25(exp_body: str, k: int = 10) -> str:
+        return f"""
+        WITH {_POSTINGS},
+        exp AS ({exp_body}),
+        scored AS (
+            SELECT p.doc_id,
+                   sum(
+                     ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+                     * (p.tf * {BM25_K1 + 1.0!r})
+                     / (p.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * d.dl / s.avgdl))
+                   ) AS raw
+            FROM postings p
+            JOIN exp USING (lemma)
+            JOIN doclen d USING (doc_id)
+            JOIN terms t USING (lemma)
+            CROSS JOIN stats s
+            GROUP BY p.doc_id
+        )
+        SELECT doc_id, round(raw, 6) AS score FROM scored
+        ORDER BY score DESC, doc_id ASC LIMIT {k}
+        """
+
+    prefix_oracle = _expansion_bm25(
+        f"SELECT lemma FROM terms WHERE lemma LIKE '{Q_PREFIX}%' "
+        f"ORDER BY df DESC, lemma ASC LIMIT {MAX_EXPANSIONS}"
+    )
+    fuzzy_oracle = _expansion_bm25(
+        f"SELECT lemma FROM terms WHERE levenshtein(lemma, '{Q_FUZZY}') <= 1 "
+        f"ORDER BY levenshtein(lemma, '{Q_FUZZY}') ASC, df DESC, lemma ASC "
+        f"LIMIT {MAX_EXPANSIONS}"
+    )
+
     # related-terms oracle: co-doc counts + PMI, identical operand
     # grouping ln(n_pair * n_docs / (df_seed * df)) so doubles match
     related_oracle = f"""
@@ -1004,6 +1060,8 @@ def oracle_sql() -> dict[str, str]:
         "near_search": near_oracle,
         "related_terms": related_oracle,
         "search_composed": composed_oracle,
+        "prefix_search": prefix_oracle,
+        "fuzzy_search": fuzzy_oracle,
         "simhash_pairs": _simhash_sql(max_hamming=3),
         "srp_ann_topk": _srp_ann_sql(n_planes=8, n_tables=4, dim=64, k=10),
         "ivf_ann_topk": _ivf_ann_sql(

@@ -97,7 +97,25 @@ def bm25_topk(
     rounded to SCORE_DECIMALS for stable cross-engine comparison; the
     unrounded double is also returned as ``score_raw``.
     """
-    lemmas = parse_query(query)
+    return bm25_topk_lemmas(
+        index, parse_query(query), k=k, k1=k1, b=b,
+        match_all=match_all, doc_filter=doc_filter,
+    )
+
+
+def bm25_topk_lemmas(
+    index: InvertedIndex,
+    lemmas: list[str],
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    match_all: bool = True,
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`bm25_topk` over an explicit (already-lemmatized) lemma
+    list — the internal scorer shared with :func:`prefix_search` /
+    :func:`fuzzy_search`, whose dictionary-expanded lemmas must NOT be
+    re-lemmatized (the rule set is not guaranteed idempotent)."""
     if not lemmas:
         return index.postings.sparkSession.createDataFrame(
             [], "doc_id long, score double, score_raw double"
@@ -339,6 +357,82 @@ def phrase_search(
         .orderBy(F.col("phrase_tf").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+DEFAULT_EXPANSIONS = 16  # dictionary-expansion cap for prefix/fuzzy
+
+
+def expand_prefix(
+    terms: DataFrame, prefix: str, max_expansions: int = DEFAULT_EXPANSIONS
+) -> list[str]:
+    """Dictionary lemmas starting with `prefix`, most-frequent first
+    (df desc, lemma asc — the deterministic expansion order), capped at
+    `max_expansions` (Lucene's rewrite cap shape: a hot prefix like
+    'a*' must not expand to the whole vocabulary). One tiny collect on
+    the dictionary — same O(query) driver action as the existing
+    query-lemma lookups."""
+    rows = (
+        terms.filter(F.col("lemma").startswith(prefix))
+        .orderBy(F.col("df").desc(), F.col("lemma").asc())
+        .limit(max_expansions)
+        .select("lemma")
+        .collect()
+    )
+    return [r["lemma"] for r in rows]
+
+
+def expand_fuzzy(
+    terms: DataFrame, word: str, max_dist: int = 1,
+    max_expansions: int = DEFAULT_EXPANSIONS,
+) -> list[str]:
+    """Dictionary lemmas within `max_dist` Levenshtein edits of `word`
+    (closest first, then df desc, lemma asc), capped. The distance
+    filter is one JVM-codegen pass over the dictionary — O(vocab),
+    which is the standard fuzzy-expansion cost (the dictionary is tiny
+    next to postings; a production trie/automaton would prune it
+    further but not change the contract)."""
+    from search_engine_spark.functions.text import lemmatize_text_py
+
+    lem = lemmatize_text_py(word)
+    if not lem:
+        return []
+    rows = (
+        terms.withColumn("_dist", F.levenshtein(F.col("lemma"), F.lit(lem[0])))
+        .filter(F.col("_dist") <= max_dist)
+        .orderBy(F.col("_dist").asc(), F.col("df").desc(), F.col("lemma").asc())
+        .limit(max_expansions)
+        .select("lemma")
+        .collect()
+    )
+    return [r["lemma"] for r in rows]
+
+
+def prefix_search(
+    index: InvertedIndex,
+    prefix: str,
+    k: int = DEFAULT_TOP_K,
+    max_expansions: int = DEFAULT_EXPANSIONS,
+) -> DataFrame:
+    """Wildcard `prefix*` retrieval: expand the prefix against the
+    dictionary (df-capped, :func:`expand_prefix`), then disjunctive
+    BM25 over the expanded lemmas — a doc matching several expansions
+    sums their weights (Lucene multi-term rewrite semantics)."""
+    lemmas = expand_prefix(index.terms, prefix, max_expansions)
+    return bm25_topk_lemmas(index, lemmas, k=k, match_all=False)
+
+
+def fuzzy_search(
+    index: InvertedIndex,
+    word: str,
+    k: int = DEFAULT_TOP_K,
+    max_dist: int = 1,
+    max_expansions: int = DEFAULT_EXPANSIONS,
+) -> DataFrame:
+    """Fuzzy single-term retrieval: expand `word` to dictionary lemmas
+    within `max_dist` edits (:func:`expand_fuzzy`), then disjunctive
+    BM25 over the expansion set — typo-tolerant search."""
+    lemmas = expand_fuzzy(index.terms, word, max_dist, max_expansions)
+    return bm25_topk_lemmas(index, lemmas, k=k, match_all=False)
 
 
 def parse_search_query(query: str) -> tuple[list[str], str]:

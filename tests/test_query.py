@@ -347,3 +347,56 @@ def test_search_vacuous_phrase_constrains_nothing(tiny_index):
         search(tiny_index, tiny_index.docs, f'"the it" {q}', k=10)
     )
     assert with_vacuous == base
+
+
+# ---------------------------------------------------------------------------
+# prefix (wildcard) + fuzzy search via dictionary expansion
+# ---------------------------------------------------------------------------
+def test_prefix_search_matches_or_bm25_over_expansion(tiny_index, py_twin):
+    from search_engine_spark.operators.query import expand_prefix, prefix_search
+
+    lemmas = expand_prefix(tiny_index.terms, "w0000", max_expansions=8)
+    assert len(lemmas) == 8  # vocab has many w0000x lemmas -> cap binds
+    got = _rows(prefix_search(tiny_index, "w0000", k=10, max_expansions=8))
+    want = [
+        (d, round(s, 6))
+        for d, s in bm25_topk_py(py_twin, " ".join(lemmas), k=10, match_all=False)
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-6, abs_tol=1e-6), gd
+
+
+def test_expand_prefix_cap_orders_by_df(tiny_index):
+    from search_engine_spark.operators.query import expand_prefix
+
+    rows = {
+        r["lemma"]: r["df"]
+        for r in tiny_index.terms.filter("lemma LIKE 'w0000%'").collect()
+    }
+    got = expand_prefix(tiny_index.terms, "w0000", max_expansions=4)
+    want = sorted(rows, key=lambda l: (-rows[l], l))[:4]
+    assert got == want
+
+
+def test_fuzzy_search_finds_typo(tiny_index, py_twin):
+    from search_engine_spark.operators.query import expand_fuzzy, fuzzy_search
+
+    # 'w0000z' is one substitution from w00000..w00009 stems
+    lemmas = expand_fuzzy(tiny_index.terms, "w0000z", max_dist=1,
+                          max_expansions=8)
+    assert lemmas and all(len(l) == 6 for l in lemmas)
+    got = _rows(fuzzy_search(tiny_index, "w0000z", k=10, max_dist=1,
+                             max_expansions=8))
+    want = [
+        (d, round(s, 6))
+        for d, s in bm25_topk_py(py_twin, " ".join(lemmas), k=10, match_all=False)
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_prefix_and_fuzzy_absent_are_empty(tiny_index):
+    from search_engine_spark.operators.query import fuzzy_search, prefix_search
+
+    assert prefix_search(tiny_index, "zzzz", k=5).collect() == []
+    assert fuzzy_search(tiny_index, "zzzzzzzzzz", k=5, max_dist=1).collect() == []
