@@ -200,6 +200,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "score"
         )
 
+    def q_bm25_or_wand(spark, sf):
+        # disjunctive block-max WAND over segments — same OR oracle as
+        # q_bm25_or, differential across engines by construction
+        from search_engine_spark.operators.compression import build_segments
+
+        ix = _index_for(spark, sf)
+        segs = build_segments(ix, bucket_width=4096)
+        return wand_topk(
+            segs, ix.terms, Q_AND, k=10, stats=ix.stats, match_all=False
+        ).select("doc_id", "score")
+
     def q_bm25_sql(spark, sf):
         # engine #3 (generated-SQL CTE join, reference J2) on the same
         # query as q_bm25 — same oracle, 3-way differential harness
@@ -477,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25,
         "bm25_topk_rare": q_bm25_rare,
         "bm25_topk_or": q_bm25_or,
+        "bm25_topk_or_wand": q_bm25_or_wand,
         "bm25_topk_wand": q_bm25_wand,
         "bm25_topk_sql": q_bm25_sql,
         "and_search": q_and_search,
@@ -980,6 +992,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _bm25_sql(Q_MAIN),
         "bm25_topk_rare": _bm25_sql(Q_RARE),
         "bm25_topk_or": _bm25_sql(Q_AND, match_all=False),
+        "bm25_topk_or_wand": _bm25_sql(Q_AND, match_all=False),
         "bm25_topk_wand": _bm25_sql(Q_MAIN),
         "bm25_topk_sql": _bm25_sql(Q_MAIN),
         "and_search": f"""

@@ -39,7 +39,10 @@ Plan shape:
   against the DataFrame engine and pinned by a skip-count pytest).
 
 AND semantics (docs must contain every query lemma) matches the
-reference's retainAll intersection (SearchService.java:192-209).
+reference's retainAll intersection (SearchService.java:192-209);
+``match_all=False`` switches to disjunctive block-max WAND
+(score_bucket_or_pd) — the classic WAND setting — rank-identical to
+the DataFrame engine's OR mode.
 """
 
 from __future__ import annotations
@@ -252,17 +255,133 @@ def score_bucket_pd(
     })
 
 
+def _partial_theta(acc: dict[int, tuple[np.ndarray, np.ndarray]], k: int) -> float:
+    """kth-best of the per-doc PARTIAL sums accumulated so far — a valid
+    (conservative) pruning threshold for OR: final scores only grow as
+    more terms decode, so the true kth-best ≥ this. Summation runs in
+    ascending term_key order (the engine-wide pinned float order)."""
+    if not acc:
+        return float("-inf")
+    all_docs = np.concatenate([d for d, _ in acc.values()])
+    if all_docs.size < k:
+        return float("-inf")
+    uniq = np.unique(all_docs)
+    total = np.zeros(uniq.size, dtype=np.float64)
+    for t in sorted(acc):
+        d, s = acc[t]
+        total[np.searchsorted(uniq, d)] += s
+    if uniq.size < k:
+        return float("-inf")
+    return float(np.partition(total, total.size - k)[total.size - k])
+
+
+def score_bucket_or_pd(
+    pdf: pd.DataFrame,
+    term_order: list[int],
+    idf_by_key: dict[int, float],
+    avgdl: float,
+    k: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    counters: dict | None = None,
+) -> pd.DataFrame:
+    """Disjunctive (OR) bucket scorer: every doc in ANY query term's
+    blocks is a candidate; its score sums the decoded contributions of
+    all terms that contain it.
+
+    Block-max pruning stays score-safe under OR with a subtle twist:
+    skipping block B (range bound < θ) is valid because bound ≥ the
+    FULL score of every doc in B's range — so such a doc can never
+    reach the top-k even though other terms' kept blocks may still
+    contribute it a partial sum (that partial ≤ full < θ loses to the
+    ≥k docs that defined θ). θ is armed from the kth-best PARTIAL sum
+    after each term (valid since final sums only grow); terms decode in
+    descending best-block-ub order so θ arms against the heavy hitters
+    first. Missing terms in a bucket simply contribute nothing (no AND
+    arity gate).
+    """
+    if counters is not None:
+        for key in ("blocks_decoded", "blocks_skipped_range", "blocks_skipped_bound"):
+            counters.setdefault(key, 0)
+    present = [t for t in term_order if (pdf["term_key"] == t).any()]
+    if not present:
+        return _EMPTY
+    terms = {
+        int(t): _TermBlocks(g, idf_by_key[int(t)], avgdl, k1, b)
+        for t, g in pdf.groupby("term_key", sort=False)
+        if int(t) in set(present)
+    }
+    tkeys = list(terms)
+    acc: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    theta = float("-inf")
+    rearm_at = max(4 * k, 1024)
+    for t in sorted(tkeys, key=lambda u: -float(terms[u].ub.max())):
+        tb = terms[t]
+        d_parts: list[np.ndarray] = []
+        s_parts: list[np.ndarray] = []
+        n_seen = 0
+        since_rearm = 0
+        # highest-upper-bound blocks first: θ arms against the heavy
+        # hitters before the long weak tail is examined (doc order is
+        # irrelevant here — OR accumulation is order-free, and the
+        # final union-sum runs in pinned ascending-term order)
+        for bi in np.argsort(-tb.ub, kind="stable"):
+            lo, hi = int(tb.first[bi]), int(tb.last[bi])
+            # upper bound on the FULL score of any doc in [lo, hi]
+            bound = sum(
+                terms[u].max_bound(terms[u].overlapping(lo, hi))
+                for u in tkeys
+                if terms[u].overlapping(lo, hi).size
+            )
+            # strict <: equal-score ties can still win on doc_id
+            if bound < theta:
+                if counters is not None:
+                    counters["blocks_skipped_bound"] += 1
+                continue
+            d, s = tb.decode(np.asarray([bi], dtype=np.int64), counters)
+            d_parts.append(d)
+            s_parts.append(s)
+            n_seen += d.size
+            since_rearm += d.size
+            if (theta == float("-inf") and n_seen >= k) or since_rearm >= rearm_at:
+                tmp = dict(acc)
+                tmp[t] = (np.concatenate(d_parts), np.concatenate(s_parts))
+                theta = max(theta, _partial_theta(tmp, k))
+                since_rearm = 0
+        if d_parts:
+            acc[t] = (np.concatenate(d_parts), np.concatenate(s_parts))
+        theta = max(theta, _partial_theta(acc, k))
+    if not acc:
+        return _EMPTY
+    all_docs = np.concatenate([d for d, _ in acc.values()])
+    uniq = np.unique(all_docs)
+    total = np.zeros(uniq.size, dtype=np.float64)
+    for t in sorted(acc):  # pinned ascending-key float order
+        d, s = acc[t]
+        total[np.searchsorted(uniq, d)] += s
+    if uniq.size > k:
+        order = np.lexsort((uniq, -total))[:k]
+        uniq, total = uniq[order], total[order]
+    return pd.DataFrame({
+        "doc_id": uniq.astype(np.int64),
+        "score_raw": total.astype(np.float64),
+    })
+
+
 def _per_bucket_scores(
     segments: DataFrame,
     terms: DataFrame,
     query: str,
     k: int,
     stats: CorpusStats,
+    match_all: bool = True,
 ) -> DataFrame | None:
     """Shared front half of both WAND variants: resolve query terms on
     the driver, filter the segment scan, run the bucket scorers.
-    Returns None for an invalid/missing-term query (reference
-    early-exit, ApiService.java:83-85)."""
+    Returns None for an invalid query, or (match_all only) when a query
+    term is missing from the dictionary (reference early-exit,
+    ApiService.java:83-85); OR mode keeps going with the present
+    terms."""
     lemmas = parse_query(query)
     if not lemmas:
         return None
@@ -277,15 +396,16 @@ def _per_bucket_scores(
         )
         .collect()
     )
-    if len(qrows) < len(lemmas):
+    if not qrows or (match_all and len(qrows) < len(lemmas)):
         return None
     by_df = sorted(qrows, key=lambda r: (r["df"], r["term_key"]))
     term_order = [int(r["term_key"]) for r in by_df]
     idf_by_key = {int(r["term_key"]): float(r["idf"]) for r in qrows}
     avgdl = stats.avgdl
+    scorer = score_bucket_pd if match_all else score_bucket_or_pd
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        return score_bucket_pd(pdf, term_order, idf_by_key, avgdl, k)
+        return scorer(pdf, term_order, idf_by_key, avgdl, k)
 
     seg = segments.filter(F.col("term_key").isin(term_order))
     return seg.groupBy("bucket").applyInPandas(score_bucket, RESULT_SCHEMA)
@@ -297,18 +417,23 @@ def wand_topk(
     query: str,
     k: int = DEFAULT_TOP_K,
     stats: CorpusStats | None = None,
+    match_all: bool = True,
 ) -> DataFrame:
     """Top-k (doc_id, score) by BM25 over compressed segments.
 
     ``stats`` (n_docs, avgdl) is required: blocks store raw tf/dl and
     the BM25 weights are computed here (segments are stats-independent,
-    compression.py v2). The global merge is TakeOrderedAndProject (the
-    DataFrame-native per-partition-heap merge); :func:`wand_topk_tree`
-    is the explicit treeAggregate formulation for very large k."""
+    compression.py v2). ``match_all=False`` is disjunctive block-max
+    WAND (:func:`score_bucket_or_pd`), rank-identical to
+    ``bm25_topk(match_all=False)``. The global merge is
+    TakeOrderedAndProject (the DataFrame-native per-partition-heap
+    merge); :func:`wand_topk_tree` is the explicit treeAggregate
+    formulation for very large k."""
     if stats is None:
         raise ValueError("wand_topk requires CorpusStats (index.stats)")
     spark = segments.sparkSession
-    per_bucket = _per_bucket_scores(segments, terms, query, k, stats)
+    per_bucket = _per_bucket_scores(segments, terms, query, k, stats,
+                                    match_all=match_all)
     if per_bucket is None:
         return spark.createDataFrame(
             [], "doc_id long, score double, score_raw double"

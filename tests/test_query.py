@@ -400,3 +400,13 @@ def test_prefix_and_fuzzy_absent_are_empty(tiny_index):
 
     assert prefix_search(tiny_index, "zzzz", k=5).collect() == []
     assert fuzzy_search(tiny_index, "zzzzzzzzzz", k=5, max_dist=1).collect() == []
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_wand_or_matches_dataframe_or(tiny_index, segments, query):
+    a = _rows(bm25_topk(tiny_index, query, k=10, match_all=False))
+    b = _rows(wand_topk(segments, tiny_index.terms, query, k=10,
+                        stats=tiny_index.stats, match_all=False))
+    assert [d for d, _ in a] == [d for d, _ in b], query
+    for (ad, asc), (_, bs) in zip(a, b):
+        assert math.isclose(asc, bs, rel_tol=1e-6, abs_tol=1e-6), (query, ad)

@@ -121,3 +121,77 @@ def test_equal_score_ties_prefer_smaller_doc_id():
     )
     out = score_bucket_pd(pdf, [A, B], IDF, AVGDL, 5)
     assert sorted(out["doc_id"].tolist()) == [0, 2, 4, 6, 8]
+
+
+def _truth_or(docs_by_term):
+    """Union-sum ground truth: {doc: score} over any-term membership."""
+    out: dict[int, float] = {}
+    for t, (docs, tfs, dls) in docs_by_term.items():
+        scores = bm25_scores_np(tfs, dls, IDF[t], AVGDL)
+        for d, s in zip(docs.tolist(), scores.tolist()):
+            out[int(d)] = out.get(int(d), 0.0) + float(s)
+    return out
+
+
+def test_or_scorer_matches_union_sum_and_skips_blocks():
+    """Disjunctive scorer: exact union-sum top-k AND bound-based block
+    skips on a skewed fixture (one high-tf region arms θ, far-away
+    low-tf blocks of the other term cannot reach it)."""
+    from search_engine_spark.operators.wand import score_bucket_or_pd
+
+    rng = np.random.default_rng(7)
+    # term A: docs 0..4095, tf=1 (weak); plus a hot tail 100000..100127
+    a_docs = np.concatenate([
+        np.arange(0, 4096, dtype=np.int64),
+        np.arange(100000, 100128, dtype=np.int64),
+    ])
+    a_tfs = np.concatenate([
+        np.ones(4096, dtype=np.int64),
+        np.full(128, 50, dtype=np.int64),
+    ])
+    a_dls = np.full(a_docs.size, 100, dtype=np.int64)
+    # term B: only the hot tail, high tf
+    b_docs = np.arange(100000, 100128, dtype=np.int64)
+    b_tfs = np.full(128, 40, dtype=np.int64)
+    b_dls = np.full(128, 100, dtype=np.int64)
+
+    pdf = pd.DataFrame(
+        _blocks(A, a_docs, a_tfs, a_dls) + _blocks(B, b_docs, b_tfs, b_dls)
+    )
+    counters: dict[str, int] = {}
+    out = score_bucket_or_pd(pdf, [A, B], IDF, AVGDL, 10, BM25_K1, BM25_B,
+                             counters=counters)
+    got = sorted(
+        zip(out["doc_id"].tolist(), out["score_raw"].tolist()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    truth = _truth_or({
+        A: (a_docs, a_tfs, a_dls),
+        B: (b_docs, b_tfs, b_dls),
+    })
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9, gd
+    # the weak low-tf region of A must be bound-skipped, not decoded
+    assert counters["blocks_skipped_bound"] > 0, counters
+    assert counters["blocks_decoded"] < len(pdf), counters
+
+
+def test_or_scorer_single_term_bucket():
+    """A bucket missing one query term still scores the present term
+    (no AND arity gate)."""
+    from search_engine_spark.operators.wand import score_bucket_or_pd
+
+    docs = np.arange(0, 64, dtype=np.int64)
+    tfs = np.ones(64, dtype=np.int64)
+    dls = np.full(64, 100, dtype=np.int64)
+    pdf = pd.DataFrame(_blocks(A, docs, tfs, dls))
+    out = score_bucket_or_pd(pdf, [A, B], IDF, AVGDL, 5, BM25_K1, BM25_B)
+    assert len(out) == 5
+    truth = _truth_or({A: (docs, tfs, dls)})
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert sorted(
+        zip(out["doc_id"].tolist(), out["score_raw"].tolist()),
+        key=lambda kv: (-kv[1], kv[0]),
+    ) == [(d, s) for d, s in want]
