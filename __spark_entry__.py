@@ -110,6 +110,7 @@ Q_PHRASE = "table hash"           # adjacent-lemma phrase (~10% doc df)
 NEAR_WINDOW = 8                   # proximity window (lemmas) for near_search
 RELATED_SEED = "merge"            # seed lemma for related_terms (mid df)
 Q_COMPOSED = '"table hash" join'  # mini-language: phrase constraint + term
+Q_COMPOSED_NOT = '"table hash" join -slow'  # + boolean NOT exclusion
 Q_PREFIX = "s"                    # wildcard s* (6 dictionary expansions)
 Q_FUZZY = "quer"                  # typo one edit away from 'query'
 MAX_EXPANSIONS = 16
@@ -371,6 +372,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _index_for(spark, sf), _documents(spark, sf), Q_COMPOSED, k=10
         ).select("doc_id", "score")
 
+    def q_search_composed_not(spark, sf):
+        # mini language with boolean NOT: -slow anti-joins its postings
+        return search(
+            _index_for(spark, sf), _documents(spark, sf), Q_COMPOSED_NOT, k=10
+        ).select("doc_id", "score")
+
     def q_prefix_search(spark, sf):
         # wildcard s*: df-capped dictionary expansion + disjunctive BM25
         return prefix_search(
@@ -519,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_search": q_near_search,
         "related_terms": q_related_terms,
         "search_composed": q_search_composed,
+        "search_composed_not": q_search_composed_not,
         "prefix_search": q_prefix_search,
         "fuzzy_search": q_fuzzy_search,
         "bm25_paginated": q_paginated,
@@ -890,54 +898,68 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # composed-search oracle: phrase-constrained docs (same stream +
-    # count as phrase_oracle) semi-joined into the standard AND-BM25
+    # count as phrase_oracle) semi-joined into the standard AND-BM25;
+    # NOT-terms anti-joined via NOT EXISTS over their postings
     from search_engine_spark.operators.query import parse_search_query
 
-    c_phrases, c_free = parse_search_query(Q_COMPOSED)
-    c_lemmas = parse_query(" ".join(c_phrases + [c_free]))
-    c_in = "(" + ", ".join(f"'{l}'" for l in c_lemmas) + ")"
-    c_seq = lemmatize_text_py(c_phrases[0])
-    c_distinct = list(dict.fromkeys(c_seq))
-    c_ph_in = "(" + ", ".join(f"'{l}'" for l in c_distinct) + ")"
-    composed_oracle = f"""
-    WITH {_POSTINGS},
-    pcand AS (
-        SELECT doc_id FROM postings WHERE lemma IN {c_ph_in}
-        GROUP BY doc_id HAVING count(*) = {len(c_distinct)}
-    ),
-    pstreams AS (
-        SELECT d.doc_id,
-               ' ' || array_to_string(
-                   list_filter(list_transform({_TOKS}, t -> {_case_t}),
-                               l -> l NOT IN {_STOPS}), '  ') || ' ' AS _lt
-        FROM documents d JOIN pcand USING (doc_id)
-    ),
-    pdocs AS (
-        SELECT doc_id FROM pstreams WHERE {phrase_tf_sql(c_seq)} > 0
-    ),
-    cand AS (
-        SELECT doc_id FROM postings WHERE lemma IN {c_in}
-        GROUP BY doc_id HAVING count(*) = {len(c_lemmas)}
-    ),
-    scored AS (
-        SELECT p.doc_id,
-               sum(
-                 ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
-                 * (p.tf * {BM25_K1 + 1.0!r})
-                 / (p.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * d.dl / s.avgdl))
-               ) AS raw
-        FROM postings p
-        JOIN cand USING (doc_id)
-        JOIN pdocs USING (doc_id)
-        JOIN doclen d USING (doc_id)
-        JOIN terms t USING (lemma)
-        CROSS JOIN stats s
-        WHERE p.lemma IN {c_in}
-        GROUP BY p.doc_id
-    )
-    SELECT doc_id, round(raw, 6) AS score FROM scored
-    ORDER BY score DESC, doc_id ASC LIMIT 10
-    """
+    def _composed_oracle(q: str) -> str:
+        c_phrases, c_free, c_neg = parse_search_query(q)
+        c_lemmas = parse_query(" ".join(c_phrases + [c_free]))
+        c_in = "(" + ", ".join(f"'{l}'" for l in c_lemmas) + ")"
+        c_seq = lemmatize_text_py(c_phrases[0])
+        c_distinct = list(dict.fromkeys(c_seq))
+        c_ph_in = "(" + ", ".join(f"'{l}'" for l in c_distinct) + ")"
+        neg_lemmas = parse_query(c_neg)
+        if neg_lemmas:
+            neg_in = "(" + ", ".join(f"'{l}'" for l in neg_lemmas) + ")"
+            neg_clause = (
+                f"AND p.doc_id NOT IN "
+                f"(SELECT doc_id FROM postings WHERE lemma IN {neg_in})"
+            )
+        else:
+            neg_clause = ""
+        return f"""
+        WITH {_POSTINGS},
+        pcand AS (
+            SELECT doc_id FROM postings WHERE lemma IN {c_ph_in}
+            GROUP BY doc_id HAVING count(*) = {len(c_distinct)}
+        ),
+        pstreams AS (
+            SELECT d.doc_id,
+                   ' ' || array_to_string(
+                       list_filter(list_transform({_TOKS}, t -> {_case_t}),
+                                   l -> l NOT IN {_STOPS}), '  ') || ' ' AS _lt
+            FROM documents d JOIN pcand USING (doc_id)
+        ),
+        pdocs AS (
+            SELECT doc_id FROM pstreams WHERE {phrase_tf_sql(c_seq)} > 0
+        ),
+        cand AS (
+            SELECT doc_id FROM postings WHERE lemma IN {c_in}
+            GROUP BY doc_id HAVING count(*) = {len(c_lemmas)}
+        ),
+        scored AS (
+            SELECT p.doc_id,
+                   sum(
+                     ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+                     * (p.tf * {BM25_K1 + 1.0!r})
+                     / (p.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * d.dl / s.avgdl))
+                   ) AS raw
+            FROM postings p
+            JOIN cand USING (doc_id)
+            JOIN pdocs USING (doc_id)
+            JOIN doclen d USING (doc_id)
+            JOIN terms t USING (lemma)
+            CROSS JOIN stats s
+            WHERE p.lemma IN {c_in} {neg_clause}
+            GROUP BY p.doc_id
+        )
+        SELECT doc_id, round(raw, 6) AS score FROM scored
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+        """
+
+    composed_oracle = _composed_oracle(Q_COMPOSED)
+    composed_not_oracle = _composed_oracle(Q_COMPOSED_NOT)
 
     # NEAR/W oracle: same windowed-cover count as the engine (DuckDB
     # list functions in place of Spark's sequence/filter/slice — the
@@ -1073,6 +1095,7 @@ def oracle_sql() -> dict[str, str]:
         "near_search": near_oracle,
         "related_terms": related_oracle,
         "search_composed": composed_oracle,
+        "search_composed_not": composed_not_oracle,
         "prefix_search": prefix_oracle,
         "fuzzy_search": fuzzy_oracle,
         "simhash_pairs": _simhash_sql(max_hamming=3),

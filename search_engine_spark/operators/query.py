@@ -435,15 +435,19 @@ def fuzzy_search(
     return bm25_topk_lemmas(index, lemmas, k=k, match_all=False)
 
 
-def parse_search_query(query: str) -> tuple[list[str], str]:
-    """Split a mini-language query into quoted phrases and free text:
-    ``'"table hash" join'`` → (["table hash"], "join"). Unbalanced
-    quotes: the trailing fragment is treated as free text."""
+def parse_search_query(query: str) -> tuple[list[str], str, str]:
+    """Split a mini-language query into quoted phrases, free text, and
+    NOT-terms: ``'"table hash" join -slow'`` → (["table hash"],
+    " join ", "slow"). A ``-`` prefix (outside quotes, attached to a
+    word) negates the term; unbalanced quotes leave the trailing
+    fragment as free text."""
     import re as _re
 
     phrases = _re.findall(r'"([^"]*)"', query)
-    free = _re.sub(r'"[^"]*"', " ", query)
-    return [p for p in phrases if p.strip()], free
+    rest = _re.sub(r'"[^"]*"', " ", query)
+    neg = " ".join(_re.findall(r"(?:^|\s)-(\w\S*)", rest))
+    free = _re.sub(r"(?:^|\s)-\w\S*", " ", rest)
+    return [p for p in phrases if p.strip()], free, neg
 
 
 def search(
@@ -456,23 +460,24 @@ def search(
 ) -> DataFrame:
     """Composed retrieval with a mini query language: tokens inside
     double quotes are exact-phrase constraints (every phrase must
-    match), the rest are conjunctive BM25 terms; ranking is BM25 over
-    ALL lemmas (phrase lemmas score too — a doc using the phrase words
-    often ranks above one meeting the bare constraint).
+    match), ``-term`` excludes docs containing the term (boolean NOT),
+    the rest are conjunctive BM25 terms; ranking is BM25 over ALL
+    positive lemmas (phrase lemmas score too — a doc using the phrase
+    words often ranks above one meeting the bare constraint).
 
     Composition, not new machinery: each phrase contributes a
-    :func:`phrase_match_docs` doc set (index-pruned + codegen verify);
-    their intersection feeds :func:`bm25_topk` as ``doc_filter``
-    (semi-join before the scoring aggregate). A query with no quotes
-    is exactly ``bm25_topk``; a query that is only one quoted phrase
-    still ranks by BM25 over the phrase's lemmas.
+    :func:`phrase_match_docs` doc set (index-pruned + codegen verify),
+    NOT-terms contribute a left-anti join against their postings'
+    doc_ids, and the combined constraint feeds :func:`bm25_topk` as
+    ``doc_filter`` (semi-join before the scoring aggregate). A query
+    with no quotes and no NOTs is exactly ``bm25_topk``.
 
     Returns top-k (doc_id, score, score_raw), tie-break score desc,
     doc_id asc.
     """
     from search_engine_spark.functions.text import lemmatize_text_py
 
-    phrases, free = parse_search_query(query)
+    phrases, free, neg = parse_search_query(query)
     all_terms = " ".join(phrases + [free])
     doc_filter: DataFrame | None = None
     for ph in phrases:
@@ -486,6 +491,17 @@ def search(
             matched if doc_filter is None
             else doc_filter.join(matched, "doc_id")
         )
+    neg_lemmas = parse_query(neg)
+    if neg_lemmas:
+        banned = (
+            index.postings.filter(F.col("lemma").isin(neg_lemmas))
+            .select("doc_id")
+            .distinct()
+        )
+        base = doc_filter if doc_filter is not None else (
+            docs.select("doc_id")
+        )
+        doc_filter = base.join(banned, "doc_id", "left_anti")
     return bm25_topk(index, all_terms, k=k, k1=k1, b=b, doc_filter=doc_filter)
 
 

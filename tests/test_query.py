@@ -293,13 +293,15 @@ def test_parse_search_query():
     from search_engine_spark.operators.query import parse_search_query
 
     def norm(q):
-        ph, free = parse_search_query(q)
-        return ph, free.split()
+        ph, free, neg = parse_search_query(q)
+        return ph, free.split(), neg.split()
 
-    assert norm('"table hash" join') == (["table hash"], ["join"])
-    assert norm("no quotes") == ([], ["no", "quotes"])
-    assert norm('"a b" "c d" e') == (["a b", "c d"], ["e"])
-    assert norm('""  x') == ([], ["x"])
+    assert norm('"table hash" join') == (["table hash"], ["join"], [])
+    assert norm("no quotes") == ([], ["no", "quotes"], [])
+    assert norm('"a b" "c d" e') == (["a b", "c d"], ["e"], [])
+    assert norm('""  x') == ([], ["x"], [])
+    assert norm('"a b" c -d -e2') == (["a b"], ["c"], ["d", "e2"])
+    assert norm("alpha-beta") == ([], ["alpha-beta"], [])  # infix dash kept
 
 
 def test_search_without_quotes_equals_bm25(tiny_index):
@@ -410,3 +412,19 @@ def test_wand_or_matches_dataframe_or(tiny_index, segments, query):
     assert [d for d, _ in a] == [d for d, _ in b], query
     for (ad, asc), (_, bs) in zip(a, b):
         assert math.isclose(asc, bs, rel_tol=1e-6, abs_tol=1e-6), (query, ad)
+
+
+def test_search_not_excludes_docs(tiny_index):
+    from search_engine_spark.operators.query import search
+
+    q = "w00159 w00268"
+    base = _rows(search(tiny_index, tiny_index.docs, q, k=200))
+    banned = {
+        int(r["doc_id"])
+        for r in tiny_index.postings.filter("lemma = 'w00000'")
+        .select("doc_id").distinct().collect()
+    }
+    got = _rows(search(tiny_index, tiny_index.docs, f"{q} -w00000", k=200))
+    want = [(d, s) for d, s in base if d not in banned][:200]
+    assert got == want
+    assert not ({d for d, _ in got} & banned)
