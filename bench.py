@@ -135,8 +135,10 @@ def main() -> None:
         "srp_ann_topk", "ivf_ann_topk", "embedding_neardup_pairs",
         "srp_neardup_pairs",
         "token_counts", "quality_scores", "fingerprints",
-        "phrase_search", "near_search", "snippets", "multimodal_features",
-        "dead_letters",
+        "phrase_search", "near_search", "search_composed",
+        "search_composed_not", "prefix_search", "fuzzy_search",
+        "related_terms", "bm25_topk_or", "bm25_topk_or_wand",
+        "snippets", "multimodal_features", "dead_letters",
         "field_subtraction", "event_windows", "top_users_per_event",
     ]
     qs = entrymod.queries()
