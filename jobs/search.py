@@ -1,0 +1,114 @@
+"""spark-submit entry point: run queries against a written index — the
+CLI analog of the reference's search API (`GET /api/search?query=…&
+site=…&offset=…&limit=…`, reference ApiService.java:36-113), so a user
+can query an index produced by jobs/build_index.py without writing
+code.
+
+Usage:
+    spark-submit [--master ...] --py-files engine.zip jobs/search.py \
+        --index <index_dir> --query '...' [--engine df|wand|sql|mini] \
+        [--or] [--k 10] [--offset 0] [--window W] [--snippets]
+
+Engines (the reference's three interchangeable strategies plus the
+mini query language):
+    df    pure-DataFrame BM25 (operators/query.bm25_topk)
+    wand  block-max WAND over compressed segments (operators/wand)
+    sql   generated-SQL CTE join (operators/query.bm25_topk_sql)
+    mini  composed language: "quoted phrases", -not terms, free terms
+
+Prints one JSON line per hit: {"doc_id", "score", ...} (with conv_id /
+turn_idx / snippet when --snippets). Exit code 2 on an invalid query
+(reference 'empty request' error path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--index", required=True, help="index dir (write_index output)")
+    p.add_argument("--query", required=True)
+    p.add_argument("--engine", choices=["df", "wand", "sql", "mini"], default="df")
+    p.add_argument("--or", dest="match_any", action="store_true",
+                   help="disjunctive (OR) semantics (df/wand engines)")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--offset", type=int, default=0)
+    p.add_argument("--snippets", action="store_true",
+                   help="join hits back to text and add <b>-wrapped snippets")
+    p.add_argument("--local-cpus", type=int, default=None)
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from search_engine_spark.operators.query import (
+        bm25_topk,
+        bm25_topk_sql,
+        paginate,
+        search,
+        snippets,
+    )
+    from search_engine_spark.operators.wand import wand_topk
+    from search_engine_spark.sources.index_store import DiskIndex
+
+    if args.local_cpus:
+        from search_engine_spark.session import build_session
+
+        spark = build_session("search", cpus=args.local_cpus)
+    else:
+        spark = SparkSession.builder.appName("search").getOrCreate()
+
+    disk = DiskIndex(spark, args.index)
+    ix = disk.as_inverted_index()
+    k = args.offset + args.k  # fetch offset+limit, slice below (O2)
+
+    if args.engine == "df":
+        res = bm25_topk(ix, args.query, k=k, match_all=not args.match_any)
+    elif args.engine == "wand":
+        res = wand_topk(disk.segments, disk.terms, args.query, k=k,
+                        stats=disk.stats, match_all=not args.match_any)
+    elif args.engine == "sql":
+        res = bm25_topk_sql(ix, args.query, k=k)
+    else:  # mini language (phrases / -not / free terms)
+        res = search(ix, ix.docs, args.query, k=k)
+
+    res = res.select("doc_id", "score")
+    if args.offset:
+        res = paginate(res, offset=args.offset, limit=args.k)
+    rows = res.collect()
+    if not rows:
+        # distinguish invalid query (reference 'empty request') from a
+        # valid query with zero hits
+        from search_engine_spark.operators.query import parse_query
+
+        if not parse_query(args.query):
+            print("invalid query: no indexable terms", file=sys.stderr)
+            spark.stop()
+            sys.exit(2)
+
+    if args.snippets and rows:
+        top = spark.createDataFrame(rows)
+        enriched = (
+            ix.docs.join(top, "doc_id")
+            .select("doc_id", "conv_id", "turn_idx", "score", "text")
+        )
+        out = snippets(enriched, args.query).select(
+            "doc_id", "conv_id", "turn_idx", "score", "snippet"
+        )
+        for r in sorted(out.collect(), key=lambda r: (-r["score"], r["doc_id"])):
+            print(json.dumps(r.asDict()), flush=True)
+    else:
+        for r in rows:
+            print(json.dumps({"doc_id": r["doc_id"], "score": r["score"]}),
+                  flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -42,3 +42,50 @@ def test_build_rerun_and_input_mismatch(tmp_path):
               "--bucket-width", "1024")
     assert r3.returncode != 0
     assert "pass --no-resume" in (r3.stderr + r3.stdout)
+
+
+def _search(*args: str) -> subprocess.CompletedProcess:
+    env = dict(os.environ, PYTHONPATH=REPO)
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "search.py"),
+         "--local-cpus", "4", *args],
+        capture_output=True, text=True, cwd=REPO, timeout=300, env=env,
+    )
+
+
+def test_search_cli_engines_agree(tmp_path):
+    """jobs/search.py: the CLI analog of the reference's /api/search —
+    all three engines return identical hits; mini language and the
+    invalid-query exit code work end-to-end."""
+    out = str(tmp_path / "idx")
+    r = _run("--n-synthetic-convs", "40", "--output", out,
+             "--bucket-width", "1024")
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    def hits(proc):
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return [json.loads(l) for l in proc.stdout.strip().splitlines() if l]
+
+    df = hits(_search("--index", out, "--query", "w00000 w00001", "--engine", "df"))
+    wand = hits(_search("--index", out, "--query", "w00000 w00001", "--engine", "wand"))
+    sql = hits(_search("--index", out, "--query", "w00000 w00001", "--engine", "sql"))
+    assert df and df == wand == sql
+
+    mini = hits(_search("--index", out, "--query", "w00000 -w00001",
+                        "--engine", "mini"))
+    banned = {h["doc_id"] for h in df}
+    # docs holding both terms are excluded by -w00001
+    assert mini and not ({h["doc_id"] for h in mini} & banned)
+
+    page = hits(_search("--index", out, "--query", "w00000 w00001",
+                        "--offset", "3", "--k", "4"))
+    full = hits(_search("--index", out, "--query", "w00000 w00001", "--k", "10"))
+    assert page == full[3:7]
+
+    snip = _search("--index", out, "--query", "w00000", "--k", "2", "--snippets")
+    srows = [json.loads(l) for l in snip.stdout.strip().splitlines() if l]
+    assert snip.returncode == 0 and len(srows) == 2
+    assert all("<b>" in h["snippet"] for h in srows)
+
+    bad = _search("--index", out, "--query", "the and of")
+    assert bad.returncode == 2
