@@ -903,7 +903,7 @@ def oracle_sql() -> dict[str, str]:
     from search_engine_spark.operators.query import parse_search_query
 
     def _composed_oracle(q: str) -> str:
-        c_phrases, c_free, c_neg = parse_search_query(q)
+        c_phrases, c_free, c_neg, _c_neg_ph = parse_search_query(q)
         c_lemmas = parse_query(" ".join(c_phrases + [c_free]))
         c_in = "(" + ", ".join(f"'{l}'" for l in c_lemmas) + ")"
         c_seq = lemmatize_text_py(c_phrases[0])

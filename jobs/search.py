@@ -50,6 +50,7 @@ def main() -> None:
     from search_engine_spark.operators.query import (
         bm25_topk,
         bm25_topk_sql,
+        enrich_results,
         paginate,
         search,
         snippets,
@@ -93,15 +94,12 @@ def main() -> None:
             sys.exit(2)
 
     if args.snippets and rows:
-        top = spark.createDataFrame(rows)
-        enriched = (
-            ix.docs.join(top, "doc_id")
-            .select("doc_id", "conv_id", "turn_idx", "score", "text")
-        )
+        # enrich_results broadcasts the tiny top-k and orders in Spark
+        enriched = enrich_results(spark.createDataFrame(rows), ix.docs)
         out = snippets(enriched, args.query).select(
             "doc_id", "conv_id", "turn_idx", "score", "snippet"
         )
-        for r in sorted(out.collect(), key=lambda r: (-r["score"], r["doc_id"])):
+        for r in out.collect():
             print(json.dumps(r.asDict()), flush=True)
     else:
         for r in rows:

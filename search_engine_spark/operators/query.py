@@ -80,12 +80,15 @@ def bm25_topk(
     b: float = BM25_B,
     match_all: bool = True,
     doc_filter: DataFrame | None = None,
+    doc_exclude: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) by BM25 over the DataFrame index.
 
     ``doc_filter`` (a doc_id DataFrame) restricts scoring to those docs
     via a semi-join before the aggregate — the hook :func:`search` uses
-    to compose phrase constraints with BM25 ranking.
+    to compose phrase constraints with BM25 ranking. ``doc_exclude``
+    anti-joins the hits (boolean NOT) — only the query terms' postings
+    are touched, never the full corpus.
 
     ``match_all=True`` (default) is the reference's AND semantics — a
     doc must contain every query lemma (SearchService.java:192-209).
@@ -99,7 +102,7 @@ def bm25_topk(
     """
     return bm25_topk_lemmas(
         index, parse_query(query), k=k, k1=k1, b=b,
-        match_all=match_all, doc_filter=doc_filter,
+        match_all=match_all, doc_filter=doc_filter, doc_exclude=doc_exclude,
     )
 
 
@@ -111,6 +114,7 @@ def bm25_topk_lemmas(
     b: float = BM25_B,
     match_all: bool = True,
     doc_filter: DataFrame | None = None,
+    doc_exclude: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`bm25_topk` over an explicit (already-lemmatized) lemma
     list — the internal scorer shared with :func:`prefix_search` /
@@ -132,6 +136,8 @@ def bm25_topk_lemmas(
     hits = index.postings.filter(F.col("lemma").isin(lemmas))
     if doc_filter is not None:
         hits = hits.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+    if doc_exclude is not None:
+        hits = hits.join(doc_exclude.select("doc_id"), "doc_id", "left_anti")
     scored = (
         hits.join(F.broadcast(index.terms.filter(F.col("lemma").isin(lemmas))
                               .select("lemma", "df")), "lemma")
@@ -370,9 +376,11 @@ def expand_prefix(
     `max_expansions` (Lucene's rewrite cap shape: a hot prefix like
     'a*' must not expand to the whole vocabulary). One tiny collect on
     the dictionary — same O(query) driver action as the existing
-    query-lemma lookups."""
+    query-lemma lookups. The prefix is lowercased to match the
+    dictionary's normalized lemmas (same normalization the sibling
+    fuzzy path gets from its lemmatize)."""
     rows = (
-        terms.filter(F.col("lemma").startswith(prefix))
+        terms.filter(F.col("lemma").startswith(prefix.lower()))
         .orderBy(F.col("df").desc(), F.col("lemma").asc())
         .limit(max_expansions)
         .select("lemma")
@@ -386,18 +394,22 @@ def expand_fuzzy(
     max_expansions: int = DEFAULT_EXPANSIONS,
 ) -> list[str]:
     """Dictionary lemmas within `max_dist` Levenshtein edits of `word`
-    (closest first, then df desc, lemma asc), capped. The distance
-    filter is one JVM-codegen pass over the dictionary — O(vocab),
-    which is the standard fuzzy-expansion cost (the dictionary is tiny
-    next to postings; a production trie/automaton would prune it
-    further but not change the contract)."""
+    (closest first, then df desc, lemma asc), capped. A word that
+    tokenizes to several lemmas (e.g. 'data-base') matches on the MIN
+    distance to any of them. The distance filter is one JVM-codegen
+    pass over the dictionary — O(vocab), which is the standard
+    fuzzy-expansion cost (the dictionary is tiny next to postings; a
+    production trie/automaton would prune it further but not change
+    the contract)."""
     from search_engine_spark.functions.text import lemmatize_text_py
 
     lem = lemmatize_text_py(word)
     if not lem:
         return []
+    dists = [F.levenshtein(F.col("lemma"), F.lit(w)) for w in lem]
+    dist = F.least(*dists) if len(dists) > 1 else dists[0]
     rows = (
-        terms.withColumn("_dist", F.levenshtein(F.col("lemma"), F.lit(lem[0])))
+        terms.withColumn("_dist", dist)
         .filter(F.col("_dist") <= max_dist)
         .orderBy(F.col("_dist").asc(), F.col("df").desc(), F.col("lemma").asc())
         .limit(max_expansions)
@@ -435,19 +447,28 @@ def fuzzy_search(
     return bm25_topk_lemmas(index, lemmas, k=k, match_all=False)
 
 
-def parse_search_query(query: str) -> tuple[list[str], str, str]:
-    """Split a mini-language query into quoted phrases, free text, and
-    NOT-terms: ``'"table hash" join -slow'`` → (["table hash"],
-    " join ", "slow"). A ``-`` prefix (outside quotes, attached to a
-    word) negates the term; unbalanced quotes leave the trailing
+def parse_search_query(query: str) -> tuple[list[str], str, str, list[str]]:
+    """Split a mini-language query into (phrases, free_text, not_terms,
+    not_phrases): ``'"table hash" join -slow -"big scan"'`` →
+    (["table hash"], " join ", "slow", ["big scan"]). A ``-`` prefix
+    negates the following word or quoted phrase; negated phrases are
+    extracted FIRST so ``-"foo bar"`` can never be misread as a
+    positive phrase constraint. Unbalanced quotes leave the trailing
     fragment as free text."""
     import re as _re
 
-    phrases = _re.findall(r'"([^"]*)"', query)
-    rest = _re.sub(r'"[^"]*"', " ", query)
+    neg_phrases = _re.findall(r'(?:^|\s)-"([^"]*)"', query)
+    rest = _re.sub(r'(?:^|\s)-"[^"]*"', " ", query)
+    phrases = _re.findall(r'"([^"]*)"', rest)
+    rest = _re.sub(r'"[^"]*"', " ", rest)
     neg = " ".join(_re.findall(r"(?:^|\s)-(\w\S*)", rest))
     free = _re.sub(r"(?:^|\s)-\w\S*", " ", rest)
-    return [p for p in phrases if p.strip()], free, neg
+    return (
+        [p for p in phrases if p.strip()],
+        free,
+        neg,
+        [p for p in neg_phrases if p.strip()],
+    )
 
 
 def search(
@@ -477,7 +498,7 @@ def search(
     """
     from search_engine_spark.functions.text import lemmatize_text_py
 
-    phrases, free, neg = parse_search_query(query)
+    phrases, free, neg, neg_phrases = parse_search_query(query)
     all_terms = " ".join(phrases + [free])
     doc_filter: DataFrame | None = None
     for ph in phrases:
@@ -491,18 +512,23 @@ def search(
             matched if doc_filter is None
             else doc_filter.join(matched, "doc_id")
         )
+    # boolean NOT: banned doc sets anti-join the scoring HITS directly
+    # (bm25_topk doc_exclude) — never a full-corpus join
+    exclude: DataFrame | None = None
     neg_lemmas = parse_query(neg)
     if neg_lemmas:
-        banned = (
+        exclude = (
             index.postings.filter(F.col("lemma").isin(neg_lemmas))
             .select("doc_id")
             .distinct()
         )
-        base = doc_filter if doc_filter is not None else (
-            docs.select("doc_id")
-        )
-        doc_filter = base.join(banned, "doc_id", "left_anti")
-    return bm25_topk(index, all_terms, k=k, k1=k1, b=b, doc_filter=doc_filter)
+    for ph in neg_phrases:
+        if not lemmatize_text_py(ph):
+            continue  # vacuous negation excludes nothing
+        matched = phrase_match_docs(index, docs, ph).select("doc_id")
+        exclude = matched if exclude is None else exclude.union(matched)
+    return bm25_topk(index, all_terms, k=k, k1=k1, b=b,
+                     doc_filter=doc_filter, doc_exclude=exclude)
 
 
 def near_search(

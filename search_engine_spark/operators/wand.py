@@ -183,7 +183,11 @@ def score_bucket_pd(
         d = np.concatenate(buf_d)
         s = np.concatenate(buf_s)
         if d.size > k:
-            order = np.lexsort((d, -s))[:k]
+            # cut by ROUNDED score + doc_id — the global tie-break —
+            # so k-boundary near-ties can't rank-diverge vs the
+            # DataFrame engine; θ stays the raw min of the kept set
+            # (≤ true kth: still a safe pruning threshold)
+            order = np.lexsort((d, -np.round(s, SCORE_DECIMALS)))[:k]
             d, s = d[order], s[order]
         buf_d, buf_s, buf_n = [d], [s], d.size
         if d.size >= k:
@@ -255,21 +259,28 @@ def score_bucket_pd(
     })
 
 
-def _partial_theta(acc: dict[int, tuple[np.ndarray, np.ndarray]], k: int) -> float:
-    """kth-best of the per-doc PARTIAL sums accumulated so far — a valid
-    (conservative) pruning threshold for OR: final scores only grow as
-    more terms decode, so the true kth-best ≥ this. Summation runs in
-    ascending term_key order (the engine-wide pinned float order)."""
-    if not acc:
-        return float("-inf")
+def _union_sum(
+    acc: dict[int, tuple[np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc sum over all terms' (docs, scores) arrays, accumulated
+    in ascending term_key order — the engine-wide pinned float order
+    (one copy of the summation, shared by θ arming and final output)."""
     all_docs = np.concatenate([d for d, _ in acc.values()])
-    if all_docs.size < k:
-        return float("-inf")
     uniq = np.unique(all_docs)
     total = np.zeros(uniq.size, dtype=np.float64)
     for t in sorted(acc):
         d, s = acc[t]
         total[np.searchsorted(uniq, d)] += s
+    return uniq, total
+
+
+def _partial_theta(acc: dict[int, tuple[np.ndarray, np.ndarray]], k: int) -> float:
+    """kth-best of the per-doc PARTIAL sums accumulated so far — a valid
+    (conservative) pruning threshold for OR: final scores only grow as
+    more terms decode, so the true kth-best ≥ this."""
+    if not acc:
+        return float("-inf")
+    uniq, total = _union_sum(acc)
     if uniq.size < k:
         return float("-inf")
     return float(np.partition(total, total.size - k)[total.size - k])
@@ -303,13 +314,13 @@ def score_bucket_or_pd(
     if counters is not None:
         for key in ("blocks_decoded", "blocks_skipped_range", "blocks_skipped_bound"):
             counters.setdefault(key, 0)
-    present = [t for t in term_order if (pdf["term_key"] == t).any()]
-    if not present:
+    if not len(pdf):
         return _EMPTY
+    # pdf is pre-filtered to query terms (_per_bucket_scores); groupby
+    # yields exactly the PRESENT subset — absent terms contribute nothing
     terms = {
         int(t): _TermBlocks(g, idf_by_key[int(t)], avgdl, k1, b)
         for t, g in pdf.groupby("term_key", sort=False)
-        if int(t) in set(present)
     }
     tkeys = list(terms)
     acc: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -328,10 +339,10 @@ def score_bucket_or_pd(
         for bi in np.argsort(-tb.ub, kind="stable"):
             lo, hi = int(tb.first[bi]), int(tb.last[bi])
             # upper bound on the FULL score of any doc in [lo, hi]
+            # (overlapping() computed once per (block, term))
+            ovs = {u: terms[u].overlapping(lo, hi) for u in tkeys}
             bound = sum(
-                terms[u].max_bound(terms[u].overlapping(lo, hi))
-                for u in tkeys
-                if terms[u].overlapping(lo, hi).size
+                terms[u].max_bound(o) for u, o in ovs.items() if o.size
             )
             # strict <: equal-score ties can still win on doc_id
             if bound < theta:
@@ -353,14 +364,12 @@ def score_bucket_or_pd(
         theta = max(theta, _partial_theta(acc, k))
     if not acc:
         return _EMPTY
-    all_docs = np.concatenate([d for d, _ in acc.values()])
-    uniq = np.unique(all_docs)
-    total = np.zeros(uniq.size, dtype=np.float64)
-    for t in sorted(acc):  # pinned ascending-key float order
-        d, s = acc[t]
-        total[np.searchsorted(uniq, d)] += s
+    uniq, total = _union_sum(acc)
     if uniq.size > k:
-        order = np.lexsort((uniq, -total))[:k]
+        # cut by the ROUNDED score then doc_id — the same tie-break the
+        # global merge and the DataFrame engine use, so near-tie docs
+        # at the k boundary cannot rank-diverge across engines
+        order = np.lexsort((uniq, -np.round(total, SCORE_DECIMALS)))[:k]
         uniq, total = uniq[order], total[order]
     return pd.DataFrame({
         "doc_id": uniq.astype(np.int64),

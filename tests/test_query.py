@@ -293,15 +293,18 @@ def test_parse_search_query():
     from search_engine_spark.operators.query import parse_search_query
 
     def norm(q):
-        ph, free, neg = parse_search_query(q)
-        return ph, free.split(), neg.split()
+        ph, free, neg, neg_ph = parse_search_query(q)
+        return ph, free.split(), neg.split(), neg_ph
 
-    assert norm('"table hash" join') == (["table hash"], ["join"], [])
-    assert norm("no quotes") == ([], ["no", "quotes"], [])
-    assert norm('"a b" "c d" e') == (["a b", "c d"], ["e"], [])
-    assert norm('""  x') == ([], ["x"], [])
-    assert norm('"a b" c -d -e2') == (["a b"], ["c"], ["d", "e2"])
-    assert norm("alpha-beta") == ([], ["alpha-beta"], [])  # infix dash kept
+    assert norm('"table hash" join') == (["table hash"], ["join"], [], [])
+    assert norm("no quotes") == ([], ["no", "quotes"], [], [])
+    assert norm('"a b" "c d" e') == (["a b", "c d"], ["e"], [], [])
+    assert norm('""  x') == ([], ["x"], [], [])
+    assert norm('"a b" c -d -e2') == (["a b"], ["c"], ["d", "e2"], [])
+    assert norm("alpha-beta") == ([], ["alpha-beta"], [], [])  # infix dash kept
+    # negated phrases are NOT positive constraints
+    assert norm('a -"b c"') == ([], ["a"], [], ["b c"])
+    assert norm('"x y" -"b c" -d') == (["x y"], [], ["d"], ["b c"])
 
 
 def test_search_without_quotes_equals_bm25(tiny_index):
@@ -428,3 +431,26 @@ def test_search_not_excludes_docs(tiny_index):
     want = [(d, s) for d, s in base if d not in banned][:200]
     assert got == want
     assert not ({d for d, _ in got} & banned)
+
+
+def test_search_negated_phrase_excludes(tiny_index):
+    from search_engine_spark.functions.text import lemmatize_text_py
+    from search_engine_spark.operators.query import phrase_match_docs, search
+
+    rows = tiny_index.docs.select("doc_id", "text").collect()
+    seqs = {int(r["doc_id"]): lemmatize_text_py(r["text"]) for r in rows}
+    from collections import Counter
+
+    df = Counter()
+    for seq in seqs.values():
+        df.update(set(zip(seq, seq[1:])))
+    (a, b), _ = df.most_common(1)[0]
+    phrase_docs = {
+        int(r["doc_id"])
+        for r in phrase_match_docs(tiny_index, tiny_index.docs, f"{a} {b}").collect()
+    }
+    base = _rows(search(tiny_index, tiny_index.docs, f"{a} {b}", k=500))
+    got = _rows(search(tiny_index, tiny_index.docs, f'{a} {b} -"{a} {b}"', k=500))
+    want = [(d, s) for d, s in base if d not in phrase_docs][: len(got) or None]
+    assert not ({d for d, _ in got} & phrase_docs)
+    assert got == [(d, s) for d, s in base if d not in phrase_docs][:500]
