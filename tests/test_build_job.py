@@ -82,6 +82,14 @@ def test_search_cli_engines_agree(tmp_path):
     full = hits(_search("--index", out, "--query", "w00000 w00001", "--k", "10"))
     assert page == full[3:7]
 
+    # --or: AND-empty (one absent term) but OR still scores the present one
+    and_empty = _search("--index", out, "--query", "w00000 zzznotaword")
+    assert and_empty.returncode == 0 and not and_empty.stdout.strip()
+    or_df = hits(_search("--index", out, "--query", "w00000 zzznotaword", "--or"))
+    or_wand = hits(_search("--index", out, "--query", "w00000 zzznotaword",
+                           "--or", "--engine", "wand"))
+    assert or_df and or_df == or_wand
+
     snip = _search("--index", out, "--query", "w00000", "--k", "2", "--snippets")
     srows = [json.loads(l) for l in snip.stdout.strip().splitlines() if l]
     assert snip.returncode == 0 and len(srows) == 2
