@@ -497,6 +497,111 @@ def _swap_write(df: DataFrame, path: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def delete_scope(
+    spark: SparkSession,
+    index_dir: str,
+    scope_col: str,
+    scope_value: str,
+    bucket_width: int = DOC_BUCKET_WIDTH,
+) -> dict:
+    """Bulk delete of one scope's documents — the reference's
+    ``delete_site_information`` / ``delete_function`` (plpgsql cascade
+    wired from ConfigRepository.java:339-388: drop the site's pages,
+    their index rows, and now-orphaned lemmas).
+
+    Surviving docs KEEP their doc_ids (the docID space stays a stable
+    bijection, now with holes — same contract as reindex_turn), so:
+    postings/doclen/docs are rewritten with one anti-join each, the
+    dictionary is rebuilt exactly from the surviving postings (orphaned
+    lemmas disappear because build_terms only sees df>0), stats.json
+    refreshes n_docs/avgdl, and ONLY segment buckets that contained a
+    deleted doc are re-encoded. After deletion both engines score
+    identically to a from-scratch build over the remaining corpus
+    (pinned by tests/test_reindex.py). At 100 TB the anti-join rewrites
+    become partition-pruned file replacements (Iceberg MERGE/DELETE);
+    the per-bucket re-encode is already pruned."""
+    from search_engine_spark.operators.compression import build_segments
+    from search_engine_spark.operators.index_build import InvertedIndex
+
+    stats = load_stats(index_dir)
+    if stats is None:
+        raise ValueError(f"no index at {index_dir} (stats.json missing)")
+    disk = DiskIndex(spark, index_dir)
+    docs_raw = (
+        disk._base_docs
+        if disk.docs_source
+        else spark.read.parquet(os.path.join(index_dir, "docs"))
+    )
+    doomed = (
+        docs_raw.filter(F.col(scope_col) == F.lit(scope_value))
+        .select("doc_id")
+        .persist()
+    )
+    n_deleted = doomed.count()
+    if n_deleted == 0:
+        doomed.unpersist()
+        return {"deleted": 0, "buckets_reencoded": []}
+    buckets = sorted(
+        int(r[0])
+        for r in doomed.select(
+            (F.col("doc_id") / bucket_width).cast("long")
+        ).distinct().collect()
+    )
+
+    postings_path = os.path.join(index_dir, "postings")
+    doclen_path = os.path.join(index_dir, "doclen")
+    _swap_write(
+        spark.read.parquet(postings_path).join(doomed, "doc_id", "left_anti"),
+        postings_path,
+    )
+    _swap_write(
+        spark.read.parquet(doclen_path).join(doomed, "doc_id", "left_anti"),
+        doclen_path,
+    )
+    _swap_write(
+        docs_raw.join(doomed, "doc_id", "left_anti"),
+        os.path.join(index_dir, "docs"),
+    )
+    doomed.unpersist()
+    if disk.docs_source:
+        # docs materialized locally above (copy-on-first-write)
+        stats["docs_source"] = None
+        stats["docid_adjust"] = {}
+    # exact dictionary rebuild from surviving postings + stats refresh
+    _compact_terms_and_stats(spark, index_dir, stats)
+
+    # surgically re-encode only the buckets that lost docs
+    disk2 = DiskIndex(spark, index_dir)
+    ix = disk2.as_inverted_index()
+    for bucket in buckets:
+        lo, hi = bucket * bucket_width, (bucket + 1) * bucket_width
+        ix_b = InvertedIndex(
+            docs=ix.docs,
+            postings=ix.postings.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ),
+            doclen=ix.doclen,
+            terms=ix.terms,
+            stats=disk2.stats,
+        )
+        seg_b = build_segments(ix_b, bucket_width).sortWithinPartitions(
+            "term_key", "block_id"
+        ).persist()
+        # count BEFORE the swap: a fully-deleted bucket writes an empty
+        # parquet dir that cannot be re-read for schema
+        n_blocks = seg_b.count()
+        bucket_dir = os.path.join(index_dir, "segments", f"bucket={bucket}")
+        _swap_write(seg_b.drop("bucket"), bucket_dir)
+        seg_b.unpersist()
+        _write_manifest(
+            index_dir, bucket,
+            {"bucket": bucket, "blocks": int(n_blocks),
+             "deleted_scope": [scope_col, scope_value],
+             "bucket_width": bucket_width},
+        )
+    return {"deleted": int(n_deleted), "buckets_reencoded": buckets}
+
+
 def reindex_turn(
     spark: SparkSession,
     index_dir: str,

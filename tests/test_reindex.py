@@ -101,3 +101,73 @@ def test_reindex_unknown_turn_raises(spark, tiny_transcripts, tmp_path):
     write_index(ix, idx_dir, input_desc="tiny", bucket_width=512)
     with pytest.raises(ValueError, match="matches 0 docs"):
         reindex_turn(spark, idx_dir, "no-such-conv", 0, "x", bucket_width=512)
+
+
+def test_delete_scope_equals_fresh_build(spark, tiny_transcripts, tmp_path):
+    """delete_scope (reference delete_site_information): after deleting
+    one conversation, the authoritative tables equal a from-scratch
+    build over the remaining corpus (keyed comparison — survivors keep
+    their doc_ids, the fresh build re-densifies), and both engines stay
+    rank-identical over the re-encoded segments."""
+    from search_engine_spark.operators.query import bm25_topk
+    from search_engine_spark.operators.wand import wand_topk
+    from search_engine_spark.sources.index_store import delete_scope
+
+    idx_dir = str(tmp_path / "idx")
+    ix = build_index(tiny_transcripts, use_arrow_udf=True, weighted=True)
+    write_index(ix, idx_dir, input_desc="tiny", bucket_width=512)
+
+    victim = tiny_transcripts.orderBy("conv_id").limit(1).collect()[0]["conv_id"]
+    info = delete_scope(spark, idx_dir, "conv_id", victim, bucket_width=512)
+    assert info["deleted"] > 0 and info["buckets_reencoded"]
+
+    remaining = tiny_transcripts.filter(F.col("conv_id") != victim)
+    fresh = build_index(remaining, use_arrow_udf=True, weighted=True)
+    got = DiskIndex(spark, idx_dir).as_inverted_index()
+
+    def keyed(index, df, cols):
+        keys = index.docs.select("doc_id", "conv_id", "turn_idx")
+        return sorted(
+            tuple(r)
+            for r in df.join(keys, "doc_id")
+            .select("conv_id", "turn_idx", *cols)
+            .collect()
+        )
+
+    # doc_ids differ (holes vs dense) -> compare keyed by (conv, turn)
+    assert keyed(got, got.postings, ["lemma", "tf"]) == keyed(
+        fresh, fresh.postings, ["lemma", "tf"]
+    )
+    assert keyed(got, got.doclen, ["dl"]) == keyed(fresh, fresh.doclen, ["dl"])
+    a = sorted(tuple(r) for r in got.terms.select("lemma", "df", "cf").collect())
+    b = sorted(tuple(r) for r in fresh.terms.select("lemma", "df", "cf").collect())
+    assert a == b
+    assert got.stats.n_docs == fresh.stats.n_docs
+    assert abs(got.stats.avgdl - fresh.stats.avgdl) < 1e-12
+    # no deleted doc remains anywhere
+    assert got.docs.filter(F.col("conv_id") == victim).count() == 0
+
+    # keyed score identity vs the fresh build, and DF==WAND on the
+    # surgically re-encoded segments
+    disk = DiskIndex(spark, idx_dir)
+    q = "w00000 w00001"
+    got_scores = {
+        (r["conv_id"], r["turn_idx"]): r["score"]
+        for r in bm25_topk(got, q, k=50)
+        .join(got.docs, "doc_id")
+        .select("conv_id", "turn_idx", "score")
+        .collect()
+    }
+    fresh_scores = {
+        (r["conv_id"], r["turn_idx"]): r["score"]
+        for r in bm25_topk(fresh, q, k=50)
+        .join(fresh.docs, "doc_id")
+        .select("conv_id", "turn_idx", "score")
+        .collect()
+    }
+    assert got_scores == fresh_scores
+    wand_rows = wand_topk(disk.segments, disk.terms, q, k=50, stats=disk.stats)
+    df_rows = bm25_topk(got, q, k=50)
+    assert [(r["doc_id"], r["score"]) for r in df_rows.collect()] == [
+        (r["doc_id"], r["score"]) for r in wand_rows.collect()
+    ]
