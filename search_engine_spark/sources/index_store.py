@@ -474,7 +474,10 @@ def _compact_terms_and_stats(
     dstats = spark.read.parquet(os.path.join(index_dir, "doclen")).agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
-    stats["n_docs"], stats["avgdl"] = int(dstats["n"]), float(dstats["avgdl"])
+    # avg over zero rows is NULL — a delete_scope can legitimately
+    # empty the index (single-scope corpus)
+    stats["n_docs"] = int(dstats["n"])
+    stats["avgdl"] = float(dstats["avgdl"]) if dstats["avgdl"] is not None else 0.0
     tmp = os.path.join(index_dir, "stats.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(stats, fh)
@@ -515,23 +518,66 @@ def delete_scope(
     dictionary is rebuilt exactly from the surviving postings (orphaned
     lemmas disappear because build_terms only sees df>0), stats.json
     refreshes n_docs/avgdl, and ONLY segment buckets that contained a
-    deleted doc are re-encoded. After deletion both engines score
-    identically to a from-scratch build over the remaining corpus
-    (pinned by tests/test_reindex.py). At 100 TB the anti-join rewrites
-    become partition-pruned file replacements (Iceberg MERGE/DELETE);
-    the per-bucket re-encode is already pruned."""
-    from search_engine_spark.operators.compression import build_segments
-    from search_engine_spark.operators.index_build import InvertedIndex
+    deleted doc are re-encoded — one rmtree + one _write_segment_buckets
+    job over the affected doc range (the compact_index pattern), not a
+    job per bucket. After deletion both engines score identically to a
+    from-scratch build over the remaining corpus (pinned by
+    tests/test_reindex.py). At 100 TB the anti-join rewrites become
+    partition-pruned file replacements (Iceberg MERGE/DELETE); the
+    bucket re-encode is already pruned.
+
+    Pending streamed deltas are folded in first (compact_index) so the
+    scope's streamed turns are deleted too and the delta log can't
+    double-count the rebuilt dictionary. Crash-safety: the affected
+    bucket list is journaled to ``delete_pending.json`` before the
+    table swaps; a crash between the swaps and the re-encode leaves
+    stale segments, and the NEXT delete_scope (or any call after
+    restart) replays the journaled re-encode from the already-swapped
+    tables before doing new work."""
+    import shutil
 
     stats = load_stats(index_dir)
     if stats is None:
         raise ValueError(f"no index at {index_dir} (stats.json missing)")
+
+    # fold pending streamed deltas first: scope deletion must see the
+    # streamed turns, and the delta log must not survive the exact
+    # dictionary rebuild below (it would double-count df/cf)
+    if os.path.isdir(os.path.join(index_dir, "docs_stream")) or os.path.isdir(
+        os.path.join(index_dir, "terms_delta")
+    ):
+        compact_index(spark, index_dir, bucket_width)
+        stats = load_stats(index_dir)
+
+    pending_path = os.path.join(index_dir, "delete_pending.json")
+
+    def _reencode(buckets: list[int], width: int) -> None:
+        disk2 = DiskIndex(spark, index_dir)
+        ix = disk2.as_inverted_index()
+        ix.backing_dir = index_dir
+        for b in buckets:
+            shutil.rmtree(
+                os.path.join(index_dir, "segments", f"bucket={b}"),
+                ignore_errors=True,
+            )
+        _write_segment_buckets(
+            ix, index_dir, todo=buckets, bucket_width=width,
+            input_desc=f"delete_scope:{scope_col}={scope_value}",
+        )
+        os.remove(pending_path)
+
+    if os.path.isfile(pending_path):
+        # a previous delete crashed between the table swaps and the
+        # segment re-encode: its tables are already consistent — replay
+        # the journaled re-encode before doing anything new
+        with open(pending_path) as fh:
+            pending = json.load(fh)
+        _reencode(pending["buckets"], int(pending["bucket_width"]))
+
     disk = DiskIndex(spark, index_dir)
-    docs_raw = (
-        disk._base_docs
-        if disk.docs_source
-        else spark.read.parquet(os.path.join(index_dir, "docs"))
-    )
+    # _base_docs resolves every layout (local parquet, by-reference
+    # docs_source, spilled _mid + docid_adjust) to explicit doc_ids
+    docs_raw = disk._base_docs
     doomed = (
         docs_raw.filter(F.col(scope_col) == F.lit(scope_value))
         .select("doc_id")
@@ -547,6 +593,12 @@ def delete_scope(
             (F.col("doc_id") / bucket_width).cast("long")
         ).distinct().collect()
     )
+    # journal the re-encode BEFORE any table swap (crash repair point)
+    tmp = pending_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"buckets": buckets, "bucket_width": bucket_width,
+                   "scope": [scope_col, scope_value]}, fh)
+    os.replace(tmp, pending_path)
 
     postings_path = os.path.join(index_dir, "postings")
     doclen_path = os.path.join(index_dir, "doclen")
@@ -563,42 +615,16 @@ def delete_scope(
         os.path.join(index_dir, "docs"),
     )
     doomed.unpersist()
-    if disk.docs_source:
-        # docs materialized locally above (copy-on-first-write)
-        stats["docs_source"] = None
-        stats["docid_adjust"] = {}
+    # docs were materialized locally with explicit doc_ids above
+    # (copy-on-first-write) — drop any by-reference/spilled mapping
+    stats["docs_source"] = None
+    stats["docid_adjust"] = {}
     # exact dictionary rebuild from surviving postings + stats refresh
     _compact_terms_and_stats(spark, index_dir, stats)
 
-    # surgically re-encode only the buckets that lost docs
-    disk2 = DiskIndex(spark, index_dir)
-    ix = disk2.as_inverted_index()
-    for bucket in buckets:
-        lo, hi = bucket * bucket_width, (bucket + 1) * bucket_width
-        ix_b = InvertedIndex(
-            docs=ix.docs,
-            postings=ix.postings.filter(
-                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-            ),
-            doclen=ix.doclen,
-            terms=ix.terms,
-            stats=disk2.stats,
-        )
-        seg_b = build_segments(ix_b, bucket_width).sortWithinPartitions(
-            "term_key", "block_id"
-        ).persist()
-        # count BEFORE the swap: a fully-deleted bucket writes an empty
-        # parquet dir that cannot be re-read for schema
-        n_blocks = seg_b.count()
-        bucket_dir = os.path.join(index_dir, "segments", f"bucket={bucket}")
-        _swap_write(seg_b.drop("bucket"), bucket_dir)
-        seg_b.unpersist()
-        _write_manifest(
-            index_dir, bucket,
-            {"bucket": bucket, "blocks": int(n_blocks),
-             "deleted_scope": [scope_col, scope_value],
-             "bucket_width": bucket_width},
-        )
+    # surgically re-encode only the buckets that lost docs (also clears
+    # the journal)
+    _reencode(buckets, bucket_width)
     return {"deleted": int(n_deleted), "buckets_reencoded": buckets}
 
 

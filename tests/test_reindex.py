@@ -171,3 +171,102 @@ def test_delete_scope_equals_fresh_build(spark, tiny_transcripts, tmp_path):
     assert [(r["doc_id"], r["score"]) for r in df_rows.collect()] == [
         (r["doc_id"], r["score"]) for r in wand_rows.collect()
     ]
+
+
+def test_delete_scope_crash_replay_and_empty_scope(spark, tiny_transcripts, tmp_path):
+    """An interrupted delete (journal present, segments stale) is
+    repaired by the next delete_scope call — even a no-op one."""
+    import json as _json
+    import os
+    import shutil
+
+    from search_engine_spark.operators.query import bm25_topk
+    from search_engine_spark.operators.wand import wand_topk
+    from search_engine_spark.sources.index_store import delete_scope
+
+    idx_dir = str(tmp_path / "idx")
+    ix = build_index(tiny_transcripts, use_arrow_udf=False, weighted=True)
+    write_index(ix, idx_dir, input_desc="tiny", bucket_width=512)
+
+    victim = tiny_transcripts.orderBy("conv_id").limit(1).collect()[0]["conv_id"]
+    info = delete_scope(spark, idx_dir, "conv_id", victim, bucket_width=512)
+    assert info["deleted"] > 0
+
+    # simulate a crash AFTER the table swaps but BEFORE the re-encode:
+    # restore stale segments for the affected buckets and re-create the
+    # journal the crashed run would have left behind
+    stale_src = str(tmp_path / "stale")
+    ix2 = build_index(tiny_transcripts, use_arrow_udf=False, weighted=True)
+    write_index(ix2, stale_src, input_desc="tiny", bucket_width=512)
+    for b in info["buckets_reencoded"]:
+        dst = os.path.join(idx_dir, "segments", f"bucket={b}")
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(os.path.join(stale_src, "segments", f"bucket={b}"), dst)
+    with open(os.path.join(idx_dir, "delete_pending.json"), "w") as fh:
+        _json.dump({"buckets": info["buckets_reencoded"], "bucket_width": 512,
+                    "scope": ["conv_id", victim]}, fh)
+
+    # stale segments now serve deleted docs (the crash symptom) …
+    disk_stale = DiskIndex(spark, idx_dir)
+    q = "w00000"
+    wand_stale = {
+        r["doc_id"]
+        for r in wand_topk(disk_stale.segments, disk_stale.terms, q, k=100,
+                           stats=disk_stale.stats).collect()
+    }
+    df_ids = {
+        r["doc_id"]
+        for r in bm25_topk(disk_stale.as_inverted_index(), q, k=100).collect()
+    }
+    # … and a NO-OP delete call replays the journaled re-encode
+    info2 = delete_scope(spark, idx_dir, "conv_id", "conv-does-not-exist",
+                         bucket_width=512)
+    assert info2["deleted"] == 0
+    assert not os.path.isfile(os.path.join(idx_dir, "delete_pending.json"))
+    disk_fixed = DiskIndex(spark, idx_dir)
+    wand_fixed = {
+        r["doc_id"]
+        for r in wand_topk(disk_fixed.segments, disk_fixed.terms, q, k=100,
+                           stats=disk_fixed.stats).collect()
+    }
+    assert wand_fixed == df_ids
+
+
+def test_delete_scope_folds_streamed_deltas_first(spark, tmp_path):
+    """Streamed (not-yet-compacted) turns of the scope are deleted too,
+    and the delta log cannot double-count the rebuilt dictionary."""
+    import os
+
+    from search_engine_spark.corpus import synthesize_transcripts
+    from search_engine_spark.sources.index_store import delete_scope
+    from search_engine_spark.streaming.incremental import (
+        incremental_index_refresh,
+    )
+
+    full = synthesize_transcripts(spark, 60, partitions=2).cache()
+    convs = sorted(r[0] for r in full.select("conv_id").distinct().collect())
+    split, victim = convs[40], convs[45]  # victim arrives via the stream
+    batch = full.filter(F.col("conv_id") < split)
+    streamed = full.filter(F.col("conv_id") >= split)
+
+    idx_dir = str(tmp_path / "idx")
+    write_index(build_index(batch, use_arrow_udf=False, weighted=True),
+                idx_dir, input_desc="batch", bucket_width=512)
+    stream_in = str(tmp_path / "stream_in")
+    streamed.write.parquet(stream_in)
+    incremental_index_refresh(spark, stream_in, idx_dir)
+    assert os.path.isdir(os.path.join(idx_dir, "docs_stream"))
+
+    info = delete_scope(spark, idx_dir, "conv_id", victim, bucket_width=512)
+    assert info["deleted"] > 0
+    assert not os.path.isdir(os.path.join(idx_dir, "terms_delta"))
+
+    got = DiskIndex(spark, idx_dir).as_inverted_index()
+    assert got.docs.filter(F.col("conv_id") == victim).count() == 0
+    # dictionary equals a fresh build over everything-but-victim
+    fresh = build_index(full.filter(F.col("conv_id") != victim),
+                        use_arrow_udf=False, weighted=True)
+    a = sorted(tuple(r) for r in got.terms.select("lemma", "df", "cf").collect())
+    b = sorted(tuple(r) for r in fresh.terms.select("lemma", "df", "cf").collect())
+    assert a == b
+    assert got.stats.n_docs == fresh.stats.n_docs
