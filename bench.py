@@ -111,7 +111,11 @@ def main() -> None:
     log(f"index build: {build_sec:.1f}s -> {turns_per_sec:.0f} turns/sec")
 
     # untimed: materialize the postings view for the DF-engine queries
-    ix.postings.write.mode("overwrite").parquet(f"{work}/index/postings")
+    # (lemma-range-clustered files -> min/max file pruning on query
+    # terms, the same layout write_index publishes)
+    from search_engine_spark.sources.index_store import _publish_postings
+
+    _publish_postings(ix.postings, f"{work}/index")
     ix.postings = spark.read.parquet(f"{work}/index/postings")
 
     # ---- query latency on the built transcript index --------------------

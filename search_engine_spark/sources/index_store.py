@@ -76,6 +76,24 @@ def _write_manifest(index_dir: str, bucket: int, payload: dict) -> None:
     os.replace(tmp, os.path.join(mdir, f"bucket={bucket}.json"))  # atomic commit
 
 
+def _publish_postings(postings: DataFrame, index_dir: str) -> None:
+    """Publish the DataFrame-engine postings copy range-clustered by
+    lemma: files get DISJOINT lemma ranges (query-term IN-list filters
+    then prune whole files via parquet min/max — the DataFrame engine's
+    analog of the segments' term_key sort), and doc_id as the secondary
+    range key splits a Zipf-hot lemma across files instead of producing
+    one giant skewed file. The one-time publish shuffle is OUTSIDE the
+    at-scale build path (the compressed segments are the posting store;
+    this copy exists for the DF engine / oracle parity). Tmp+swap write:
+    for spilled builds the input of this plan IS the postings dir being
+    replaced."""
+    _swap_write(
+        postings.repartitionByRange("lemma", "doc_id")
+        .sortWithinPartitions("lemma", "doc_id"),
+        os.path.join(index_dir, "postings"),
+    )
+
+
 def write_index(
     index: InvertedIndex,
     index_dir: str,
@@ -103,19 +121,10 @@ def write_index(
         os.path.abspath(index.backing_dir or "/nonexistent")
     ) == os.path.realpath(os.path.abspath(index_dir))
     if not resume or not os.path.exists(stats_path):
-        if not spilled_here:
-            if index.docs_source is None:
-                # presorted builds never copy the corpus — the docs
-                # table is served from the input files by reference
-                index.docs.write.mode("overwrite").parquet(docs_path)
-            index.postings.write.mode("overwrite").parquet(os.path.join(index_dir, "postings"))
-        elif not os.path.isdir(os.path.join(index_dir, "postings")):
-            # build ran with materialize_postings=False (postings is the
-            # exploded view over doc_terms) — publish a materialized copy
-            # for the serving-side DataFrame engine
-            index.postings.write.mode("overwrite").parquet(
-                os.path.join(index_dir, "postings")
-            )
+        if not spilled_here and index.docs_source is None:
+            # presorted builds never copy the corpus — the docs
+            # table is served from the input files by reference
+            index.docs.write.mode("overwrite").parquet(docs_path)
         index.doclen.write.mode("overwrite").parquet(os.path.join(index_dir, "doclen"))
         index.terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
         with open(stats_path, "w") as fh:
@@ -159,6 +168,15 @@ def write_index(
         if todo
         else {}
     )
+    # publish (or, for spilled builds, re-cluster in place) the
+    # DF-engine postings copy, lemma-range file layout — LAST, after
+    # every other consumer of index.postings' lineage has run: the swap
+    # invalidates file listings captured by plans that read the spilled
+    # postings dir (doclen/terms/segments above). Skipped on resume of
+    # a complete index; a crash between here and the marker flip leaves
+    # a valid (merely unclustered or already-clustered) table.
+    if not resume or not os.path.exists(stats_path) or todo:
+        _publish_postings(index.postings, index_dir)
     # all buckets committed → flip the completeness marker (consulted by
     # jobs/build_index.py's resume gate so a re-run never clobbers a
     # finished index, ADVICE r1)

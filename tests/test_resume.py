@@ -115,4 +115,13 @@ def test_old_segment_format_guard_and_rebuild(spark, built, tiny_index, tmp_path
     rebuild_segments(spark, d, bucket_width=512)
     disk2 = DiskIndex(spark, d)
     assert disk2.format >= 3
-    assert _segment_content(spark, d) == _segment_content(spark, src)
+    # block PACKING may legitimately differ (the rebuild reads the
+    # published lemma-range-clustered postings, not the build-time
+    # stream order) — the invariant is the DECODED posting content
+    from search_engine_spark.operators.compression import decode_segments_pd
+
+    def decoded(idx_dir):
+        pdf = decode_segments_pd(DiskIndex(spark, idx_dir).segments.toPandas())
+        return sorted(map(tuple, pdf.to_records(index=False)))
+
+    assert decoded(d) == decoded(src)
