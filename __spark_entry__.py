@@ -1211,10 +1211,11 @@ def oracle_sql() -> dict[str, str]:
                    rtrim(substr(regexp_extract(text, '^([^.!?]*)', 1), 1, 60)) AS title
             FROM documents
         """,
-        # snippet_sql is ANSI (position/substring/regexp_replace/concat)
-        # — the exact template string the Spark engine F.expr()s
+        # snippet_sql is template-shared (position/substring/concat; only
+        # the wrap-all regex pass is dialect-split — see its docstring).
+        # Multi-word: EVERY matched Q_MAIN lemma is <b>-wrapped.
         "snippets": f"""
-            SELECT doc_id, {snippet_sql(parse_query(Q_MAIN)[0], 25)} AS snippet
+            SELECT doc_id, {snippet_sql(parse_query(Q_MAIN), 25, dialect="duckdb")} AS snippet
             FROM documents
         """,
         "multimodal_features": """

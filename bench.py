@@ -52,6 +52,54 @@ def main() -> None:
     n_conv = int(os.environ.get("BENCH_N_CONV", "30000"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # ---- host-health PRECONDITION (VERDICT r2 "do this #1") -------------
+    # BENCH_r02 was recorded in a starved window (concurrency_ratio
+    # 0.088) and its regressions were unadjudicatable. Refuse to measure
+    # until the memory-bandwidth control is healthy: retry for up to
+    # BENCH_HEALTH_TIMEOUT_SEC (default 30 min), then either bail
+    # (default) or proceed-and-mark if BENCH_ALLOW_STARVED=1 so a
+    # permanently-starved driver round still emits a (self-invalidating)
+    # line. BENCH_MIN_HEALTH overrides the ratio floor.
+    from search_engine_spark.session import memory_bandwidth_control
+
+    min_ratio = float(os.environ.get("BENCH_MIN_HEALTH", "5.0"))
+    timeout_s = float(os.environ.get("BENCH_HEALTH_TIMEOUT_SEC", "1800"))
+    probe_workers = min(cpus, 8)
+    t_gate = time.monotonic()
+    pre_control = memory_bandwidth_control(probe_workers)
+    while (
+        pre_control["concurrency_ratio"] < min_ratio
+        and time.monotonic() - t_gate < timeout_s
+    ):
+        log(
+            f"host starved (control ratio "
+            f"{pre_control['concurrency_ratio']} < {min_ratio}); waiting "
+            f"{int(timeout_s - (time.monotonic() - t_gate))}s more for a "
+            "healthy window..."
+        )
+        time.sleep(60)
+        pre_control = memory_bandwidth_control(probe_workers)
+    if pre_control["concurrency_ratio"] < min_ratio:
+        if os.environ.get("BENCH_ALLOW_STARVED") != "1":
+            print(
+                json.dumps(
+                    {
+                        "metric": "index_build_plus_query_suite",
+                        "value": -1.0,
+                        "unit": "sec",
+                        "queries": {},
+                        "sf": sf,
+                        "error": "host starved past BENCH_HEALTH_TIMEOUT_SEC; "
+                                 "wall-times would be machine noise "
+                                 "(set BENCH_ALLOW_STARVED=1 to force)",
+                        "host_control_pre": pre_control,
+                    }
+                ),
+                flush=True,
+            )
+            return
+        log("BENCH_ALLOW_STARVED=1: proceeding; numbers carry host_control")
+
     spark = build_session("bench", cpus=cpus)
     timings: dict[str, float] = {}
     t_all = time.monotonic()
@@ -111,12 +159,17 @@ def main() -> None:
     log(f"index build: {build_sec:.1f}s -> {turns_per_sec:.0f} turns/sec")
 
     # untimed: materialize the postings view for the DF-engine queries
-    # (lemma-range-clustered files -> min/max file pruning on query
-    # terms, the same layout write_index publishes)
-    from search_engine_spark.sources.index_store import _publish_postings
+    # (bucket-partitioned + lemma-clustered files -> min/max file
+    # pruning on query terms AND >=n_buckets files for a Zipf-hot
+    # lemma's scan parallelism — the same v4 layout write_index
+    # publishes). _read_table strips the storage-only bucket column.
+    from search_engine_spark.sources.index_store import (
+        _publish_postings,
+        _read_table,
+    )
 
-    _publish_postings(ix.postings, f"{work}/index")
-    ix.postings = spark.read.parquet(f"{work}/index/postings")
+    _publish_postings(ix.postings, f"{work}/index", bucket_width=1 << 16)
+    ix.postings = _read_table(spark, f"{work}/index/postings")
 
     # ---- query latency on the built transcript index --------------------
     bench_queries = ["w00000", "w00159 w00268", "needlealpha", "w00000s w00001"]
@@ -160,11 +213,11 @@ def main() -> None:
     # untimed: host-capacity control (~5s), recorded so every wall-clock
     # number above carries the machine state it was measured under
     # (this sandbox's memory bandwidth drifts minute-to-minute —
-    # BASELINE.md "drifted host"; ratio ~cpus = healthy, <2 = starved)
-    from search_engine_spark.session import memory_bandwidth_control
-
-    control = memory_bandwidth_control(min(cpus, 8))
-    log(f"host control: {control}")
+    # BASELINE.md "drifted host"; ratio ~cpus = healthy, <2 = starved).
+    # Both the pre-gate reading and this post-run reading are recorded:
+    # a window that closed MID-run shows up as pre-healthy/post-starved.
+    control = memory_bandwidth_control(probe_workers)
+    log(f"host control: pre={pre_control} post={control}")
 
     out = {
         "metric": "index_build_plus_query_suite",
@@ -180,6 +233,7 @@ def main() -> None:
             "cpus": cpus,
         },
         "host_control": control,
+        "host_control_pre": pre_control,
     }
     print(json.dumps(out), flush=True)
     spark.stop()

@@ -270,7 +270,13 @@ def _union_sum(
     total = np.zeros(uniq.size, dtype=np.float64)
     for t in sorted(acc):
         d, s = acc[t]
-        total[np.searchsorted(uniq, d)] += s
+        # np.add.at (not fancy-index +=): accumulates repeated indices
+        # instead of silently dropping them. Blocks partition each
+        # (term, bucket) posting list so a doc appears at most once per
+        # term today, but that invariant lives in the encoder — this
+        # must not corrupt scores if it ever changes (ADVICE r2). Same
+        # float accumulation order (per sorted-term loop, ascending doc).
+        np.add.at(total, np.searchsorted(uniq, d), s)
     return uniq, total
 
 
@@ -310,6 +316,18 @@ def score_bucket_or_pd(
     descending best-block-ub order so θ arms against the heavy hitters
     first. Missing terms in a bucket simply contribute nothing (no AND
     arity gate).
+
+    Rounding-tie caveat (ADVICE r2): the θ-pruning proof holds on RAW
+    scores, but the final top-k cut sorts by the 6-decimal ROUNDED
+    score. A doc emitted with an underestimated partial sum (one of its
+    terms' blocks was bound-skipped) provably loses on raw score, yet if
+    its rounded partial exactly ties the kth rounded score the doc_id
+    tie-break could order it differently than its exact score would. In
+    practice unreachable on this engine's data (a partial sum landing on
+    the same 1e-6-rounded value as the exact kth score requires the
+    skipped contribution to be < 5e-7 while idf·tf contributions are
+    O(0.1+)), and the cross-engine differential tests would catch it;
+    documented rather than paid for with always-decode-on-tie.
     """
     if counters is not None:
         for key in ("blocks_decoded", "blocks_skipped_range", "blocks_skipped_bound"):

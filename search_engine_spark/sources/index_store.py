@@ -8,14 +8,22 @@ completed bucket writes a manifest (rows, term range, checksum, input
 lineage), and a resumed build processes only buckets without manifests —
 idempotent, never double-counts (SURVEY.md §7 hard-part (d)).
 
-Layout under <index_dir>/:
-    docs/        parquet   doc store (doc_id, conv_id, turn_idx, role, text, tool, ts)
-    postings/    parquet   (doc_id, lemma, tf, rank)         [DataFrame scorer]
-    doclen/      parquet   (doc_id, dl)
+Layout under <index_dir>/ (format v4: the big per-doc tables are
+partitioned by doc-range bucket so single-doc/scope mutations rewrite
+O(affected buckets), never the whole table — the parquet stand-in for
+Iceberg MERGE/DELETE file-level rewrites):
+    docs/        parquet   bucket=<n>/ doc store (doc_id, conv_id, turn_idx, role, text, tool, ts)
+    postings/    parquet   bucket=<n>/ (doc_id, lemma, tf, rank, dl)  [DataFrame scorer]
+                           files lemma-range-clustered WITHIN each bucket
+    doclen/      parquet   bucket=<n>/ (doc_id, dl)
     terms/       parquet   (term_id, lemma, df, cf)
     segments/    parquet   bucket=<n>/ partitions, rows sorted by term_key
     stats.json             {n_docs, avgdl}
     manifests/bucket=<n>.json   lineage per completed bucket
+Streamed (not-yet-compacted) deltas live in SEPARATE sibling dirs
+(docs_stream/, postings_stream/, doclen_stream/, terms_delta/) — their
+hash-range ids don't fit the dense bucket space, and appending loose
+files into a partitioned dir would corrupt partition discovery.
 """
 
 from __future__ import annotations
@@ -35,9 +43,13 @@ from search_engine_spark.operators.index_build import CorpusStats, InvertedIndex
 # bumped when the on-disk schema changes (v2: postings carry a dl
 # column; the query engines no longer join doclen. v3: segment payload
 # buffers are tag-prefixed varbyte/PForDelta — untagged v2 buffers are
-# not decodable by the v3 reader). Loads of older dirs fail with a clear
-# message instead of an AnalysisException/garbage at query time.
-INDEX_FORMAT_VERSION = 3
+# not decodable by the v3 reader. v4: docs/postings/doclen are
+# partitioned by doc-range bucket — readers that don't strip the bucket
+# partition column would leak it into query schemas). v3 dirs stay fully
+# readable (the mutation paths fall back to whole-table swaps on
+# unpartitioned tables); loads of NEWER dirs fail with a clear message
+# instead of an AnalysisException/garbage at query time.
+INDEX_FORMAT_VERSION = 4
 # oldest format whose SEGMENTS this reader can decode (dimension tables
 # stay readable further back: v1 postings fall back to the doclen join)
 MIN_SEGMENT_FORMAT = 3
@@ -76,21 +88,58 @@ def _write_manifest(index_dir: str, bucket: int, payload: dict) -> None:
     os.replace(tmp, os.path.join(mdir, f"bucket={bucket}.json"))  # atomic commit
 
 
-def _publish_postings(postings: DataFrame, index_dir: str) -> None:
-    """Publish the DataFrame-engine postings copy range-clustered by
-    lemma: files get DISJOINT lemma ranges (query-term IN-list filters
-    then prune whole files via parquet min/max — the DataFrame engine's
-    analog of the segments' term_key sort), and doc_id as the secondary
-    range key splits a Zipf-hot lemma across files instead of producing
-    one giant skewed file. The one-time publish shuffle is OUTSIDE the
-    at-scale build path (the compressed segments are the posting store;
-    this copy exists for the DF engine / oracle parity). Tmp+swap write:
-    for spilled builds the input of this plan IS the postings dir being
-    replaced."""
+def _bucket_col(bucket_width: int) -> F.Column:
+    """Doc-range bucket of a doc_id — the storage partition key shared
+    by the per-doc tables and the segment encoder."""
+    return F.floor(F.col("doc_id") / F.lit(int(bucket_width))).cast("int")
+
+
+def _is_bucketed(path: str) -> bool:
+    """True iff `path` is a bucket-partitioned parquet dir (v4 layout)."""
+    if not os.path.isdir(path):
+        return False
+    return any(n.startswith("bucket=") for n in os.listdir(path))
+
+
+def _read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a per-doc table regardless of layout vintage, with the
+    storage-only `bucket` partition column stripped (it must never leak
+    into query schemas)."""
+    df = spark.read.parquet(path)
+    return df.drop("bucket") if "bucket" in df.columns else df
+
+
+def _publish_postings(
+    postings: DataFrame, index_dir: str, bucket_width: int = DOC_BUCKET_WIDTH
+) -> None:
+    """Publish the DataFrame-engine postings copy bucket-partitioned by
+    doc range and lemma-range-clustered WITHIN each bucket:
+
+    - ``bucket=<n>/`` partition dirs (doc_id // bucket_width) make
+      single-doc/scope mutations O(affected buckets) file replacements
+      (reindex_turn / delete_scope / compact_index) — the parquet
+      stand-in for Iceberg MERGE INTO.
+    - within a bucket, files get DISJOINT lemma ranges (query-term
+      IN-list filters prune whole files via parquet min/max — the
+      DataFrame engine's analog of the segments' term_key sort), with
+      doc_id as the tertiary range key.
+    - a Zipf-hot lemma's postings now span ≥ n_buckets files BY
+      CONSTRUCTION (one-plus per bucket), so the hot-term scan keeps
+      file-level parallelism that a global (lemma, doc_id) clustering
+      concentrates into one file (BENCH_r02 `bm25_df_q0` suspect,
+      VERDICT r2 "what's wrong #2") — rare terms still prune to
+      n_buckets-bounded file sets.
+
+    The one-time publish shuffle is OUTSIDE the at-scale build path
+    (the compressed segments are the posting store; this copy exists
+    for the DF engine / oracle parity). Tmp+swap write: for spilled
+    builds the input of this plan IS the postings dir being replaced."""
     _swap_write(
-        postings.repartitionByRange("lemma", "doc_id")
-        .sortWithinPartitions("lemma", "doc_id"),
+        postings.withColumn("bucket", _bucket_col(bucket_width))
+        .repartitionByRange("bucket", "lemma", "doc_id")
+        .sortWithinPartitions("bucket", "lemma", "doc_id"),
         os.path.join(index_dir, "postings"),
+        partition_by="bucket",
     )
 
 
@@ -120,12 +169,34 @@ def write_index(
     spilled_here = os.path.realpath(
         os.path.abspath(index.backing_dir or "/nonexistent")
     ) == os.path.realpath(os.path.abspath(index_dir))
+    if spilled_here and os.path.isdir(os.path.join(index_dir, "postings")):
+        # refresh the postings lineage from the dir as it is NOW: a
+        # previous write_index call on this handle swapped the dir for
+        # the published (clustered) copy, so the handle's captured file
+        # listing may name deleted files — a resumed segment re-encode
+        # would die on FILE_NOT_EXIST (caught by the /verify drive).
+        # Content is identical either way (the publish is a re-layout).
+        index.postings = _read_table(
+            index.postings.sparkSession, os.path.join(index_dir, "postings")
+        )
     if not resume or not os.path.exists(stats_path):
         if not spilled_here and index.docs_source is None:
-            # presorted builds never copy the corpus — the docs
-            # table is served from the input files by reference
-            index.docs.write.mode("overwrite").parquet(docs_path)
-        index.doclen.write.mode("overwrite").parquet(os.path.join(index_dir, "doclen"))
+            # presorted builds never copy the corpus — the docs table is
+            # served from the input files by reference. Copied docs are
+            # bucket-partitioned (v4) when they carry explicit doc_ids
+            # (spilled _mid layouts derive ids on read; they get
+            # bucketed on their first mutation's materialization).
+            if "doc_id" in index.docs.columns:
+                index.docs.withColumn(
+                    "bucket", _bucket_col(bucket_width)
+                ).write.mode("overwrite").partitionBy("bucket").parquet(docs_path)
+            else:
+                index.docs.write.mode("overwrite").parquet(docs_path)
+        index.doclen.withColumn(
+            "bucket", _bucket_col(bucket_width)
+        ).write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(index_dir, "doclen")
+        )
         index.terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
         with open(stats_path, "w") as fh:
             json.dump(
@@ -169,14 +240,23 @@ def write_index(
         else {}
     )
     # publish (or, for spilled builds, re-cluster in place) the
-    # DF-engine postings copy, lemma-range file layout — LAST, after
-    # every other consumer of index.postings' lineage has run: the swap
-    # invalidates file listings captured by plans that read the spilled
-    # postings dir (doclen/terms/segments above). Skipped on resume of
-    # a complete index; a crash between here and the marker flip leaves
-    # a valid (merely unclustered or already-clustered) table.
-    if not resume or not os.path.exists(stats_path) or todo:
-        _publish_postings(index.postings, index_dir)
+    # DF-engine postings copy, bucket-partitioned + lemma-clustered —
+    # LAST, after every other consumer of index.postings' lineage has
+    # run: the swap invalidates file listings captured by plans that
+    # read the spilled postings dir (doclen/terms/segments above).
+    # Skipped only when resuming an index whose postings table already
+    # exists AND no segment bucket was rebuilt; a missing table always
+    # forces the publish (a non-spilled build that crashed after the
+    # last bucket manifest but before this publish must not resume into
+    # a "complete" index with no postings dir — ADVICE r2). A crash
+    # between here and the marker flip leaves a valid (merely
+    # unclustered or already-clustered) table.
+    if (
+        not resume
+        or todo
+        or not os.path.isdir(os.path.join(index_dir, "postings"))
+    ):
+        _publish_postings(index.postings, index_dir, bucket_width)
     # all buckets committed → flip the completeness marker (consulted by
     # jobs/build_index.py's resume gate so a re-run never clobbers a
     # finished index, ADVICE r1)
@@ -301,9 +381,9 @@ def compact_index(
 ) -> dict:
     """Fold streamed deltas back into the canonical dense index — the
     Lucene-merge analog closing the streaming lifecycle
-    (streaming/incremental.py appends postings/doclen/terms_delta/
-    docs_stream with hash-range ids; until compaction those docs are
-    served only by the delta-aware views).
+    (streaming/incremental.py appends postings_stream/doclen_stream/
+    terms_delta/docs_stream with hash-range ids; until compaction those
+    docs are served only by the delta-aware views).
 
     1. Streamed docs get DENSE ids continuing the batch space, ordered
        by (conv_id, turn_idx); a streamed turn whose key already exists
@@ -349,10 +429,10 @@ def compact_index(
         if os.path.isdir(docs_path)
         else []
     ):
-        _swap_write(base_docs, docs_path)
+        _swap_write_bucketed(base_docs, docs_path, bucket_width)
         stats["docs_source"] = None
         stats["docid_adjust"] = {}
-        base_docs = spark.read.parquet(docs_path)
+        base_docs = _read_table(spark, docs_path)
 
     if not os.path.isdir(stream_docs_path):
         # delta-only layout (stream store predates this feature or was
@@ -389,39 +469,74 @@ def compact_index(
     ).persist()
     n_new = remap.count()
 
-    # rewrite postings / doclen: remapped fresh ids, duplicates deleted.
-    # Exact-duplicate delta rows (re-delivered identical content) are
-    # collapsed before the remap — scoped to the stream id range so the
-    # batch side never shuffles through a distinct.
+    # fold streamed postings/doclen/docs deltas into the base tables
+    # with remapped dense ids. Exact-duplicate delta rows (re-delivered
+    # identical content) are collapsed before the remap; the remap
+    # INNER join both renumbers fresh docs and drops dup-key docs
+    # (batch-wins). The fresh dense ids are CONTIGUOUS past next_id, so
+    # on a v4 (bucket-partitioned) table only the TAIL buckets they
+    # land in are rewritten — every pre-existing bucket's files are
+    # untouched (the Iceberg-MERGE mutation bound); v3 unpartitioned
+    # dirs fall back to a whole-table rewrite that upgrades them to v4.
     postings_path = os.path.join(index_dir, "postings")
-    stream_ids = F.col("doc_id") >= F.lit(STREAM_ID_BASE).cast("long")
-
-    def rewrite(df: DataFrame, dedup: bool = False) -> DataFrame:
-        if dedup:
-            df = df.filter(~stream_ids).unionByName(
-                df.filter(stream_ids).dropDuplicates()
-            )
-        joined = df.join(
-            F.broadcast(remap), df["doc_id"] == F.col("_old"), "left"
-        )
-        return (
-            joined.filter(~stream_ids | F.col("_new").isNotNull())
-            .withColumn("doc_id", F.coalesce("_new", "doc_id"))
-            .drop("_old", "_new")
-        )
-
-    _swap_write(rewrite(spark.read.parquet(postings_path), dedup=True), postings_path)
     doclen_path = os.path.join(index_dir, "doclen")
-    _swap_write(rewrite(spark.read.parquet(doclen_path), dedup=True), doclen_path)
-    _swap_write(
-        base_docs.unionByName(
-            rewrite(fresh), allowMissingColumns=True
-        ),
-        docs_path,
-    )
+    lo_b = next_id // bucket_width
+    hi_b = (next_id + max(n_new, 1) - 1) // bucket_width
+    tail_buckets = list(range(lo_b, hi_b + 1))
+
+    def remapped(df: DataFrame) -> DataFrame:
+        d = df.dropDuplicates()
+        joined = d.join(F.broadcast(remap), d["doc_id"] == F.col("_old"), "inner")
+        return joined.withColumn("doc_id", F.col("_new")).drop("_old", "_new")
+
+    def fold(base_path: str, stream_path: str, cluster: bool = False) -> None:
+        if not os.path.isdir(stream_path) or n_new == 0:
+            return  # nothing to fold (dup-only delta rows die with the dir)
+        add = remapped(spark.read.parquet(stream_path)).withColumn(
+            "bucket", _bucket_col(bucket_width)
+        )
+        if _is_bucketed(base_path):
+            base_part = spark.read.parquet(base_path).filter(
+                F.col("bucket").isin(tail_buckets)
+            )
+            out = base_part.unionByName(add)
+            if cluster:  # keep the postings lemma-file-clustering invariant
+                out = out.repartitionByRange(
+                    "bucket", "lemma", "doc_id"
+                ).sortWithinPartitions("bucket", "lemma", "doc_id")
+            _swap_buckets(spark, base_path, out, tail_buckets, schema_src=add)
+        else:
+            _swap_write_bucketed(
+                _read_table(spark, base_path).unionByName(add.drop("bucket")),
+                base_path,
+                bucket_width,
+            )
+
+    fold(postings_path, os.path.join(index_dir, "postings_stream"), cluster=True)
+    fold(doclen_path, os.path.join(index_dir, "doclen_stream"))
+    if n_new and _is_bucketed(docs_path):
+        add_docs = remapped(fresh).withColumn("bucket", _bucket_col(bucket_width))
+        base_part = spark.read.parquet(docs_path).filter(
+            F.col("bucket").isin(tail_buckets)
+        )
+        _swap_buckets(
+            spark,
+            docs_path,
+            base_part.unionByName(add_docs, allowMissingColumns=True),
+            tail_buckets,
+            schema_src=add_docs,
+        )
+    else:
+        _swap_write_bucketed(
+            base_docs.unionByName(remapped(fresh), allowMissingColumns=True),
+            docs_path,
+            bucket_width,
+        )
     # the stream checkpoint SURVIVES compaction — already-drained input
     # files must not re-ingest on the next refresh
     shutil.rmtree(stream_docs_path, ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "postings_stream"), ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "doclen_stream"), ignore_errors=True)
 
     # exact dictionary rebuild + stats refresh, then drop the delta log
     _compact_terms_and_stats(spark, index_dir, stats)
@@ -502,7 +617,7 @@ def _compact_terms_and_stats(
     os.replace(tmp, os.path.join(index_dir, "stats.json"))
 
 
-def _swap_write(df: DataFrame, path: str) -> None:
+def _swap_write(df: DataFrame, path: str, partition_by: str | None = None) -> None:
     """Rewrite a parquet dir we may be reading from: write to a sibling
     tmp dir, then atomically swap (Spark refuses to overwrite an input
     of a running plan, and a crash mid-write must not clobber the old
@@ -510,12 +625,61 @@ def _swap_write(df: DataFrame, path: str) -> None:
     import shutil
 
     tmp = path + ".tmp_swap"
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
     old = path + ".old"
     if os.path.isdir(path):
         os.replace(path, old)
     os.replace(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def _swap_write_bucketed(df: DataFrame, path: str, bucket_width: int) -> None:
+    """Whole-table rewrite in the v4 bucket-partitioned layout (the
+    bucket column is derived from doc_id, stripped again on read)."""
+    _swap_write(
+        df.withColumn("bucket", _bucket_col(bucket_width)),
+        path,
+        partition_by="bucket",
+    )
+
+
+def _swap_buckets(
+    spark: SparkSession,
+    path: str,
+    out: DataFrame,
+    buckets: list[int],
+    schema_src: DataFrame,
+) -> None:
+    """Replace ONLY the given bucket partition dirs of a v4 table with
+    `out` (which must carry a `bucket` column restricted to `buckets`):
+    one job writes the replacement partitions to a tmp dir, then each
+    affected bucket dir is swapped in place — untouched buckets' files
+    are never read or rewritten (the Iceberg-MERGE-shaped mutation
+    bound). A bucket with no surviving rows is removed; if the table
+    would end up with no buckets at all (scope == whole corpus), an
+    empty unpartitioned parquet with the original schema is written so
+    readers keep resolving the schema."""
+    import shutil
+
+    tmp = path + ".tmp_swap"
+    shutil.rmtree(tmp, ignore_errors=True)
+    out.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    for b in buckets:
+        src_b = os.path.join(tmp, f"bucket={b}")
+        dst_b = os.path.join(path, f"bucket={b}")
+        old = dst_b + ".old"
+        if os.path.isdir(dst_b):
+            os.replace(dst_b, old)
+        if os.path.isdir(src_b):
+            os.replace(src_b, dst_b)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    if not _is_bucketed(path):
+        # every bucket deleted: leave a readable empty table
+        _swap_write(schema_src.drop("bucket").limit(0).coalesce(1), path)
 
 
 def delete_scope(
@@ -531,29 +695,33 @@ def delete_scope(
     their index rows, and now-orphaned lemmas).
 
     Surviving docs KEEP their doc_ids (the docID space stays a stable
-    bijection, now with holes — same contract as reindex_turn), so:
-    postings/doclen/docs are rewritten with one anti-join each, the
-    dictionary is rebuilt exactly from the surviving postings (orphaned
-    lemmas disappear because build_terms only sees df>0), stats.json
-    refreshes n_docs/avgdl, and ONLY segment buckets that contained a
-    deleted doc are re-encoded — one rmtree + one _write_segment_buckets
-    job over the affected doc range (the compact_index pattern), not a
-    job per bucket. After deletion both engines score identically to a
-    from-scratch build over the remaining corpus (pinned by
-    tests/test_reindex.py). At 100 TB the anti-join rewrites become
-    partition-pruned file replacements (Iceberg MERGE/DELETE); the
-    bucket re-encode is already pruned.
+    bijection, now with holes — same contract as reindex_turn). On the
+    v4 bucket-partitioned layout, postings/doclen/docs are rewritten
+    per AFFECTED BUCKET only (one partition-pruned anti-join job per
+    table, then bucket-dir swaps — untouched buckets' files are never
+    read or written, matching what the segment re-encode already
+    achieves); v3 unpartitioned dirs fall back to whole-table swaps
+    that upgrade them to v4. The dictionary is rebuilt exactly from the
+    surviving postings (orphaned lemmas disappear because build_terms
+    only sees df>0), stats.json refreshes n_docs/avgdl, and ONLY
+    segment buckets that contained a deleted doc are re-encoded. After
+    deletion both engines score identically to a from-scratch build
+    over the remaining corpus (pinned by tests/test_reindex.py).
 
     Pending streamed deltas are folded in first (compact_index) so the
     scope's streamed turns are deleted too and the delta log can't
-    double-count the rebuilt dictionary. Crash-safety: the affected
-    bucket list is journaled to ``delete_pending.json`` before the
-    table swaps; a crash between the swaps and the re-encode leaves
-    stale segments, and the NEXT delete_scope (or any call after
-    restart) replays the journaled re-encode from the already-swapped
-    tables before doing new work."""
-    import shutil
-
+    double-count the rebuilt dictionary. Crash-safety: the scope AND
+    the affected bucket list are journaled to ``delete_pending.json``
+    BEFORE any table swap; the NEXT delete_scope call (or any call
+    after restart) replays the WHOLE journaled delete — the anti-join
+    bucket rewrites are idempotent on already-deleted docs, the
+    dictionary/stats rebuild recomputes from whatever table state the
+    crash left, and the segment re-encode runs from the repaired
+    tables — so a crash at ANY point between the journal write and the
+    journal removal converges to the consistent post-delete index
+    (ADVICE r2: a replay that only re-ran the re-encode left a crash
+    between the first swap and the stats rebuild permanently
+    inconsistent)."""
     stats = load_stats(index_dir)
     if stats is None:
         raise ValueError(f"no index at {index_dir} (stats.json missing)")
@@ -565,32 +733,17 @@ def delete_scope(
         os.path.join(index_dir, "terms_delta")
     ):
         compact_index(spark, index_dir, bucket_width)
-        stats = load_stats(index_dir)
 
     pending_path = os.path.join(index_dir, "delete_pending.json")
-
-    def _reencode(buckets: list[int], width: int) -> None:
-        disk2 = DiskIndex(spark, index_dir)
-        ix = disk2.as_inverted_index()
-        ix.backing_dir = index_dir
-        for b in buckets:
-            shutil.rmtree(
-                os.path.join(index_dir, "segments", f"bucket={b}"),
-                ignore_errors=True,
-            )
-        _write_segment_buckets(
-            ix, index_dir, todo=buckets, bucket_width=width,
-            input_desc=f"delete_scope:{scope_col}={scope_value}",
-        )
-        os.remove(pending_path)
-
     if os.path.isfile(pending_path):
-        # a previous delete crashed between the table swaps and the
-        # segment re-encode: its tables are already consistent — replay
-        # the journaled re-encode before doing anything new
+        # a previous delete crashed mid-flight: replay the WHOLE
+        # journaled delete (idempotent) before doing new work
         with open(pending_path) as fh:
             pending = json.load(fh)
-        _reencode(pending["buckets"], int(pending["bucket_width"]))
+        _run_scope_delete(
+            spark, index_dir, pending["scope"][0], pending["scope"][1],
+            pending["buckets"], int(pending["bucket_width"]),
+        )
 
     disk = DiskIndex(spark, index_dir)
     # _base_docs resolves every layout (local parquet, by-reference
@@ -611,39 +764,110 @@ def delete_scope(
             (F.col("doc_id") / bucket_width).cast("long")
         ).distinct().collect()
     )
-    # journal the re-encode BEFORE any table swap (crash repair point)
+    # journal scope + buckets BEFORE any table swap (crash repair point)
     tmp = pending_path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump({"buckets": buckets, "bucket_width": bucket_width,
                    "scope": [scope_col, scope_value]}, fh)
     os.replace(tmp, pending_path)
-
-    postings_path = os.path.join(index_dir, "postings")
-    doclen_path = os.path.join(index_dir, "doclen")
-    _swap_write(
-        spark.read.parquet(postings_path).join(doomed, "doc_id", "left_anti"),
-        postings_path,
-    )
-    _swap_write(
-        spark.read.parquet(doclen_path).join(doomed, "doc_id", "left_anti"),
-        doclen_path,
-    )
-    _swap_write(
-        docs_raw.join(doomed, "doc_id", "left_anti"),
-        os.path.join(index_dir, "docs"),
+    _run_scope_delete(
+        spark, index_dir, scope_col, scope_value, buckets, bucket_width,
+        doomed=doomed,
     )
     doomed.unpersist()
-    # docs were materialized locally with explicit doc_ids above
-    # (copy-on-first-write) — drop any by-reference/spilled mapping
-    stats["docs_source"] = None
-    stats["docid_adjust"] = {}
+    return {"deleted": int(n_deleted), "buckets_reencoded": buckets}
+
+
+def _anti_delete_table(
+    spark: SparkSession,
+    path: str,
+    doomed: DataFrame,
+    buckets: list[int],
+    bucket_width: int,
+    source: DataFrame | None = None,
+    cluster: bool = False,
+) -> None:
+    """Remove `doomed` doc_ids from one per-doc table. v4 layout: only
+    the affected bucket dirs are read (partition-pruned) and swapped;
+    legacy layouts rewrite the whole table (via `source` when the table
+    needs id derivation) and upgrade it to v4."""
+    if _is_bucketed(path):
+        src = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+        out = src.join(F.broadcast(doomed), "doc_id", "left_anti")
+        if cluster:  # preserve the postings lemma-file-clustering
+            out = out.repartitionByRange(
+                "bucket", "lemma", "doc_id"
+            ).sortWithinPartitions("bucket", "lemma", "doc_id")
+        _swap_buckets(spark, path, out, buckets, schema_src=src)
+    else:
+        base = source if source is not None else _read_table(spark, path)
+        _swap_write_bucketed(
+            base.join(F.broadcast(doomed), "doc_id", "left_anti"),
+            path,
+            bucket_width,
+        )
+
+
+def _run_scope_delete(
+    spark: SparkSession,
+    index_dir: str,
+    scope_col: str,
+    scope_value: str,
+    buckets: list[int],
+    bucket_width: int,
+    doomed: DataFrame | None = None,
+) -> None:
+    """The journaled (replayable) body of :func:`delete_scope`: bucket
+    anti-join rewrites → dictionary/stats rebuild → segment re-encode →
+    journal removal. Every step is idempotent, so a crash anywhere in
+    here is repaired by running it again with the journaled args (the
+    doomed set is recomputed from the CURRENT docs table — empty if the
+    docs swap already happened, making the rewrites no-ops)."""
+    import shutil
+
+    stats = load_stats(index_dir) or {}
+    pending_path = os.path.join(index_dir, "delete_pending.json")
+    disk = DiskIndex(spark, index_dir)
+    docs_raw = disk._base_docs
+    if doomed is None:
+        doomed = (
+            docs_raw.filter(F.col(scope_col) == F.lit(scope_value))
+            .select("doc_id")
+            .persist()
+        )
+    if doomed.limit(1).count() > 0:
+        docs_path = os.path.join(index_dir, "docs")
+        _anti_delete_table(
+            spark, os.path.join(index_dir, "postings"), doomed, buckets,
+            bucket_width, cluster=True,
+        )
+        _anti_delete_table(
+            spark, os.path.join(index_dir, "doclen"), doomed, buckets,
+            bucket_width,
+        )
+        _anti_delete_table(
+            spark, docs_path, doomed, buckets, bucket_width, source=docs_raw,
+        )
+        # by-reference/spilled docs were materialized locally with
+        # explicit ids by the whole-table fallback above
+        stats["docs_source"] = None
+        stats["docid_adjust"] = {}
     # exact dictionary rebuild from surviving postings + stats refresh
     _compact_terms_and_stats(spark, index_dir, stats)
-
-    # surgically re-encode only the buckets that lost docs (also clears
-    # the journal)
-    _reencode(buckets, bucket_width)
-    return {"deleted": int(n_deleted), "buckets_reencoded": buckets}
+    # surgically re-encode only the buckets that lost docs
+    disk2 = DiskIndex(spark, index_dir)
+    ix = disk2.as_inverted_index()
+    ix.backing_dir = index_dir
+    for b in buckets:
+        shutil.rmtree(
+            os.path.join(index_dir, "segments", f"bucket={b}"),
+            ignore_errors=True,
+        )
+    _write_segment_buckets(
+        ix, index_dir, todo=list(buckets), bucket_width=bucket_width,
+        input_desc=f"delete_scope:{scope_col}={scope_value}",
+    )
+    os.remove(pending_path)
 
 
 def reindex_turn(
@@ -668,15 +892,20 @@ def reindex_turn(
     tf/dl (stats-independent, compression.py v2), the untouched buckets
     stay EXACT under the new df/avgdl — after a reindex, both engines
     equal a from-scratch build immediately (pinned by
-    tests/test_reindex.py). At 100 TB the tmp-swap rewrites become
-    partition-pruned file replacements (Iceberg MERGE INTO); the small
-    tables and the one-bucket re-encode are unchanged."""
+    tests/test_reindex.py). On the v4 bucket-partitioned layout the
+    postings/doclen/docs rewrites read and swap ONLY the affected
+    bucket's partition dir — a 1-turn edit is O(1 bucket) of IO on
+    every table, never a whole-table rewrite (the parquet stand-in for
+    Iceberg MERGE INTO; v3 unpartitioned dirs fall back to whole-table
+    swaps that upgrade them to v4). The small terms table and the
+    one-bucket segment re-encode are unchanged."""
     from search_engine_spark.operators.compression import build_segments
     from search_engine_spark.operators.index_build import (
         InvertedIndex,
         build_postings_no_shuffle,
         role_weight_col,
     )
+    from search_engine_spark.streaming.incremental import STREAM_ID_BASE
 
     disk = DiskIndex(spark, index_dir)
     docs = disk.docs
@@ -687,6 +916,12 @@ def reindex_turn(
         raise ValueError(f"({conv_id!r}, {turn_idx}) matches {len(hit)} docs")
     row = hit[0]
     d = int(row["doc_id"])
+    if d >= STREAM_ID_BASE:
+        raise ValueError(
+            f"({conv_id!r}, {turn_idx}) is a streamed (not-yet-compacted) "
+            "turn — run compact_index first, then reindex"
+        )
+    bucket = d // bucket_width
 
     # new postings for the one replaced doc (same Arrow UDF lineage)
     one = docs.filter(F.col("doc_id") == d).drop("text").withColumn(
@@ -696,7 +931,14 @@ def reindex_turn(
     new_post = build_postings_no_shuffle(one, weight_col=weight).persist()
 
     postings_path = os.path.join(index_dir, "postings")
-    postings = spark.read.parquet(postings_path)
+    post_bucketed = _is_bucketed(postings_path)
+    postings = (
+        # v4: the only postings rows this mutation reads are the
+        # affected bucket's dir (a leaf read — no partition column)
+        spark.read.parquet(os.path.join(postings_path, f"bucket={bucket}"))
+        if post_bucketed
+        else spark.read.parquet(postings_path)
+    )
     old_post = postings.filter(F.col("doc_id") == d).persist()
     # materialize BOTH deltas before any table swap — their plans read
     # the very dirs the swaps replace, and persist() alone is lazy
@@ -736,34 +978,61 @@ def reindex_turn(
         ),
     ).select("term_id", "lemma", "df", "cf")
 
-    new_postings = postings.filter(F.col("doc_id") != d).unionByName(new_post)
-    _swap_write(new_postings, postings_path)
-    doclen_path = os.path.join(index_dir, "doclen")
-    doclen = spark.read.parquet(doclen_path)
-    new_dl = new_post.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-    _swap_write(
-        doclen.filter(F.col("doc_id") != d).unionByName(new_dl), doclen_path
+    new_postings = (
+        postings.filter(F.col("doc_id") != d)
+        .unionByName(new_post.select(*postings.columns))
+        # keep the per-bucket lemma-file-clustering invariant
+        .repartitionByRange("lemma", "doc_id")
+        .sortWithinPartitions("lemma", "doc_id")
     )
+    if post_bucketed:
+        _swap_write(new_postings, os.path.join(postings_path, f"bucket={bucket}"))
+    else:
+        _swap_write_bucketed(new_postings, postings_path, bucket_width)
+    doclen_path = os.path.join(index_dir, "doclen")
+    new_dl = new_post.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    if _is_bucketed(doclen_path):
+        bdir = os.path.join(doclen_path, f"bucket={bucket}")
+        doclen_b = spark.read.parquet(bdir)
+        _swap_write(
+            doclen_b.filter(F.col("doc_id") != d)
+            .unionByName(new_dl.select(*doclen_b.columns)),
+            bdir,
+        )
+    else:
+        _swap_write_bucketed(
+            _read_table(spark, doclen_path)
+            .filter(F.col("doc_id") != d)
+            .unionByName(new_dl),
+            doclen_path,
+            bucket_width,
+        )
     _swap_write(merged, os.path.join(index_dir, "terms"))
     # Presorted indexes serve docs from the immutable input files —
     # a reindex is the first write, so materialize the docs table into
     # the index dir (copy-on-first-write) with explicit doc_id and drop
-    # the by-reference mapping from stats below.
-    docs_raw = (
-        disk._base_docs
-        if disk.docs_source
-        else spark.read.parquet(os.path.join(index_dir, "docs"))
-    )
+    # the by-reference mapping from stats below. A v4 docs table only
+    # rewrites the affected bucket's dir.
+    docs_path = os.path.join(index_dir, "docs")
     key = F.col("conv_id") == conv_id
-    _swap_write(
-        docs_raw.withColumn(
-            "text",
-            F.when(key & (F.col("turn_idx") == turn_idx), new_text).otherwise(
-                F.col("text")
-            ),
-        ),
-        os.path.join(index_dir, "docs"),
-    )
+    new_text_col = F.when(
+        key & (F.col("turn_idx") == turn_idx), new_text
+    ).otherwise(F.col("text"))
+    docs_materialized = False
+    if not disk.docs_source and _is_bucketed(docs_path):
+        bdir = os.path.join(docs_path, f"bucket={bucket}")
+        _swap_write(
+            spark.read.parquet(bdir).withColumn("text", new_text_col), bdir
+        )
+    else:
+        # _base_docs resolves by-reference/spilled-_mid layouts to
+        # explicit doc_ids; materialize bucketed (copy-on-first-write)
+        _swap_write_bucketed(
+            disk._base_docs.withColumn("text", new_text_col),
+            docs_path,
+            bucket_width,
+        )
+        docs_materialized = True
     old_post.unpersist()
     new_post.unpersist()
 
@@ -773,20 +1042,27 @@ def reindex_turn(
     ).collect()[0]
     stats = load_stats(index_dir) or {}
     stats["n_docs"], stats["avgdl"] = int(dstats["n"]), float(dstats["avgdl"])
-    if disk.docs_source:
-        stats["docs_source"] = None  # docs materialized locally above
+    if docs_materialized:
+        # docs were materialized locally with explicit ids above
+        stats["docs_source"] = None
+        stats["docid_adjust"] = {}
     with open(os.path.join(index_dir, "stats.json"), "w") as fh:
         json.dump(stats, fh)
 
-    # re-encode ONLY the affected bucket from the updated tables
-    bucket = d // bucket_width
+    # re-encode ONLY the affected bucket from the updated tables (on a
+    # v4 layout the encode input is the bucket's own partition dir — a
+    # partition-pruned read, not a full-scan + filter)
     disk2 = DiskIndex(spark, index_dir)
     ix = disk2.as_inverted_index()
     lo, hi = bucket * bucket_width, (bucket + 1) * bucket_width
     ix_b = InvertedIndex(
         docs=ix.docs,
-        postings=ix.postings.filter(
-            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        postings=(
+            spark.read.parquet(os.path.join(postings_path, f"bucket={bucket}"))
+            if _is_bucketed(postings_path)
+            else ix.postings.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
         ),
         doclen=ix.doclen,
         terms=ix.terms,
@@ -856,7 +1132,7 @@ class DiskIndex:
                 self.docs_source["dir"],
                 {k: int(v) for k, v in self.docs_source["file_offsets"].items()},
             )
-        docs = self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        docs = _read_table(self.spark, os.path.join(self.index_dir, "docs"))
         if "doc_id" not in docs.columns:
             from search_engine_spark.operators.docids import with_derived_doc_id
 
@@ -879,8 +1155,17 @@ class DiskIndex:
         return self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
 
     def as_inverted_index(self) -> InvertedIndex:
-        postings = self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
-        doclen = self.spark.read.parquet(os.path.join(self.index_dir, "doclen"))
+        postings = _read_table(self.spark, os.path.join(self.index_dir, "postings"))
+        doclen = _read_table(self.spark, os.path.join(self.index_dir, "doclen"))
+        # streamed (not-yet-compacted) delta rows live in sibling dirs
+        # (v4 — appending loose files into a bucket-partitioned dir
+        # would corrupt partition discovery); serve them unioned in
+        ps = os.path.join(self.index_dir, "postings_stream")
+        if os.path.isdir(ps):
+            postings = postings.unionByName(self.spark.read.parquet(ps))
+        dls = os.path.join(self.index_dir, "doclen_stream")
+        if os.path.isdir(dls):
+            doclen = doclen.unionByName(self.spark.read.parquet(dls))
         if "dl" not in postings.columns:
             # format-v1 dirs (pre-dl postings): fall back to the doclen
             # join so old indexes stay queryable (ADVICE r1)

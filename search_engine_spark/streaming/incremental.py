@@ -84,10 +84,17 @@ def incremental_index_refresh(
         postings = build_postings_no_shuffle(
             docs, weight_col=role_weight_col("role")
         )
-        postings.write.mode("append").parquet(os.path.join(index_dir, "postings"))
+        # sibling delta dirs, NOT the base tables: the v4 base tables
+        # are bucket-partitioned by dense doc range (index_store) —
+        # appending loose hash-range-id files there would corrupt
+        # partition discovery. DiskIndex serves base ∪ stream until
+        # compact_index folds the deltas back.
+        postings.write.mode("append").parquet(
+            os.path.join(index_dir, "postings_stream")
+        )
         postings.groupBy("doc_id").agg(F.first("dl").alias("dl")).write.mode(
             "append"
-        ).parquet(os.path.join(index_dir, "doclen"))
+        ).parquet(os.path.join(index_dir, "doclen_stream"))
         # dictionary delta: df/cf adds for this epoch (merged on read or
         # by a periodic compaction — MERGE INTO once Iceberg is present)
         delta = postings.groupBy("lemma").agg(

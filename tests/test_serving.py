@@ -168,3 +168,46 @@ def test_related_terms_missing_seed_empty(tiny_index):
     )
     assert out.collect() == []
     assert out.columns == ["lemma", "n_pair", "pmi"]
+
+
+def test_snippets_wrap_every_matched_lemma(spark):
+    """Multi-word highlight parity (reference ApiService.java:134-200
+    wraps EVERY matched query word): a 2-term query renders BOTH terms
+    <b>-wrapped, anchored on the earliest match, and the Spark
+    expression equals the DuckDB-dialect twin byte-for-byte."""
+    import duckdb
+
+    from search_engine_spark.operators.query import snippet_sql, snippets
+
+    rows = [
+        (0, "the alpha filter beta join runs in every good plan today"),
+        (1, "join first then filter is usually worse than filter then join"),
+        (2, "neither term appears in this document at all honestly"),
+        (3, "filter"),  # exact single-word doc (window edges degenerate)
+        (4, "JOIN uppercase and Filter mixed-case must still be wrapped"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["snippet"]
+        for r in snippets(df, "filter join", window=25).collect()
+    }
+    # both terms wrapped when both fall inside the window
+    assert "<b>filter</b>" in got[0] and "<b>join</b>" in got[0], got[0]
+    assert got[1].count("<b>") >= 2, got[1]
+    assert "<b>" not in got[2]
+    assert got[3] == "<b>filter</b>"
+    # case-insensitive match, original case preserved
+    assert "<b>JOIN</b>" in got[4] and "<b>Filter</b>" in got[4], got[4]
+
+    # byte-identical to the DuckDB-dialect twin
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = (
+        f"SELECT doc_id, {snippet_sql(['filter', 'join'], 25, dialect='duckdb')} "
+        "AS snippet FROM documents"
+    )
+    want = {int(r[0]): r[1] for r in con.sql(sql).fetchall()}
+    assert got == want

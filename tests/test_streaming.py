@@ -42,9 +42,11 @@ def test_stream_appends_postings(spark, dirs):
 
 def test_rerun_is_exactly_once(spark, dirs):
     input_dir, index_dir = dirs
-    n1 = spark.read.parquet(os.path.join(index_dir, "postings")).count()
+    # streamed postings land in the sibling delta dir (v4 layout)
+    n1 = spark.read.parquet(os.path.join(index_dir, "postings_stream")).count()
+    assert n1 > 0
     incremental_index_refresh(spark, input_dir, index_dir)  # no new files
-    n2 = spark.read.parquet(os.path.join(index_dir, "postings")).count()
+    n2 = spark.read.parquet(os.path.join(index_dir, "postings_stream")).count()
     assert n1 == n2
 
 
