@@ -189,11 +189,14 @@ def main() -> None:
     suite = [
         "bm25_topk", "bm25_topk_sql", "ngram_jaccard_pairs",
         "minhash_lsh_pairs", "simhash_pairs", "embedding_topk",
-        "srp_ann_topk", "ivf_ann_topk", "embedding_neardup_pairs",
+        "srp_ann_topk", "srp_ann_topk_disk", "ivf_ann_topk",
+        "bm25_topk_wand_tree", "embedding_neardup_pairs",
         "srp_neardup_pairs",
         "token_counts", "quality_scores", "fingerprints",
-        "phrase_search", "near_search", "search_composed",
-        "search_composed_not", "prefix_search", "fuzzy_search",
+        "phrase_search", "phrase_search_positional", "near_search",
+        "near_search_positional", "search_composed",
+        "search_composed_not", "search_composed_or", "search_scoped_field",
+        "prefix_search", "fuzzy_search",
         "related_terms", "bm25_topk_or", "bm25_topk_or_wand",
         "snippets", "multimodal_features", "dead_letters",
         "field_subtraction", "event_windows", "top_users_per_event",

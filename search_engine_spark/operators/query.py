@@ -447,13 +447,47 @@ def fuzzy_search(
     return bm25_topk_lemmas(index, lemmas, k=k, match_all=False)
 
 
-def parse_search_query(query: str) -> tuple[list[str], str, str, list[str]]:
-    """Split a mini-language query into (phrases, free_text, not_terms,
-    not_phrases): ``'"table hash" join -slow -"big scan"'`` →
-    (["table hash"], " join ", "slow", ["big scan"]). A ``-`` prefix
-    negates the following word or quoted phrase; negated phrases are
-    extracted FIRST so ``-"foo bar"`` can never be misread as a
-    positive phrase constraint. Unbalanced quotes leave the trailing
+def split_or_branches(query: str) -> list[str]:
+    """Split a mini-language query on its top-level OR separators — the
+    ``OR`` keyword (uppercase, the Lucene convention) or ``|`` — into
+    conjunctive branches, ignoring separators inside double-quoted
+    phrases. ``'a b | "c OR d" e'`` → ``['a b', '"c OR d" e']``. The
+    reference's analog surface is per-site scoped search composition
+    (ApiService.java:36-47); OR retrieval itself is the engine's
+    ``match_all=False`` path."""
+    import re as _re
+
+    stash: list[str] = []
+
+    def _mask(m: "_re.Match[str]") -> str:
+        stash.append(m.group(0))
+        return f"\x00{len(stash) - 1}\x00"
+
+    masked = _re.sub(r'"[^"]*"', _mask, query)
+    parts = _re.split(r"\s+OR\s+|\s*\|\s*", masked)
+    out = []
+    for p in parts:
+        for i, s in enumerate(stash):
+            p = p.replace(f"\x00{i}\x00", s)
+        if p.strip():
+            out.append(p)
+    return out
+
+
+def parse_search_query(
+    query: str,
+) -> tuple[list[str], str, str, list[str], list[tuple[str, str]]]:
+    """Split one conjunctive mini-language branch into (phrases,
+    free_text, not_terms, not_phrases, scopes):
+    ``'"table hash" join -slow -"big scan" source:src_a'`` →
+    (["table hash"], " join ", "slow", ["big scan"], [("source",
+    "src_a")]). A ``-`` prefix negates the following word or quoted
+    phrase; negated phrases are extracted FIRST so ``-"foo bar"`` can
+    never be misread as a positive phrase constraint. ``field:value``
+    tokens are scope filters on doc-store columns (the reference's
+    per-site scoped search, ApiService.java:36-47 — here ``role:user``
+    / ``source:src_a`` / ``lang:en``), extracted after quotes so colons
+    inside phrases stay literal. Unbalanced quotes leave the trailing
     fragment as free text."""
     import re as _re
 
@@ -461,6 +495,8 @@ def parse_search_query(query: str) -> tuple[list[str], str, str, list[str]]:
     rest = _re.sub(r'(?:^|\s)-"[^"]*"', " ", query)
     phrases = _re.findall(r'"([^"]*)"', rest)
     rest = _re.sub(r'"[^"]*"', " ", rest)
+    scopes = _re.findall(r'(?:^|\s)([A-Za-z_]\w*):([^\s"]+)', rest)
+    rest = _re.sub(r'(?:^|\s)[A-Za-z_]\w*:[^\s"]+', " ", rest)
     neg = " ".join(_re.findall(r"(?:^|\s)-(\w\S*)", rest))
     free = _re.sub(r"(?:^|\s)-\w\S*", " ", rest)
     return (
@@ -468,38 +504,23 @@ def parse_search_query(query: str) -> tuple[list[str], str, str, list[str]]:
         free,
         neg,
         [p for p in neg_phrases if p.strip()],
+        scopes,
     )
 
 
-def search(
-    index: InvertedIndex,
-    docs: DataFrame,
-    query: str,
-    k: int = DEFAULT_TOP_K,
-    k1: float = BM25_K1,
-    b: float = BM25_B,
-) -> DataFrame:
-    """Composed retrieval with a mini query language: tokens inside
-    double quotes are exact-phrase constraints (every phrase must
-    match), ``-term`` excludes docs containing the term (boolean NOT),
-    the rest are conjunctive BM25 terms; ranking is BM25 over ALL
-    positive lemmas (phrase lemmas score too — a doc using the phrase
-    words often ranks above one meeting the bare constraint).
-
-    Composition, not new machinery: each phrase contributes a
-    :func:`phrase_match_docs` doc set (index-pruned + codegen verify),
-    NOT-terms contribute a left-anti join against their postings'
-    doc_ids, and the combined constraint feeds :func:`bm25_topk` as
-    ``doc_filter`` (semi-join before the scoring aggregate). A query
-    with no quotes and no NOTs is exactly ``bm25_topk``.
-
-    Returns top-k (doc_id, score, score_raw), tie-break score desc,
-    doc_id asc.
-    """
+def _branch_constraints(
+    index: InvertedIndex, docs: DataFrame, branch: str
+) -> tuple[DataFrame | None, DataFrame | None, list[str]]:
+    """(doc_filter, doc_exclude, positive_lemmas) for one conjunctive
+    mini-language branch — the shared constraint machinery of
+    :func:`search`: phrase doc sets (index-pruned + codegen verify)
+    intersect, ``field:value`` scopes intersect (a doc-store column
+    filter — reference per-site scoped search), NOT terms/phrases union
+    into the exclude set."""
     from search_engine_spark.functions.text import lemmatize_text_py
 
-    phrases, free, neg, neg_phrases = parse_search_query(query)
-    all_terms = " ".join(phrases + [free])
+    phrases, free, neg, neg_phrases, scopes = parse_search_query(branch)
+    pos_lemmas = parse_query(" ".join(phrases + [free]))
     doc_filter: DataFrame | None = None
     for ph in phrases:
         if not lemmatize_text_py(ph):
@@ -511,6 +532,17 @@ def search(
         doc_filter = (
             matched if doc_filter is None
             else doc_filter.join(matched, "doc_id")
+        )
+    for field, value in scopes:
+        if field not in docs.columns:
+            raise ValueError(
+                f"unknown scope field {field!r} (doc columns: {docs.columns})"
+            )
+        scoped = docs.filter(
+            F.col(field) == F.lit(value)
+        ).select("doc_id")
+        doc_filter = (
+            scoped if doc_filter is None else doc_filter.join(scoped, "doc_id")
         )
     # boolean NOT: banned doc sets anti-join the scoring HITS directly
     # (bm25_topk doc_exclude) — never a full-corpus join
@@ -527,6 +559,78 @@ def search(
             continue  # vacuous negation excludes nothing
         matched = phrase_match_docs(index, docs, ph).select("doc_id")
         exclude = matched if exclude is None else exclude.union(matched)
+    return doc_filter, exclude, pos_lemmas
+
+
+def search(
+    index: InvertedIndex,
+    docs: DataFrame,
+    query: str,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Composed retrieval with a mini query language: tokens inside
+    double quotes are exact-phrase constraints (every phrase must
+    match), ``-term`` excludes docs containing the term (boolean NOT),
+    ``field:value`` scopes to a doc-store column value (``role:user``,
+    ``source:src_a`` — reference per-site scoped search,
+    ApiService.java:36-47), ``OR`` / ``|`` separates alternative
+    conjunctive branches, and the rest are conjunctive BM25 terms;
+    ranking is BM25 over ALL positive lemmas (phrase lemmas score too —
+    a doc using the phrase words often ranks above one meeting the bare
+    constraint).
+
+    Composition, not new machinery: each phrase contributes a
+    :func:`phrase_match_docs` doc set (index-pruned + codegen verify),
+    scopes contribute a doc-store column filter, NOT-terms a left-anti
+    join against their postings' doc_ids, and the combined constraint
+    feeds :func:`bm25_topk` as ``doc_filter`` (semi-join before the
+    scoring aggregate). A query with no quotes/NOTs/scopes/ORs is
+    exactly ``bm25_topk``.
+
+    OR semantics: each branch's full constraint set (AND arity over its
+    free lemmas + its phrases/scopes minus its NOTs) is evaluated
+    independently; a doc qualifies if ANY branch accepts it, and
+    ranking is disjunctive BM25 (``match_all=False``) over the union of
+    all branches' positive lemmas — a doc matching several branches'
+    vocabularies outranks a single-branch match, the standard Boolean-
+    retrieval + BM25 composition.
+
+    Returns top-k (doc_id, score, score_raw), tie-break score desc,
+    doc_id asc.
+    """
+    branches = split_or_branches(query)
+    if len(branches) > 1:
+        allow: DataFrame | None = None
+        pool: dict[str, None] = {}
+        for br in branches:
+            doc_filter, exclude, pos_lemmas = _branch_constraints(
+                index, docs, br
+            )
+            if not pos_lemmas:
+                continue  # a branch with no positive terms is vacuous
+            accepted = docs_with_all_lemmas(index.postings, pos_lemmas).select(
+                "doc_id"
+            )
+            if doc_filter is not None:
+                accepted = accepted.join(doc_filter, "doc_id")
+            if exclude is not None:
+                accepted = accepted.join(exclude, "doc_id", "left_anti")
+            allow = accepted if allow is None else allow.union(accepted)
+            for lem in pos_lemmas:
+                pool.setdefault(lem)
+        if allow is None:
+            return index.postings.sparkSession.createDataFrame(
+                [], "doc_id long, score double, score_raw double"
+            )
+        return bm25_topk_lemmas(
+            index, list(pool), k=k, k1=k1, b=b, match_all=False,
+            doc_filter=allow.distinct(),
+        )
+    doc_filter, exclude, _ = _branch_constraints(index, docs, query)
+    phrases, free, _neg, _negph, _scopes = parse_search_query(query)
+    all_terms = " ".join(phrases + [free])
     return bm25_topk(index, all_terms, k=k, k1=k1, b=b,
                      doc_filter=doc_filter, doc_exclude=exclude)
 

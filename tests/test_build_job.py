@@ -90,6 +90,27 @@ def test_search_cli_engines_agree(tmp_path):
                            "--or", "--engine", "wand"))
     assert or_df and or_df == or_wand
 
+    # mini-language OR: union of two branch constraint sets — a doc
+    # needs only one branch; both branches' lemmas must surface docs
+    orq = hits(_search("--index", out, "--query", "w00003 | w00004",
+                       "--engine", "mini", "--k", "50"))
+    only3 = hits(_search("--index", out, "--query", "w00003",
+                         "--engine", "mini", "--k", "50"))
+    only4 = hits(_search("--index", out, "--query", "w00004",
+                         "--engine", "mini", "--k", "50"))
+    got_ids = {h["doc_id"] for h in orq}
+    assert got_ids & {h["doc_id"] for h in only3}
+    assert got_ids & {h["doc_id"] for h in only4}
+
+    # mini-language role: scope — every scoped hit must be a user turn
+    scoped = hits(_search("--index", out, "--query", "role:user w00000",
+                          "--engine", "mini", "--k", "20", "--snippets"))
+    assert scoped
+    unscoped = {h["doc_id"]
+                for h in hits(_search("--index", out, "--query", "w00000",
+                                      "--engine", "mini", "--k", "100000"))}
+    assert {h["doc_id"] for h in scoped} <= unscoped
+
     snip = _search("--index", out, "--query", "w00000", "--k", "2", "--snippets")
     srows = [json.loads(l) for l in snip.stdout.strip().splitlines() if l]
     assert snip.returncode == 0 and len(srows) == 2

@@ -1,0 +1,100 @@
+"""Positional phrase/NEAR engine (operators/positional.py): value-
+identical to the string-verify engine — including greedy non-overlap
+edge cases — and its query plan never touches the text column."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.positional import (
+    build_positional_postings,
+    near_search_positional,
+    phrase_match_docs_positional,
+    phrase_search_positional,
+)
+from search_engine_spark.operators.query import (
+    near_search,
+    phrase_match_docs,
+    phrase_search,
+)
+
+
+def _pairs(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_phrase_positional_equals_string_verify(spark, tiny_index, tiny_transcripts):
+    pos = build_positional_postings(tiny_index.docs).cache()
+    for phrase in ("w00000 w00001", "w00001 w00000", "w00000s w00003ing"):
+        a = _pairs(phrase_match_docs(tiny_index, tiny_index.docs, phrase),
+                   ["doc_id", "phrase_tf"])
+        b = _pairs(phrase_match_docs_positional(pos, phrase),
+                   ["doc_id", "phrase_tf"])
+        assert a == b, phrase
+        ta = _pairs(phrase_search(tiny_index, tiny_index.docs, phrase, k=10),
+                    ["doc_id", "phrase_tf"])
+        tb = _pairs(phrase_search_positional(pos, phrase, k=10),
+                    ["doc_id", "phrase_tf"])
+        assert ta == tb, phrase
+
+
+def test_phrase_positional_nonoverlap_edge_cases(spark):
+    """Greedy non-overlap parity with str.count on the lemma stream:
+    'a a a' contains 'a a' ONCE (not twice), back-to-back 'a b a b'
+    contains 'a b' twice, and duplicate-lemma phrases resolve by
+    per-offset position checks."""
+    from search_engine_spark.operators.index_build import build_index_from_docs
+
+    rows = [
+        (0, "xx yy xx yy"),          # back-to-back: "xx yy" x2
+        (1, "xx xx xx"),             # self-overlap: "xx xx" counts 1
+        (2, "xx yy zz xx yy"),       # two non-adjacent occurrences
+        (3, "yy xx"),                # reversed — no match for "xx yy"
+        (4, "xx zz yy"),             # gap — no adjacency
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ix = build_index_from_docs(docs)
+    pos = build_positional_postings(docs)
+    for phrase, want in [
+        ("xx yy", {0: 2, 2: 2}),
+        ("xx xx", {1: 1}),
+        ("xx yy zz", {2: 1}),
+    ]:
+        a = {int(r["doc_id"]): int(r["phrase_tf"])
+             for r in phrase_match_docs(ix, docs, phrase).collect()}
+        b = {int(r["doc_id"]): int(r["phrase_tf"])
+             for r in phrase_match_docs_positional(pos, phrase).collect()}
+        assert a == want, (phrase, a)
+        assert b == want, (phrase, b)
+
+
+def test_near_positional_equals_string_verify(spark, tiny_index):
+    pos = build_positional_postings(tiny_index.docs).cache()
+    for q, w in (("w00000 w00001", 8), ("w00000 w00002 w00005", 6)):
+        a = _pairs(near_search(tiny_index, tiny_index.docs, q, window=w, k=10),
+                   ["doc_id", "n_windows"])
+        b = _pairs(
+            near_search_positional(pos, tiny_index.doclen, q, window=w, k=10),
+            ["doc_id", "n_windows"])
+        assert a == b, (q, w)
+
+
+def test_positional_verify_never_reads_text(spark, tiny_transcripts, tmp_path):
+    """The at-scale claim: the positional phrase plan reads ONLY the
+    positional postings table — no text column in any scan's
+    ReadSchema, no Python/Arrow eval (pure codegen array ops)."""
+    docs_path = str(tmp_path / "docs")
+    tiny_transcripts.write.parquet(docs_path)
+    docs = spark.read.parquet(docs_path).withColumn(
+        "doc_id", F.xxhash64("conv_id", "turn_idx")
+    )
+    pos_path = str(tmp_path / "pos")
+    build_positional_postings(docs).write.parquet(pos_path)
+    pos = spark.read.parquet(pos_path)
+
+    plan = phrase_search_positional(pos, "w00000 w00001", k=10)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "text" not in line, line
+    assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
+    assert docs_path not in plan  # only the positional table is scanned

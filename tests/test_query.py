@@ -293,18 +293,31 @@ def test_parse_search_query():
     from search_engine_spark.operators.query import parse_search_query
 
     def norm(q):
-        ph, free, neg, neg_ph = parse_search_query(q)
-        return ph, free.split(), neg.split(), neg_ph
+        ph, free, neg, neg_ph, scopes = parse_search_query(q)
+        return ph, free.split(), neg.split(), neg_ph, scopes
 
-    assert norm('"table hash" join') == (["table hash"], ["join"], [], [])
-    assert norm("no quotes") == ([], ["no", "quotes"], [], [])
-    assert norm('"a b" "c d" e') == (["a b", "c d"], ["e"], [], [])
-    assert norm('""  x') == ([], ["x"], [], [])
-    assert norm('"a b" c -d -e2') == (["a b"], ["c"], ["d", "e2"], [])
-    assert norm("alpha-beta") == ([], ["alpha-beta"], [], [])  # infix dash kept
+    assert norm('"table hash" join') == (["table hash"], ["join"], [], [], [])
+    assert norm("no quotes") == ([], ["no", "quotes"], [], [], [])
+    assert norm('"a b" "c d" e') == (["a b", "c d"], ["e"], [], [], [])
+    assert norm('""  x') == ([], ["x"], [], [], [])
+    assert norm('"a b" c -d -e2') == (["a b"], ["c"], ["d", "e2"], [], [])
+    assert norm("alpha-beta") == ([], ["alpha-beta"], [], [], [])  # infix dash kept
     # negated phrases are NOT positive constraints
-    assert norm('a -"b c"') == ([], ["a"], [], ["b c"])
-    assert norm('"x y" -"b c" -d') == (["x y"], [], ["d"], ["b c"])
+    assert norm('a -"b c"') == ([], ["a"], [], ["b c"], [])
+    assert norm('"x y" -"b c" -d') == (["x y"], [], ["d"], ["b c"], [])
+    # field:value scopes are extracted after quotes (colon in a phrase
+    # stays literal) and removed from the free text
+    assert norm("role:user w1") == ([], ["w1"], [], [], [("role", "user")])
+    assert norm('"a:b c" source:s1 -d') == (
+        ["a:b c"], [], ["d"], [], [("source", "s1")]
+    )
+
+    from search_engine_spark.operators.query import split_or_branches
+
+    assert split_or_branches("a b | c") == ["a b", "c"]
+    assert split_or_branches("a OR b") == ["a", "b"]
+    assert split_or_branches('x "a OR b" | y') == ['x "a OR b"', "y"]
+    assert split_or_branches("plain query") == ["plain query"]
 
 
 def test_search_without_quotes_equals_bm25(tiny_index):
@@ -454,3 +467,60 @@ def test_search_negated_phrase_excludes(tiny_index):
     want = [(d, s) for d, s in base if d not in phrase_docs][: len(got) or None]
     assert not ({d for d, _ in got} & phrase_docs)
     assert got == [(d, s) for d, s in base if d not in phrase_docs][:500]
+
+
+def test_search_field_scope_restricts_to_column_value(spark, tiny_index):
+    """mini-QL `role:user`: hits are exactly the BM25 AND hits that are
+    user turns, with unchanged (full-corpus-stats) scores."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.query import bm25_topk, search
+
+    docs = tiny_index.docs
+    got = {
+        r["doc_id"]: r["score"]
+        for r in search(tiny_index, docs, "role:user w00000 w00001",
+                        k=10**6).collect()
+    }
+    assert got
+    user_ids = {
+        r["doc_id"]
+        for r in docs.filter(F.col("role") == "user").select("doc_id").collect()
+    }
+    base = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(tiny_index, "w00000 w00001", k=10**6).collect()
+    }
+    want = {d: s for d, s in base.items() if d in user_ids}
+    assert got == want
+
+
+def test_search_unknown_scope_field_raises(tiny_index):
+    import pytest
+
+    from search_engine_spark.operators.query import search
+
+    with pytest.raises(ValueError, match="unknown scope field"):
+        search(tiny_index, tiny_index.docs, "nosuchcol:x w00000", k=5)
+
+
+def test_search_or_unions_branch_constraints(spark, tiny_index):
+    """mini-QL OR: the accepted doc set is the union of each branch's
+    conjunctive constraint set (AND arity, NOTs honored per branch)."""
+    from search_engine_spark.operators.query import search
+
+    docs = tiny_index.docs
+    K = 10**6
+    a = {r["doc_id"] for r in
+         search(tiny_index, docs, "w00000 w00001", k=K).collect()}
+    b = {r["doc_id"] for r in
+         search(tiny_index, docs, "w00005 -w00001", k=K).collect()}
+    u = {r["doc_id"] for r in
+         search(tiny_index, docs, "w00000 w00001 | w00005 -w00001", k=K).collect()}
+    assert a and b
+    assert u == a | b
+    # OR keyword spelling is equivalent to the pipe
+    u2 = {r["doc_id"] for r in
+          search(tiny_index, docs, "w00000 w00001 OR w00005 -w00001",
+                 k=K).collect()}
+    assert u2 == u
