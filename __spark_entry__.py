@@ -56,6 +56,7 @@ from search_engine_spark.functions.text import (
     TOKEN_KEEP_REGEX,
 )
 from search_engine_spark.operators.dedup import (
+    dedup_keepers,
     exact_duplicates,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
@@ -268,6 +269,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _documents(spark, sf), threshold=JACCARD_THRESHOLD, num_hashes=32, bands=8,
             n=JACCARD_N,
         ).select("doc_a", "doc_b", "jaccard")
+
+    def q_dedup_keepers(spark, sf):
+        # cluster the MinHash near-dup pairs (transitive closure via
+        # iterative min-label propagation) and pick each cluster's MIN
+        # doc_id as the canonical keeper — the post-pair step a real
+        # training-data dedup pipeline needs (pairs alone can't drop
+        # transitive clones consistently)
+        docs = _documents(spark, sf)
+        pairs = minhash_near_duplicates(
+            docs, threshold=JACCARD_THRESHOLD, num_hashes=32, bands=8,
+            n=JACCARD_N,
+        )
+        return dedup_keepers(docs, pairs).select(
+            "doc_id", "keeper_id", "is_keeper"
+        )
+
+    def q_training_cleanse(spark, sf):
+        # the end-to-end training-data cleanse a 100 TB pipeline runs:
+        # near-dup keeper selection ∩ quality floor ∩ language filter —
+        # pure composition of the already-green operators, one pass per
+        # feature family, broadcast component table
+        docs = _documents(spark, sf)
+        pairs = minhash_near_duplicates(
+            docs, threshold=JACCARD_THRESHOLD, num_hashes=32, bands=8,
+            n=JACCARD_N,
+        )
+        keep = dedup_keepers(docs, pairs).filter(F.col("is_keeper"))
+        qual = docs.select("doc_id", *quality_features("text")).select(
+            "doc_id", quality_score_col().alias("_qs")
+        )
+        lang = docs.select("doc_id", *langid_features("text")).select(
+            "doc_id", langid_label_col().alias("_lang")
+        )
+        return (
+            keep.select("doc_id")
+            .join(qual, "doc_id")
+            .join(lang, "doc_id")
+            .filter((F.col("_qs") >= 0.5) & (F.col("_lang") == "latin-script"))
+            .select("doc_id")
+        )
 
     def q_simhash(spark, sf):
         return simhash_near_duplicates(_documents(spark, sf), max_hamming=3).select(
@@ -593,6 +634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "and_search": q_and_search,
         "reference_relevance": q_relevance,
         "dedup_exact": q_dedup_exact,
+        "dedup_keepers": q_dedup_keepers,
+        "training_cleanse": q_training_cleanse,
         "ngram_jaccard_pairs": q_jaccard,
         "minhash_lsh_pairs": q_minhash,
         "simhash_pairs": q_simhash,
@@ -1206,6 +1249,58 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY n_windows DESC, doc_id ASC LIMIT 10
     """
 
+    # shared CTE chain: exact-Jaccard pairs (== the LSH output on this
+    # corpus) → symmetric edges → recursive min-label reachability →
+    # component = min reachable doc_id (used by dedup_keepers and
+    # training_cleanse; requires WITH RECURSIVE)
+    components_ctes = f"""{_shingle_sql()},
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            dpairs AS (
+                SELECT doc_a, doc_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter)::double
+                      >= {JACCARD_THRESHOLD}
+            ),
+            edges AS (
+                SELECT doc_a AS s, doc_b AS d FROM dpairs
+                UNION
+                SELECT doc_b AS s, doc_a AS d FROM dpairs
+            ),
+            reach(doc, lab) AS (
+                SELECT s, s FROM edges
+                UNION
+                SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.doc
+            ),
+            comp AS (SELECT doc, min(lab) AS component FROM reach GROUP BY doc)"""
+
+    quality_score_expr = f"""CAST(round(
+                        0.4 * (CASE WHEN n_tokens >= 5 AND n_tokens <= 5000
+                                    THEN 1.0 ELSE 0.0 END)
+                        + 0.3 * (CAST(1.0 AS DECIMAL(13,7)) -
+                                 (CASE WHEN CAST(punct_ratio AS DECIMAL(10,6)) * 4.0 > 1.0
+                                       THEN CAST(1.0 AS DECIMAL(13,7))
+                                       ELSE CAST(CAST(punct_ratio AS DECIMAL(10,6)) * 4.0
+                                                 AS DECIMAL(13,7)) END))
+                        + 0.3 * CAST(uniq_token_ratio AS DECIMAL(10,6))
+                        , 6) AS DOUBLE)"""
+
+    lang_case_expr = """CASE
+                     WHEN round(length(regexp_replace(text, '[^\\x{0400}-\\x{04FF}]', '', 'g'))
+                          / greatest(length(text), 1)::double, 6) > 0.3 THEN 'ru-script'
+                     WHEN round(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))
+                          / greatest(length(text), 1)::double, 6) > 0.3 THEN 'cjk-script'
+                     WHEN round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                          / greatest(length(text), 1)::double, 6) > 0.3 THEN 'latin-script'
+                     ELSE 'unknown'
+                   END"""
+
     quality_inner = f"""
         SELECT doc_id,
                length(text) AS n_chars,
@@ -1311,6 +1406,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter)::double >= {JACCARD_THRESHOLD}
         """,
+        # keeper selection: pairs (the same exact-Jaccard set the LSH
+        # equality oracle uses) → transitive closure via a recursive
+        # min-label reachability CTE → component = min reachable id;
+        # unpaired docs keep themselves
+        "dedup_keepers": f"""
+            WITH RECURSIVE {components_ctes}
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS keeper_id,
+                   (d.doc_id = coalesce(c.component, d.doc_id)) AS is_keeper
+            FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+        """,
+        # composed cleanse: keepers ∩ quality >= 0.5 ∩ latin-script —
+        # each leg reuses its operator's exact oracle expression
+        "training_cleanse": f"""
+            WITH RECURSIVE {components_ctes},
+            keepers AS (
+                SELECT d.doc_id FROM documents d
+                LEFT JOIN comp c ON c.doc = d.doc_id
+                WHERE d.doc_id = coalesce(c.component, d.doc_id)
+            ),
+            qual AS (
+                SELECT doc_id, {quality_score_expr} AS _qs
+                FROM ({quality_inner})
+            ),
+            lang AS (SELECT doc_id, {lang_case_expr} AS _lang FROM documents)
+            SELECT doc_id FROM keepers
+            JOIN qual USING (doc_id)
+            JOIN lang USING (doc_id)
+            WHERE _qs >= 0.5 AND _lang = 'latin-script'
+        """,
         "phrase_search": phrase_oracle,
         # the positional engine's greedy non-overlap count == str.count
         # over the double-space stream — same equality oracle
@@ -1384,29 +1509,11 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": f"""
             SELECT doc_id, n_chars, n_tokens, mean_token_len, punct_ratio,
                    digit_ratio, stopword_ratio, uniq_token_ratio,
-                   CAST(round(
-                        0.4 * (CASE WHEN n_tokens >= 5 AND n_tokens <= 5000
-                                    THEN 1.0 ELSE 0.0 END)
-                        + 0.3 * (CAST(1.0 AS DECIMAL(13,7)) -
-                                 (CASE WHEN CAST(punct_ratio AS DECIMAL(10,6)) * 4.0 > 1.0
-                                       THEN CAST(1.0 AS DECIMAL(13,7))
-                                       ELSE CAST(CAST(punct_ratio AS DECIMAL(10,6)) * 4.0
-                                                 AS DECIMAL(13,7)) END))
-                        + 0.3 * CAST(uniq_token_ratio AS DECIMAL(10,6))
-                        , 6) AS DOUBLE) AS quality_score
+                   {quality_score_expr} AS quality_score
             FROM ({quality_inner})
         """,
-        "langid": """
-            SELECT doc_id,
-                   CASE
-                     WHEN round(length(regexp_replace(text, '[^\\x{0400}-\\x{04FF}]', '', 'g'))
-                          / greatest(length(text), 1)::double, 6) > 0.3 THEN 'ru-script'
-                     WHEN round(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))
-                          / greatest(length(text), 1)::double, 6) > 0.3 THEN 'cjk-script'
-                     WHEN round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-                          / greatest(length(text), 1)::double, 6) > 0.3 THEN 'latin-script'
-                     ELSE 'unknown'
-                   END AS lang_label
+        "langid": f"""
+            SELECT doc_id, {lang_case_expr} AS lang_label
             FROM documents
         """,
         "result_merge": f"""

@@ -389,3 +389,97 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    (doc_id, component) where component = MIN doc_id reachable through
+    the pairs — the clustering step a real dedup pipeline runs AFTER
+    pair generation (MinHash/SimHash emit PAIRS; keeping one doc per
+    transitive CLUSTER needs components, not pairs).
+
+    Plan: iterative min-label propagation — per round, every vertex
+    takes min(own label, neighbours' labels) via one join + one
+    aggregate, converging in O(cluster diameter) rounds (near-dup
+    clusters are shallow: threshold-graphs of content clones are
+    near-cliques, so 2-4 rounds in practice; the classic
+    large-star/small-star optimization halves rounds on long chains but
+    adds two more shuffles per round — wrong trade at this diameter).
+    Each round's labels are persisted and the previous round's
+    unpersisted; convergence is an exact changed-row count. The loop is
+    driver-side CONTROL only (two scalar actions per round: the changed
+    count and nothing else) — all data movement stays in Spark.
+    ``max_iter`` bounds the scan count; hitting it raises rather than
+    returning unconverged labels.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        # neighbour minimum, then fold in the current own label
+        nbr = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("component").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["dst"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("_nbr", F.col("component"))
+                ).alias("component"),
+                (F.col("component") != F.least(
+                    F.col("component"), F.coalesce("_nbr", F.col("component"))
+                )).cast("int").alias("_chg"),
+            )
+            .persist()
+        )
+        changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
+        labels.unpersist()
+        labels = new_labels.select("id", "component").persist()
+        new_labels.unpersist()
+        if changed == 0:
+            edges.unpersist()
+            return labels.select(F.col("id").alias("doc_id"), "component")
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_keepers(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """(doc_id, keeper_id, is_keeper) for EVERY doc: near-dup clusters
+    (transitive closure of `pairs`) keep their MIN doc_id, docs in no
+    pair keep themselves — the canonical-document selection a training
+    pipeline applies before sampling. The component table is tiny next
+    to the corpus (only docs that appear in a pair) → broadcast join;
+    the corpus itself is touched by exactly one projection."""
+    comp = connected_components(pairs, a_col, b_col)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(F.broadcast(comp), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("keeper_id"),
+        )
+        .withColumn("is_keeper", (F.col("doc_id") == F.col("keeper_id")))
+    )

@@ -48,11 +48,58 @@ FEATURES_SCHEMA = (
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_ts_ms int, frame_sha256 string"
 
 
-def _decode_image_real(payload: bytes):  # pragma: no cover - stub
-    raise NotImplementedError(
-        "image decode requires Pillow/opencv (not in this container); "
-        "deterministic fake features are used instead — see fake_features()"
+def _pil():  # optional dependency probe (importable on hosts with Pillow)
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _decode_image_real(payload: bytes) -> np.ndarray:
+    """bytes → HxWx3 uint8 RGB array via Pillow WHEN AVAILABLE.
+
+    This container ships no codec libraries, so the default path stays
+    the deterministic fake (fake_features); on a host with Pillow this
+    hook is live and ``extract_features(use_real_codecs=True)`` routes
+    image rows through it (tested, skipped where Pillow is absent)."""
+    Image = _pil()
+    if Image is None:  # pragma: no cover - exercised only without Pillow
+        raise NotImplementedError(
+            "image decode requires Pillow (pip install pillow); "
+            "deterministic fake features are used instead — see fake_features()"
+        )
+    import io
+
+    img = Image.open(io.BytesIO(payload))
+    img.load()
+    return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
+def image_features_real(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real-pixel feature vector: 4x4 grid of per-cell channel means +
+    global channel means + aspect ratio, L2-normalized to `dim` floats.
+    Deterministic given the decoded pixels — a stand-in embedding that
+    exercises the REAL decode path end-to-end (decode → embed → ANN)."""
+    arr = _decode_image_real(payload).astype(np.float64)
+    h, w, _ = arr.shape
+    gh, gw = max(h // 4, 1), max(w // 4, 1)
+    cells = []
+    for gy in range(4):
+        for gx in range(4):
+            cell = arr[gy * gh:(gy + 1) * gh or h, gx * gw:(gx + 1) * gw or w]
+            cells.append(cell.mean() / 255.0 if cell.size else 0.0)
+    feats = np.asarray(
+        cells
+        + [arr[..., c].mean() / 255.0 for c in range(3)]
+        + [h / max(w, 1)],
+        dtype=np.float64,
     )
+    out = np.zeros(dim, dtype=np.float64)
+    out[: min(dim, feats.size)] = feats[:dim]
+    n = float(np.sqrt((out * out).sum())) or 1.0
+    return (out / n).astype(np.float32)
 
 
 def _decode_audio_real(payload: bytes):  # pragma: no cover - stub
@@ -74,16 +121,29 @@ def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return (v / n).astype(np.float32)
 
 
-def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+def extract_features(
+    media: DataFrame, dim: int = FEATURE_DIM, use_real_codecs: bool = False
+) -> DataFrame:
     """media table → per-item feature vectors via mapInPandas.
 
-    One Arrow batch in, one out; no shuffle. The decode hook is where
-    a real codec plugs in (per-kind dispatch kept explicit)."""
+    One Arrow batch in, one out; no shuffle. ``use_real_codecs=True``
+    routes image rows through the Pillow decode hook
+    (:func:`image_features_real`) on hosts that have it — schemas,
+    batching, and partitioning are identical either way, so swapping
+    codecs never touches the plan."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            feats = [fake_features(p, dim).tolist() for p in payloads]
+            if use_real_codecs:
+                feats = [
+                    image_features_real(p, dim).tolist()
+                    if k == "image"
+                    else fake_features(p, dim).tolist()
+                    for k, p in zip(pdf["kind"], payloads)
+                ]
+            else:
+                feats = [fake_features(p, dim).tolist() for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -829,6 +829,7 @@ def _run_scope_delete(
     pending_path = os.path.join(index_dir, "delete_pending.json")
     disk = DiskIndex(spark, index_dir)
     docs_raw = disk._base_docs
+    doomed_local = doomed is None
     if doomed is None:
         doomed = (
             docs_raw.filter(F.col(scope_col) == F.lit(scope_value))
@@ -852,6 +853,8 @@ def _run_scope_delete(
         # explicit ids by the whole-table fallback above
         stats["docs_source"] = None
         stats["docid_adjust"] = {}
+    if doomed_local:
+        doomed.unpersist()
     # exact dictionary rebuild from surviving postings + stats refresh
     _compact_terms_and_stats(spark, index_dir, stats)
     # surgically re-encode only the buckets that lost docs

@@ -81,3 +81,45 @@ def test_simhash_identical_docs(docs):
     assert pairs[(0, 1)] == 0
     assert pairs[(3, 5)] == 0
     assert (0, 3) not in pairs
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Min-label propagation: a 4-hop chain (multi-round convergence),
+    a separate triangle, and a disjoint pair each collapse to their min
+    doc_id; singletons are absent from the component table."""
+    from search_engine_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            # chain 10-11-12-13-14 (diameter forces >1 round)
+            (10, 11), (11, 12), (12, 13), (13, 14),
+            # triangle 20-21-22
+            (20, 21), (21, 22), (20, 22),
+            # isolated pair
+            (30, 31),
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        int(r["doc_id"]): int(r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                   20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+
+def test_dedup_keepers_assigns_singletons_to_self(spark):
+    from search_engine_spark.operators.dedup import dedup_keepers
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "doc_a long, doc_b long")
+    rows = {
+        int(r["doc_id"]): (int(r["keeper_id"]), bool(r["is_keeper"]))
+        for r in dedup_keepers(docs, pairs).collect()
+    }
+    assert rows == {
+        0: (0, True), 1: (1, True), 2: (2, True),
+        3: (1, False), 4: (4, True), 5: (1, False),
+    }

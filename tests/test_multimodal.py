@@ -102,3 +102,39 @@ def test_resize_metadata_preserves_aspect(media):
             ar_src = r["width"] / r["height"]
             ar_dst = r["target_width"] / r["target_height"]
             assert abs(ar_src - ar_dst) / ar_src < 0.02
+
+
+def test_real_image_decode_when_pillow_available(spark):
+    """On hosts with Pillow the decode hook is live: a real PNG decodes
+    and its pixel-grid features flow through the same mapInPandas plan.
+    Skipped where Pillow is absent (this container) — there the hook
+    must raise NotImplementedError naming the dependency."""
+    import pytest
+
+    from search_engine_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _decode_image_real,
+        _pil,
+        extract_features,
+    )
+
+    if _pil() is None:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            _decode_image_real(b"\x89PNG fake")
+        pytest.skip("Pillow not installed; stub contract asserted instead")
+
+    import io
+
+    Image = _pil()
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 6), (200, 10, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", bytearray(png), 8, 6, None)], MEDIA_SCHEMA
+    )
+    row = extract_features(media, use_real_codecs=True).collect()[0]
+    assert row["n_bytes"] == len(png)
+    feats = row["features"]
+    assert len(feats) == 32 and abs(sum(f * f for f in feats) - 1.0) < 1e-5
+    # red-dominant image: global R mean (index 16) > B mean (index 18)
+    assert feats[16] > feats[18]
