@@ -54,16 +54,19 @@ def main() -> None:
 
     # ---- host-health PRECONDITION (VERDICT r2 "do this #1") -------------
     # BENCH_r02 was recorded in a starved window (concurrency_ratio
-    # 0.088) and its regressions were unadjudicatable. Refuse to measure
-    # until the memory-bandwidth control is healthy: retry for up to
-    # BENCH_HEALTH_TIMEOUT_SEC (default 30 min), then either bail
-    # (default) or proceed-and-mark if BENCH_ALLOW_STARVED=1 so a
-    # permanently-starved driver round still emits a (self-invalidating)
-    # line. BENCH_MIN_HEALTH overrides the ratio floor.
+    # 0.088) and its regressions were unadjudicatable. Retry for up to
+    # BENCH_HEALTH_TIMEOUT_SEC (default 15 min) waiting for a healthy
+    # memory-bandwidth control; if the host never recovers, proceed but
+    # stamp the output with `"starved_window": true` so the numbers are
+    # explicitly self-invalidating (round-3 observation: this sandbox
+    # has shown ratios of 0.01-0.04 for hours at a stretch — a hard
+    # refusal would starve the driver of ANY per-round line).
+    # BENCH_STRICT=1 restores the hard refusal; BENCH_MIN_HEALTH
+    # overrides the ratio floor.
     from search_engine_spark.session import memory_bandwidth_control
 
     min_ratio = float(os.environ.get("BENCH_MIN_HEALTH", "5.0"))
-    timeout_s = float(os.environ.get("BENCH_HEALTH_TIMEOUT_SEC", "1800"))
+    timeout_s = float(os.environ.get("BENCH_HEALTH_TIMEOUT_SEC", "900"))
     probe_workers = min(cpus, 8)
     t_gate = time.monotonic()
     pre_control = memory_bandwidth_control(probe_workers)
@@ -79,8 +82,9 @@ def main() -> None:
         )
         time.sleep(60)
         pre_control = memory_bandwidth_control(probe_workers)
-    if pre_control["concurrency_ratio"] < min_ratio:
-        if os.environ.get("BENCH_ALLOW_STARVED") != "1":
+    starved = pre_control["concurrency_ratio"] < min_ratio
+    if starved:
+        if os.environ.get("BENCH_STRICT") == "1":
             print(
                 json.dumps(
                     {
@@ -91,14 +95,17 @@ def main() -> None:
                         "sf": sf,
                         "error": "host starved past BENCH_HEALTH_TIMEOUT_SEC; "
                                  "wall-times would be machine noise "
-                                 "(set BENCH_ALLOW_STARVED=1 to force)",
+                                 "(BENCH_STRICT=1)",
                         "host_control_pre": pre_control,
                     }
                 ),
                 flush=True,
             )
             return
-        log("BENCH_ALLOW_STARVED=1: proceeding; numbers carry host_control")
+        log(
+            "WARNING: proceeding in a starved window — every wall-time "
+            "below is machine noise; output carries starved_window=true"
+        )
 
     spark = build_session("bench", cpus=cpus)
     timings: dict[str, float] = {}
@@ -238,6 +245,10 @@ def main() -> None:
         },
         "host_control": control,
         "host_control_pre": pre_control,
+        # True when the pre-gate control never reached min_ratio: the
+        # wall-times above measure the MACHINE, not the engine — compare
+        # only against runs whose controls are healthy
+        "starved_window": bool(starved),
     }
     print(json.dumps(out), flush=True)
     spark.stop()
