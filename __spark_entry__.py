@@ -72,6 +72,7 @@ from search_engine_spark.operators.query import (
     bm25_topk_sql,
     candidate_docs,
     fuzzy_search,
+    more_like_this,
     near_search,
     parse_query,
     phrase_search,
@@ -85,6 +86,7 @@ from search_engine_spark.operators.query import (
 from search_engine_spark.operators.serving import (
     corpus_statistics,
     extract_title,
+    facets,
     lemma_frequency,
     merge_results,
     related_terms,
@@ -112,6 +114,9 @@ Q_REL = "slow window"
 Q_PHRASE = "table hash"           # adjacent-lemma phrase (~10% doc df)
 NEAR_WINDOW = 8                   # proximity window (lemmas) for near_search
 RELATED_SEED = "merge"            # seed lemma for related_terms (mid df)
+MLT_SEED_DOC = 7                  # seed document for more_like_this
+MLT_MAX_TERMS = 8                 # tf-idf term budget for the MLT query
+FACET_COL = "source"              # facet dimension for query facet counts
 Q_COMPOSED = '"table hash" join'  # mini-language: phrase constraint + term
 Q_COMPOSED_NOT = '"table hash" join -slow'  # + boolean NOT exclusion
 # mini-language OR: two conjunctive branches (one phrase-constrained,
@@ -532,6 +537,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ix.postings, ix.terms, ix.stats.n_docs, RELATED_SEED, top=10
         )
 
+    def q_more_like_this(spark, sf):
+        # document-seeded "related pages": the seed doc's top tf-idf
+        # lemmas become a disjunctive BM25 query; seed itself excluded
+        return more_like_this(
+            _index_for(spark, sf), MLT_SEED_DOC, k=10, max_terms=MLT_MAX_TERMS
+        ).select("doc_id", "score")
+
+    def q_facets(spark, sf):
+        # query-conditional facet counts: AND-matching docs per source
+        ix = _index_for(spark, sf)
+        return facets(
+            ix.postings, _documents(spark, sf), parse_query(Q_MAIN),
+            FACET_COL, top=20,
+        )
+
     def q_near_search(spark, sf):
         # proximity NEAR/W: all query lemmas inside one 8-lemma window;
         # candidates index-pruned, windowed verify codegen-only
@@ -664,6 +684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_search": q_near_search,
         "near_search_positional": q_near_search_positional,
         "related_terms": q_related_terms,
+        "more_like_this": q_more_like_this,
+        "facets": q_facets,
         "search_composed": q_search_composed,
         "search_composed_not": q_search_composed_not,
         "search_composed_or": q_search_composed_or,
@@ -1036,6 +1058,54 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN stats s
         CROSS JOIN seed_df sd
         ORDER BY n_pair DESC, co.lemma ASC LIMIT 10
+    """
+
+    # more_like_this oracle: term selection (rounded tf·idf top-m, ties
+    # on lemma asc — the same cut select_seed_terms makes) feeding the
+    # standard disjunctive BM25 sum with the seed doc excluded
+    mlt_oracle = f"""
+        WITH {_POSTINGS},
+        seed AS (
+            SELECT p.lemma,
+                   round(CAST(p.tf AS DOUBLE)
+                         * ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5)),
+                         6) AS w
+            FROM postings p JOIN terms t USING (lemma) CROSS JOIN stats s
+            WHERE p.doc_id = {MLT_SEED_DOC}
+            ORDER BY w DESC, p.lemma ASC LIMIT {MLT_MAX_TERMS}
+        ),
+        scored AS (
+            SELECT p.doc_id,
+                   sum(
+                     ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+                     * (p.tf * {BM25_K1 + 1.0!r})
+                     / (p.tf + {BM25_K1!r}
+                        * ({1.0 - BM25_B!r} + {BM25_B!r} * d.dl / s.avgdl))
+                   ) AS raw
+            FROM postings p
+            JOIN seed USING (lemma)
+            JOIN doclen d USING (doc_id)
+            JOIN terms t USING (lemma)
+            CROSS JOIN stats s
+            WHERE p.doc_id <> {MLT_SEED_DOC}
+            GROUP BY p.doc_id
+        )
+        SELECT doc_id, round(raw, 6) AS score FROM scored
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+
+    _facet_lemmas = parse_query(Q_MAIN)
+    _facet_in = "(" + ", ".join(f"'{l}'" for l in _facet_lemmas) + ")"
+    facets_oracle = f"""
+        WITH {_POSTINGS},
+        cand AS (
+            SELECT doc_id FROM postings WHERE lemma IN {_facet_in}
+            GROUP BY doc_id HAVING count(*) = {len(_facet_lemmas)}
+        )
+        SELECT d.{FACET_COL} AS facet, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents d JOIN cand USING (doc_id)
+        GROUP BY d.{FACET_COL}
+        ORDER BY n_docs DESC, facet ASC LIMIT 20
     """
 
     # composed-search oracle: phrase-constrained docs (same stream +
@@ -1443,6 +1513,8 @@ def oracle_sql() -> dict[str, str]:
         "near_search": near_oracle,
         "near_search_positional": near_oracle,
         "related_terms": related_oracle,
+        "more_like_this": mlt_oracle,
+        "facets": facets_oracle,
         "search_composed": composed_oracle,
         "search_composed_not": composed_not_oracle,
         "search_composed_or": composed_or_oracle,

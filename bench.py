@@ -205,7 +205,8 @@ def main() -> None:
         "near_search_positional", "search_composed",
         "search_composed_not", "search_composed_or", "search_scoped_field",
         "prefix_search", "fuzzy_search",
-        "related_terms", "bm25_topk_or", "bm25_topk_or_wand",
+        "related_terms", "more_like_this", "facets",
+        "bm25_topk_or", "bm25_topk_or_wand",
         "snippets", "multimodal_features", "dead_letters",
         "field_subtraction", "event_windows", "top_users_per_event",
     ]

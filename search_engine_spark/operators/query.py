@@ -447,6 +447,73 @@ def fuzzy_search(
     return bm25_topk_lemmas(index, lemmas, k=k, match_all=False)
 
 
+def select_seed_terms(
+    index: InvertedIndex,
+    seed_doc_id: int,
+    max_terms: int = 8,
+) -> list[str]:
+    """The seed document's most characteristic lemmas, ranked by
+    tf·idf — the term-selection half of :func:`more_like_this` (Lucene
+    MoreLikeThis "interesting terms"). The weight is rounded to
+    SCORE_DECIMALS before the cut and ties break on lemma asc, so the
+    DuckDB twin selects the identical set.
+
+    Plan: the seed's postings are ONE document's rows (a doc-bucket-
+    pruned scan under the v4 layout, ≤ dl rows) broadcast against the
+    dictionary — the collect is dictionary-class (≤ max_terms rows),
+    the same driver-side footprint as expand_prefix/expand_fuzzy."""
+    seed_p = (
+        index.postings.filter(F.col("doc_id") == seed_doc_id)
+        .select("lemma", "tf")
+    )
+    rows = (
+        index.terms.select("lemma", "df")
+        .join(F.broadcast(seed_p), "lemma")
+        .withColumn("_idf", idf_col(F.col("df").cast("double"), index.stats.n_docs))
+        .withColumn(
+            "_w", F.round(F.col("tf").cast("double") * F.col("_idf"), SCORE_DECIMALS)
+        )
+        .orderBy(F.col("_w").desc(), F.col("lemma").asc())
+        .limit(max_terms)
+        .select("lemma")
+        .collect()
+    )
+    return [r.lemma for r in rows]
+
+
+def more_like_this(
+    index: InvertedIndex,
+    seed_doc_id: int,
+    k: int = DEFAULT_TOP_K,
+    max_terms: int = 8,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """"More like this" document similarity: treat the seed document's
+    top tf·idf lemmas (:func:`select_seed_terms`) as a disjunctive BM25
+    query and rank every OTHER document by its summed weight — the
+    related-pages feature the reference UI exposes next to each result
+    (semantics anchor: the same dictionary→postings→relevance pipeline
+    as GET /api/search, ApiService.java:36-113, seeded from a document
+    instead of user text).
+
+    Reuses :func:`bm25_topk_lemmas` (match_all=False) verbatim, so the
+    scoring plan is the pinned single-aggregate shape and the result is
+    rank-consistent with every other engine surface. The seed doc is
+    excluded via the doc_exclude anti-join (1-row broadcast)."""
+    lemmas = select_seed_terms(index, seed_doc_id, max_terms)
+    if not lemmas:
+        return index.postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double, score_raw double"
+        )
+    excl = index.postings.sparkSession.createDataFrame(
+        [(int(seed_doc_id),)], "doc_id long"
+    )
+    return bm25_topk_lemmas(
+        index, lemmas, k=k, k1=k1, b=b, match_all=False, doc_exclude=excl
+    )
+
+
 def split_or_branches(query: str) -> list[str]:
     """Split a mini-language query on its top-level OR separators — the
     ``OR`` keyword (uppercase, the Lucene convention) or ``|`` — into

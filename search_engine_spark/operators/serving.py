@@ -149,6 +149,42 @@ def related_terms(
     )
 
 
+def facets(
+    postings: DataFrame,
+    docs: DataFrame,
+    lemmas: list[str],
+    facet_col: str,
+    top: int = 20,
+) -> DataFrame:
+    """Query-conditional facet counts: how many documents matching ALL
+    the query lemmas fall under each value of ``facet_col`` — the
+    per-site result breakdown the reference UI derives by re-running
+    the search per site (ApiService.java:36-47 siteId loop), collapsed
+    here into one aggregate.
+
+    Plan: the AND-candidate set (lemma-IN-pruned postings scan + one
+    groupBy — the shared :func:`~search_engine_spark.operators.query.
+    docs_with_all_lemmas` shape) joins the doc store on doc_id with
+    only the facet column projected, then ONE facet-cardinality-sized
+    aggregate. No extra shuffle beyond the candidate groupBy: the
+    doc-store join is keyed on doc_id (bucket-partitioned in the v4
+    layout) and the final count is map-side combinable.
+
+    Returns (facet, n_docs) ordered n_docs desc, facet asc, top-`top`.
+    """
+    from search_engine_spark.operators.query import docs_with_all_lemmas
+
+    cand = docs_with_all_lemmas(postings, lemmas).select("doc_id")
+    return (
+        docs.select("doc_id", F.col(facet_col).alias("facet"))
+        .join(cand, "doc_id")
+        .groupBy("facet")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("facet").asc())
+        .limit(top)
+    )
+
+
 def field_subtraction(
     docs: DataFrame,
     field_col: str,

@@ -211,3 +211,87 @@ def test_snippets_wrap_every_matched_lemma(spark):
     )
     want = {int(r[0]): r[1] for r in con.sql(sql).fetchall()}
     assert got == want
+
+
+def test_facets_counts_and_order(tiny_index):
+    """Facet counts == brute-force per-facet tally of AND-matching docs;
+    ordering pinned (n_docs desc, facet asc)."""
+    from search_engine_spark.operators.query import parse_query
+    from search_engine_spark.operators.serving import facets
+
+    lemmas = parse_query("w00000 w00001")
+    got = [
+        (r["facet"], r["n_docs"])
+        for r in facets(
+            tiny_index.postings, tiny_index.docs, lemmas, "role", top=10
+        ).collect()
+    ]
+    rows = tiny_index.postings.select("doc_id", "lemma").collect()
+    by_doc: dict[int, set[str]] = {}
+    for r in rows:
+        by_doc.setdefault(int(r["doc_id"]), set()).add(r["lemma"])
+    roles = {int(r["doc_id"]): r["role"] for r in tiny_index.docs.collect()}
+    from collections import Counter
+
+    want_c: Counter = Counter(
+        roles[d] for d, ls in by_doc.items() if all(l in ls for l in lemmas)
+    )
+    want = sorted(want_c.items(), key=lambda t: (-t[1], t[0]))[:10]
+    assert got == want
+    assert sum(n for _, n in got) > 0
+
+
+def test_more_like_this_excludes_seed_and_matches_bruteforce(tiny_index):
+    """MLT == brute-force: seed doc's top tf·idf lemmas (rounded cut,
+    lemma-asc ties) scored disjunctively over all other docs."""
+    import math as _math
+
+    from search_engine_spark.config import BM25_B, BM25_K1
+    from search_engine_spark.operators.query import (
+        more_like_this,
+        select_seed_terms,
+    )
+
+    seed_doc = 3
+    max_terms = 5
+    got = [
+        (r["doc_id"], r["score"])
+        for r in more_like_this(
+            tiny_index, seed_doc, k=10, max_terms=max_terms
+        ).collect()
+    ]
+    assert all(d != seed_doc for d, _ in got)
+    assert len(got) == 10
+
+    # brute-force twin over collected postings
+    rows = tiny_index.postings.select("doc_id", "lemma", "tf", "dl").collect()
+    n_docs, avgdl = tiny_index.stats.n_docs, tiny_index.stats.avgdl
+    df: dict[str, int] = {}
+    for r in rows:
+        df[r["lemma"]] = df.get(r["lemma"], 0) + 1
+
+    def idf(l: str) -> float:
+        return _math.log(1.0 + (n_docs - df[l] + 0.5) / (df[l] + 0.5))
+
+    seed_rows = [r for r in rows if int(r["doc_id"]) == seed_doc]
+    sel = sorted(
+        ((round(r["tf"] * idf(r["lemma"]), 6), r["lemma"]) for r in seed_rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:max_terms]
+    sel_lemmas = {l for _, l in sel}
+    assert set(select_seed_terms(tiny_index, seed_doc, max_terms)) == sel_lemmas
+
+    scores: dict[int, float] = {}
+    for r in rows:
+        d = int(r["doc_id"])
+        if d == seed_doc or r["lemma"] not in sel_lemmas:
+            continue
+        w = idf(r["lemma"]) * (r["tf"] * (BM25_K1 + 1.0)) / (
+            r["tf"] + BM25_K1 * (1.0 - BM25_B + BM25_B * r["dl"] / avgdl)
+        )
+        scores[d] = scores.get(d, 0.0) + w
+    want = sorted(
+        ((d, round(s, 6)) for d, s in scores.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert got == want
