@@ -70,6 +70,7 @@ loop beyond the ≤10-round byte-peel, each round a whole-array op).
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import partial
 
 import numpy as np
 import pandas as pd
@@ -481,6 +482,7 @@ def _encode_sorted_run(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
+    codec: str | None = None,
 ) -> pd.DataFrame:
     """Encode a run of postings sorted by (term_key, bucket, doc_id) —
     possibly MANY (term,bucket) groups — into block rows, fully
@@ -520,18 +522,22 @@ def _encode_sorted_run(
         "last_doc": doc_ids[block_ends - 1],
         "block_max_tf": block_max_tf.astype(np.int32),
         "block_min_dl": block_min_dl.astype(np.int32),
-        "doc_ids": encode_payload_blocks(deltas, block_starts, block_ends),
+        "doc_ids": encode_payload_blocks(deltas, block_starts, block_ends, codec),
         "tfs": encode_payload_blocks(
-            tfs.astype(np.uint64), block_starts, block_ends
+            tfs.astype(np.uint64), block_starts, block_ends, codec
         ),
         "dls": encode_payload_blocks(
-            dls.astype(np.uint64), block_starts, block_ends
+            dls.astype(np.uint64), block_starts, block_ends, codec
         ),
     }
     return pd.DataFrame(rows)
 
 
-def _run_from_pdf(pdf: pd.DataFrame, order: np.ndarray | None = None) -> pd.DataFrame:
+def _run_from_pdf(
+    pdf: pd.DataFrame,
+    order: np.ndarray | None = None,
+    codec: str | None = None,
+) -> pd.DataFrame:
     cols = (
         pdf["term_key"].to_numpy(np.int64),
         pdf["bucket"].to_numpy(np.int64),
@@ -541,10 +547,12 @@ def _run_from_pdf(pdf: pd.DataFrame, order: np.ndarray | None = None) -> pd.Data
     )
     if order is not None:
         cols = tuple(c[order] for c in cols)
-    return _encode_sorted_run(*cols)
+    return _encode_sorted_run(*cols, codec=codec)
 
 
-def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _encode_partition(
+    batches: Iterator[pd.DataFrame], codec: str | None = None
+) -> Iterator[pd.DataFrame]:
     """mapInPandas worker for the SHUFFLED strategy: encode a whole
     (term_key, bucket, doc_id)-sorted partition, carrying the trailing
     (possibly batch-split) group over between Arrow batches so no group
@@ -568,9 +576,9 @@ def _encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         cut = int(starts[-1])
         head = pdf.iloc[:cut]
         pend = pdf.iloc[cut:].reset_index(drop=True)
-        yield _run_from_pdf(head)
+        yield _run_from_pdf(head, codec=codec)
     if pend is not None and not pend.empty:
-        yield _run_from_pdf(pend)
+        yield _run_from_pdf(pend, codec=codec)
 
 
 def build_segments(
@@ -578,6 +586,7 @@ def build_segments(
     bucket_width: int = DOC_BUCKET_WIDTH,
     num_partitions: int | None = None,
     strategy: str = "colocated",
+    codec: str | None = None,
 ) -> DataFrame:
     """Compressed segment blocks for the whole index.
 
@@ -587,14 +596,15 @@ def build_segments(
     variant (kept as the differential twin and for inputs that are not
     doc-ordered)."""
     if strategy == "colocated":
-        return build_segments_colocated(index, bucket_width)
-    return build_segments_shuffled(index, bucket_width, num_partitions)
+        return build_segments_colocated(index, bucket_width, codec=codec)
+    return build_segments_shuffled(index, bucket_width, num_partitions, codec=codec)
 
 
 def build_segments_shuffled(
     index: InvertedIndex,
     bucket_width: int = DOC_BUCKET_WIDTH,
     num_partitions: int | None = None,
+    codec: str | None = None,
 ) -> DataFrame:
     """Shuffle-based segment build.
 
@@ -613,7 +623,9 @@ def build_segments_shuffled(
         sp.repartition(num_partitions, "term_key", "bucket")
         .sortWithinPartitions("term_key", "bucket", "doc_id")
     )
-    return shaped.mapInPandas(_encode_partition, SEGMENT_SCHEMA)
+    return shaped.mapInPandas(
+        partial(_encode_partition, codec=codec), SEGMENT_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -622,6 +634,7 @@ def build_segments_shuffled(
 def build_segments_colocated(
     index: InvertedIndex,
     bucket_width: int = DOC_BUCKET_WIDTH,
+    codec: str | None = None,
 ) -> DataFrame:
     """Compressed segment blocks with NO shuffle and NO join.
 
@@ -694,6 +707,7 @@ def build_segments_colocated(
                 yield emit(_encode_sorted_run(
                     tk[order], buckets[order], doc[order],
                     tf[order].astype(np.int64), dl[order].astype(np.int64),
+                    codec=codec,
                 ))
 
         pend: list[tuple[np.ndarray, ...]] = []
