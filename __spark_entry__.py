@@ -47,6 +47,10 @@ from search_engine_spark.functions.analysis import (
     content_fingerprint_col,
     langid_features,
     langid_label_col,
+    pii_count_cols,
+    pii_count_sql_duckdb,
+    pii_scrub_col,
+    pii_scrub_sql_duckdb,
     quality_features,
     quality_score_col,
     token_count_col,
@@ -61,6 +65,13 @@ from search_engine_spark.operators.dedup import (
     minhash_near_duplicates,
     ngram_jaccard_pairs,
     simhash_near_duplicates,
+)
+from search_engine_spark.operators.sampling import (
+    contamination,
+    dataset_split,
+    dataset_split_sql_duckdb,
+    stratified_sample,
+    stratified_sample_sql_duckdb,
 )
 from search_engine_spark.operators.index_build import (
     build_index_from_docs,
@@ -128,6 +139,10 @@ Q_FUZZY = "quer"                  # typo one edit away from 'query'
 MAX_EXPANSIONS = 16
 
 JACCARD_N = 3
+# stratified-sample demo: rebalance by source shard (the synthetic
+# corpus is single-language; source plays the stratum role lang would)
+SAMPLE_FRACTIONS = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
+SAMPLE_DEFAULT_FRACTION = 0.1
 JACCARD_THRESHOLD = 0.7
 JACCARD_MAX_DF = 128  # shingle-df cap for candidate generation (skew guard)
 COSINE_NEARDUP_THRESHOLD = 0.42  # top-tail of the synthetic embedding table
@@ -313,6 +328,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(lang, "doc_id")
             .filter((F.col("_qs") >= 0.5) & (F.col("_lang") == "latin-script"))
             .select("doc_id")
+        )
+
+    def q_dataset_split(spark, sf):
+        # deterministic hash split: same row → same split on any
+        # cluster size / engine (pure projection, no shuffle)
+        return dataset_split(_documents(spark, sf)).select("doc_id", "split")
+
+    def q_stratified_sample(spark, sf):
+        return stratified_sample(
+            _documents(spark, sf),
+            SAMPLE_FRACTIONS,
+            stratum_col="source",
+            default_fraction=SAMPLE_DEFAULT_FRACTION,
+        ).select("doc_id", "source")
+
+    def q_contamination(spark, sf):
+        # composed: hash-split the corpus, then flag train docs sharing
+        # any word 3-gram with the held-out test split (eval side
+        # broadcast — the 100 TB-side plan)
+        docs = dataset_split(_documents(spark, sf))
+        train = docs.filter(F.col("split") != "test")
+        ev = docs.filter(F.col("split") == "test")
+        return contamination(train, ev, n=JACCARD_N).select(
+            "doc_id",
+            F.col("n_shared_shingles").cast("long").alias("n_shared_shingles"),
+        )
+
+    def q_pii_scrub(spark, sf):
+        # inject deterministic PII derived from each row (the synthetic
+        # corpus carries none) so the scrub demonstrably redacts on
+        # every row; the oracle replays the same construction
+        d = _documents(spark, sf).withColumn(
+            "_aug",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact "),
+                F.col("source"),
+                F.lit("@example.com key "),
+                F.md5(F.col("doc_id").cast("string")),
+                F.lit(" call +1 (555) 010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        return d.select(
+            "doc_id",
+            pii_scrub_col("_aug").alias("scrubbed"),
+            *pii_count_cols("_aug"),
         )
 
     def q_simhash(spark, sf):
@@ -656,6 +718,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_keepers": q_dedup_keepers,
         "training_cleanse": q_training_cleanse,
+        "dataset_split": q_dataset_split,
+        "stratified_sample": q_stratified_sample,
+        "contamination": q_contamination,
+        "pii_scrub": q_pii_scrub,
         "ngram_jaccard_pairs": q_jaccard,
         "minhash_lsh_pairs": q_minhash,
         "simhash_pairs": q_simhash,
@@ -1489,6 +1555,64 @@ def oracle_sql() -> dict[str, str]:
         """,
         # composed cleanse: keepers ∩ quality >= 0.5 ∩ latin-script —
         # each leg reuses its operator's exact oracle expression
+        "dataset_split": f"""
+            SELECT doc_id, {dataset_split_sql_duckdb()} AS split
+            FROM documents
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, source FROM documents
+            WHERE {stratified_sample_sql_duckdb(
+                SAMPLE_FRACTIONS,
+                stratum_col="source",
+                default_fraction=SAMPLE_DEFAULT_FRACTION,
+            )}
+        """,
+        "contamination": f"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       {dataset_split_sql_duckdb()} AS split
+                FROM documents
+            ),
+            toks_tr AS (
+                SELECT doc_id, {_TOKS} AS tok FROM base WHERE split <> 'test'
+            ),
+            sh_tr AS (
+                SELECT doc_id, unnest(list_distinct(
+                    [array_to_string(tok[i : i + {JACCARD_N - 1}], ' ')
+                     for i in generate_series(1, len(tok) - {JACCARD_N - 1})]
+                )) AS shingle
+                FROM toks_tr WHERE len(tok) >= {JACCARD_N}
+            ),
+            toks_ev AS (
+                SELECT doc_id, {_TOKS} AS tok FROM base WHERE split = 'test'
+            ),
+            sh_ev AS (
+                SELECT DISTINCT unnest(list_distinct(
+                    [array_to_string(tok[i : i + {JACCARD_N - 1}], ' ')
+                     for i in generate_series(1, len(tok) - {JACCARD_N - 1})]
+                )) AS shingle
+                FROM toks_ev WHERE len(tok) >= {JACCARD_N}
+            )
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shared_shingles
+            FROM sh_tr t JOIN sh_ev e USING (shingle)
+            GROUP BY t.doc_id
+        """,
+        "pii_scrub": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact ' || source || '@example.com key '
+                       || md5(CAST(doc_id AS VARCHAR))
+                       || ' call +1 (555) 010-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       AS _aug
+                FROM documents
+            )
+            SELECT doc_id,
+                   {pii_scrub_sql_duckdb('_aug')} AS scrubbed,
+                   {', '.join(pii_count_sql_duckdb('_aug'))}
+            FROM aug
+        """,
         "training_cleanse": f"""
             WITH RECURSIVE {components_ctes},
             keepers AS (

@@ -209,6 +209,7 @@ def main() -> None:
         "bm25_topk_or", "bm25_topk_or_wand",
         "snippets", "multimodal_features", "dead_letters",
         "field_subtraction", "event_windows", "top_users_per_event",
+        "dataset_split", "contamination", "pii_scrub",
     ]
     qs = entrymod.queries()
     for name in suite:

@@ -166,6 +166,66 @@ def content_fingerprint_sql_duckdb(text_col: str = "text") -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction)
+# ---------------------------------------------------------------------------
+# Pattern order matters: emails go first (their local part may contain
+# digits), hex secrets second (an md5/token can embed a long digit run
+# the phone pattern would otherwise bite into). Patterns stay inside
+# the Java-regex ∩ RE2 common subset (char classes, bounded/greedy
+# quantifiers, no backrefs/lookaround) so the DuckDB oracle replays
+# them byte-for-byte.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("secret", r"[0-9a-fA-F]{32,}", "<SECRET>"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{5,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_scrub_col(text_col: str = "text") -> Column:
+    """Text with every PII_PATTERNS match replaced by its placeholder,
+    applied in PII_PATTERNS order (all JVM-side regexp_replace — one
+    codegen'd projection, no UDF)."""
+    col = F.col(text_col)
+    for _, pattern, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pattern, repl)
+    return col
+
+
+def pii_count_cols(text_col: str = "text") -> list[Column]:
+    """Per-pattern match counts over the ORIGINAL text (n_email,
+    n_secret, n_phone) — the audit trail a scrub job reports."""
+    return [
+        F.regexp_count(F.col(text_col), F.lit(pattern))
+        .cast("long")  # match DuckDB length() → BIGINT for oracle parity
+        .alias(f"n_{name}")
+        for name, pattern, _ in PII_PATTERNS
+    ]
+
+
+def _sql_quote(pattern: str) -> str:
+    return pattern.replace("'", "''")
+
+
+def pii_scrub_sql_duckdb(text_col: str = "text") -> str:
+    """DuckDB twin of :func:`pii_scrub_col` (needs the 'g' flag —
+    DuckDB's regexp_replace is first-match-only by default, Spark's is
+    global)."""
+    expr = text_col
+    for _, pattern, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{_sql_quote(pattern)}', '{repl}', 'g')"
+    return expr
+
+
+def pii_count_sql_duckdb(text_col: str = "text") -> list[str]:
+    """DuckDB twins of :func:`pii_count_cols`."""
+    return [
+        f"length(regexp_extract_all({text_col}, '{_sql_quote(pattern)}')) "
+        f"AS n_{name}"
+        for name, pattern, _ in PII_PATTERNS
+    ]
+
+
 def rolling_fingerprints_col(text_col: str, window: int = 8) -> Column:
     """Winnowing-style shingle fingerprints: xxhash64 of each ``window``-
     token shingle (array<long>). Min-sampled per doc for compact sketches."""

@@ -1,0 +1,197 @@
+"""Dataset split / stratified sample / decontamination / PII scrub.
+
+Covers determinism (the pipeline-reproducibility contract), nesting
+(smaller samples ⊂ larger samples), split exhaustiveness, broadcast
+plan shape for decontamination, and scrub behavior on adversarial
+fixtures (ordering between email / secret / phone patterns).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from search_engine_spark.operators.sampling import (
+    SPLIT_BUCKETS,
+    contamination,
+    dataset_split,
+    decontaminate,
+    split_bucket_col,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"w{i % 7:05d} w{(i + 1) % 7:05d} w{(i + 2) % 7:05d} w{i:05d}x",
+         "en" if i % 3 else "ru", f"src{i % 4}")
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_split_deterministic_and_exhaustive(docs):
+    a = {r.doc_id: r.split for r in dataset_split(docs).collect()}
+    b = {r.doc_id: r.split for r in dataset_split(docs).collect()}
+    assert a == b
+    assert set(a.values()) <= {"train", "val", "test"}
+    assert len(a) == 200
+    # roughly 80/10/10 (hash-uniform; loose bounds at n=200)
+    n_train = sum(v == "train" for v in a.values())
+    assert 130 <= n_train <= 190
+
+
+def test_split_membership_stable_under_corpus_growth(spark, docs):
+    """A row's split depends only on (id, seed): adding rows must not
+    move existing rows between splits."""
+    small = {r.doc_id: r.split for r in dataset_split(docs.limit(50)).collect()}
+    full = {r.doc_id: r.split for r in dataset_split(docs).collect()}
+    assert all(full[k] == v for k, v in small.items())
+
+
+def test_split_seed_redeals(docs):
+    a = {r.doc_id: r.split for r in dataset_split(docs, seed="split0").collect()}
+    b = {r.doc_id: r.split for r in dataset_split(docs, seed="split1").collect()}
+    assert a != b  # 200 rows: P(identical deal) ≈ 0
+
+
+def test_stratified_sample_nested_and_per_stratum(docs):
+    s10 = stratified_sample(docs, {"en": 0.5, "ru": 0.1})
+    s_small = stratified_sample(docs, {"en": 0.25, "ru": 0.05})
+    ids10 = {r.doc_id for r in s10.collect()}
+    ids_small = {r.doc_id for r in s_small.collect()}
+    assert ids_small <= ids10  # nested under the same seed
+    # default fraction drops unknown strata entirely
+    extra = stratified_sample(
+        docs.withColumn("lang", F.lit("zz")), {"en": 0.5}
+    )
+    assert extra.count() == 0
+
+
+def test_bucket_range(docs):
+    mx = docs.select(F.max(split_bucket_col()).alias("m"),
+                     F.min(split_bucket_col()).alias("n")).first()
+    assert 0 <= mx.n and mx.m < SPLIT_BUCKETS
+
+
+def test_contamination_finds_planted_overlap(spark):
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zeta eta theta iota"),
+         (3, "unrelated words only here")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the answer is alpha beta gamma exactly")],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.n_shared_shingles
+            for r in contamination(train, ev, n=3).collect()}
+    # doc 1 shares 'alpha beta gamma' (3-gram); docs 2,3 share nothing
+    assert hits == {1: 1}
+    clean = decontaminate(train, ev, n=3)
+    assert {r.doc_id for r in clean.collect()} == {2, 3}
+
+
+def test_contamination_plan_broadcasts_eval(spark, docs):
+    plan = contamination(docs, docs.limit(5))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_scrub_fixtures(spark):
+    from search_engine_spark.functions.analysis import (
+        pii_count_cols,
+        pii_scrub_col,
+    )
+
+    rows = [
+        (1, "mail me at a.user+tag@sub.example.org today"),
+        (2, "key deadbeefdeadbeefdeadbeefdeadbeef1234 leaked"),
+        (3, "call +1 (555) 010-4242 now"),
+        (4, "digits 123456789012345678901234567890ab stay one secret"),
+        (5, "clean text with w00017 and short 12345 numbers"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            pii_scrub_col("text").alias("scrubbed"),
+            *pii_count_cols("text"),
+        ).collect()
+    }
+    assert out[1].scrubbed == "mail me at <EMAIL> today"
+    assert out[1].n_email == 1 and out[1].n_phone == 0
+    assert out[2].scrubbed == "key <SECRET> leaked"
+    assert out[2].n_secret == 1
+    assert out[3].scrubbed == "call <PHONE> now"
+    assert out[3].n_phone == 1
+    # 32+ hex chars redact as ONE secret even though they embed a long
+    # digit run (secret pattern runs before phone)
+    assert out[4].scrubbed == "digits <SECRET> stay one secret"
+    assert out[5].scrubbed == rows[4][1]
+    assert out[5].n_email == out[5].n_secret == out[5].n_phone == 0
+
+
+def test_pii_scrub_matches_duckdb(spark):
+    """The DuckDB twins must replay the scrub + counts byte-for-byte."""
+    import duckdb
+
+    from search_engine_spark.functions.analysis import (
+        pii_count_cols,
+        pii_count_sql_duckdb,
+        pii_scrub_col,
+        pii_scrub_sql_duckdb,
+    )
+
+    rows = [
+        (1, "a@b.io and c.d@e-f.org, key " + "ab12" * 9 + " tel 555-010-99"),
+        (2, "+44 20 7946 0958 then bare 0123456 and x@y.zz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.doc_id, r.scrubbed, r.n_email, r.n_secret, r.n_phone)
+        for r in df.select(
+            "doc_id", pii_scrub_col("text").alias("scrubbed"),
+            *pii_count_cols("text")
+        ).orderBy("doc_id").collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    counts = ", ".join(pii_count_sql_duckdb("text"))
+    want = con.execute(
+        f"SELECT doc_id, {pii_scrub_sql_duckdb('text')} AS scrubbed, {counts} "
+        "FROM t ORDER BY doc_id"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_split_matches_duckdb(spark, docs):
+    import duckdb
+
+    from search_engine_spark.operators.sampling import (
+        dataset_split_sql_duckdb,
+        stratified_sample_sql_duckdb,
+    )
+
+    got = sorted(
+        (r.doc_id, r.split) for r in dataset_split(docs).collect()
+    )
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(
+        f"SELECT doc_id, {dataset_split_sql_duckdb()} AS split "
+        "FROM documents ORDER BY doc_id"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+    frac = {"en": 0.4, "ru": 0.15}
+    got_ids = sorted(r.doc_id for r in stratified_sample(docs, frac).collect())
+    want_ids = [
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM documents WHERE "
+            f"{stratified_sample_sql_duckdb(frac)} ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert got_ids == want_ids
