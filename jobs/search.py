@@ -7,7 +7,8 @@ code.
 Usage:
     spark-submit [--master ...] --py-files engine.zip jobs/search.py \
         --index <index_dir> --query '...' [--engine df|wand|sql|mini] \
-        [--or] [--k 10] [--offset 0] [--window W] [--snippets]
+        [--or] [--k 10] [--offset 0] [--window W] [--snippets] \
+        [--facets col,col] | --more-like DOC_ID
 
 Engines (the reference's three interchangeable strategies plus the
 mini query language):
@@ -34,7 +35,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--index", required=True, help="index dir (write_index output)")
-    p.add_argument("--query", required=True)
+    p.add_argument("--query", default=None)
+    p.add_argument("--more-like", type=int, default=None, metavar="DOC_ID",
+                   help="rank documents similar to DOC_ID instead of "
+                        "searching by --query (reference related-pages)")
+    p.add_argument("--facets", default=None, metavar="COL[,COL...]",
+                   help="also print per-column facet counts over the "
+                        "AND-matching docs (one JSON line per facet value)")
     p.add_argument("--engine", choices=["df", "wand", "sql", "mini"], default="df")
     p.add_argument("--or", dest="match_any", action="store_true",
                    help="disjunctive (OR) semantics (df/wand engines)")
@@ -65,11 +72,20 @@ def main() -> None:
     else:
         spark = SparkSession.builder.appName("search").getOrCreate()
 
+    if (args.query is None) == (args.more_like is None):
+        print("exactly one of --query / --more-like is required",
+              file=sys.stderr)
+        sys.exit(2)
+
     disk = DiskIndex(spark, args.index)
     ix = disk.as_inverted_index()
     k = args.offset + args.k  # fetch offset+limit, slice below (O2)
 
-    if args.engine == "df":
+    if args.more_like is not None:
+        from search_engine_spark.operators.query import more_like_this
+
+        res = more_like_this(ix, args.more_like, k=k)
+    elif args.engine == "df":
         res = bm25_topk(ix, args.query, k=k, match_all=not args.match_any)
     elif args.engine == "wand":
         res = wand_topk(disk.segments, disk.terms, args.query, k=k,
@@ -83,7 +99,7 @@ def main() -> None:
     if args.offset:
         res = paginate(res, offset=args.offset, limit=args.k)
     rows = res.collect()
-    if not rows:
+    if not rows and args.query is not None:
         # distinguish invalid query (reference 'empty request') from a
         # valid query with zero hits
         from search_engine_spark.operators.query import parse_query
@@ -93,7 +109,17 @@ def main() -> None:
             spark.stop()
             sys.exit(2)
 
-    if args.snippets and rows:
+    if args.facets and args.query is not None:
+        from search_engine_spark.operators.query import parse_query
+        from search_engine_spark.operators.serving import facets
+
+        lemmas = parse_query(args.query)
+        for col in args.facets.split(","):
+            for r in facets(ix.postings, ix.docs, lemmas, col.strip()).collect():
+                print(json.dumps({"facet_col": col.strip(), **r.asDict()}),
+                      flush=True)
+
+    if args.snippets and args.query is not None and rows:
         # enrich_results broadcasts the tiny top-k and orders in Spark
         enriched = enrich_results(spark.createDataFrame(rows), ix.docs)
         out = snippets(enriched, args.query).select(

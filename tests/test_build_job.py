@@ -118,3 +118,23 @@ def test_search_cli_engines_agree(tmp_path):
 
     bad = _search("--index", out, "--query", "the and of")
     assert bad.returncode == 2
+
+    # --more-like: related docs for the top hit, seed excluded
+    seed = df[0]["doc_id"]
+    rel = hits(_search("--index", out, "--more-like", str(seed), "--k", "5"))
+    assert rel and seed not in {h["doc_id"] for h in rel}
+    both = _search("--index", out, "--query", "w00000",
+                   "--more-like", str(seed))
+    assert both.returncode == 2  # exactly one of --query/--more-like
+
+    # --facets: per-role breakdown of the AND-matching docs, emitted
+    # alongside the hits; counts must cover >= the top-k hits
+    fac = _search("--index", out, "--query", "w00000 w00001",
+                  "--facets", "role", "--k", "3")
+    assert fac.returncode == 0
+    lines = [json.loads(l) for l in fac.stdout.strip().splitlines() if l]
+    frows = [l for l in lines if l.get("facet_col") == "role"]
+    hrows = [l for l in lines if "score" in l]
+    assert len(hrows) == 3 and frows
+    assert {f["facet"] for f in frows} <= {"user", "assistant", "tool"}
+    assert sum(f["n_docs"] for f in frows) >= len(hrows)
