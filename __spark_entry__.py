@@ -93,6 +93,7 @@ from search_engine_spark.operators.query import (
     reference_relevance,
     snippet_sql,
     snippets,
+    suggest_spelling,
 )
 from search_engine_spark.operators.serving import (
     corpus_statistics,
@@ -137,6 +138,9 @@ Q_SCOPED_TERMS = "query filter"  # terms for the field:value scoped search
 Q_PREFIX = "s"                    # wildcard s* (6 dictionary expansions)
 Q_FUZZY = "quer"                  # typo one edit away from 'query'
 MAX_EXPANSIONS = 16
+# did-you-mean fixture: two typos + one exact word (its own suggestion)
+Q_SUGGEST = "quer filtr join"
+SUGGEST_MAX_DIST = 2
 
 JACCARD_N = 3
 # stratified-sample demo: rebalance by source shard (the synthetic
@@ -591,6 +595,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             max_expansions=MAX_EXPANSIONS,
         ).select("doc_id", "score")
 
+    def q_suggest_spelling(spark, sf):
+        # did-you-mean: best dictionary correction per query lemma
+        # (levenshtein asc, df desc, lemma asc; candidates <= 2 edits)
+        return suggest_spelling(
+            _index_for(spark, sf).terms, Q_SUGGEST, max_dist=SUGGEST_MAX_DIST
+        )
+
     def q_related_terms(spark, sf):
         # co-doc "related terms" + PMI for one seed lemma; linear in the
         # seed's df, no term-pair matrix
@@ -758,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_scoped_field": q_search_scoped_field,
         "prefix_search": q_prefix_search,
         "fuzzy_search": q_fuzzy_search,
+        "suggest_spelling": q_suggest_spelling,
         "bm25_paginated": q_paginated,
         "event_windows": q_event_windows,
         "top_users_per_event": q_top_users,
@@ -1102,6 +1114,28 @@ def oracle_sql() -> dict[str, str]:
         f"ORDER BY levenshtein(lemma, '{Q_FUZZY}') ASC, df DESC, lemma ASC "
         f"LIMIT {MAX_EXPANSIONS}"
     )
+
+    # did-you-mean oracle: identical per-word argmin over the dictionary
+    # (levenshtein asc, df desc, lemma asc; candidates <= SUGGEST_MAX_DIST)
+    sug_words = ", ".join(f"('{w}')" for w in parse_query(Q_SUGGEST))
+    suggest_oracle = f"""
+        WITH {_POSTINGS},
+        words(word) AS (VALUES {sug_words}),
+        cand AS (
+            SELECT w.word, t.lemma AS suggestion,
+                   CAST(levenshtein(t.lemma, w.word) AS BIGINT) AS dist,
+                   CAST(t.df AS BIGINT) AS df,
+                   row_number() OVER (
+                       PARTITION BY w.word
+                       ORDER BY levenshtein(t.lemma, w.word) ASC,
+                                t.df DESC, t.lemma ASC
+                   ) AS rn
+            FROM words w CROSS JOIN terms t
+            WHERE levenshtein(t.lemma, w.word) <= {SUGGEST_MAX_DIST}
+        )
+        SELECT word, suggestion, dist, df FROM cand
+        WHERE rn = 1 ORDER BY word
+    """
 
     # related-terms oracle: co-doc counts + PMI, identical operand
     # grouping ln(n_pair * n_docs / (df_seed * df)) so doubles match
@@ -1645,6 +1679,7 @@ def oracle_sql() -> dict[str, str]:
         "search_scoped_field": scoped_field_oracle,
         "prefix_search": prefix_oracle,
         "fuzzy_search": fuzzy_oracle,
+        "suggest_spelling": suggest_oracle,
         "simhash_pairs": _simhash_sql(max_hamming=3),
         "srp_ann_topk": _srp_ann_sql(n_planes=8, n_tables=4, dim=64, k=10),
         # disk variant probes the same buckets (identical hashing) —

@@ -447,6 +447,61 @@ def fuzzy_search(
     return bm25_topk_lemmas(index, lemmas, k=k, match_all=False)
 
 
+def suggest_spelling(
+    terms: DataFrame, query: str, max_dist: int = 2
+) -> DataFrame:
+    """Did-you-mean: for each query lemma, the single best dictionary
+    correction — the closest lemma by Levenshtein distance, ties broken
+    by document frequency (desc) then lemma (asc), candidates capped at
+    `max_dist` edits. A lemma already in the dictionary is its own
+    best suggestion (dist 0), so `suggestion != word` rows are the
+    actionable corrections; a lemma with NO dictionary neighbour within
+    `max_dist` produces no row (nothing to suggest).
+
+    The reference UI surfaces its analog through the fuzzy expansion
+    (same dictionary walk :func:`expand_fuzzy` does for retrieval —
+    SearchService dictionary lookup, SearchService.java:192-209); this
+    operator returns the expansion's head per word instead of running
+    retrieval over it.
+
+    Plan shape: the query's words are a literal broadcast side, the
+    dictionary scan is ONE codegen pass (|vocab| × |query| distance
+    evaluations, same O(vocab) cost contract as expand_fuzzy), and the
+    per-word top-1 window runs over the already-dist-filtered candidate
+    set — query-sized, not vocab-sized. No collect.
+
+    Returns (word, suggestion, dist, df) ordered by word.
+    """
+    from pyspark.sql import Window
+
+    spark = terms.sparkSession
+    lemmas = parse_query(query)
+    if not lemmas:
+        return spark.createDataFrame(
+            [], "word string, suggestion string, dist bigint, df bigint"
+        )
+    words = spark.createDataFrame([(w,) for w in lemmas], "word string")
+    cand = (
+        terms.crossJoin(F.broadcast(words))
+        .withColumn("dist", F.levenshtein(F.col("lemma"), F.col("word")))
+        .filter(F.col("dist") <= max_dist)
+    )
+    w = Window.partitionBy("word").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("lemma").asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "word",
+            F.col("lemma").alias("suggestion"),
+            F.col("dist").cast("long").alias("dist"),
+            F.col("df").cast("long").alias("df"),
+        )
+        .orderBy("word")
+    )
+
+
 def select_seed_terms(
     index: InvertedIndex,
     seed_doc_id: int,

@@ -524,3 +524,49 @@ def test_search_or_unions_branch_constraints(spark, tiny_index):
           search(tiny_index, docs, "w00000 w00001 OR w00005 -w00001",
                  k=K).collect()}
     assert u2 == u
+
+
+def test_suggest_spelling_argmin_and_edges(tiny_index):
+    """Did-you-mean: per-word argmin over the dictionary by
+    (levenshtein, -df, lemma); in-dictionary words suggest themselves
+    at dist 0; words with no neighbour within max_dist emit no row."""
+    from search_engine_spark.operators.query import suggest_spelling
+
+    vocab = [(r["lemma"], r["df"])
+             for r in tiny_index.terms.select("lemma", "df").collect()]
+
+    def lev(a, b):
+        # classic DP, unit costs — the semantics both engines implement
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def best(word, max_dist=2):
+        cand = [(lev(l, word), -df, l, df) for l, df in vocab]
+        cand = [c for c in cand if c[0] <= max_dist]
+        if not cand:
+            return None
+        d, _, l, df = min(cand)
+        return (word, l, d, df)
+
+    got = [(r["word"], r["suggestion"], r["dist"], r["df"])
+           for r in suggest_spelling(
+               tiny_index.terms, "w0000q w00159 zzzzzzzzzz", max_dist=2
+           ).collect()]
+    want = sorted(w for w in (best("w0000q"), best("w00159"),
+                              best("zzzzzzzzzz")) if w)
+    assert got == want
+    # the in-dictionary word is its own suggestion at dist 0
+    assert ("w00159", "w00159", 0) in {(w, s, d) for w, s, d, _ in got}
+    # the garbage word produced no row
+    assert all(w != "zzzzzzzzzz" for w, *_ in got)
+
+    # invalid query (stopwords only) -> empty, stable schema
+    empty = suggest_spelling(tiny_index.terms, "the and of")
+    assert empty.columns == ["word", "suggestion", "dist", "df"]
+    assert empty.count() == 0
