@@ -64,6 +64,7 @@ from search_engine_spark.operators.dedup import (
     exact_duplicates,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
+    repetition_signals,
     simhash_near_duplicates,
 )
 from search_engine_spark.operators.sampling import (
@@ -143,6 +144,7 @@ Q_SUGGEST = "quer filtr join"
 SUGGEST_MAX_DIST = 2
 
 JACCARD_N = 3
+REPETITION_N = 2  # bigram repetition signals (Gopher A1.3 gram size)
 # stratified-sample demo: rebalance by source shard (the synthetic
 # corpus is single-language; source plays the stratum role lang would)
 SAMPLE_FRACTIONS = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
@@ -458,6 +460,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", content_fingerprint_col("text").alias("fingerprint")
         )
 
+    def q_repetition(spark, sf):
+        # Gopher-style repetition filters: per-doc top-bigram dominance
+        # and duplicate-bigram fraction (one explode + two combinable
+        # aggregates; top gram via struct-min argmax, no window)
+        return repetition_signals(_documents(spark, sf), n=REPETITION_N)
+
     def q_quality(spark, sf):
         d = _documents(spark, sf).select("doc_id", *quality_features("text"))
         return d.select(
@@ -746,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "quality_scores": q_quality,
+        "repetition_signals": q_repetition,
         "langid": q_langid,
         "result_merge": q_result_merge,
         "statistics": q_statistics,
@@ -1746,6 +1755,45 @@ def oracle_sql() -> dict[str, str]:
         "langid": f"""
             SELECT doc_id, {lang_case_expr} AS lang_label
             FROM documents
+        """,
+        # repetition signals: same gram stream, same two aggregates; the
+        # struct-min argmax is replayed as a (cnt desc, gram asc) window
+        "repetition_signals": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+            base AS (
+                SELECT doc_id,
+                       CAST(len(tok) AS BIGINT) AS n_tokens,
+                       CAST(length(array_to_string(tok, ' ')) AS BIGINT)
+                           AS norm_len,
+                       unnest([array_to_string(tok[i : i + {REPETITION_N - 1}], ' ')
+                               for i in generate_series(1, len(tok) - {REPETITION_N - 1})]
+                       ) AS gram
+                FROM toks WHERE len(tok) >= {REPETITION_N}
+            ),
+            counts AS (
+                SELECT doc_id, gram, count(*) AS cnt,
+                       any_value(n_tokens) AS n_tokens,
+                       any_value(norm_len) AS norm_len
+                FROM base GROUP BY doc_id, gram
+            ),
+            ranked AS (
+                SELECT doc_id, gram, cnt, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+                FROM counts
+            ),
+            perdoc AS (
+                SELECT doc_id, any_value(n_tokens) AS n_tokens,
+                       any_value(norm_len) AS norm_len,
+                       sum(cnt) AS n_grams, count(*) AS n_distinct
+                FROM counts GROUP BY doc_id
+            )
+            SELECT p.doc_id, p.n_tokens, r.gram AS top_gram,
+                   CAST(r.cnt AS BIGINT) AS top_gram_count,
+                   round(CAST(r.cnt * length(r.gram) AS DOUBLE) / p.norm_len,
+                         6) AS top_char_frac,
+                   round(1.0 - CAST(p.n_distinct AS DOUBLE) / p.n_grams,
+                         6) AS dup_gram_frac
+            FROM perdoc p JOIN ranked r ON p.doc_id = r.doc_id AND r.rn = 1
         """,
         "result_merge": f"""
             WITH a AS ({_bm25_sql(Q_MAIN, 20)}),

@@ -92,6 +92,87 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def repetition_signals(
+    docs: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document n-gram repetition statistics — the Gopher-style
+    repetition quality filters (Rae et al. 2021, appendix A1.3: a doc
+    dominated by one repeated n-gram, or whose n-gram stream is mostly
+    duplicates, is boilerplate/spam and gets filtered before training).
+
+    Per doc with at least `n` tokens (shorter docs drop out — they have
+    no n-gram stream to measure):
+
+    - ``n_tokens``        token count
+    - ``top_gram``        most frequent word n-gram (ties: lexicographic)
+    - ``top_gram_count``  its occurrence count
+    - ``top_char_frac``   fraction of the normalized text's characters
+                          covered by occurrences of the top n-gram
+                          (count × len(top_gram) / len(tokens joined by
+                          single spaces); overlaps uncounted — Gopher's
+                          "top n-gram character fraction")
+    - ``dup_gram_frac``   fraction of n-gram occurrences that are
+                          repeats of an earlier occurrence
+                          (1 − distinct/total — "duplicate n-gram
+                          fraction")
+
+    Plan shape (100 TB): tokens are projected ONCE (Catalyst does not
+    CSE a repeated tokenize — see shingles_over_tokens_expr), the gram
+    stream explodes narrowly, and everything reduces in ONE
+    map-side-combinable groupBy((doc_id, gram)) followed by ONE
+    groupBy(doc_id) whose top-gram argmax is a struct-min — no window,
+    no join back to the doc table, no skew beyond document length.
+    Fractions are rounded to 6 decimals for cross-engine comparison.
+    """
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            tokenize_expr(F.col(text_col)).alias("_toks"),
+        )
+        .filter(F.size("_toks") >= n)
+        .select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.length(F.array_join("_toks", " ")).cast("long").alias("_norm_len"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(_toks) - {n}), "
+                    f"i -> array_join(slice(_toks, i + 1, {n}), ' '))"
+                )
+            ).alias("gram"),
+        )
+    )
+    counts = base.groupBy("doc_id", "gram").agg(
+        F.count("*").alias("cnt"),
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("_norm_len").alias("_norm_len"),
+    )
+    # struct-min = argmax by (cnt desc, gram asc): lexicographic struct
+    # ordering on (-cnt, gram) — one aggregate instead of a window pass
+    agg = counts.groupBy("doc_id").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("_norm_len").alias("_norm_len"),
+        F.sum("cnt").alias("_n_grams"),
+        F.count("*").alias("_n_distinct"),
+        F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("gram").alias("g"))).alias("_top"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.col("_top.g").alias("top_gram"),
+        (-F.col("_top.nc")).cast("long").alias("top_gram_count"),
+        F.round(
+            (-F.col("_top.nc") * F.length(F.col("_top.g"))).cast("double")
+            / F.col("_norm_len"),
+            6,
+        ).alias("top_char_frac"),
+        F.round(
+            F.lit(1.0) - F.col("_n_distinct").cast("double") / F.col("_n_grams"),
+            6,
+        ).alias("dup_gram_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (oracle-checkable ground truth)
 # ---------------------------------------------------------------------------

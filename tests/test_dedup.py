@@ -123,3 +123,37 @@ def test_dedup_keepers_assigns_singletons_to_self(spark):
         0: (0, True), 1: (1, True), 2: (2, True),
         3: (1, False), 4: (4, True), 5: (1, False),
     }
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Gopher-style repetition stats on hand-checkable fixtures:
+    overlapping bigram counts, struct-min tie-break, short-doc dropout."""
+    from search_engine_spark.operators.dedup import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # bigrams: (a b)x3, (b a)x2 -> top "a b", dup 1-2/5, norm len 11
+            (1, "a b a b a b"),
+            # all bigrams distinct -> dup 0; tie on count 1 -> lexic. min
+            (2, "c d e"),
+            (3, "solo"),          # < 2 tokens: drops out
+            (4, "x x x x"),       # one gram repeated: dup 1-1/3, top x x
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in repetition_signals(docs, n=2).collect()}
+    assert set(got) == {1, 2, 4}
+
+    assert got[1]["top_gram"] == "a b" and got[1]["top_gram_count"] == 3
+    assert got[1]["dup_gram_frac"] == round(1 - 2 / 5, 6)
+    assert got[1]["top_char_frac"] == round(3 * 3 / 11, 6)
+    assert got[1]["n_tokens"] == 6
+
+    assert got[2]["top_gram"] == "c d"  # tie: lexicographically smallest
+    assert got[2]["top_gram_count"] == 1 and got[2]["dup_gram_frac"] == 0.0
+
+    assert got[4]["top_gram"] == "x x" and got[4]["top_gram_count"] == 3
+    assert got[4]["dup_gram_frac"] == round(1 - 1 / 3, 6)
+    # norm text "x x x x" len 7, covered 3*3
+    assert got[4]["top_char_frac"] == round(9 / 7, 6)
