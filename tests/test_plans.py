@@ -129,3 +129,37 @@ def test_phrase_and_near_verify_not_pushed_below_candidate_join(tiny_index):
         i_verify = plan.find("replace(")   # tokenize/count expression
         i_join = plan.find("Join ")
         assert 0 <= i_verify < i_join, plan
+
+
+def test_suggest_spelling_broadcasts_words_no_python(tiny_index):
+    """The did-you-mean dictionary pass must broadcast the tiny query-
+    words side (never shuffle the dictionary against it) and stay pure
+    codegen (no Python eval node)."""
+    from search_engine_spark.operators.query import suggest_spelling
+
+    df = suggest_spelling(tiny_index.terms, "w0000q w00159")
+    assert_broadcast_join(df)
+    plan = physical_plan(df)
+    assert "EvalPython" not in plan, plan
+
+
+def test_repetition_signals_no_window_no_join_no_python(spark):
+    """The repetition aggregate must reduce in combinable aggregates
+    only: no Window node (the top-gram argmax is a struct-min), no join
+    back to the doc table, no Python eval, and exactly the two
+    aggregation exchanges ((doc_id, gram) then doc_id)."""
+    from search_engine_spark.operators.dedup import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c d e")], "doc_id long, text string"
+    )
+    df = repetition_signals(docs, n=2)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    # formatted explain names each node twice (tree + details); the
+    # detail header "(N) Exchange" appears once per physical node
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
