@@ -104,6 +104,7 @@ from search_engine_spark.operators.serving import (
     merge_results,
     related_terms,
     scope_docs,
+    trending,
 )
 from search_engine_spark.operators.similarity import (
     brute_force_topk,
@@ -145,6 +146,7 @@ SUGGEST_MAX_DIST = 2
 
 JACCARD_N = 3
 REPETITION_N = 2  # bigram repetition signals (Gopher A1.3 gram size)
+TRENDING_TOP = 3  # per-window risers kept by trending_events
 # stratified-sample demo: rebalance by source shard (the synthetic
 # corpus is single-language; source plays the stratum role lang would)
 SAMPLE_FRACTIONS = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
@@ -707,6 +709,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.col("w.start").alias("ws"), "event_type", "n", "avg_value")
         )
 
+    def q_trending_events(spark, sf):
+        # per-hour top risers by event type: the batch tier of the
+        # streaming windowed-count → trending design (serving.trending
+        # over the same window shape q_event_windows uses)
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        counts = ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(F.count("*").alias("n")).select(
+            F.col("w.start").alias("window_start"), "event_type", "n"
+        )
+        return trending(counts, key_col="event_type", top=TRENDING_TOP)
+
     def q_top_users(spark, sf):
         from pyspark.sql import Window
 
@@ -782,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_paginated": q_paginated,
         "event_windows": q_event_windows,
         "top_users_per_event": q_top_users,
+        "trending_events": q_trending_events,
     }
 
 
@@ -1884,5 +1899,27 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY count(*) DESC, user_id ASC) AS rk
                 FROM events GROUP BY event_type, user_id
             ) WHERE rk <= 3
+        """,
+        # trending: same lag/rank semantics as serving.trending (growth
+        # vs the key's previous OBSERVED window, absent prior -> 0)
+        "trending_events": f"""
+            WITH counts AS (
+                SELECT date_trunc('hour', ts) AS window_start, event_type,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            g AS (
+                SELECT window_start, event_type, CAST(n AS BIGINT) AS n,
+                       CAST(n - coalesce(lag(n) OVER (
+                           PARTITION BY event_type ORDER BY window_start
+                       ), 0) AS BIGINT) AS growth
+                FROM counts
+            )
+            SELECT window_start, event_type, n, growth, rank FROM (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY window_start
+                    ORDER BY growth DESC, event_type ASC) AS BIGINT) AS rank
+                FROM g
+            ) WHERE rank <= {TRENDING_TOP}
         """,
     }

@@ -230,3 +230,44 @@ def extract_title(
         "title",
         F.rtrim(F.substring(first_sentence, 1, n_chars)),
     )
+
+
+def trending(
+    counts: DataFrame, key_col: str = "lemma", top: int = 10
+) -> DataFrame:
+    """Per-window top risers over a (window_start, <key>, n) count
+    table — the batch tier over the streamed windowed-count sink
+    (streaming/incremental.windowed_term_counts), also applicable to
+    any windowed count (driver query: hourly event-type trends).
+
+    growth = n − n of the key's previous OBSERVED window (a key absent
+    from the prior window grows from 0; gaps fall back to the last
+    observed window — documented semantics, identical in the DuckDB
+    twin's lag()). Rank per window by growth desc, key asc; rows with
+    rank ≤ `top` survive.
+
+    Plan: one lag window partitioned BY KEY (shuffle on the key — high
+    cardinality, parallel) then the per-window rank partitioned by
+    window_start (window count is small next to keys; the rank input
+    is already count-aggregated, not raw rows). No joins, no Python.
+    """
+    from pyspark.sql import Window
+
+    w_key = Window.partitionBy(key_col).orderBy("window_start")
+    w_rank = Window.partitionBy("window_start").orderBy(
+        F.col("growth").desc(), F.col(key_col).asc()
+    )
+    return (
+        counts.withColumn(
+            "growth",
+            F.col("n") - F.coalesce(F.lag("n", 1).over(w_key), F.lit(0)),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= top)
+        .select(
+            "window_start", key_col,
+            F.col("n").cast("long").alias("n"),
+            F.col("growth").cast("long").alias("growth"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -138,3 +138,27 @@ def windowed_turn_rates(transcripts_stream: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "5 minutes"), "role")
         .agg(F.count("*").alias("n_turns"))
     )
+
+
+def windowed_term_counts(
+    transcripts_stream: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming per-window LEMMA counts — what terms the corpus is
+    talking about, per event-time window, tolerant of late arrivals:
+    explode the JVM lemma stream (pure codegen, no Python in the
+    streaming hot path) under a watermark, then the standard windowed
+    count. In append mode each (window, lemma, n) row is emitted
+    exactly once, when the watermark passes the window end — the sink
+    feeds :func:`~search_engine_spark.operators.serving.trending` for
+    rising-term ranking (rank-over-window is not expressible inside a
+    streaming agg; the split is the standard two-tier design)."""
+    from search_engine_spark.functions.text import lemmas_col
+
+    return (
+        transcripts_stream.withWatermark("ts", watermark)
+        .select("ts", F.explode(lemmas_col("text")).alias("lemma"))
+        .groupBy(F.window("ts", window), "lemma")
+        .agg(F.count("*").alias("n"))
+    )

@@ -106,3 +106,58 @@ def test_sessionize_stateful_timeout(spark, tmp_path):
     assert a["total_chars"] == sum(len(f"turn {i} text") for i in range(3))
     # conv B's last turn is within the gap of the final watermark → open
     assert "conv-B" not in got
+
+
+def test_windowed_term_counts_and_trending(spark, tmp_path):
+    """Streaming windowed lemma counts (availableNow drain) must equal
+    the batch groupBy over the same files; trending over the sink ranks
+    the rising term first (growth vs previous observed window)."""
+    import datetime
+
+    from search_engine_spark.operators.serving import trending
+    from search_engine_spark.streaming.incremental import (
+        windowed_term_counts,
+    )
+
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    input_dir = str(tmp_path / "in")
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    rows = []
+    # window 1 (12:00-12:05): alpha x2, beta x1 ; window 2: alpha x1, beta x4
+    for i, (off, text) in enumerate(
+        [(0, "alpha alpha beta"), (60, "alpha"),
+         (300, "beta beta"), (360, "beta beta alpha")]
+    ):
+        rows.append(("conv-X", i, "user", text, None,
+                     base + datetime.timedelta(seconds=off)))
+    spark.createDataFrame(rows, schema).write.parquet(input_dir)
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    sink = str(tmp_path / "sink")
+    (windowed_term_counts(stream, window="5 minutes", watermark="0 seconds")
+     .writeStream.format("parquet")
+     .option("path", sink)
+     .option("checkpointLocation", str(tmp_path / "ckpt"))
+     .trigger(availableNow=True)
+     .outputMode("append").start().awaitTermination())
+
+    got = {(r["window"]["start"].minute, r["lemma"]): r["n"]
+           for r in spark.read.parquet(sink).collect()}
+    # append mode only emits windows the final watermark has passed;
+    # with a 0s watermark the last event (12:06) closes window 1 only
+    assert got == {(0, "alpha"): 3, (0, "beta"): 1}
+
+    # batch tier: counts from BOTH windows (batch groupBy), trending
+    # ranks beta (growth 4-1=3) over alpha (1-3=-2) in window 2
+    batch = spark.read.parquet(input_dir)
+    counts = windowed_term_counts(batch.withWatermark("ts", "0 seconds"),
+                                  window="5 minutes").select(
+        F.col("window.start").alias("window_start"), "lemma", "n")
+    top = trending(counts, key_col="lemma", top=2).collect()
+    w2 = [r for r in top if r["window_start"].minute == 5]
+    assert [(r["lemma"], r["growth"], r["rank"]) for r in w2] == [
+        ("beta", 3, 1), ("alpha", -2, 2)]
+    w1 = [r for r in top if r["window_start"].minute == 0]
+    # first window: growth == n (no prior window)
+    assert [(r["lemma"], r["growth"]) for r in w1] == [("alpha", 3), ("beta", 1)]
