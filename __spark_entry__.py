@@ -71,6 +71,8 @@ from search_engine_spark.operators.sampling import (
     contamination,
     dataset_split,
     dataset_split_sql_duckdb,
+    sequence_pack,
+    sequence_pack_sql_duckdb,
     stratified_sample,
     stratified_sample_sql_duckdb,
 )
@@ -147,6 +149,8 @@ SUGGEST_MAX_DIST = 2
 JACCARD_N = 3
 REPETITION_N = 2  # bigram repetition signals (Gopher A1.3 gram size)
 TRENDING_TOP = 3  # per-window risers kept by trending_events
+PACK_BUDGET = 256  # sequence-pack token budget (several docs per pack)
+PACK_SHARDS = 8    # sequence-pack parallel shards
 # stratified-sample demo: rebalance by source shard (the synthetic
 # corpus is single-language; source plays the stratum role lang would)
 SAMPLE_FRACTIONS = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
@@ -361,6 +365,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return contamination(train, ev, n=JACCARD_N).select(
             "doc_id",
             F.col("n_shared_shingles").cast("long").alias("n_shared_shingles"),
+        )
+
+    def q_sequence_pack(spark, sf):
+        # GPT-style packing map: shard-parallel cumulative offsets, no
+        # global sort; budget sized so sf0.01 packs several docs per
+        # sequence with boundary straddles present
+        return sequence_pack(
+            _documents(spark, sf), budget=PACK_BUDGET, n_shards=PACK_SHARDS
         )
 
     def q_pii_scrub(spark, sf):
@@ -755,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "contamination": q_contamination,
         "pii_scrub": q_pii_scrub,
+        "sequence_pack": q_sequence_pack,
         "ngram_jaccard_pairs": q_jaccard,
         "minhash_lsh_pairs": q_minhash,
         "simhash_pairs": q_simhash,
@@ -1656,6 +1669,9 @@ def oracle_sql() -> dict[str, str]:
             FROM sh_tr t JOIN sh_ev e USING (shingle)
             GROUP BY t.doc_id
         """,
+        "sequence_pack": sequence_pack_sql_duckdb(
+            budget=PACK_BUDGET, n_shards=PACK_SHARDS
+        ),
         "pii_scrub": f"""
             WITH aug AS (
                 SELECT doc_id,

@@ -191,3 +191,100 @@ def decontaminate(
     return train_docs.join(
         hits, train_docs[id_col] == hits["doc_id"], "left_anti"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (training-batch assembly)
+# ---------------------------------------------------------------------------
+def sequence_pack(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style sequence packing: documents are concatenated in a
+    deterministic order and split into fixed `budget`-token training
+    sequences; each doc learns which sequence(s) it lands in. This is
+    the batch-assembly step between a cleaned corpus and a trainer —
+    the packed stream wastes no pad tokens and is reproducible row-for-
+    row across runs and engines.
+
+    Scale design (100 TB): there is NO global ordered cumulative sum
+    (a single range-sorted window over the corpus is the classic
+    packing scale-killer). Docs are sharded by ``pmod(doc_id,
+    n_shards)`` and each shard packs independently in ``doc_id`` order
+    — the cumulative-offset window partitions by shard, so the sort is
+    per-shard and fully parallel, and a sequence is globally addressed
+    as (shard, pack_id). Real pipelines shard exactly this way (per-
+    worker packing); determinism comes from the dense docID contract
+    (sources/docids.py), not from arrival order.
+
+    Per input doc (empty docs drop out — nothing to pack):
+      shard, n_tokens, start_off (token offset in the shard's stream),
+      pack_id = floor(start_off / budget),
+      end_pack_id = floor((start_off + n_tokens - 1) / budget),
+      is_split = doc straddles a sequence boundary.
+    """
+    from pyspark.sql import Window
+
+    from search_engine_spark.functions.analysis import token_count_col
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
+        token_count_col(text_col).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off")
+    out = base.select("doc_id", "shard", "n_tokens", start)
+    return out.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_off",
+        F.floor(F.col("start_off") / budget).cast("long").alias("pack_id"),
+        F.floor((F.col("start_off") + F.col("n_tokens") - 1) / budget)
+        .cast("long")
+        .alias("end_pack_id"),
+        (
+            F.floor(F.col("start_off") / budget)
+            != F.floor((F.col("start_off") + F.col("n_tokens") - 1) / budget)
+        ).alias("is_split"),
+    )
+
+
+def sequence_pack_sql_duckdb(
+    budget: int = 2048,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`sequence_pack` (same shard, order, and
+    offset arithmetic — floor division on BIGINTs both sides)."""
+    from search_engine_spark.functions.analysis import token_count_sql_duckdb
+
+    ntok = token_count_sql_duckdb(text_col)
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS doc_id,
+                   CAST({id_col} % {n_shards} AS BIGINT) AS shard,
+                   CAST({ntok} AS BIGINT) AS n_tokens
+            FROM {table}
+        ),
+        pos AS (
+            SELECT doc_id, shard, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                   ) - n_tokens AS BIGINT) AS start_off
+            FROM base WHERE n_tokens > 0
+        )
+        SELECT doc_id, shard, n_tokens, start_off,
+               CAST(floor(start_off / {budget}) AS BIGINT) AS pack_id,
+               CAST(floor((start_off + n_tokens - 1) / {budget}) AS BIGINT)
+                   AS end_pack_id,
+               floor(start_off / {budget})
+                   <> floor((start_off + n_tokens - 1) / {budget}) AS is_split
+        FROM pos
+    """

@@ -195,3 +195,48 @@ def test_split_matches_duckdb(spark, docs):
         ).fetchall()
     ]
     assert got_ids == want_ids
+
+
+def test_sequence_pack_offsets_and_splits(spark):
+    """Packing arithmetic on a hand fixture: contiguous per-shard
+    offsets in doc_id order, floor-division pack ids, boundary
+    straddles flagged, empty docs dropped."""
+    from search_engine_spark.operators.sampling import sequence_pack
+
+    texts = {
+        0: "a b c d",            # 4 tokens -> [0, 4)   pack 0
+        1: "a b c d e",          # 5 tokens -> [4, 9)   pack 0
+        2: "a b c",              # 3 tokens -> [9, 12)  packs 0-1: split
+        3: "a b c d e f g",      # 7 tokens -> [12, 19) pack 1
+        4: "",                   # empty: dropped
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in sequence_pack(docs, budget=10, n_shards=1).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    want = {
+        0: (0, 0, 0, False),
+        1: (4, 0, 0, False),
+        2: (9, 0, 1, True),
+        3: (12, 1, 1, False),
+    }
+    for d, (start, p0, p1, split) in want.items():
+        r = got[d]
+        assert (r["start_off"], r["pack_id"], r["end_pack_id"],
+                r["is_split"]) == (start, p0, p1, split), d
+        assert r["shard"] == 0
+
+    # multi-shard: offsets restart per shard and stay contiguous
+    many = spark.createDataFrame(
+        [(i, "w " * (i % 5 + 1)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    rows = sequence_pack(many, budget=7, n_shards=4).collect()
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["doc_id"])):
+        assert r["shard"] == r["doc_id"] % 4
+        nxt = by_shard.get(r["shard"], 0)
+        assert r["start_off"] == nxt, r
+        by_shard[r["shard"]] = nxt + r["n_tokens"]
