@@ -104,6 +104,8 @@ from search_engine_spark.operators.serving import (
     facets,
     lemma_frequency,
     merge_results,
+    corpus_profile,
+    corpus_profile_sql_duckdb,
     related_terms,
     scope_docs,
     trending,
@@ -366,6 +368,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             F.col("n_shared_shingles").cast("long").alias("n_shared_shingles"),
         )
+
+    def q_corpus_profile(spark, sf):
+        # per-source length profile with EXACT discrete quantiles
+        # (rank-at-ceil(p*n) selection — engine-identical by design)
+        return corpus_profile(_documents(spark, sf))
 
     def q_sequence_pack(spark, sf):
         # GPT-style packing map: shard-parallel cumulative offsets, no
@@ -768,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pii_scrub": q_pii_scrub,
         "sequence_pack": q_sequence_pack,
+        "corpus_profile": q_corpus_profile,
         "ngram_jaccard_pairs": q_jaccard,
         "minhash_lsh_pairs": q_minhash,
         "simhash_pairs": q_simhash,
@@ -1672,6 +1680,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": sequence_pack_sql_duckdb(
             budget=PACK_BUDGET, n_shards=PACK_SHARDS
         ),
+        "corpus_profile": corpus_profile_sql_duckdb(),
         "pii_scrub": f"""
             WITH aug AS (
                 SELECT doc_id,

@@ -271,3 +271,92 @@ def trending(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def corpus_profile(
+    docs: DataFrame,
+    scope_col: str = "source",
+    text_col: str = "text",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-scope corpus length profile — the report you run over a
+    training corpus before packing/filtering it: doc count, total
+    tokens, and EXACT token-count quantiles (discrete: the value at
+    rank ceil(p·n) in ascending order — percentile_disc semantics, so
+    the number is an actual document's length and the DuckDB twin is
+    bit-identical; interpolating/approximate quantiles differ across
+    engines).
+
+    Plan: one tokenize pass, one per-scope sort window (rank + count —
+    the price of exact quantiles; at 100 TB you'd run approx_percentile
+    for the dashboard and this exact path for audits), one combinable
+    aggregate. Scope cardinality is small, but the window partitions by
+    scope over all docs — the sort parallelizes per scope.
+    """
+    from pyspark.sql import Window
+
+    from search_engine_spark.functions.analysis import token_count_col
+
+    base = docs.select(
+        F.col(scope_col).alias("scope"),
+        F.col("doc_id"),
+        token_count_col(text_col).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("scope").orderBy("n_tokens", "doc_id")
+    ranked = base.select(
+        "scope",
+        "n_tokens",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy("scope")).alias("_n"),
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    ]
+    for p in quantiles:
+        name = f"p{int(p * 100)}_tokens"
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("_rn") == F.ceil(F.lit(p) * F.col("_n")).cast("long"),
+                    F.col("n_tokens"),
+                )
+            ).cast("long").alias(name)
+        )
+    return ranked.groupBy("scope").agg(*aggs)
+
+
+def corpus_profile_sql_duckdb(
+    scope_col: str = "source",
+    text_col: str = "text",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`corpus_profile` (same rank-at-ceil(p·n)
+    discrete quantile selection)."""
+    from search_engine_spark.functions.analysis import token_count_sql_duckdb
+
+    ntok = token_count_sql_duckdb(text_col)
+    qcols = ",\n               ".join(
+        f"CAST(max(CASE WHEN rn = CAST(ceil({p!r} * n) AS BIGINT) "
+        f"THEN n_tokens END) AS BIGINT) AS p{int(p * 100)}_tokens"
+        for p in quantiles
+    )
+    return f"""
+        WITH base AS (
+            SELECT {scope_col} AS scope, doc_id,
+                   CAST({ntok} AS BIGINT) AS n_tokens
+            FROM {table}
+        ),
+        ranked AS (
+            SELECT scope, n_tokens,
+                   row_number() OVER (
+                       PARTITION BY scope ORDER BY n_tokens, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY scope) AS n
+            FROM base
+        )
+        SELECT scope, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               {qcols}
+        FROM ranked GROUP BY scope
+    """

@@ -295,3 +295,26 @@ def test_more_like_this_excludes_seed_and_matches_bruteforce(tiny_index):
         key=lambda t: (-t[1], t[0]),
     )[:10]
     assert got == want
+
+
+def test_corpus_profile_exact_quantiles(spark):
+    """Discrete quantiles: the value at rank ceil(p*n) ascending — an
+    actual doc's length, cross-checked against a Python sort."""
+    import math
+
+    from search_engine_spark.operators.serving import corpus_profile
+
+    lens = {"a": [1, 2, 3, 4, 5, 6, 7, 8, 9, 10], "b": [5, 5, 7]}
+    rows, i = [], 0
+    for src, ls in lens.items():
+        for n in ls:
+            rows.append((i, src, "w " * n)); i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["scope"]: r.asDict() for r in corpus_profile(docs).collect()}
+    for src, ls in lens.items():
+        s = sorted(ls)
+        r = got[src]
+        assert r["n_docs"] == len(ls) and r["total_tokens"] == sum(ls)
+        for p in (0.5, 0.9, 0.99):
+            want = s[math.ceil(p * len(s)) - 1]
+            assert r[f"p{int(p*100)}_tokens"] == want, (src, p)
