@@ -71,6 +71,7 @@ from search_engine_spark.operators.sampling import (
     contamination,
     dataset_split,
     dataset_split_sql_duckdb,
+    decontaminate,
     sequence_pack,
     sequence_pack_sql_duckdb,
     stratified_sample,
@@ -343,6 +344,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter((F.col("_qs") >= 0.5) & (F.col("_lang") == "latin-script"))
             .select("doc_id")
         )
+
+    def q_training_prepare(spark, sf):
+        # the WHOLE pipeline in one call: near-dup cleanse -> quality/
+        # language floor -> deterministic split -> eval decontamination
+        # of the train split -> GPT-style sequence packing. Every stage
+        # is an already-green operator; the oracle composes their SQL
+        # twins into one CTE chain.
+        docs = _documents(spark, sf)
+        clean = docs.join(q_training_cleanse(spark, sf), "doc_id")
+        split = dataset_split(clean)
+        train = split.filter(F.col("split") == "train")
+        ev = split.filter(F.col("split") == "test")
+        final = decontaminate(train, ev, n=JACCARD_N)
+        return sequence_pack(final, budget=PACK_BUDGET, n_shards=PACK_SHARDS)
 
     def q_dataset_split(spark, sf):
         # deterministic hash split: same row → same split on any
@@ -776,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "sequence_pack": q_sequence_pack,
         "corpus_profile": q_corpus_profile,
+        "training_prepare": q_training_prepare,
         "ngram_jaccard_pairs": q_jaccard,
         "minhash_lsh_pairs": q_minhash,
         "simhash_pairs": q_simhash,
@@ -1712,6 +1728,79 @@ def oracle_sql() -> dict[str, str]:
             JOIN qual USING (doc_id)
             JOIN lang USING (doc_id)
             WHERE _qs >= 0.5 AND _lang = 'latin-script'
+        """,
+        # training_prepare: the cleanse / split / decontaminate / pack
+        # SQL twins spliced into one CTE chain (same constants)
+        "training_prepare": f"""
+            WITH RECURSIVE {components_ctes},
+            keepers AS (
+                SELECT d.doc_id FROM documents d
+                LEFT JOIN comp c ON c.doc = d.doc_id
+                WHERE d.doc_id = coalesce(c.component, d.doc_id)
+            ),
+            qual AS (
+                SELECT doc_id, {quality_score_expr} AS _qs
+                FROM ({quality_inner})
+            ),
+            lang AS (SELECT doc_id, {lang_case_expr} AS _lang FROM documents),
+            clean AS (
+                SELECT d.doc_id, d.text,
+                       {dataset_split_sql_duckdb()} AS split
+                FROM documents d
+                JOIN keepers USING (doc_id)
+                JOIN qual USING (doc_id)
+                JOIN lang USING (doc_id)
+                WHERE _qs >= 0.5 AND _lang = 'latin-script'
+            ),
+            toks_tr AS (
+                SELECT doc_id, {_TOKS} AS tok FROM clean WHERE split = 'train'
+            ),
+            sh_tr AS (
+                SELECT doc_id, unnest(list_distinct(
+                    [array_to_string(tok[i : i + {JACCARD_N - 1}], ' ')
+                     for i in generate_series(1, len(tok) - {JACCARD_N - 1})]
+                )) AS shingle
+                FROM toks_tr WHERE len(tok) >= {JACCARD_N}
+            ),
+            toks_ev AS (
+                SELECT doc_id, {_TOKS} AS tok FROM clean WHERE split = 'test'
+            ),
+            sh_ev AS (
+                SELECT DISTINCT unnest(list_distinct(
+                    [array_to_string(tok[i : i + {JACCARD_N - 1}], ' ')
+                     for i in generate_series(1, len(tok) - {JACCARD_N - 1})]
+                )) AS shingle
+                FROM toks_ev WHERE len(tok) >= {JACCARD_N}
+            ),
+            contaminated AS (
+                SELECT DISTINCT t.doc_id FROM sh_tr t JOIN sh_ev e USING (shingle)
+            ),
+            final AS (
+                SELECT c.doc_id, c.text FROM clean c
+                WHERE c.split = 'train'
+                  AND c.doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ),
+            pb AS (
+                SELECT doc_id,
+                       CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM final
+            ),
+            pos AS (
+                SELECT doc_id, shard, n_tokens,
+                       CAST(sum(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                       ) - n_tokens AS BIGINT) AS start_off
+                FROM pb WHERE n_tokens > 0
+            )
+            SELECT doc_id, shard, n_tokens, start_off,
+                   CAST(floor(start_off / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+                   CAST(floor((start_off + n_tokens - 1) / {PACK_BUDGET})
+                        AS BIGINT) AS end_pack_id,
+                   floor(start_off / {PACK_BUDGET})
+                       <> floor((start_off + n_tokens - 1) / {PACK_BUDGET})
+                       AS is_split
+            FROM pos
         """,
         "phrase_search": phrase_oracle,
         # the positional engine's greedy non-overlap count == str.count
