@@ -1,0 +1,144 @@
+"""spark-submit entry point: one-shot training-dataset preparation —
+the CLI face of the `training_prepare` pipeline (cleanse → split →
+decontaminate → pack) so a user can turn a transcript table into
+packed train/val/test parquet without writing code.
+
+Usage:
+    spark-submit [--master ...] --py-files engine.zip jobs/prepare_dataset.py \
+        --input <table-or-parquet> | --n-synthetic-convs N \
+        --output <dir> [--budget 2048] [--shards 64] \
+        [--quality-floor 0.5] [--lang latin-script] [--no-dedup] \
+        [--no-decontaminate] [--train 0.8] [--val 0.1] [--seed split0]
+
+Writes under --output:
+    docs/   parquet (doc_id, text, split) for ALL surviving docs
+    pack/   parquet packing map for the train split (sequence_pack cols)
+and prints ONE JSON summary line with per-stage row counts — the
+audit trail a pipeline operator reads before pointing a trainer at it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", default=None)
+    p.add_argument("--n-synthetic-convs", type=int, default=None)
+    p.add_argument("--output", required=True)
+    p.add_argument("--budget", type=int, default=2048)
+    p.add_argument("--shards", type=int, default=64)
+    p.add_argument("--quality-floor", type=float, default=0.5)
+    p.add_argument("--lang", default="latin-script",
+                   help="keep docs with this langid label ('' disables)")
+    p.add_argument("--no-dedup", action="store_true")
+    p.add_argument("--no-decontaminate", action="store_true")
+    p.add_argument("--train", type=float, default=0.8)
+    p.add_argument("--val", type=float, default=0.1)
+    p.add_argument("--seed", default="split0")
+    p.add_argument("--local-cpus", type=int, default=None)
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.corpus import synthesize_transcripts
+    from search_engine_spark.functions.analysis import (
+        langid_features,
+        langid_label_col,
+        quality_features,
+        quality_score_col,
+    )
+    from search_engine_spark.operators.dedup import (
+        dedup_keepers,
+        minhash_near_duplicates,
+    )
+    from search_engine_spark.operators.docids import assign_doc_ids
+    from search_engine_spark.operators.sampling import (
+        dataset_split,
+        decontaminate,
+        sequence_pack,
+    )
+    from search_engine_spark.sources.transcripts import read_transcripts
+
+    if args.local_cpus:
+        from search_engine_spark.session import build_session
+
+        spark = build_session("prepare_dataset", cpus=args.local_cpus)
+    else:
+        spark = SparkSession.builder.appName("prepare_dataset").getOrCreate()
+
+    if args.input:
+        transcripts = read_transcripts(spark, args.input)
+    elif args.n_synthetic_convs:
+        transcripts = synthesize_transcripts(spark, args.n_synthetic_convs)
+    else:
+        p.error("need --input or --n-synthetic-convs")
+
+    docs = assign_doc_ids(transcripts).select("doc_id", "text")
+    counts = {"input": docs.count()}
+
+    # stage 1: near-dup cleanse (MinHash keepers) + quality/lang floor
+    if not args.no_dedup:
+        pairs = minhash_near_duplicates(docs, threshold=0.7, num_hashes=32,
+                                        bands=8, n=3)
+        docs = (
+            dedup_keepers(docs, pairs)
+            .filter(F.col("is_keeper"))
+            .select("doc_id")
+            .join(docs, "doc_id")
+        )
+    qual = docs.select("doc_id", *quality_features("text")).select(
+        "doc_id", quality_score_col().alias("_qs")
+    )
+    docs = docs.join(qual, "doc_id").filter(
+        F.col("_qs") >= args.quality_floor
+    ).drop("_qs")
+    if args.lang:
+        lang = docs.select("doc_id", *langid_features("text")).select(
+            "doc_id", langid_label_col().alias("_lang")
+        )
+        docs = docs.join(lang, "doc_id").filter(
+            F.col("_lang") == args.lang
+        ).drop("_lang")
+    docs = docs.persist()
+    counts["cleansed"] = docs.count()
+
+    # stage 2: deterministic split
+    split = dataset_split(docs, train=args.train, val=args.val,
+                          seed=args.seed).persist()
+    for s in ("train", "val", "test"):
+        counts[s] = split.filter(F.col("split") == s).count()
+
+    # stage 3: decontaminate train against the held-out test split
+    train = split.filter(F.col("split") == "train")
+    if not args.no_decontaminate:
+        ev = split.filter(F.col("split") == "test")
+        train = decontaminate(train, ev, n=3)
+        counts["train_decontaminated"] = train.count()
+
+    # stage 4: pack the train split; persist outputs
+    out_docs = os.path.join(args.output, "docs")
+    out_pack = os.path.join(args.output, "pack")
+    split.write.mode("overwrite").partitionBy("split").parquet(out_docs)
+    pack = sequence_pack(train, budget=args.budget, n_shards=args.shards)
+    pack.write.mode("overwrite").parquet(out_pack)
+    packed = spark.read.parquet(out_pack)
+    counts["packed_docs"] = packed.count()
+    counts["n_sequences"] = (
+        packed.select("shard", "end_pack_id")
+        .groupBy("shard").agg(F.max("end_pack_id").alias("m"))
+        .agg(F.sum(F.col("m") + 1)).head()[0]
+    )
+    print(json.dumps(counts), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -138,3 +138,29 @@ def test_search_cli_engines_agree(tmp_path):
     assert len(hrows) == 3 and frows
     assert {f["facet"] for f in frows} <= {"user", "assistant", "tool"}
     assert sum(f["n_docs"] for f in frows) >= len(hrows)
+
+
+def test_prepare_dataset_cli(tmp_path):
+    """jobs/prepare_dataset.py: the training-pipeline CLI writes split
+    docs + a pack map and reports consistent stage counts."""
+    out = str(tmp_path / "prep")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "prepare_dataset.py"),
+         "--local-cpus", "4", "--n-synthetic-convs", "40",
+         "--output", out, "--budget", "128", "--shards", "2"],
+        capture_output=True, text=True, cwd=REPO, timeout=300, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert m["cleansed"] <= m["input"]
+    assert m["train"] + m["val"] + m["test"] == m["cleansed"]
+    assert m["train_decontaminated"] <= m["train"]
+    assert m["packed_docs"] == m["train_decontaminated"]  # no empty docs here
+    assert m["n_sequences"] >= 1
+
+    import glob
+
+    assert glob.glob(os.path.join(out, "docs", "split=train", "*.parquet"))
+    pack_files = glob.glob(os.path.join(out, "pack", "*.parquet"))
+    assert pack_files
