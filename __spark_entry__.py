@@ -145,6 +145,7 @@ Q_SCOPED_TERMS = "query filter"  # terms for the field:value scoped search
 Q_PREFIX = "s"                    # wildcard s* (6 dictionary expansions)
 Q_FUZZY = "quer"                  # typo one edit away from 'query'
 MAX_EXPANSIONS = 16
+Q_WILDCARD = "s* join"            # mini-QL wildcard + exact term
 # did-you-mean fixture: two typos + one exact word (its own suggestion)
 Q_SUGGEST = "quer filtr join"
 SUGGEST_MAX_DIST = 2
@@ -626,6 +627,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _index_for(spark, sf), docs, f"source:{scope} {Q_SCOPED_TERMS}", k=10
         ).select("doc_id", "score")
 
+    def q_search_wildcard(spark, sf):
+        # mini-QL wildcard branch: hits hold 'join' AND >=1 's'-prefix
+        # expansion; ranking is disjunctive BM25 over the pooled vocab
+        ix = _index_for(spark, sf)
+        return search(ix, ix.docs, Q_WILDCARD, k=10).select("doc_id", "score")
+
     def q_prefix_search(spark, sf):
         # wildcard s*: df-capped dictionary expansion + disjunctive BM25
         return prefix_search(
@@ -829,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_scoped_field": q_search_scoped_field,
         "prefix_search": q_prefix_search,
         "fuzzy_search": q_fuzzy_search,
+        "search_wildcard": q_search_wildcard,
         "suggest_spelling": q_suggest_spelling,
         "bm25_paginated": q_paginated,
         "event_windows": q_event_windows,
@@ -1176,6 +1184,44 @@ def oracle_sql() -> dict[str, str]:
         f"LIMIT {MAX_EXPANSIONS}"
     )
 
+    # mini-QL wildcard oracle: same df-capped expansion as the prefix
+    # oracle; candidates hold the exact lemma AND >=1 expansion, scored
+    # disjunctively over the pooled vocabulary
+    wild_exact = [l for l in parse_query(Q_WILDCARD) if not l.startswith("s")]
+    assert wild_exact == ["join"], wild_exact
+    wildcard_oracle = f"""
+        WITH {_POSTINGS},
+        exp AS (
+            SELECT lemma FROM terms WHERE lemma LIKE 's%'
+            ORDER BY df DESC, lemma ASC LIMIT {MAX_EXPANSIONS}
+        ),
+        pool AS (SELECT lemma FROM exp UNION SELECT 'join' AS lemma),
+        has_exp AS (
+            SELECT DISTINCT p.doc_id FROM postings p JOIN exp USING (lemma)
+        ),
+        has_all AS (
+            SELECT doc_id FROM postings WHERE lemma = 'join' GROUP BY doc_id
+        ),
+        accepted AS (SELECT doc_id FROM has_all JOIN has_exp USING (doc_id)),
+        scored AS (
+            SELECT p.doc_id,
+                   sum(
+                     ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+                     * (p.tf * {BM25_K1 + 1.0!r})
+                     / (p.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * d.dl / s.avgdl))
+                   ) AS raw
+            FROM postings p
+            JOIN pool USING (lemma)
+            JOIN accepted USING (doc_id)
+            JOIN doclen d USING (doc_id)
+            JOIN terms t USING (lemma)
+            CROSS JOIN stats s
+            GROUP BY p.doc_id
+        )
+        SELECT doc_id, round(raw, 6) AS score FROM scored
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+
     # did-you-mean oracle: identical per-word argmin over the dictionary
     # (levenshtein asc, df desc, lemma asc; candidates <= SUGGEST_MAX_DIST)
     sug_words = ", ".join(f"('{w}')" for w in parse_query(Q_SUGGEST))
@@ -1275,7 +1321,7 @@ def oracle_sql() -> dict[str, str]:
     from search_engine_spark.operators.query import parse_search_query
 
     def _composed_oracle(q: str) -> str:
-        c_phrases, c_free, c_neg, _c_neg_ph, _c_scopes = parse_search_query(q)
+        c_phrases, c_free, c_neg, _c_neg_ph, _c_scopes, _cw = parse_search_query(q)
         c_lemmas = parse_query(" ".join(c_phrases + [c_free]))
         c_in = "(" + ", ".join(f"'{l}'" for l in c_lemmas) + ")"
         c_seq = lemmatize_text_py(c_phrases[0])
@@ -1344,7 +1390,7 @@ def oracle_sql() -> dict[str, str]:
         accepted_names: list[str] = []
         pool: dict[str, None] = {}
         for bi, br in enumerate(split_or_branches(q)):
-            b_phrases, b_free, b_neg, _bnp, _bsc = parse_search_query(br)
+            b_phrases, b_free, b_neg, _bnp, _bsc, _bw = parse_search_query(br)
             b_lemmas = parse_query(" ".join(b_phrases + [b_free]))
             if not b_lemmas:
                 continue
@@ -1817,6 +1863,7 @@ def oracle_sql() -> dict[str, str]:
         "search_scoped_field": scoped_field_oracle,
         "prefix_search": prefix_oracle,
         "fuzzy_search": fuzzy_oracle,
+        "search_wildcard": wildcard_oracle,
         "suggest_spelling": suggest_oracle,
         "simhash_pairs": _simhash_sql(max_hamming=3),
         "srp_ann_topk": _srp_ann_sql(n_planes=8, n_tables=4, dim=64, k=10),

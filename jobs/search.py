@@ -15,7 +15,8 @@ mini query language):
     df    pure-DataFrame BM25 (operators/query.bm25_topk)
     wand  block-max WAND over compressed segments (operators/wand)
     sql   generated-SQL CTE join (operators/query.bm25_topk_sql)
-    mini  composed language: "quoted phrases", -not terms, free terms
+    mini  composed language: "quoted phrases", -not terms, pre*
+          wildcards, OR branches, field:value scopes, free terms
 
 Prints one JSON line per hit: {"doc_id", "score", ...} (with conv_id /
 turn_idx / snippet when --snippets). Exit code 2 on an invalid query

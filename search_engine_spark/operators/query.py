@@ -598,19 +598,22 @@ def split_or_branches(query: str) -> list[str]:
 
 def parse_search_query(
     query: str,
-) -> tuple[list[str], str, str, list[str], list[tuple[str, str]]]:
+) -> tuple[list[str], str, str, list[str], list[tuple[str, str]], list[str]]:
     """Split one conjunctive mini-language branch into (phrases,
-    free_text, not_terms, not_phrases, scopes):
-    ``'"table hash" join -slow -"big scan" source:src_a'`` →
+    free_text, not_terms, not_phrases, scopes, wildcards):
+    ``'"table hash" join -slow -"big scan" source:src_a s*'`` →
     (["table hash"], " join ", "slow", ["big scan"], [("source",
-    "src_a")]). A ``-`` prefix negates the following word or quoted
-    phrase; negated phrases are extracted FIRST so ``-"foo bar"`` can
-    never be misread as a positive phrase constraint. ``field:value``
-    tokens are scope filters on doc-store columns (the reference's
-    per-site scoped search, ApiService.java:36-47 — here ``role:user``
-    / ``source:src_a`` / ``lang:en``), extracted after quotes so colons
-    inside phrases stay literal. Unbalanced quotes leave the trailing
-    fragment as free text."""
+    "src_a")], ["s"]). A ``-`` prefix negates the following word or
+    quoted phrase; negated phrases are extracted FIRST so ``-"foo
+    bar"`` can never be misread as a positive phrase constraint.
+    ``field:value`` tokens are scope filters on doc-store columns (the
+    reference's per-site scoped search, ApiService.java:36-47 — here
+    ``role:user`` / ``source:src_a`` / ``lang:en``), extracted after
+    quotes so colons inside phrases stay literal. A trailing-``*``
+    token (``s*``) is a wildcard-prefix term (positive only — a negated
+    wildcard is not supported and the ``-`` is dropped with the
+    token). Unbalanced quotes leave the trailing fragment as free
+    text."""
     import re as _re
 
     neg_phrases = _re.findall(r'(?:^|\s)-"([^"]*)"', query)
@@ -619,6 +622,9 @@ def parse_search_query(
     rest = _re.sub(r'"[^"]*"', " ", rest)
     scopes = _re.findall(r'(?:^|\s)([A-Za-z_]\w*):([^\s"]+)', rest)
     rest = _re.sub(r'(?:^|\s)[A-Za-z_]\w*:[^\s"]+', " ", rest)
+    rest = _re.sub(r"(?:^|\s)-\w+\*(?=\s|$)", " ", rest)  # drop -pre* whole
+    wilds = [w.lower() for w in _re.findall(r"(?:^|\s)(\w+)\*(?=\s|$)", rest)]
+    rest = _re.sub(r"(?:^|\s)\w+\*(?=\s|$)", " ", rest)
     neg = " ".join(_re.findall(r"(?:^|\s)-(\w\S*)", rest))
     free = _re.sub(r"(?:^|\s)-\w\S*", " ", rest)
     return (
@@ -627,23 +633,47 @@ def parse_search_query(
         neg,
         [p for p in neg_phrases if p.strip()],
         scopes,
+        wilds,
     )
 
 
 def _branch_constraints(
     index: InvertedIndex, docs: DataFrame, branch: str
-) -> tuple[DataFrame | None, DataFrame | None, list[str]]:
-    """(doc_filter, doc_exclude, positive_lemmas) for one conjunctive
-    mini-language branch — the shared constraint machinery of
-    :func:`search`: phrase doc sets (index-pruned + codegen verify)
+) -> tuple[DataFrame | None, DataFrame | None, list[str], list[str]]:
+    """(doc_filter, doc_exclude, exact_lemmas, pool_lemmas) for one
+    conjunctive mini-language branch — the shared constraint machinery
+    of :func:`search`: phrase doc sets (index-pruned + codegen verify)
     intersect, ``field:value`` scopes intersect (a doc-store column
-    filter — reference per-site scoped search), NOT terms/phrases union
-    into the exclude set."""
+    filter — reference per-site scoped search), wildcard-prefix terms
+    contribute a ≥1-expansion doc set (Lucene multi-term rewrite: the
+    df-capped :func:`expand_prefix` set; no expansion → unsatisfiable),
+    NOT terms/phrases union into the exclude set. ``exact_lemmas``
+    carry AND arity; ``pool_lemmas`` (exact ∪ wildcard expansions) are
+    the scoring vocabulary."""
     from search_engine_spark.functions.text import lemmatize_text_py
 
-    phrases, free, neg, neg_phrases, scopes = parse_search_query(branch)
+    phrases, free, neg, neg_phrases, scopes, wilds = parse_search_query(branch)
     pos_lemmas = parse_query(" ".join(phrases + [free]))
+    pool: dict[str, None] = dict.fromkeys(pos_lemmas)
     doc_filter: DataFrame | None = None
+    for wild in wilds:
+        exps = expand_prefix(index.terms, wild)
+        if not exps:
+            # Lucene semantics: a wildcard with zero dictionary
+            # expansions matches nothing — the branch is unsatisfiable
+            matched = index.postings.select("doc_id").limit(0)
+        else:
+            matched = (
+                index.postings.filter(F.col("lemma").isin(exps))
+                .select("doc_id")
+                .distinct()
+            )
+        for lem in exps:
+            pool.setdefault(lem)
+        doc_filter = (
+            matched if doc_filter is None
+            else doc_filter.join(matched, "doc_id")
+        )
     for ph in phrases:
         if not lemmatize_text_py(ph):
             # phrase was all stopwords — vacuous after stop-filtering,
@@ -681,7 +711,7 @@ def _branch_constraints(
             continue  # vacuous negation excludes nothing
         matched = phrase_match_docs(index, docs, ph).select("doc_id")
         exclude = matched if exclude is None else exclude.union(matched)
-    return doc_filter, exclude, pos_lemmas
+    return doc_filter, exclude, pos_lemmas, list(pool)
 
 
 def search(
@@ -722,36 +752,61 @@ def search(
     Returns top-k (doc_id, score, score_raw), tie-break score desc,
     doc_id asc.
     """
+    def _accepted_docs(doc_filter, exclude, exact):
+        # one branch's qualifying doc set: AND arity over exact lemmas
+        # ∩ phrase/scope/wildcard doc sets − NOTs (None = no positive
+        # constraint at all → vacuous branch)
+        if exact:
+            acc = docs_with_all_lemmas(index.postings, exact).select("doc_id")
+            if doc_filter is not None:
+                acc = acc.join(doc_filter, "doc_id")
+        else:
+            acc = doc_filter
+        if acc is not None and exclude is not None:
+            acc = acc.join(exclude, "doc_id", "left_anti")
+        return acc
+
+    def _empty():
+        return index.postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double, score_raw double"
+        )
+
     branches = split_or_branches(query)
     if len(branches) > 1:
         allow: DataFrame | None = None
         pool: dict[str, None] = {}
         for br in branches:
-            doc_filter, exclude, pos_lemmas = _branch_constraints(
+            doc_filter, exclude, exact, br_pool = _branch_constraints(
                 index, docs, br
             )
-            if not pos_lemmas:
+            if not br_pool:
                 continue  # a branch with no positive terms is vacuous
-            accepted = docs_with_all_lemmas(index.postings, pos_lemmas).select(
-                "doc_id"
-            )
-            if doc_filter is not None:
-                accepted = accepted.join(doc_filter, "doc_id")
-            if exclude is not None:
-                accepted = accepted.join(exclude, "doc_id", "left_anti")
+            accepted = _accepted_docs(doc_filter, exclude, exact)
+            if accepted is None:
+                continue
             allow = accepted if allow is None else allow.union(accepted)
-            for lem in pos_lemmas:
+            for lem in br_pool:
                 pool.setdefault(lem)
         if allow is None:
-            return index.postings.sparkSession.createDataFrame(
-                [], "doc_id long, score double, score_raw double"
-            )
+            return _empty()
         return bm25_topk_lemmas(
             index, list(pool), k=k, k1=k1, b=b, match_all=False,
             doc_filter=allow.distinct(),
         )
-    doc_filter, exclude, _ = _branch_constraints(index, docs, query)
-    phrases, free, _neg, _negph, _scopes = parse_search_query(query)
+    doc_filter, exclude, exact, pool = _branch_constraints(index, docs, query)
+    phrases, free, _neg, _negph, _scopes, wilds = parse_search_query(query)
+    if wilds:
+        # wildcard branch: candidates must hold ALL exact lemmas and ≥1
+        # expansion of EVERY wildcard (both already folded into
+        # doc_filter); ranking is disjunctive BM25 over exact ∪
+        # expansions — Lucene's multi-term rewrite scoring
+        accepted = _accepted_docs(doc_filter, exclude, exact)
+        if accepted is None or not pool:
+            return _empty()
+        return bm25_topk_lemmas(
+            index, pool, k=k, k1=k1, b=b, match_all=False,
+            doc_filter=accepted.distinct(),
+        )
     all_terms = " ".join(phrases + [free])
     return bm25_topk(index, all_terms, k=k, k1=k1, b=b,
                      doc_filter=doc_filter, doc_exclude=exclude)

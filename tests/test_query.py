@@ -293,7 +293,7 @@ def test_parse_search_query():
     from search_engine_spark.operators.query import parse_search_query
 
     def norm(q):
-        ph, free, neg, neg_ph, scopes = parse_search_query(q)
+        ph, free, neg, neg_ph, scopes, _wilds = parse_search_query(q)
         return ph, free.split(), neg.split(), neg_ph, scopes
 
     assert norm('"table hash" join') == (["table hash"], ["join"], [], [], [])
@@ -570,3 +570,54 @@ def test_suggest_spelling_argmin_and_edges(tiny_index):
     empty = suggest_spelling(tiny_index.terms, "the and of")
     assert empty.columns == ["word", "suggestion", "dist", "df"]
     assert empty.count() == 0
+
+
+def test_search_wildcard_terms(tiny_index):
+    """Mini-QL wildcard: 'p*' expands via the df-capped dictionary walk;
+    a wildcard-only query equals prefix_search; mixed queries AND the
+    exact terms with the >=1-expansion constraint and score
+    disjunctively over the pooled vocabulary."""
+    from search_engine_spark.operators.query import (
+        bm25_topk_lemmas,
+        docs_with_all_lemmas,
+        expand_prefix,
+        prefix_search,
+        search,
+    )
+
+    docs = tiny_index.docs
+    K = 10**6
+
+    # wildcard-only == prefix_search (same expansion, same OR scoring)
+    got = [(r["doc_id"], r["score"])
+           for r in search(tiny_index, docs, "w0000*", k=20).collect()]
+    want = [(r["doc_id"], r["score"])
+            for r in prefix_search(tiny_index, "w0000", k=20).collect()]
+    assert got and got == want
+
+    # mixed: every hit holds the exact term AND >=1 expansion; equal to
+    # the manually-composed constraint + disjunctive scorer
+    res = search(tiny_index, docs, "w0000* w00159", k=K).collect()
+    exps = expand_prefix(tiny_index.terms, "w0000")
+    from pyspark.sql import functions as F
+
+    has_exp = (tiny_index.postings.filter(F.col("lemma").isin(exps))
+               .select("doc_id").distinct())
+    accepted = (docs_with_all_lemmas(tiny_index.postings, ["w00159"])
+                .select("doc_id").join(has_exp, "doc_id"))
+    want_rows = bm25_topk_lemmas(
+        tiny_index, ["w00159"] + exps, k=K, match_all=False,
+        doc_filter=accepted,
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in res] == \
+        [(r["doc_id"], r["score"]) for r in want_rows]
+    assert res
+
+    # zero-expansion wildcard is unsatisfiable
+    assert search(tiny_index, docs, "zzz* w00159", k=10).count() == 0
+    # negated wildcard is dropped with its token (documented)
+    a = [(r["doc_id"], r["score"])
+         for r in search(tiny_index, docs, "-zzz* w00159", k=10).collect()]
+    b = [(r["doc_id"], r["score"])
+         for r in search(tiny_index, docs, "w00159", k=10).collect()]
+    assert a == b
