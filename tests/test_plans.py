@@ -163,3 +163,37 @@ def test_repetition_signals_no_window_no_join_no_python(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+
+
+def test_sequence_pack_single_exchange_no_join(spark):
+    """Packing must cost exactly ONE exchange (the per-shard window
+    sort) — no global sort, no join, no Python."""
+    from search_engine_spark.operators.sampling import sequence_pack
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(20)], "doc_id long, text string"
+    )
+    df = sequence_pack(docs, budget=4, n_shards=4)
+    plan = physical_plan(df)
+    import re
+
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_trending_no_join_no_python(spark):
+    """The riser ranking is two windows over the already-aggregated
+    count table — no join back to raw rows, no Python."""
+    import datetime
+
+    from search_engine_spark.operators.serving import trending
+
+    base = datetime.datetime(2026, 1, 1)
+    counts = spark.createDataFrame(
+        [(base, "a", 3), (base, "b", 1)],
+        "window_start timestamp, lemma string, n long",
+    )
+    plan = physical_plan(trending(counts))
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
