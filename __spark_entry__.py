@@ -76,6 +76,7 @@ from search_engine_spark.operators.sampling import (
     sequence_pack_sql_duckdb,
     stratified_sample,
     stratified_sample_sql_duckdb,
+    training_cleanse,
 )
 from search_engine_spark.operators.index_build import (
     build_index_from_docs,
@@ -324,27 +325,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_training_cleanse(spark, sf):
         # the end-to-end training-data cleanse a 100 TB pipeline runs:
         # near-dup keeper selection ∩ quality floor ∩ language filter —
-        # pure composition of the already-green operators, one pass per
-        # feature family, broadcast component table
-        docs = _documents(spark, sf)
-        pairs = minhash_near_duplicates(
-            docs, threshold=JACCARD_THRESHOLD, num_hashes=32, bands=8,
-            n=JACCARD_N,
-        )
-        keep = dedup_keepers(docs, pairs).filter(F.col("is_keeper"))
-        qual = docs.select("doc_id", *quality_features("text")).select(
-            "doc_id", quality_score_col().alias("_qs")
-        )
-        lang = docs.select("doc_id", *langid_features("text")).select(
-            "doc_id", langid_label_col().alias("_lang")
-        )
-        return (
-            keep.select("doc_id")
-            .join(qual, "doc_id")
-            .join(lang, "doc_id")
-            .filter((F.col("_qs") >= 0.5) & (F.col("_lang") == "latin-script"))
-            .select("doc_id")
-        )
+        # the SHARED sampling.training_cleanse operator (same code path
+        # jobs/prepare_dataset.py ships, so the recipe cannot drift)
+        return training_cleanse(
+            _documents(spark, sf),
+            quality_floor=0.5,
+            lang="latin-script",
+            minhash_threshold=JACCARD_THRESHOLD,
+            shingle_n=JACCARD_N,
+        ).select("doc_id")
 
     def q_training_prepare(spark, sf):
         # the WHOLE pipeline in one call: near-dup cleanse -> quality/

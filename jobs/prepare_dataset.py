@@ -49,21 +49,12 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from search_engine_spark.corpus import synthesize_transcripts
-    from search_engine_spark.functions.analysis import (
-        langid_features,
-        langid_label_col,
-        quality_features,
-        quality_score_col,
-    )
-    from search_engine_spark.operators.dedup import (
-        dedup_keepers,
-        minhash_near_duplicates,
-    )
     from search_engine_spark.operators.docids import assign_doc_ids
     from search_engine_spark.operators.sampling import (
         dataset_split,
         decontaminate,
         sequence_pack,
+        training_cleanse,
     )
     from search_engine_spark.sources.transcripts import read_transcripts
 
@@ -81,52 +72,45 @@ def main() -> None:
     else:
         p.error("need --input or --n-synthetic-convs")
 
-    docs = assign_doc_ids(transcripts).select("doc_id", "text")
+    # persist BEFORE the first action: everything downstream (counts,
+    # minhash, shingles, quality) reuses the id assignment instead of
+    # re-running the read + dense-rank per action
+    docs = assign_doc_ids(transcripts).select("doc_id", "text").persist()
     counts = {"input": docs.count()}
 
-    # stage 1: near-dup cleanse (MinHash keepers) + quality/lang floor
-    if not args.no_dedup:
-        pairs = minhash_near_duplicates(docs, threshold=0.7, num_hashes=32,
-                                        bands=8, n=3)
-        docs = (
-            dedup_keepers(docs, pairs)
-            .filter(F.col("is_keeper"))
-            .select("doc_id")
-            .join(docs, "doc_id")
-        )
-    qual = docs.select("doc_id", *quality_features("text")).select(
-        "doc_id", quality_score_col().alias("_qs")
-    )
-    docs = docs.join(qual, "doc_id").filter(
-        F.col("_qs") >= args.quality_floor
-    ).drop("_qs")
-    if args.lang:
-        lang = docs.select("doc_id", *langid_features("text")).select(
-            "doc_id", langid_label_col().alias("_lang")
-        )
-        docs = docs.join(lang, "doc_id").filter(
-            F.col("_lang") == args.lang
-        ).drop("_lang")
-    docs = docs.persist()
-    counts["cleansed"] = docs.count()
+    # stage 1: shared cleanse operator — the SAME recipe the
+    # oracle-checked training_prepare driver query runs
+    cleansed = training_cleanse(
+        docs,
+        quality_floor=args.quality_floor,
+        lang=args.lang or None,
+        dedup=not args.no_dedup,
+    ).persist()
+    counts["cleansed"] = cleansed.count()
 
-    # stage 2: deterministic split
-    split = dataset_split(docs, train=args.train, val=args.val,
+    # stage 2: deterministic split (one pass for all three counts)
+    split = dataset_split(cleansed, train=args.train, val=args.val,
                           seed=args.seed).persist()
+    by_split = {r["split"]: r["count"]
+                for r in split.groupBy("split").count().collect()}
     for s in ("train", "val", "test"):
-        counts[s] = split.filter(F.col("split") == s).count()
+        counts[s] = by_split.get(s, 0)
 
     # stage 3: decontaminate train against the held-out test split
     train = split.filter(F.col("split") == "train")
     if not args.no_decontaminate:
         ev = split.filter(F.col("split") == "test")
-        train = decontaminate(train, ev, n=3)
+        train = decontaminate(train, ev, n=3).persist()
         counts["train_decontaminated"] = train.count()
 
-    # stage 4: pack the train split; persist outputs
+    # stage 4: write outputs. docs/ must agree with pack/: the train
+    # partition holds exactly the decontaminated docs the pack map
+    # covers (writing pre-decontamination train docs would silently
+    # hand a trainer the contaminated ones back)
     out_docs = os.path.join(args.output, "docs")
     out_pack = os.path.join(args.output, "pack")
-    split.write.mode("overwrite").partitionBy("split").parquet(out_docs)
+    final_docs = split.filter(F.col("split") != "train").unionByName(train)
+    final_docs.write.mode("overwrite").partitionBy("split").parquet(out_docs)
     pack = sequence_pack(train, budget=args.budget, n_shards=args.shards)
     pack.write.mode("overwrite").parquet(out_pack)
     packed = spark.read.parquet(out_pack)
@@ -134,7 +118,7 @@ def main() -> None:
     counts["n_sequences"] = (
         packed.select("shard", "end_pack_id")
         .groupBy("shard").agg(F.max("end_pack_id").alias("m"))
-        .agg(F.sum(F.col("m") + 1)).head()[0]
+        .agg(F.coalesce(F.sum(F.col("m") + 1), F.lit(0))).head()[0]
     )
     print(json.dumps(counts), flush=True)
     spark.stop()

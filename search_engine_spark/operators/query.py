@@ -727,19 +727,22 @@ def search(
     match), ``-term`` excludes docs containing the term (boolean NOT),
     ``field:value`` scopes to a doc-store column value (``role:user``,
     ``source:src_a`` — reference per-site scoped search,
-    ApiService.java:36-47), ``OR`` / ``|`` separates alternative
-    conjunctive branches, and the rest are conjunctive BM25 terms;
-    ranking is BM25 over ALL positive lemmas (phrase lemmas score too —
-    a doc using the phrase words often ranks above one meeting the bare
-    constraint).
+    ApiService.java:36-47), ``pre*`` is a wildcard-prefix term (docs
+    must hold ≥1 of its df-capped dictionary expansions; expansions
+    join the scoring vocabulary — Lucene multi-term rewrite), ``OR`` /
+    ``|`` separates alternative conjunctive branches, and the rest are
+    conjunctive BM25 terms; ranking is BM25 over ALL positive lemmas
+    (phrase lemmas score too — a doc using the phrase words often ranks
+    above one meeting the bare constraint).
 
     Composition, not new machinery: each phrase contributes a
     :func:`phrase_match_docs` doc set (index-pruned + codegen verify),
     scopes contribute a doc-store column filter, NOT-terms a left-anti
     join against their postings' doc_ids, and the combined constraint
     feeds :func:`bm25_topk` as ``doc_filter`` (semi-join before the
-    scoring aggregate). A query with no quotes/NOTs/scopes/ORs is
-    exactly ``bm25_topk``.
+    scoring aggregate). A query with no quotes/NOTs/scopes/ORs/
+    wildcards is exactly ``bm25_topk``; a wildcard routes the branch
+    through the disjunctive scorer over the pooled vocabulary.
 
     OR semantics: each branch's full constraint set (AND arity over its
     free lemmas + its phrases/scopes minus its NOTs) is evaluated

@@ -288,3 +288,64 @@ def sequence_pack_sql_duckdb(
                    <> floor((start_off + n_tokens - 1) / {budget}) AS is_split
         FROM pos
     """
+
+
+# ---------------------------------------------------------------------------
+# Composed cleanse (shared by the driver query and jobs/prepare_dataset.py)
+# ---------------------------------------------------------------------------
+def training_cleanse(
+    docs: DataFrame,
+    quality_floor: float = 0.5,
+    lang: str | None = "latin-script",
+    dedup: bool = True,
+    minhash_threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Docs surviving the standard training cleanse: near-dup keeper
+    selection (MinHash-LSH, component-min keeper) ∩ quality floor ∩
+    language filter. One definition shared by the oracle-checked driver
+    query and the prepare_dataset CLI so the recipe cannot drift
+    between them. Returns the input docs filtered (all columns kept).
+    """
+    from search_engine_spark.functions.analysis import (
+        langid_features,
+        langid_label_col,
+        quality_features,
+        quality_score_col,
+    )
+    from search_engine_spark.operators.dedup import (
+        dedup_keepers,
+        minhash_near_duplicates,
+    )
+
+    out = docs
+    if dedup:
+        # minhash_near_duplicates reads the standard (doc_id, text)
+        # columns; rename-compat callers pass id_col/text_col for the
+        # quality/lang stages only
+        pairs = minhash_near_duplicates(
+            docs, threshold=minhash_threshold, num_hashes=num_hashes,
+            bands=bands, n=shingle_n,
+        )
+        out = (
+            dedup_keepers(docs, pairs, id_col=id_col)
+            .filter(F.col("is_keeper"))
+            .select(id_col)
+            .join(out, id_col)
+        )
+    qual = out.select(id_col, *quality_features(text_col)).select(
+        id_col, quality_score_col().alias("_qs")
+    )
+    out = out.join(qual, id_col).filter(
+        F.col("_qs") >= quality_floor
+    ).drop("_qs")
+    if lang:
+        lg = out.select(id_col, *langid_features(text_col)).select(
+            id_col, langid_label_col().alias("_lang")
+        )
+        out = out.join(lg, id_col).filter(F.col("_lang") == lang).drop("_lang")
+    return out

@@ -164,3 +164,17 @@ def test_prepare_dataset_cli(tmp_path):
     assert glob.glob(os.path.join(out, "docs", "split=train", "*.parquet"))
     pack_files = glob.glob(os.path.join(out, "pack", "*.parquet"))
     assert pack_files
+
+    # docs/ must agree with pack/: the written train partition holds
+    # exactly the decontaminated docs the pack map covers
+    import duckdb
+
+    con = duckdb.connect()
+    train_ids = {r[0] for r in con.sql(
+        f"SELECT doc_id FROM read_parquet('{out}/docs/split=train/*.parquet')"
+    ).fetchall()}
+    pack_ids = {r[0] for r in con.sql(
+        f"SELECT doc_id FROM read_parquet('{out}/pack/*.parquet')"
+    ).fetchall()}
+    assert train_ids == pack_ids
+    assert len(train_ids) == m["train_decontaminated"]
