@@ -119,6 +119,8 @@ from search_engine_spark.operators.similarity import (
     hash_centroids,
     ivf_assign,
     ivf_query_topk,
+    sq8_params,
+    sq8_topk,
     srp_neardup_pairs,
     srp_query_topk,
     srp_query_topk_disk,
@@ -420,6 +422,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return brute_force_topk(emb, [float(x) for x in qvec], k=10).select(
             "vec_id", "cosine"
         )
+
+    def q_sq8_topk(spark, sf):
+        # scalar-quantized (uint8) integer-dot top-k: the memory-bounded
+        # ANN scan; params from one aggregate, spliced as literals (the
+        # oracle recomputes them in SQL — min/max is exact, so both
+        # engines derive identical doubles)
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qvec = [float(x) for x in
+                emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+        mins, invs = sq8_params(emb, dim=len(qvec))
+        return sq8_topk(emb, qvec, mins, invs, k=10)
 
     def q_srp_ann(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -792,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash,
         "simhash_pairs": q_simhash,
         "embedding_topk": q_embed_topk,
+        "sq8_topk": q_sq8_topk,
         "srp_ann_topk": q_srp_ann,
         "srp_ann_topk_disk": q_srp_ann_disk,
         "ivf_ann_topk": q_ivf_ann,
@@ -1855,6 +1869,42 @@ def oracle_sql() -> dict[str, str]:
         "search_wildcard": wildcard_oracle,
         "suggest_spelling": suggest_oracle,
         "simhash_pairs": _simhash_sql(max_hamming=3),
+        # SQ8: params recomputed in SQL (min/max exact, identical
+        # doubles both engines), same clamp-after-bigint-floor formula
+        "sq8_topk": """
+            WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+            st AS (
+                SELECT d.i,
+                       min(CAST(e.embedding[d.i] AS DOUBLE)) AS mn,
+                       max(CAST(e.embedding[d.i] AS DOUBLE)) AS mx
+                FROM embeddings e CROSS JOIN dims d GROUP BY d.i
+            ),
+            prm AS (
+                SELECT i, mn,
+                       CASE WHEN mx > mn THEN 256.0 / (mx - mn)
+                            ELSE 0.0 END AS inv
+                FROM st
+            ),
+            qc AS (
+                SELECT p.i,
+                       least(255, greatest(0, CAST(floor(
+                           (CAST(q.embedding[p.i] AS DOUBLE) - p.mn) * p.inv
+                       ) AS BIGINT))) AS qv
+                FROM prm p
+                CROSS JOIN (SELECT embedding FROM embeddings
+                            WHERE vec_id = 0) q
+            )
+            SELECT e.vec_id, CAST(sum(
+                least(255, greatest(0, CAST(floor(
+                    (CAST(e.embedding[p.i] AS DOUBLE) - p.mn) * p.inv
+                ) AS BIGINT))) * qc.qv
+            ) AS BIGINT) AS qdot
+            FROM embeddings e
+            CROSS JOIN prm p
+            JOIN qc ON qc.i = p.i
+            GROUP BY e.vec_id
+            ORDER BY qdot DESC, e.vec_id ASC LIMIT 10
+        """,
         "srp_ann_topk": _srp_ann_sql(n_planes=8, n_tables=4, dim=64, k=10),
         # disk variant probes the same buckets (identical hashing) —
         # identical candidates, identical rerank, same oracle

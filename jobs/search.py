@@ -50,6 +50,9 @@ def main() -> None:
     p.add_argument("--offset", type=int, default=0)
     p.add_argument("--snippets", action="store_true",
                    help="join hits back to text and add <b>-wrapped snippets")
+    p.add_argument("--suggest", action="store_true",
+                   help="print did-you-mean corrections (one JSON line per "
+                        "query word whose best dictionary match differs)")
     p.add_argument("--local-cpus", type=int, default=None)
     args = p.parse_args()
 
@@ -109,6 +112,14 @@ def main() -> None:
             print("invalid query: no indexable terms", file=sys.stderr)
             spark.stop()
             sys.exit(2)
+
+    if args.suggest and args.query is not None:
+        from search_engine_spark.operators.query import suggest_spelling
+
+        for r in suggest_spelling(ix.terms, args.query).collect():
+            if r["suggestion"] != r["word"]:
+                print(json.dumps({"did_you_mean": r["suggestion"],
+                                  **r.asDict()}), flush=True)
 
     if args.facets and args.query is not None:
         from search_engine_spark.operators.query import parse_query

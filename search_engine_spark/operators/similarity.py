@@ -570,3 +570,96 @@ def srp_query_topk_disk(
     )
     cand = embeddings.join(F.broadcast(cand_ids), id_col)
     return brute_force_topk(cand, [float(x) for x in q], k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# SQ8: scalar-quantized (uint8) similarity — the memory-bounded scale path
+# ---------------------------------------------------------------------------
+def sq8_params(
+    embeddings: DataFrame, dim: int, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, 256/span) quantization parameters from ONE
+    columnar aggregate over the table (the FAISS SQ8 'train' step).
+    Driver-side output is 2·dim doubles — spliced as literals into both
+    the Spark expression and the DuckDB oracle, so quantization is
+    bit-identical across engines by construction (the SRP/IVF
+    literal-replay pattern). A constant dimension (span 0) gets inv 0 —
+    every value quantizes to code 0 and contributes nothing."""
+    aggs = []
+    for i in range(dim):
+        v = f"cast(element_at({vec_col}, {i + 1}) as double)"
+        aggs.append(F.expr(f"min({v})").alias(f"mn{i}"))
+        aggs.append(F.expr(f"max({v})").alias(f"mx{i}"))
+    row = embeddings.agg(*aggs).head()
+    mins = [float(row[f"mn{i}"]) for i in range(dim)]
+    invs = [
+        (256.0 / (float(row[f"mx{i}"]) - mins[i]))
+        if float(row[f"mx{i}"]) > mins[i] else 0.0
+        for i in range(dim)
+    ]
+    return mins, invs
+
+
+def _sq8_code_sql(v: str, mn: float, inv: float) -> str:
+    """One dimension's uint8 code — shared TEXTUAL formula for Spark and
+    DuckDB: clamp AFTER an explicit bigint floor so both engines do the
+    identical double multiply, floor, and INTEGER clamp (Spark's floor
+    returns bigint, DuckDB's returns double — the cast unifies them)."""
+    return (
+        f"least(255, greatest(0, cast(floor((cast({v} as double) - {mn!r}) "
+        f"* {inv!r}) as bigint)))"
+    )
+
+
+def sq8_quantize_py(vec: list[float], mins: list[float], invs: list[float]) -> list[int]:
+    """Python twin of :func:`_sq8_code_sql` for the query vector."""
+    import math
+
+    return [
+        min(255, max(0, math.floor((float(v) - mn) * inv)))
+        for v, mn, inv in zip(vec, mins, invs)
+    ]
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    mins: list[float],
+    invs: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by uint8×uint8 integer dot product over
+    scalar-quantized vectors — the scan you run when float embeddings
+    don't fit the cluster's memory budget (4× smaller than float32,
+    8× smaller than float64; FAISS IndexScalarQuantizer SQ8 semantics,
+    asymmetric ranking without rescale: the affine per-dim constants
+    shift every dot equally only approximately, which is the documented
+    accuracy trade).
+
+    Plan: ONE scan, per-row O(dim) integer fold, TakeOrderedAndProject —
+    no shuffle beyond the k-row merge, no Python. Scores are exact
+    integers, so the DuckDB oracle hash-matches bit-for-bit. At 100 TB
+    you'd persist the codes column once and scan uint8s; here the codes
+    are computed in-flight to keep the operator self-contained.
+
+    Returns (id_col, qdot) ordered qdot desc, id asc.
+    """
+    dim = len(query_vec)
+    qq = sq8_quantize_py(query_vec, mins, invs)
+    codes = ", ".join(
+        _sq8_code_sql(f"element_at({vec_col}, {i + 1})", mins[i], invs[i])
+        for i in range(dim)
+    )
+    qlit = ", ".join(f"cast({c} as bigint)" for c in qq)
+    dot = (
+        f"aggregate(zip_with(array({codes}), array({qlit}), "
+        f"(x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    return (
+        embeddings.withColumn("qdot", F.expr(dot))
+        .select(F.col(id_col), "qdot")
+        .orderBy(F.col("qdot").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

