@@ -112,6 +112,10 @@ from search_engine_spark.operators.serving import (
     scope_docs,
     trending,
 )
+from search_engine_spark.operators.sketches import (
+    hll_registers,
+    hll_registers_sql_duckdb,
+)
 from search_engine_spark.operators.similarity import (
     brute_force_topk,
     build_srp_index,
@@ -158,6 +162,7 @@ REPETITION_N = 2  # bigram repetition signals (Gopher A1.3 gram size)
 TRENDING_TOP = 3  # per-window risers kept by trending_events
 PACK_BUDGET = 256  # sequence-pack token budget (several docs per pack)
 PACK_SHARDS = 8    # sequence-pack parallel shards
+HLL_P = 10         # HyperLogLog precision (1024 registers, rse ~3.3%)
 # stratified-sample demo: rebalance by source shard (the synthetic
 # corpus is single-language; source plays the stratum role lang would)
 SAMPLE_FRACTIONS = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
@@ -375,6 +380,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             F.col("n_shared_shingles").cast("long").alias("n_shared_shingles"),
         )
+
+    def q_hll_registers(spark, sf):
+        # portable HyperLogLog register table over document texts —
+        # exact integers (the estimate is a driver-side scalar; keeping
+        # it out of the query shields the hash check from float
+        # accumulation order). One scan + one 2^p-row aggregate.
+        return hll_registers(_documents(spark, sf), "text", p=HLL_P)
 
     def q_corpus_profile(spark, sf):
         # per-source length profile with EXACT discrete quantiles
@@ -801,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "corpus_profile": q_corpus_profile,
         "training_prepare": q_training_prepare,
+        "hll_registers": q_hll_registers,
         "ngram_jaccard_pairs": q_jaccard,
         "minhash_lsh_pairs": q_minhash,
         "simhash_pairs": q_simhash,
@@ -1746,6 +1759,7 @@ def oracle_sql() -> dict[str, str]:
             budget=PACK_BUDGET, n_shards=PACK_SHARDS
         ),
         "corpus_profile": corpus_profile_sql_duckdb(),
+        "hll_registers": hll_registers_sql_duckdb("text", p=HLL_P),
         "pii_scrub": f"""
             WITH aug AS (
                 SELECT doc_id,

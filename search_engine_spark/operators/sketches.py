@@ -1,0 +1,122 @@
+"""Deterministic cardinality sketches — HyperLogLog with a PORTABLE
+hash so the sketch is engine-replayable.
+
+Spark's built-in ``approx_count_distinct`` (HLL++) is the production
+one-liner, but its sketch is opaque: registers can't be checked against
+another engine, merged outside Spark, or stored as an auditable
+artifact. This HLL uses the repo's portable 60-bit md5-prefix hash
+(operators/sampling.split_bucket_col trick), so the register table is
+EXACT integers — DuckDB derives the identical registers from the same
+SQL and the driver's hash comparison is bit-for-bit, while the estimate
+is a closed-form scalar computed from them (Flajolet et al. 2007, with
+the small-range linear-counting correction).
+
+At 100 TB: one scan, one groupBy(bucket) over at most 2^p rows out —
+the classic mergeable-sketch shape (per-partition partial maxes combine
+map-side; register tables from different corpora merge by max)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_BITS = 60  # md5 15-hex-digit prefix — portable across engines
+
+
+def _hash60_col(col: str, seed: str) -> Column:
+    """60-bit integer hash of the column value (md5 prefix, as in
+    sampling.split_bucket_col — portable to DuckDB)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(col).cast("string"), F.lit(":" + seed))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def hll_registers(
+    df: DataFrame, col: str, p: int = 12, seed: str = "hll0"
+) -> DataFrame:
+    """HLL register table for the distinct values of ``col``:
+    (bucket, max_rank), bucket in [0, 2^p), max_rank = max over values
+    in the bucket of (leading zero count of the (60-p)-bit hash suffix
+    + 1). Duplicates are harmless (max is idempotent) — no distinct
+    pass needed. Exact integers → hard cross-engine oracle."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    m = 1 << p
+    h = _hash60_col(col, seed)
+    w_bits = HASH_BITS - p
+    # w = the (60-p)-bit suffix via INTEGER division (h div m — a double
+    # `/` would round h's low bits away past 2^53 and flip floor by ±1);
+    # rank = leading zeros + 1 = w_bits - bit_length(w) + 1, with
+    # bit_length via length(bin(w)) for w > 0; w = 0 -> w_bits + 1
+    out = df.select(
+        (h % m).cast("long").alias("bucket"),
+        h.alias("_h"),
+    ).select(
+        "bucket",
+        F.expr(f"_h div {m}").alias("_w"),
+    ).select(
+        "bucket",
+        F.expr(
+            f"CASE WHEN _w = 0 THEN CAST({w_bits + 1} AS BIGINT) "
+            f"ELSE CAST({w_bits} - length(bin(_w)) + 1 AS BIGINT) END"
+        ).alias("rank"),
+    )
+    return out.groupBy("bucket").agg(F.max("rank").alias("max_rank"))
+
+
+def hll_registers_sql_duckdb(
+    col: str, p: int = 12, seed: str = "hll0", table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`hll_registers` (same hash, same split,
+    same bit_length-via-bin arithmetic)."""
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    h = (
+        f"(('0x' || substring(md5(CAST({col} AS VARCHAR) || ':{seed}'), "
+        f"1, 15))::BIGINT)"
+    )
+    return f"""
+        WITH hashed AS (
+            SELECT {h} % {m} AS bucket, {h} // {m} AS w FROM {table}
+        ),
+        ranked AS (
+            SELECT bucket,
+                   CASE WHEN w = 0 THEN CAST({w_bits + 1} AS BIGINT)
+                        ELSE CAST({w_bits} - length(bin(w)) + 1 AS BIGINT)
+                   END AS rank
+            FROM hashed
+        )
+        SELECT bucket, max(rank) AS max_rank FROM ranked GROUP BY bucket
+    """
+
+
+def hll_estimate(registers: list[tuple[int, int]], p: int = 12) -> float:
+    """Cardinality estimate from a collected register table (driver-side
+    scalar — kept OUT of the distributed query so cross-engine float
+    accumulation order can't perturb the hash-checked result).
+    Standard HLL with the linear-counting small-range correction;
+    relative error ≈ 1.04/sqrt(2^p)."""
+    m = 1 << p
+    if m >= 128:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    elif m == 64:
+        alpha = 0.709
+    elif m == 32:
+        alpha = 0.697
+    else:
+        alpha = 0.673
+    by_bucket = dict(registers)
+    z = sum(2.0 ** -r for r in by_bucket.values()) + (m - len(by_bucket))
+    e = alpha * m * m / z
+    v = m - len(by_bucket)  # empty registers
+    if e <= 2.5 * m and v > 0:
+        e = m * math.log(m / v)
+    return e
