@@ -113,6 +113,8 @@ from search_engine_spark.operators.serving import (
     trending,
 )
 from search_engine_spark.operators.sketches import (
+    cms_counters,
+    cms_counters_sql_duckdb,
     hll_registers,
     hll_registers_sql_duckdb,
 )
@@ -163,6 +165,8 @@ TRENDING_TOP = 3  # per-window risers kept by trending_events
 PACK_BUDGET = 256  # sequence-pack token budget (several docs per pack)
 PACK_SHARDS = 8    # sequence-pack parallel shards
 HLL_P = 10         # HyperLogLog precision (1024 registers, rse ~3.3%)
+CMS_WIDTH = 512    # Count-Min width (overestimate <= e*N/512 w.h.p.)
+CMS_DEPTH = 3      # Count-Min depth (failure prob e^-3)
 # stratified-sample demo: rebalance by source shard (the synthetic
 # corpus is single-language; source plays the stratum role lang would)
 SAMPLE_FRACTIONS = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
@@ -387,6 +391,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # it out of the query shields the hash check from float
         # accumulation order). One scan + one 2^p-row aggregate.
         return hll_registers(_documents(spark, sf), "text", p=HLL_P)
+
+    def q_cms_counters(spark, sf):
+        # Count-Min counter table over the lemma occurrence stream
+        # (heavy-hitter term counts) — exact integers, mergeable by sum
+        rows = explode_lemmas(_documents(spark, sf))
+        return cms_counters(rows, "lemma", width=CMS_WIDTH, depth=CMS_DEPTH)
 
     def q_corpus_profile(spark, sf):
         # per-source length profile with EXACT discrete quantiles
@@ -814,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": q_corpus_profile,
         "training_prepare": q_training_prepare,
         "hll_registers": q_hll_registers,
+        "cms_counters": q_cms_counters,
         "ngram_jaccard_pairs": q_jaccard,
         "minhash_lsh_pairs": q_minhash,
         "simhash_pairs": q_simhash,
@@ -1760,6 +1771,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "corpus_profile": corpus_profile_sql_duckdb(),
         "hll_registers": hll_registers_sql_duckdb("text", p=HLL_P),
+        "cms_counters": f"""
+            WITH lemma_rows AS ({_LEMMA_ROWS})
+            {cms_counters_sql_duckdb(
+                "lemma", width=CMS_WIDTH, depth=CMS_DEPTH,
+                table="lemma_rows")}
+        """,
         "pii_scrub": f"""
             WITH aug AS (
                 SELECT doc_id,

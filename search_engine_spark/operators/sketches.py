@@ -120,3 +120,88 @@ def hll_estimate(registers: list[tuple[int, int]], p: int = 12) -> float:
     if e <= 2.5 * m and v > 0:
         e = m * math.log(m / v)
     return e
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch: heavy-hitter counts with a provable overestimate bound
+# ---------------------------------------------------------------------------
+def cms_counters(
+    df: DataFrame,
+    col: str,
+    width: int = 2048,
+    depth: int = 4,
+    seed: str = "cms0",
+) -> DataFrame:
+    """Count-Min Sketch counter table for the values of ``col``:
+    (row, bucket, cnt) with depth rows of width buckets, each row keyed
+    by an independent portable hash (seed-suffixed md5 — same
+    engine-replayable trick as :func:`hll_registers`). Counters are
+    exact integers → hard cross-engine oracle; sketches over disjoint
+    corpora merge by summing counters (pytest-pinned).
+
+    Plan: the d row-hashes are a LITERAL explode (d tiny rows per input
+    row via posexplode over the d hashes computed in one projection),
+    then ONE combinable groupBy((row, bucket)) — output is d·width rows
+    regardless of input size, the mergeable-sketch shape.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("need depth >= 1, width >= 2")
+    hashes = F.array(*[
+        _hash60_col(col, f"{seed}:{d}") % width for d in range(depth)
+    ])
+    return (
+        df.select(F.posexplode(hashes).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("row").cast("long").alias("row"),
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )
+
+
+def cms_counters_sql_duckdb(
+    col: str,
+    width: int = 2048,
+    depth: int = 4,
+    seed: str = "cms0",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`cms_counters` (same seed-suffixed hashes)."""
+    rows = " UNION ALL ".join(
+        f"SELECT {d} AS row, "
+        f"(('0x' || substring(md5(CAST({col} AS VARCHAR) || ':{seed}:{d}'), "
+        f"1, 15))::BIGINT % {width}) AS bucket FROM {table}"
+        for d in range(depth)
+    )
+    return f"""
+        SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM ({rows}) GROUP BY row, bucket
+    """
+
+
+def cms_estimate(
+    counters: list[tuple[int, int, int]],
+    value: str,
+    width: int = 2048,
+    depth: int = 4,
+    seed: str = "cms0",
+) -> int:
+    """Point estimate for one value from a collected counter table:
+    min over rows of that value's counter (never underestimates; over
+    by at most e·N/width with prob 1−e^−depth). Driver-side — the
+    distributed artifact is the exact counter table."""
+    import hashlib
+
+    table: dict[tuple[int, int], int] = {
+        (r, b): c for r, b, c in counters
+    }
+    est = None
+    for d in range(depth):
+        h = int(
+            hashlib.md5(f"{value}:{seed}:{d}".encode()).hexdigest()[:15], 16
+        )
+        c = table.get((d, h % width), 0)
+        est = c if est is None else min(est, c)
+    return int(est or 0)

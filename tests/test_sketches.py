@@ -58,3 +58,49 @@ def test_hll_registers_mergeable(spark):
     rf = {r["bucket"]: r["max_rank"] for r in hll_registers(full, "text", p=8).collect()}
     merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
     assert merged == rf
+
+
+def _twin_cms(values, width, depth, seed="cms0"):
+    import collections
+
+    t = collections.Counter()
+    for v in values:
+        for d in range(depth):
+            h = int(hashlib.md5(f"{v}:{seed}:{d}".encode()).hexdigest()[:15], 16)
+            t[(d, h % width)] += 1
+    return dict(t)
+
+
+def test_cms_counters_match_twin_and_bound(spark):
+    from search_engine_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    vals = ["hot"] * 500 + [f"tail{i}" for i in range(300)]
+    df = spark.createDataFrame([(v,) for v in vals], "w string")
+    got = {(r["row"], r["bucket"]): r["cnt"]
+           for r in cms_counters(df, "w", width=64, depth=3).collect()}
+    assert got == _twin_cms(vals, 64, 3)
+    counters = [(r, b, c) for (r, b), c in got.items()]
+    # never underestimates; the hot value's estimate is near-exact
+    est_hot = cms_estimate(counters, "hot", width=64, depth=3)
+    assert 500 <= est_hot <= 500 + len(vals) // 8
+    for i in range(0, 300, 50):
+        assert cms_estimate(counters, f"tail{i}", width=64, depth=3) >= 1
+    # an absent value may collide but never goes negative
+    assert cms_estimate(counters, "absent", width=64, depth=3) >= 0
+
+
+def test_cms_merge_by_sum(spark):
+    from search_engine_spark.operators.sketches import cms_counters
+
+    a = spark.createDataFrame([(f"v{i % 40}",) for i in range(200)], "w string")
+    b = spark.createDataFrame([(f"v{i % 70}",) for i in range(300)], "w string")
+    full = a.unionByName(b)
+    def tab(df):
+        return {(r["row"], r["bucket"]): r["cnt"]
+                for r in cms_counters(df, "w", width=32, depth=2).collect()}
+    ta, tb, tf = tab(a), tab(b), tab(full)
+    merged = {k: ta.get(k, 0) + tb.get(k, 0) for k in set(ta) | set(tb)}
+    assert merged == tf
