@@ -63,7 +63,13 @@ def main() -> None:
 
         spark = build_session("prepare_dataset", cpus=args.local_cpus)
     else:
-        spark = SparkSession.builder.appName("prepare_dataset").getOrCreate()
+        spark = (
+            SparkSession.builder.appName("prepare_dataset")
+            # deep cleanse lineage stringifies to GBs in the event
+            # listener and OOMs a default 1g spark-submit driver
+            .config("spark.sql.maxPlanStringLength", str(1 << 20))
+            .getOrCreate()
+        )
 
     if args.input:
         transcripts = read_transcripts(spark, args.input)
@@ -88,9 +94,15 @@ def main() -> None:
     ).persist()
     counts["cleansed"] = cleansed.count()
 
-    # stage 2: deterministic split (one pass for all three counts)
-    split = dataset_split(cleansed, train=args.train, val=args.val,
-                          seed=args.seed).persist()
+    # stage 2: deterministic split, STAGED to parquet — the write both
+    # checkpoints the expensive cleanse (restart restarts here, not at
+    # minhash) and resets lineage: without it the decontaminate/pack
+    # plans embed the whole cleanse tree and their plan STRINGS alone
+    # OOM a default-size spark-submit driver
+    staging = os.path.join(args.output, "_staging_split")
+    dataset_split(cleansed, train=args.train, val=args.val,
+                  seed=args.seed).write.mode("overwrite").parquet(staging)
+    split = spark.read.parquet(staging)
     by_split = {r["split"]: r["count"]
                 for r in split.groupBy("split").count().collect()}
     for s in ("train", "val", "test"):
@@ -120,6 +132,9 @@ def main() -> None:
         .groupBy("shard").agg(F.max("end_pack_id").alias("m"))
         .agg(F.coalesce(F.sum(F.col("m") + 1), F.lit(0))).head()[0]
     )
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
     print(json.dumps(counts), flush=True)
     spark.stop()
 

@@ -177,6 +177,10 @@ def build_session(
         # AQE coalesce targets: small enough to keep multiple waves/core
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(16 * 1024 * 1024))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # diagnostic plan strings only: deep lineages (minhash pipelines
+        # feeding splits feeding decontamination) can stringify to GBs
+        # and OOM a 1g spark-submit driver in the event listener
+        .config("spark.sql.maxPlanStringLength", str(1 << 20))
         # cap scan splits so a small-corpus file scan never degenerates to
         # ~one wave (Spark's bytesPerCore heuristic would): event-log
         # analysis showed 1.25-wave stages idling 23% of an 8-core run.
