@@ -1,0 +1,113 @@
+"""spark-submit entry point: index inspection report — the admin's view
+of a written index (the reference UI's statistics page shows per-site
+doc/lemma/posting counts, SiteRepository.java:43-54; this adds the
+storage-level facts an operator needs before reindexing or capacity
+planning: per-bucket balance, segment bytes by codec, compression
+ratio, streamed-delta backlog).
+
+Usage:
+    python jobs/index_stats.py --index <index_dir> [--local-cpus N]
+
+Prints ONE JSON line; everything except the dictionary size comes from
+manifests and file metadata (no table scans), so the report is O(files)
+— safe against a 100 TB index.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _du(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--index", required=True)
+    p.add_argument("--local-cpus", type=int, default=None)
+    args = p.parse_args()
+
+    stats_path = os.path.join(args.index, "stats.json")
+    if not os.path.exists(stats_path):
+        print(f"no index at {args.index} (stats.json missing)", file=sys.stderr)
+        sys.exit(2)
+    with open(stats_path) as fh:
+        stats = json.load(fh)
+
+    report: dict = {
+        "n_docs": stats.get("n_docs"),
+        "avgdl": stats.get("avgdl"),
+        "format": stats.get("format"),
+        "complete": stats.get("complete"),
+        "input": stats.get("input"),
+    }
+
+    # per-bucket manifests: postings rows, blocks, balance (no scans)
+    manifests = sorted(glob.glob(os.path.join(args.index, "manifests", "*.json")))
+    buckets = []
+    for m in manifests:
+        with open(m) as fh:
+            buckets.append(json.load(fh))
+    if buckets:
+        post = [b.get("postings", 0) for b in buckets]
+        report["n_buckets"] = len(buckets)
+        report["postings_rows"] = sum(post)
+        report["blocks"] = sum(b.get("blocks", 0) for b in buckets)
+        report["bucket_postings_min"] = min(post)
+        report["bucket_postings_max"] = max(post)
+        # balance: max/mean — 1.0 is perfectly even; >2 means one bucket
+        # dominates the mutation/scan cost
+        mean = sum(post) / len(post)
+        report["bucket_skew"] = round(max(post) / mean, 3) if mean else None
+
+    # on-disk bytes per table (file metadata only)
+    for table in ("docs", "postings", "doclen", "segments", "terms"):
+        d = os.path.join(args.index, table)
+        if os.path.isdir(d):
+            report[f"{table}_bytes"] = _du(d)
+    if report.get("segments_bytes") and report.get("postings_bytes"):
+        report["segment_to_postings_ratio"] = round(
+            report["segments_bytes"] / report["postings_bytes"], 4
+        )
+
+    # streamed-delta backlog (compaction pending?)
+    deltas = {}
+    for d in ("postings_stream", "doclen_stream", "docs_stream", "terms_delta"):
+        path = os.path.join(args.index, d)
+        if os.path.isdir(path):
+            deltas[d] = _du(path)
+    report["stream_delta_bytes"] = deltas
+    report["compaction_pending"] = bool(deltas)
+
+    # dictionary size needs one tiny parquet read — the only Spark use;
+    # skipped (reported null) when --local-cpus is not given and no
+    # session is ambient, keeping the default path scan-free
+    report["n_terms"] = None
+    if args.local_cpus:
+        from search_engine_spark.session import build_session
+
+        spark = build_session("index_stats", cpus=args.local_cpus)
+        report["n_terms"] = spark.read.parquet(
+            os.path.join(args.index, "terms")
+        ).count()
+        spark.stop()
+
+    print(json.dumps(report), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,27 @@ def test_build_rerun_and_input_mismatch(tmp_path):
     assert r3.returncode != 0
     assert "pass --no-resume" in (r3.stderr + r3.stdout)
 
+    # index_stats: scan-free report over the same index (+ n_terms via
+    # the one tiny parquet read when a session is requested)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    st = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "index_stats.py"),
+         "--index", out, "--local-cpus", "2"],
+        capture_output=True, text=True, cwd=REPO, timeout=300, env=env,
+    )
+    assert st.returncode == 0, st.stderr[-2000:]
+    rep = json.loads(st.stdout.strip().splitlines()[-1])
+    assert rep["complete"] and rep["n_buckets"] > 0
+    assert rep["postings_rows"] > 0 and rep["bucket_skew"] >= 1.0
+    assert rep["segments_bytes"] > 0 and rep["n_terms"] > 0
+    assert not rep["compaction_pending"]
+    missing = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "index_stats.py"),
+         "--index", str(tmp_path / "nope")],
+        capture_output=True, text=True, cwd=REPO, timeout=60, env=env,
+    )
+    assert missing.returncode == 2
+
 
 def _search(*args: str) -> subprocess.CompletedProcess:
     env = dict(os.environ, PYTHONPATH=REPO)
