@@ -1,0 +1,78 @@
+"""spark-submit entry point: incremental index refresh + optional
+compaction — the reference's `GET /api/startIndexing` re-index loop
+(ApiService.java: start/stop indexing) as a batch-drain job.
+
+Usage:
+    python jobs/refresh_index.py --index <index_dir> --input <dir> \
+        [--compact] [--local-cpus N]
+
+Drains any NEW transcript parquet files from --input into the index's
+streamed-delta tables (exactly-once per file via the stream checkpoint;
+contract-violating rows go to the dead-letter registry, not the index),
+then optionally folds the deltas back into the canonical dense index
+(compact_index — the Lucene-merge analog). Prints ONE JSON line with
+the delta/backlog state from the same scan-free report index_stats
+uses.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--index", required=True)
+    p.add_argument("--input", required=True,
+                   help="directory of transcript parquet files to drain")
+    p.add_argument("--compact", action="store_true",
+                   help="fold streamed deltas into the dense index after "
+                        "draining (compact_index)")
+    p.add_argument("--local-cpus", type=int, default=None)
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from search_engine_spark.sources.index_store import compact_index
+    from search_engine_spark.streaming.incremental import (
+        incremental_index_refresh,
+    )
+
+    if args.local_cpus:
+        from search_engine_spark.session import build_session
+
+        spark = build_session("refresh_index", cpus=args.local_cpus)
+    else:
+        spark = SparkSession.builder.appName("refresh_index").getOrCreate()
+
+    if not os.path.exists(os.path.join(args.index, "stats.json")):
+        print(f"no index at {args.index} (stats.json missing)", file=sys.stderr)
+        spark.stop()
+        sys.exit(2)
+
+    incremental_index_refresh(spark, args.input, args.index)
+    out: dict = {"drained": True, "compacted": False}
+    if args.compact:
+        out["compaction"] = compact_index(spark, args.index)
+        out["compacted"] = True
+
+    # backlog state after the run (file metadata only)
+    deltas = {}
+    for d in ("postings_stream", "doclen_stream", "docs_stream", "terms_delta"):
+        path = os.path.join(args.index, d)
+        if os.path.isdir(path):
+            n = sum(len(fs) for _, _, fs in os.walk(path))
+            if n:
+                deltas[d] = n
+    out["stream_delta_files"] = deltas
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

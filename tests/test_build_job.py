@@ -208,3 +208,42 @@ def test_prepare_dataset_cli(tmp_path):
     ).fetchall()}
     assert train_ids == pack_ids
     assert len(train_ids) == m["train_decontaminated"]
+
+
+def test_refresh_index_cli(tmp_path, spark):
+    """jobs/refresh_index.py: drain streamed deltas, compact, and serve
+    the merged corpus — the /api/startIndexing loop at CLI level."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.corpus import synthesize_transcripts
+
+    idx = str(tmp_path / "idx")
+    incoming = str(tmp_path / "incoming")
+    r = _run("--n-synthetic-convs", "60", "--output", idx,
+             "--bucket-width", "1024")
+    assert r.returncode == 0, r.stderr[-2000:]
+    synthesize_transcripts(spark, 90).filter(
+        F.col("conv_id") >= "conv-00000060"
+    ).write.parquet(incoming)
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    rf = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "refresh_index.py"),
+         "--local-cpus", "4", "--index", idx, "--input", incoming,
+         "--compact"],
+        capture_output=True, text=True, cwd=REPO, timeout=300, env=env,
+    )
+    assert rf.returncode == 0, rf.stderr[-2000:]
+    m = json.loads(rf.stdout.strip().splitlines()[-1])
+    assert m["drained"] and m["compacted"]
+    assert m["compaction"]["n_streamed"] > 0
+    assert m["stream_delta_files"] == {}  # backlog folded in
+
+    # the merged index serves hits spanning old AND new conversations
+    hits = _search("--index", idx, "--query", "w00000", "--k", "100000",
+                   "--snippets")
+    assert hits.returncode == 0
+    rows = [json.loads(l) for l in hits.stdout.strip().splitlines() if l]
+    convs = {r["conv_id"] for r in rows}
+    assert any(c < "conv-00000060" for c in convs)
+    assert any(c >= "conv-00000060" for c in convs)
