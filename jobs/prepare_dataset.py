@@ -42,6 +42,10 @@ def main() -> None:
     p.add_argument("--train", type=float, default=0.8)
     p.add_argument("--val", type=float, default=0.1)
     p.add_argument("--seed", default="split0")
+    p.add_argument("--resume", action="store_true",
+                   help="restart from a leftover staged split (skips the "
+                        "cleanse stages); opt-in because staging from a "
+                        "different input cannot be detected")
     p.add_argument("--local-cpus", type=int, default=None)
     args = p.parse_args()
 
@@ -78,30 +82,49 @@ def main() -> None:
     else:
         p.error("need --input or --n-synthetic-convs")
 
-    # persist BEFORE the first action: everything downstream (counts,
-    # minhash, shingles, quality) reuses the id assignment instead of
-    # re-running the read + dense-rank per action
-    docs = assign_doc_ids(transcripts).select("doc_id", "text").persist()
-    counts = {"input": docs.count()}
-
-    # stage 1: shared cleanse operator — the SAME recipe the
-    # oracle-checked training_prepare driver query runs
-    cleansed = training_cleanse(
-        docs,
-        quality_floor=args.quality_floor,
-        lang=args.lang or None,
-        dedup=not args.no_dedup,
-    ).persist()
-    counts["cleansed"] = cleansed.count()
-
-    # stage 2: deterministic split, STAGED to parquet — the write both
-    # checkpoints the expensive cleanse (restart restarts here, not at
-    # minhash) and resets lineage: without it the decontaminate/pack
-    # plans embed the whole cleanse tree and their plan STRINGS alone
-    # OOM a default-size spark-submit driver
     staging = os.path.join(args.output, "_staging_split")
-    dataset_split(cleansed, train=args.train, val=args.val,
-                  seed=args.seed).write.mode("overwrite").parquet(staging)
+    staging_counts = os.path.join(args.output, "_staging_counts.json")
+    resumed = (
+        args.resume
+        and os.path.exists(os.path.join(staging, "_SUCCESS"))
+        and os.path.exists(staging_counts)
+    )
+    if resumed:
+        # explicit opt-in restart from the staged split: skips the
+        # expensive cleanse (minhash/quality/lang). Opt-in, not
+        # automatic — stale staging from a DIFFERENT input would
+        # silently produce wrong output (same reason build_index gates
+        # resume on the recorded input)
+        with open(staging_counts) as fh:
+            counts = json.load(fh)
+        counts["resumed_from_staging"] = True
+    else:
+        # persist BEFORE the first action: everything downstream
+        # (counts, minhash, shingles, quality) reuses the id assignment
+        # instead of re-running the read + dense-rank per action
+        docs = assign_doc_ids(transcripts).select("doc_id", "text").persist()
+        counts = {"input": docs.count()}
+
+        # stage 1: shared cleanse operator — the SAME recipe the
+        # oracle-checked training_prepare driver query runs
+        cleansed = training_cleanse(
+            docs,
+            quality_floor=args.quality_floor,
+            lang=args.lang or None,
+            dedup=not args.no_dedup,
+        ).persist()
+        counts["cleansed"] = cleansed.count()
+
+        # stage 2: deterministic split, STAGED to parquet — the write
+        # both checkpoints the expensive cleanse (a --resume restart
+        # starts here, not at minhash) and resets lineage: without it
+        # the decontaminate/pack plans embed the whole cleanse tree and
+        # their plan STRINGS alone OOM a default-size spark-submit
+        # driver
+        dataset_split(cleansed, train=args.train, val=args.val,
+                      seed=args.seed).write.mode("overwrite").parquet(staging)
+        with open(staging_counts, "w") as fh:
+            json.dump(counts, fh)
     split = spark.read.parquet(staging)
     by_split = {r["split"]: r["count"]
                 for r in split.groupBy("split").count().collect()}
@@ -135,6 +158,8 @@ def main() -> None:
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
+    if os.path.exists(staging_counts):
+        os.remove(staging_counts)
     print(json.dumps(counts), flush=True)
     spark.stop()
 

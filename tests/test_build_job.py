@@ -247,3 +247,41 @@ def test_refresh_index_cli(tmp_path, spark):
     convs = {r["conv_id"] for r in rows}
     assert any(c < "conv-00000060" for c in convs)
     assert any(c >= "conv-00000060" for c in convs)
+
+
+def test_prepare_dataset_resume_from_staging(tmp_path, spark):
+    """--resume restarts from a leftover staged split: the cleanse
+    stages are skipped and the final outputs agree with the staged
+    table."""
+    out = str(tmp_path / "prep")
+    env = dict(os.environ, PYTHONPATH=REPO)
+
+    def run(*extra):
+        return subprocess.run(
+            [sys.executable, os.path.join(REPO, "jobs", "prepare_dataset.py"),
+             "--local-cpus", "4", "--n-synthetic-convs", "30",
+             "--output", out, "--budget", "128", "--shards", "2", *extra],
+            capture_output=True, text=True, cwd=REPO, timeout=300, env=env,
+        )
+
+    r1 = run()
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    m1 = json.loads(r1.stdout.strip().splitlines()[-1])
+
+    # plant staging equal to the finished run's docs table (same rows
+    # the real crash-leftover would hold) and restart with --resume
+    staged = spark.read.parquet(os.path.join(out, "docs"))
+    staged.select("doc_id", "text", "split").write.mode("overwrite").parquet(
+        os.path.join(out, "_staging_split"))
+    with open(os.path.join(out, "_staging_counts.json"), "w") as fh:
+        json.dump({"input": m1["input"], "cleansed": m1["cleansed"]}, fh)
+    r2 = run("--resume")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    m2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert m2["resumed_from_staging"] is True
+    assert m2["input"] == m1["input"] and m2["cleansed"] == m1["cleansed"]
+    # NOTE: the planted staging's train partition is ALREADY
+    # decontaminated, so re-decontamination is a no-op and counts agree
+    assert m2["packed_docs"] == m1["packed_docs"]
+    assert m2["n_sequences"] == m1["n_sequences"]
+    assert not os.path.exists(os.path.join(out, "_staging_split"))
