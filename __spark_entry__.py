@@ -68,12 +68,15 @@ from search_engine_spark.operators.dedup import (
     simhash_near_duplicates,
 )
 from search_engine_spark.operators.sampling import (
+    SPLIT_BUCKETS,
+    chunk_documents_sql_duckdb,
     contamination,
     dataset_split,
     dataset_split_sql_duckdb,
     decontaminate,
     sequence_pack,
     sequence_pack_sql_duckdb,
+    split_bucket_sql_duckdb,
     stratified_sample,
     stratified_sample_sql_duckdb,
     training_cleanse,
@@ -161,6 +164,11 @@ SUGGEST_MAX_DIST = 2
 
 JACCARD_N = 3
 REPETITION_N = 2  # bigram repetition signals (Gopher A1.3 gram size)
+SPAN_N = 8        # duplicate-span window (Lee et al. substring-dedup unit)
+CHUNK_TOKENS = 32  # RAG chunk window (tokens)
+CHUNK_STRIDE = 24  # chunk stride (overlap = chunk - stride)
+RRF_K0 = 60        # reciprocal-rank-fusion damping constant
+RRF_POOL = 20      # per-list candidate pool fed into the fusion
 TRENDING_TOP = 3  # per-window risers kept by trending_events
 PACK_BUDGET = 256  # sequence-pack token budget (several docs per pack)
 PACK_SHARDS = 8    # sequence-pack parallel shards
@@ -800,6 +808,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("event_type", "user_id", "n")
         )
 
+    def q_duplicate_spans(spark, sf):
+        # substring-level dedup signal (Lee et al. fixed-window
+        # approximation): per-doc fraction of 8-token windows whose text
+        # exists verbatim elsewhere in the corpus
+        from search_engine_spark.operators.dedup import duplicate_spans
+
+        return duplicate_spans(_documents(spark, sf), span=SPAN_N)
+
+    def q_chunk_documents(spark, sf):
+        # RAG/embedding-pipeline chunking: overlapping fixed-token
+        # windows, tails kept; pure projection (no shuffle)
+        from search_engine_spark.operators.sampling import chunk_documents
+
+        return chunk_documents(
+            _documents(spark, sf), chunk=CHUNK_TOKENS, stride=CHUNK_STRIDE
+        )
+
+    def q_quality_resample(spark, sf):
+        # DSIR-style importance resampling: keep-probability = quality
+        # score, membership by deterministic portable hash (no RNG)
+        from search_engine_spark.operators.sampling import quality_resample
+
+        return quality_resample(_documents(spark, sf))
+
+    def q_hybrid_rrf(spark, sf):
+        # hybrid lexical+vector retrieval: BM25 pool ∪ embedding pool,
+        # reciprocal-rank fusion (the embeddings table is the documents'
+        # embedding column keyed by the same id space)
+        from search_engine_spark.operators.hybrid import rrf_fuse
+
+        lex = bm25_topk(_index_for(spark, sf), Q_MAIN, k=RRF_POOL).select(
+            "doc_id", "score"
+        )
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+        vec = brute_force_topk(emb, [float(x) for x in qvec], k=RRF_POOL).select(
+            "vec_id", "cosine"
+        )
+        return rrf_fuse(lex, vec, k0=RRF_K0, k=10)
+
     return {
         "postings": q_postings,
         "terms": q_terms,
@@ -825,6 +873,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_prepare": q_training_prepare,
         "hll_registers": q_hll_registers,
         "cms_counters": q_cms_counters,
+        "duplicate_spans": q_duplicate_spans,
+        "chunk_documents": q_chunk_documents,
+        "quality_resample": q_quality_resample,
+        "hybrid_rrf": q_hybrid_rrf,
         "ngram_jaccard_pairs": q_jaccard,
         "minhash_lsh_pairs": q_minhash,
         "simhash_pairs": q_simhash,
@@ -949,6 +1001,22 @@ def _bm25_sql(query: str, k: int = 10, cte: str = _POSTINGS,
     )
     SELECT doc_id, round(raw, 6) AS score FROM scored
     ORDER BY score DESC, doc_id ASC LIMIT {k}
+    """
+
+
+def _embedding_topk_sql(k: int = 10) -> str:
+    """Exact-cosine top-k DuckDB twin (query vector = vec_id 0), reused
+    by embedding_topk and as the vector pool inside hybrid_rrf."""
+    return f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(
+                 list_dot_product(embedding::DOUBLE[], qv)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+        FROM embeddings CROSS JOIN q
+        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+        ORDER BY cosine DESC, vec_id ASC LIMIT {k}
     """
 
 
@@ -1769,6 +1837,40 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": sequence_pack_sql_duckdb(
             budget=PACK_BUDGET, n_shards=PACK_SHARDS
         ),
+        # substring-level dedup: spans with MULTIPLICITY (a within-doc
+        # repeat is a duplicate), global occurrence count, per-doc fold
+        "duplicate_spans": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+            spans AS (
+                SELECT doc_id,
+                       unnest([array_to_string(tok[i : i + {SPAN_N - 1}], ' ')
+                               for i in generate_series(1, len(tok) - {SPAN_N - 1})]
+                       ) AS span
+                FROM toks WHERE len(tok) >= {SPAN_N}
+            ),
+            occ AS (SELECT span, count(*) AS occ FROM spans GROUP BY span)
+            SELECT s.doc_id,
+                   CAST(count(*) AS BIGINT) AS total_spans,
+                   CAST(sum(CASE WHEN o.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS dup_spans,
+                   round(sum(CASE WHEN o.occ >= 2 THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+            FROM spans s JOIN occ o USING (span)
+            GROUP BY s.doc_id
+        """,
+        "chunk_documents": chunk_documents_sql_duckdb(
+            chunk=CHUNK_TOKENS, stride=CHUNK_STRIDE
+        ),
+        # importance resampling: keep iff bucket < score·BUCKETS in
+        # DOUBLE (no extra rounding — identical IEEE product both sides)
+        "quality_resample": f"""
+            SELECT doc_id, quality_score FROM (
+                SELECT doc_id, {quality_score_expr} AS quality_score
+                FROM ({quality_inner})
+            )
+            WHERE CAST({split_bucket_sql_duckdb("doc_id", "resample0")} AS DOUBLE)
+                  < quality_score * {float(SPLIT_BUCKETS)!r}
+        """,
         "corpus_profile": corpus_profile_sql_duckdb(),
         "hll_registers": hll_registers_sql_duckdb("text", p=HLL_P),
         "cms_counters": f"""
@@ -1965,16 +2067,33 @@ def oracle_sql() -> dict[str, str]:
         "srp_neardup_pairs": _srp_neardup_sql(
             COSINE_NEARDUP_THRESHOLD, n_planes=6, n_tables=4, dim=64
         ),
-        "embedding_topk": """
-            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-            SELECT vec_id,
-                   round(
-                     list_dot_product(embedding::DOUBLE[], qv)
-                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                        * sqrt(list_dot_product(qv, qv))), 6) AS cosine
-            FROM embeddings CROSS JOIN q
-            WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
-            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        "embedding_topk": _embedding_topk_sql(10),
+        # hybrid RRF: rank each pool by its own emitted order (rounded
+        # score DESC, id ASC), fuse 1/(k0+rank) with rank-0 sentinel for
+        # a missing list (NULL-able BIGINTs turn into NaN floats on the
+        # pandas side of the comparison); the fused sum is a FIXED
+        # two-term double add, lexical first — bit-identical to Spark
+        "hybrid_rrf": f"""
+            WITH lex AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                           AS lex_rank
+                FROM ({_bm25_sql(Q_MAIN, k=RRF_POOL)})
+            ),
+            vec AS (
+                SELECT vec_id AS doc_id,
+                       row_number() OVER (ORDER BY cosine DESC, vec_id ASC)
+                           AS vec_rank
+                FROM ({_embedding_topk_sql(RRF_POOL)})
+            )
+            SELECT doc_id,
+                   round(COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K0} + lex_rank), 0.0)
+                         + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K0} + vec_rank), 0.0),
+                         6) AS rrf,
+                   CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+                   CAST(COALESCE(vec_rank, 0) AS BIGINT) AS vec_rank
+            FROM lex FULL OUTER JOIN vec USING (doc_id)
+            ORDER BY rrf DESC, doc_id ASC LIMIT 10
         """,
         "token_counts": f"""
             SELECT doc_id, len({_TOKS}) AS n_tokens,

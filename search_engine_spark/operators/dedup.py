@@ -173,6 +173,69 @@ def repetition_signals(
     )
 
 
+def duplicate_spans(
+    docs: DataFrame, span: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document duplicated-SPAN statistics — substring-level dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): exact-duplicate text *segments* inside otherwise-distinct
+    documents are the memorization vector that doc-level dedup (exact /
+    MinHash) cannot see. The paper's suffix-array pass is approximated
+    at fixed token-window granularity: every length-``span`` token
+    window is a unit, and a window position counts as DUPLICATED when
+    its span text occurs ≥ 2 times corpus-wide — in another document or
+    repeated within the same one (both are the memorization signal).
+
+    Per doc with ≥ ``span`` tokens:
+
+    - ``total_spans``  number of window positions (n_tokens − span + 1)
+    - ``dup_spans``    positions whose span text is globally non-unique
+    - ``dup_frac``     dup_spans / total_spans, rounded to 6 decimals —
+                       the "fraction of this doc that exists verbatim
+                       elsewhere" removal signal
+
+    Plan shape (100 TB): tokens projected ONCE (Catalyst does not CSE a
+    repeated tokenize — see shingles_over_tokens_expr), spans explode
+    with multiplicity (positions, NOT distinct — a within-doc repeat is
+    a duplicate), ONE map-side-combinable groupBy(span) for the global
+    occurrence count, one shuffle join back, ONE groupBy(doc_id). At
+    100 TB group and join on ``xxhash64(span)`` instead of the span
+    string (shuffle rows shrink from ~8 words to 8 bytes; collision
+    odds n²/2⁶⁵ are audit-level) — the string form here is the
+    oracle-friendly equivalent, same trick as exact_duplicates. Skew:
+    span counts are Zipf-light (only literal clones repeat), and the
+    join's count side carries one row per DISTINCT span.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_expr(F.col(text_col)).alias("_toks"),
+    ).filter(F.size("_toks") >= span)
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(_toks) - {span}), "
+                f"i -> array_join(slice(_toks, i + 1, {span}), ' '))"
+            )
+        ).alias("span"),
+    )
+    occ = spans.groupBy("span").agg(F.count("*").alias("_occ"))
+    return (
+        spans.join(occ, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("total_spans"),
+            F.sum(F.when(F.col("_occ") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("dup_spans") / F.col("total_spans"), 6),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (oracle-checkable ground truth)
 # ---------------------------------------------------------------------------

@@ -349,3 +349,129 @@ def training_cleanse(
         )
         out = out.join(lg, id_col).filter(F.col("_lang") == lang).drop("_lang")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Token-window chunking (RAG / embedding-pipeline shaping)
+# ---------------------------------------------------------------------------
+def chunk_documents(
+    docs: DataFrame,
+    chunk: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split every document into overlapping fixed-token-window chunks —
+    the shaping step between a cleaned corpus and an embedding model /
+    RAG retriever (each chunk becomes one embedding row; ``stride`` <
+    ``chunk`` keeps boundary context shared between neighbours).
+
+    Per non-empty doc: ``1 + ceil(max(n_tokens − chunk, 0) / stride)``
+    chunks, chunk *i* covering tokens ``[i·stride+1, i·stride+chunk]``
+    (the final chunk may be shorter — tails are kept, not padded).
+    Output: (doc_id, chunk_idx, n_tokens, chunk_text).
+
+    Plan shape (100 TB): one projected tokenize → per-row transform +
+    posexplode. Pure projection — NO shuffle, no window, no join; chunk
+    identity is (doc_id, chunk_idx), so downstream embedding jobs shard
+    arbitrarily. The ceil is integer arithmetic (`div`), replayed
+    exactly by the DuckDB twin."""
+    from search_engine_spark.functions.text import tokenize_expr
+
+    n_chunks = (
+        f"1 + (greatest(size(_toks) - {chunk}, 0) + {stride - 1}) div {stride}"
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_expr(F.col(text_col)).alias("_toks"),
+    ).filter(F.size("_toks") > 0)
+    return toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_chunks} - 1), "
+                f"i -> slice(_toks, i * {stride} + 1, {chunk}))"
+            )
+        ).alias("chunk_idx", "_chunk"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("_chunk").cast("long").alias("n_tokens"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql_duckdb(
+    chunk: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` (same tokenizer, same
+    integer ceil, same 1-based inclusive slicing)."""
+    from search_engine_spark.functions.text import TOKEN_KEEP_REGEX
+
+    toks = (
+        f"list_filter(string_split(trim(regexp_replace(lower({text_col}), "
+        f"'{TOKEN_KEEP_REGEX}', ' ', 'g')), ' '), t -> t <> '')"
+    )
+    return f"""
+        WITH toks AS (
+            SELECT {id_col} AS doc_id, {toks} AS tok FROM {table}
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_idx,
+                   tok[i * {stride} + 1 : i * {stride} + {chunk}] AS chunk
+            FROM toks,
+                 LATERAL unnest(generate_series(
+                     0, (greatest(len(tok) - {chunk}, 0) + {stride - 1})
+                        // {stride}
+                 )) AS g(i)
+            WHERE len(tok) > 0
+        )
+        SELECT doc_id, chunk_idx,
+               CAST(len(chunk) AS BIGINT) AS n_tokens,
+               array_to_string(chunk, ' ') AS chunk_text
+        FROM chunks
+    """
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted importance resampling
+# ---------------------------------------------------------------------------
+def quality_resample(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "resample0",
+) -> DataFrame:
+    """Keep each doc with probability equal to its quality score —
+    importance resampling (the DSIR-family move: instead of a hard
+    quality floor, sample proportionally so mid-quality mass survives
+    at reduced rate and the kept corpus's quality distribution shifts
+    up without a cliff). Deterministic: keep iff
+    ``hash_bucket(id, seed) < quality_score · SPLIT_BUCKETS`` — no RNG,
+    so membership is reproducible across runs/engines/cluster sizes and
+    re-running with a larger corpus never flips existing rows.
+
+    The comparison is done in DOUBLE with no extra rounding: both
+    engines compute the identical IEEE product from the identical
+    6-decimal score, so whichever side of an integer the product lands
+    on, they agree. Returns (doc_id, quality_score) for kept docs.
+
+    Plan: pure projection + filter — no shuffle, no count pass; the
+    quality features come from one text scan."""
+    from search_engine_spark.functions.analysis import (
+        quality_features,
+        quality_score_col,
+    )
+
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"), *quality_features(text_col)
+    ).select("doc_id", quality_score_col().alias("quality_score"))
+    b = split_bucket_col("doc_id", seed)
+    return scored.filter(
+        b.cast("double") < F.col("quality_score") * float(SPLIT_BUCKETS)
+    )

@@ -157,3 +157,28 @@ def test_repetition_signals_hand_computed(spark):
     assert got[4]["dup_gram_frac"] == round(1 - 1 / 3, 6)
     # norm text "x x x x" len 7, covered 3*3
     assert got[4]["top_char_frac"] == round(9 / 7, 6)
+
+
+def test_duplicate_spans_hand_computed(spark):
+    """Substring-level dedup on a hand fixture (span=3): cross-doc and
+    within-doc repeats both count, short docs drop out."""
+    from search_engine_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),        # spans: abc bcd cde
+            (1, "x y a b c"),        # spans: xya yab abc -> shares abc with 0
+            (2, "p q p q p q"),      # spans: pqp qpq pqp qpq -> all repeats
+            (3, "m n"),              # < span tokens: dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["total_spans"], r["dup_spans"], r["dup_frac"])
+        for r in duplicate_spans(docs, span=3).collect()
+    }
+    assert got == {
+        0: (3, 1, round(1 / 3, 6)),
+        1: (3, 1, round(1 / 3, 6)),
+        2: (4, 4, 1.0),
+    }

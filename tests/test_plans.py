@@ -197,3 +197,49 @@ def test_trending_no_join_no_python(spark):
     plan = physical_plan(trending(counts))
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_chunk_documents_pure_projection(spark):
+    """Chunking must be a zero-exchange projection: no shuffle, no join,
+    no window, no Python eval — one tokenize, per-row transform."""
+    from search_engine_spark.operators.sampling import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "g h")], "doc_id long, text string"
+    )
+    df = chunk_documents(docs, chunk=4, stride=3)
+    plan = physical_plan(df)
+    assert count_shuffles(df) == 0, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_quality_resample_pure_filter(spark):
+    """Importance resampling is one scan + filter: no shuffle, no join,
+    no Python."""
+    from search_engine_spark.operators.sampling import quality_resample
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    df = quality_resample(docs)
+    plan = physical_plan(df)
+    assert count_shuffles(df) == 0, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_duplicate_spans_two_aggregate_exchanges_one_join(spark):
+    """The span-dedup plan: span explode stays pipelined, ONE global
+    span-count aggregate (two exchange-backed aggregates total with the
+    final doc fold), one join back, no Python, no window."""
+    from search_engine_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    df = duplicate_spans(docs, span=3)
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan, plan

@@ -240,3 +240,75 @@ def test_sequence_pack_offsets_and_splits(spark):
         nxt = by_shard.get(r["shard"], 0)
         assert r["start_off"] == nxt, r
         by_shard[r["shard"]] = nxt + r["n_tokens"]
+
+
+def test_chunk_documents_windows_and_tails(spark):
+    """chunk=4/stride=3 hand fixture: window starts every stride,
+    tails kept unpadded, every token covered, empty docs dropped."""
+    from search_engine_spark.operators.sampling import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # 10 toks -> 3 chunks
+            (1, "u0 u1 u2 u3"),                    # exactly one window
+            (2, "v0 v1"),                          # short tail only
+            (3, ""),                               # empty: dropped
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk=4, stride=3).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): r["chunk_text"] for r in rows}
+    assert got == {
+        (0, 0): "t0 t1 t2 t3",
+        (0, 1): "t3 t4 t5 t6",
+        (0, 2): "t6 t7 t8 t9",
+        (1, 0): "u0 u1 u2 u3",
+        (2, 0): "v0 v1",
+    }
+    # coverage: union of every doc's chunk tokens is the doc's tokens
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).update(r["chunk_text"].split())
+    assert by_doc[0] == {f"t{i}" for i in range(10)}
+
+
+def test_quality_resample_matches_manual_threshold(spark):
+    """Kept set == {doc: md5 bucket < quality·BUCKETS} recomputed in
+    Python over Spark's own quality scores (the NEW logic under test is
+    the deterministic keep rule, not the score)."""
+    import hashlib
+
+    from search_engine_spark.functions.analysis import (
+        quality_features,
+        quality_score_col,
+    )
+    from search_engine_spark.operators.sampling import (
+        SPLIT_BUCKETS,
+        quality_resample,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, ("the quick brown fox jumps over lazy dogs near river %d " % i) * (i % 4 + 1))
+            for i in range(60)
+        ] + [(60, "!!! ??? ;;; ::: ,,,"), (61, "x")],  # low-quality rows
+        "doc_id long, text string",
+    )
+    scores = {
+        r["doc_id"]: r["q"]
+        for r in docs.select("doc_id", *quality_features("text"))
+        .select("doc_id", quality_score_col().alias("q"))
+        .collect()
+    }
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(f"{i}:resample0".encode()).hexdigest()[:15], 16) % SPLIT_BUCKETS
+
+    want = {i for i, q in scores.items() if float(bucket(i)) < q * float(SPLIT_BUCKETS)}
+    got = {r["doc_id"] for r in quality_resample(docs).collect()}
+    assert got == want
+    assert got  # fixture keeps at least one row
+    # the all-punctuation row scores exactly 0 (no tokens, punct clamp
+    # saturated) and can never satisfy bucket < 0
+    assert scores[60] == 0.0
+    assert 60 not in got
