@@ -210,6 +210,8 @@ def main() -> None:
         "snippets", "multimodal_features", "dead_letters",
         "field_subtraction", "event_windows", "top_users_per_event",
         "dataset_split", "contamination", "pii_scrub",
+        "duplicate_spans", "chunk_documents", "quality_resample",
+        "hybrid_rrf",
     ]
     qs = entrymod.queries()
     for name in suite:

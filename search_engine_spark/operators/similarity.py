@@ -349,10 +349,14 @@ def _query_signature(q: np.ndarray, n_planes: int, table: int) -> int:
 
 
 def _probe_condition(
-    q: np.ndarray, n_planes: int, n_tables: int, multiprobe_hamming: int
+    q: np.ndarray, n_planes: int, n_tables: int, multiprobe_hamming: int,
+    group_shift: int | None = None,
 ) -> F.Column:
     """(table, bucket) predicate for the query's probe set — the query
-    signature per table plus its 1-bit-flip neighbours."""
+    signature per table plus its 1-bit-flip neighbours. With
+    ``group_shift`` (the disk layout), an additional ``bgroup`` term is
+    emitted so the PARTITION columns (table, bgroup) prune directories
+    and the in-file ``bucket`` column prunes rows."""
     cond = None
     for t in range(n_tables):
         sig = _query_signature(q, n_planes, t)
@@ -360,6 +364,9 @@ def _probe_condition(
         if multiprobe_hamming >= 1:
             probes += [sig ^ (1 << p) for p in range(n_planes)]
         c = (F.col("table") == t) & F.col("bucket").isin([int(x) for x in probes])
+        if group_shift is not None:
+            groups = sorted({int(x) >> group_shift for x in probes})
+            c = c & F.col("bgroup").isin(groups)
         cond = c if cond is None else (cond | c)
     return cond
 
@@ -387,21 +394,41 @@ def write_srp_index(
     embeddings: DataFrame, out_dir: str, dim: int,
     n_planes: int = 8, n_tables: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    group_bits: int = 5,
 ) -> None:
-    """Persist the SRP index as (table, bucket) → id lists ONLY.
+    """Persist the SRP index as (table, bucket-group) → (bucket, id)
+    lists ONLY.
 
-    The 100 TB layout: ``partitionBy(table, bucket)`` directories of bare
-    ids — the index costs n_tables × one long per vector (vectors are
-    NOT duplicated per table), and a probe is a partition-pruned read of
-    the handful of probed bucket directories, never a scan of the index
-    DataFrame (round-1 verdict: the OR-filter full scan was the
+    The 100 TB layout: ``partitionBy(table, bgroup)`` directories of
+    (bucket, id) rows, bucket-sorted within each file — the index costs
+    n_tables × (one long + one small int) per vector (vectors are NOT
+    duplicated per table), and a probe is a partition-pruned read of the
+    probed GROUP directories plus a row-group-pruned ``bucket`` filter
+    inside them (round-1 verdict: the OR-filter full scan was the
     scale-weak spot). Rerank joins the candidate ids back to the vector
-    table. NULL / zero-norm vectors are excluded (see build_srp_index)."""
+    table. NULL / zero-norm vectors are excluded (see build_srp_index).
+
+    Why groups, not one dir per bucket: dynamic-partition writes pay a
+    fixed writer+commit cost PER DIRECTORY, so n_tables·2^n_planes dirs
+    (1024 at the defaults) cost ~15 s even for a toy table — measured
+    14.7 s at 1019 dirs vs ~2 s at 128. ``group_bits`` caps dirs at
+    n_tables·2^group_bits while the sorted in-file ``bucket`` column
+    keeps pruning exact via parquet min/max stats; raise it when bucket
+    dirs grow past a few files each. The write also repartitions on the
+    partition key first so each dir is written by exactly one task
+    (otherwise every task opens a writer in every dir it touches)."""
+    shift = max(n_planes - group_bits, 0)
     usable = with_norm(embeddings, vec_col, dim).filter(F.col("_norm") > 0)
     out = _with_table_buckets(
         usable, dim, n_planes, n_tables, vec_col, keep=[id_col]
+    ).withColumn("bgroup", F.shiftright(F.col("bucket"), shift))
+    (
+        out.repartition("table", "bgroup")
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .partitionBy("table", "bgroup")
+        .parquet(out_dir)
     )
-    out.write.mode("overwrite").partitionBy("table", "bucket").parquet(out_dir)
 
 
 def _kmeans_centroids(
@@ -555,16 +582,23 @@ def srp_query_topk_disk(
     embeddings: DataFrame, index_dir: str, query_vec: list[float], k: int = 10,
     n_planes: int = 8, n_tables: int = 4, multiprobe_hamming: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    group_bits: int = 5,
 ) -> DataFrame:
-    """ANN top-k against a :func:`write_srp_index` directory.
+    """ANN top-k against a :func:`write_srp_index` directory (pass the
+    same ``group_bits`` it was written with).
 
-    The (table, bucket) predicate hits parquet PARTITION directories, so
-    the scan touches only the probed buckets (O(bucket) IO; pinned by a
-    plan test asserting PartitionFilters). Candidate ids are a tiny set →
-    broadcast-joined back to the vector table for the exact rerank."""
+    The (table, bgroup) predicate hits parquet PARTITION directories and
+    the ``bucket`` predicate prunes row groups inside them (bucket-sorted
+    files → exact min/max stats), so the scan touches only the probed
+    groups (pinned by a plan test asserting PartitionFilters). Candidate
+    ids are a tiny set → broadcast-joined back to the vector table for
+    the exact rerank."""
     spark = embeddings.sparkSession
     q = np.asarray(query_vec, dtype=np.float64)
-    cond = _probe_condition(q, n_planes, n_tables, multiprobe_hamming)
+    cond = _probe_condition(
+        q, n_planes, n_tables, multiprobe_hamming,
+        group_shift=max(n_planes - group_bits, 0),
+    )
     cand_ids = (
         spark.read.parquet(index_dir).filter(cond).select(id_col).distinct()
     )

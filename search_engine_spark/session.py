@@ -206,6 +206,19 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # commit algorithm v2: task-side renames instead of a SEQUENTIAL
+        # driver-side rename of every output file at job commit — the v1
+        # protocol is the dominant cost of high-dir-count partitioned
+        # writes (SRP id-list index: 1019 bucket dirs; v4 doc-bucket
+        # publishes). Trade (documented upstream): a job that dies
+        # mid-commit can leave partial files in the destination — safe
+        # here because every multi-file table in this engine is written
+        # to a fresh/tmp dir and swapped in atomically afterwards
+        # (index_store._swap_write, write_srp_index's overwrite dir).
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

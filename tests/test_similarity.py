@@ -74,16 +74,19 @@ def test_srp_disk_index_matches_memory_and_prunes_partitions(emb, spark, tmp_pat
                                         n_tables=4).collect()]
     assert got == want
 
-    # index stores ids only — vectors are never duplicated per table
+    # index stores (bucket, id) only — vectors never duplicated per table
     stored = spark.read.parquet(out)
-    assert set(stored.columns) == {"vec_id", "table", "bucket"}
+    assert set(stored.columns) == {"vec_id", "table", "bucket", "bgroup"}
 
-    # plan-pinned: the probe scan carries non-empty PartitionFilters
-    cond = _probe_condition(np.asarray(q, dtype=np.float64), 8, 4, 1)
+    # plan-pinned: the probe scan prunes PARTITION dirs on (table,
+    # bgroup) and pushes the bucket predicate into the file scan
+    cond = _probe_condition(np.asarray(q, dtype=np.float64), 8, 4, 1,
+                            group_shift=3)
     plan = physical_plan(spark.read.parquet(out).filter(cond))
     assert "PartitionFilters" in plan, plan
     pf = plan.split("PartitionFilters:")[1].split("]")[0]
-    assert "table" in pf and "bucket" in pf, plan
+    assert "table" in pf and "bgroup" in pf, plan
+    assert "PushedFilters" in plan and "bucket" in plan.split("PushedFilters:")[1].split("]")[0], plan
 
 
 def test_srp_ann_recall(emb):
