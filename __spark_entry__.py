@@ -169,6 +169,8 @@ CHUNK_TOKENS = 32  # RAG chunk window (tokens)
 CHUNK_STRIDE = 24  # chunk stride (overlap = chunk - stride)
 RRF_K0 = 60        # reciprocal-rank-fusion damping constant
 RRF_POOL = 20      # per-list candidate pool fed into the fusion
+PRF_FB_DOCS = 5    # pseudo-relevance feedback: assumed-relevant pool
+PRF_FB_TERMS = 6   # expansion lemmas taken from the feedback pool
 TRENDING_TOP = 3  # per-window risers kept by trending_events
 PACK_BUDGET = 256  # sequence-pack token budget (several docs per pack)
 PACK_SHARDS = 8    # sequence-pack parallel shards
@@ -832,6 +834,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return quality_resample(_documents(spark, sf))
 
+    def q_prf_search(spark, sf):
+        # pseudo-relevance feedback (Rocchio): conjunctive top-5 as the
+        # assumed-relevant pool, expand with their top tf·idf lemmas,
+        # disjunctive re-rank over the widened lemma set
+        from search_engine_spark.operators.query import prf_search
+
+        return prf_search(
+            _index_for(spark, sf), Q_MAIN, k=10,
+            fb_docs=PRF_FB_DOCS, fb_terms=PRF_FB_TERMS,
+        ).select("doc_id", "score")
+
     def q_hybrid_rrf(spark, sf):
         # hybrid lexical+vector retrieval: BM25 pool ∪ embedding pool,
         # reciprocal-rank fusion (the embeddings table is the documents'
@@ -877,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "quality_resample": q_quality_resample,
         "hybrid_rrf": q_hybrid_rrf,
+        "prf_search": q_prf_search,
         "ngram_jaccard_pairs": q_jaccard,
         "minhash_lsh_pairs": q_minhash,
         "simhash_pairs": q_simhash,
@@ -1214,6 +1228,9 @@ def _shingle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     rel_lemmas = parse_query(Q_REL)
     rel_in = "(" + ", ".join(f"'{l}'" for l in rel_lemmas) + ")"
+    prf_lemmas = parse_query(Q_MAIN)
+    prf_in = "(" + ", ".join(f"'{l}'" for l in prf_lemmas) + ")"
+    prf_arr = "[" + ", ".join(f"'{l}'" for l in prf_lemmas) + "]"
     and_lemmas = parse_query(Q_AND)
     and_in = "(" + ", ".join(f"'{l}'" for l in and_lemmas) + ")"
 
@@ -2068,6 +2085,69 @@ def oracle_sql() -> dict[str, str]:
             COSINE_NEARDUP_THRESHOLD, n_planes=6, n_tables=4, dim=64
         ),
         "embedding_topk": _embedding_topk_sql(10),
+        # PRF: feedback pool by the same rounded-score order the engine
+        # emits, expansion by round(sum(tf)·idf, 6) with lemma-asc ties
+        # (query lemmas excluded), disjunctive re-rank over the union
+        "prf_search": f"""
+            WITH {_POSTINGS},
+            cand AS (
+                SELECT doc_id FROM postings WHERE lemma IN {prf_in}
+                GROUP BY doc_id HAVING count(*) = {len(prf_lemmas)}
+            ),
+            base AS (
+                SELECT p.doc_id,
+                       round(sum(
+                         ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+                         * (p.tf * {BM25_K1 + 1.0!r})
+                         / (p.tf + {BM25_K1!r}
+                            * ({1.0 - BM25_B!r} + {BM25_B!r} * d.dl / s.avgdl))
+                       ), 6) AS score
+                FROM postings p
+                JOIN cand USING (doc_id)
+                JOIN doclen d USING (doc_id)
+                JOIN terms t USING (lemma)
+                CROSS JOIN stats s
+                WHERE p.lemma IN {prf_in}
+                GROUP BY p.doc_id
+                ORDER BY score DESC, p.doc_id ASC LIMIT {PRF_FB_DOCS}
+            ),
+            exp AS (
+                SELECT p.lemma
+                FROM postings p
+                JOIN base USING (doc_id)
+                JOIN terms t USING (lemma)
+                CROSS JOIN stats s
+                WHERE p.lemma NOT IN {prf_in}
+                GROUP BY p.lemma, t.df, s.n_docs
+                ORDER BY round(CAST(sum(p.tf) AS DOUBLE)
+                               * ln(1.0 + (s.n_docs - t.df + 0.5)
+                                    / (t.df + 0.5)), 6) DESC,
+                         p.lemma ASC
+                LIMIT {PRF_FB_TERMS}
+            ),
+            qset AS (
+                SELECT lemma FROM exp
+                UNION
+                SELECT unnest({prf_arr}) AS lemma
+            ),
+            scored AS (
+                SELECT p.doc_id,
+                       sum(
+                         ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+                         * (p.tf * {BM25_K1 + 1.0!r})
+                         / (p.tf + {BM25_K1!r}
+                            * ({1.0 - BM25_B!r} + {BM25_B!r} * d.dl / s.avgdl))
+                       ) AS raw
+                FROM postings p
+                JOIN qset USING (lemma)
+                JOIN doclen d USING (doc_id)
+                JOIN terms t USING (lemma)
+                CROSS JOIN stats s
+                GROUP BY p.doc_id
+            )
+            SELECT doc_id, round(raw, 6) AS score FROM scored
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
         # hybrid RRF: rank each pool by its own emitted order (rounded
         # score DESC, id ASC), fuse 1/(k0+rank) with rank-0 sentinel for
         # a missing list (NULL-able BIGINTs turn into NaN floats on the

@@ -211,7 +211,7 @@ def main() -> None:
         "field_subtraction", "event_windows", "top_users_per_event",
         "dataset_split", "contamination", "pii_scrub",
         "duplicate_spans", "chunk_documents", "quality_resample",
-        "hybrid_rrf",
+        "hybrid_rrf", "prf_search",
     ]
     qs = entrymod.queries()
     for name in suite:

@@ -569,6 +569,84 @@ def more_like_this(
     )
 
 
+def select_feedback_terms(
+    index: InvertedIndex,
+    doc_ids: list[int],
+    max_terms: int = 6,
+    exclude: list[str] | None = None,
+) -> list[str]:
+    """Expansion lemmas for pseudo-relevance feedback: the lemmas with
+    the highest SUMMED tf·idf across the feedback documents, original
+    query lemmas excluded (they are re-added by the caller). The weight
+    is rounded to SCORE_DECIMALS before the cut and ties break on lemma
+    asc — the same determinism contract as :func:`select_seed_terms`,
+    so the DuckDB twin selects the identical set.
+
+    Plan: the feedback ids are a k-bounded broadcast; their postings
+    (≤ k documents' rows, doc-bucket-pruned under v4) aggregate once by
+    lemma and probe the dictionary — the collect is ≤ max_terms rows."""
+    spark = index.postings.sparkSession
+    fb = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
+    fb_lemma_tf = (
+        index.postings.join(F.broadcast(fb), "doc_id")
+        .groupBy("lemma")
+        .agg(F.sum("tf").alias("_tf"))
+    )
+    scored = (
+        index.terms.select("lemma", "df")
+        .join(F.broadcast(fb_lemma_tf), "lemma")
+        .withColumn("_idf", idf_col(F.col("df").cast("double"), index.stats.n_docs))
+        .withColumn(
+            "_w", F.round(F.col("_tf").cast("double") * F.col("_idf"), SCORE_DECIMALS)
+        )
+    )
+    if exclude:
+        scored = scored.filter(~F.col("lemma").isin(list(exclude)))
+    rows = (
+        scored.orderBy(F.col("_w").desc(), F.col("lemma").asc())
+        .limit(max_terms)
+        .select("lemma")
+        .collect()
+    )
+    return [r.lemma for r in rows]
+
+
+def prf_search(
+    index: InvertedIndex,
+    query: str,
+    k: int = DEFAULT_TOP_K,
+    fb_docs: int = 5,
+    fb_terms: int = 6,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (Rocchio / RM-style query
+    expansion): run the conjunctive BM25 query, take the top ``fb_docs``
+    results as assumed-relevant, expand the query with their
+    ``fb_terms`` most characteristic lemmas
+    (:func:`select_feedback_terms`), and re-rank disjunctively over the
+    expanded lemma set — recall recovery for under-specified queries,
+    built entirely from the pinned single-aggregate scorer.
+
+    Two rounds of the same k-bounded plan: feedback ids and expansion
+    lemmas are driver-side collects of ≤ fb_docs / ≤ fb_terms rows (the
+    expand_prefix/more_like_this footprint class); the corpus is only
+    ever touched through lemma-pruned posting scans."""
+    lemmas = parse_query(query)
+    if not lemmas:
+        return index.postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double, score_raw double"
+        )
+    base = bm25_topk_lemmas(index, lemmas, k=fb_docs, k1=k1, b=b)
+    fb_ids = [int(r.doc_id) for r in base.select("doc_id").collect()]
+    if not fb_ids:
+        return bm25_topk_lemmas(index, lemmas, k=k, k1=k1, b=b, match_all=False)
+    expansion = select_feedback_terms(index, fb_ids, fb_terms, exclude=lemmas)
+    return bm25_topk_lemmas(
+        index, lemmas + expansion, k=k, k1=k1, b=b, match_all=False
+    )
+
+
 def split_or_branches(query: str) -> list[str]:
     """Split a mini-language query on its top-level OR separators — the
     ``OR`` keyword (uppercase, the Lucene convention) or ``|`` — into

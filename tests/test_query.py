@@ -621,3 +621,34 @@ def test_search_wildcard_terms(tiny_index):
     b = [(r["doc_id"], r["score"])
          for r in search(tiny_index, docs, "w00159", k=10).collect()]
     assert a == b
+
+
+def test_prf_search_expands_and_composes(tiny_index):
+    """PRF == (conjunctive top-fb pool -> feedback-term expansion ->
+    disjunctive rank over query+expansion), composed manually; the
+    expansion never re-selects a query lemma and stays within budget."""
+    from search_engine_spark.operators.query import (
+        bm25_topk_lemmas,
+        parse_query,
+        prf_search,
+        select_feedback_terms,
+    )
+
+    q = "w00000 w00159"
+    lemmas = parse_query(q)
+    got = [(r["doc_id"], r["score"])
+           for r in prf_search(tiny_index, q, k=10, fb_docs=4,
+                               fb_terms=3).collect()]
+
+    base = bm25_topk_lemmas(tiny_index, lemmas, k=4)
+    fb_ids = [int(r.doc_id) for r in base.select("doc_id").collect()]
+    exp = select_feedback_terms(tiny_index, fb_ids, 3, exclude=lemmas)
+    assert len(exp) == 3
+    assert not set(exp) & set(lemmas)
+    want = [(r["doc_id"], r["score"])
+            for r in bm25_topk_lemmas(tiny_index, lemmas + exp, k=10,
+                                      match_all=False).collect()]
+    assert got == want and got
+
+    # empty query stays empty; unmatched query falls back to plain OR
+    assert prf_search(tiny_index, "", k=5).count() == 0
