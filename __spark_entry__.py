@@ -116,6 +116,7 @@ from search_engine_spark.operators.serving import (
     trending,
 )
 from search_engine_spark.operators.sketches import (
+    bloom_bits_sql_duckdb,
     cms_counters,
     cms_counters_sql_duckdb,
     hll_registers,
@@ -177,6 +178,8 @@ PACK_SHARDS = 8    # sequence-pack parallel shards
 HLL_P = 10         # HyperLogLog precision (1024 registers, rse ~3.3%)
 CMS_WIDTH = 512    # Count-Min width (overestimate <= e*N/512 w.h.p.)
 CMS_DEPTH = 3      # Count-Min depth (failure prob e^-3)
+BLOOM_M = 8192     # Bloom filter bits (fpp ~0.02 at 500 docs, k=4)
+BLOOM_K = 4        # Bloom hash count
 # stratified-sample demo: rebalance by source shard (the synthetic
 # corpus is single-language; source plays the stratum role lang would)
 SAMPLE_FRACTIONS = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
@@ -407,6 +410,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (heavy-hitter term counts) — exact integers, mergeable by sum
         rows = explode_lemmas(_documents(spark, sf))
         return cms_counters(rows, "lemma", width=CMS_WIDTH, depth=CMS_DEPTH)
+
+    def q_bloom_bits(spark, sf):
+        # portable Bloom set-bit table over document texts — exact
+        # integers, mergeable by UNION, zero false negatives; the
+        # broadcast-prefilter artifact for 100 TB decontamination
+        from search_engine_spark.operators.sketches import bloom_bits
+
+        return bloom_bits(
+            _documents(spark, sf), "text", m_bits=BLOOM_M, k=BLOOM_K
+        )
 
     def q_corpus_profile(spark, sf):
         # per-source length profile with EXACT discrete quantiles
@@ -886,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_prepare": q_training_prepare,
         "hll_registers": q_hll_registers,
         "cms_counters": q_cms_counters,
+        "bloom_bits": q_bloom_bits,
         "duplicate_spans": q_duplicate_spans,
         "chunk_documents": q_chunk_documents,
         "quality_resample": q_quality_resample,
@@ -1890,6 +1904,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_profile": corpus_profile_sql_duckdb(),
         "hll_registers": hll_registers_sql_duckdb("text", p=HLL_P),
+        "bloom_bits": bloom_bits_sql_duckdb("text", m_bits=BLOOM_M, k=BLOOM_K),
         "cms_counters": f"""
             WITH lemma_rows AS ({_LEMMA_ROWS})
             {cms_counters_sql_duckdb(

@@ -181,6 +181,105 @@ def cms_counters_sql_duckdb(
     """
 
 
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable set membership with zero false negatives
+# ---------------------------------------------------------------------------
+def bloom_bits(
+    df: DataFrame,
+    col: str,
+    m_bits: int = 4096,
+    k: int = 4,
+    seed: str = "bloom0",
+) -> DataFrame:
+    """Bloom-filter set-bit table for the values of ``col``: the DISTINCT
+    bit positions lit by ``k`` independent portable hashes per value
+    (seed-suffixed md5 — the same engine-replayable trick as
+    :func:`hll_registers` / :func:`cms_counters`). Exact integers →
+    hard cross-engine oracle; filters over disjoint corpora merge by
+    UNION of their bit tables (pytest-pinned), and membership has zero
+    false negatives by construction.
+
+    The 100 TB use: materialize the EVAL-set filter once (≤ m_bits
+    rows), splice it as a literal predicate over the train scan
+    (:func:`bloom_maybe_contains_col`) and run the exact contamination
+    join only on the maybe-hits — the classic broadcast-prefilter that
+    turns a shuffle of every train shingle into a shuffle of the ~fpp
+    fraction that might match.
+
+    Plan: one projection computing all k hashes, posexplode-free
+    explode, ONE distinct — output ≤ m_bits rows regardless of input."""
+    if k < 1 or m_bits < 2:
+        raise ValueError("need k >= 1, m_bits >= 2")
+    hashes = F.array(*[
+        _hash60_col(col, f"{seed}:{i}") % m_bits for i in range(k)
+    ])
+    return (
+        df.select(F.explode(hashes).alias("bit"))
+        .distinct()
+        .select(F.col("bit").cast("long").alias("bit"))
+    )
+
+
+def bloom_bits_sql_duckdb(
+    col: str,
+    m_bits: int = 4096,
+    k: int = 4,
+    seed: str = "bloom0",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`bloom_bits` (same seed-suffixed hashes)."""
+    rows = " UNION ALL ".join(
+        f"SELECT (('0x' || substring(md5(CAST({col} AS VARCHAR) "
+        f"|| ':{seed}:{i}'), 1, 15))::BIGINT % {m_bits}) AS bit FROM {table}"
+        for i in range(k)
+    )
+    return f"SELECT DISTINCT bit FROM ({rows})"
+
+
+def bloom_contains(
+    bits: set[int],
+    value: str,
+    m_bits: int = 4096,
+    k: int = 4,
+    seed: str = "bloom0",
+) -> bool:
+    """Driver-side membership probe against a collected bit set: True =
+    maybe present (fp rate ≈ (1−e^{−kn/m})^k), False = DEFINITELY
+    absent."""
+    import hashlib
+
+    for i in range(k):
+        h = int(
+            hashlib.md5(f"{value}:{seed}:{i}".encode()).hexdigest()[:15], 16
+        )
+        if h % m_bits not in bits:
+            return False
+    return True
+
+
+def bloom_maybe_contains_col(
+    col: str,
+    bits: set[int],
+    m_bits: int = 4096,
+    k: int = 4,
+    seed: str = "bloom0",
+) -> Column:
+    """Boolean Column: the Bloom membership probe as a pure-codegen
+    expression over a LITERAL bit array (the collected filter spliced in,
+    the SRP/SQ8 literal-replay pattern) — the broadcast prefilter shape
+    for 100 TB decontamination. False ⇒ definitely not in the filtered
+    set; rows passing still need the exact join."""
+    arr = "array(" + ", ".join(str(int(b)) for b in sorted(bits)) + ")"
+    probes = [
+        _hash60_col(col, f"{seed}:{i}") % m_bits for i in range(k)
+    ]
+    cond = None
+    for p in probes:
+        c = F.array_contains(F.expr(arr), p)
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
 def cms_estimate(
     counters: list[tuple[int, int, int]],
     value: str,

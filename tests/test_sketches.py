@@ -104,3 +104,74 @@ def test_cms_merge_by_sum(spark):
     ta, tb, tf = tab(a), tab(b), tab(full)
     merged = {k: ta.get(k, 0) + tb.get(k, 0) for k in set(ta) | set(tb)}
     assert merged == tf
+
+
+def _twin_bloom_bits(values, m_bits, k, seed="bloom0"):
+    bits = set()
+    for v in values:
+        for i in range(k):
+            h = int(hashlib.md5(f"{v}:{seed}:{i}".encode()).hexdigest()[:15], 16)
+            bits.add(h % m_bits)
+    return bits
+
+
+def test_bloom_bits_match_twin_no_false_negatives(spark):
+    from search_engine_spark.operators.sketches import bloom_bits, bloom_contains
+
+    vals = [f"item{i}" for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "text string")
+    got = {r["bit"] for r in bloom_bits(df, "text", m_bits=2048, k=4).collect()}
+    assert got == _twin_bloom_bits(vals, 2048, 4)
+    # zero false negatives: every inserted value probes present
+    assert all(bloom_contains(got, v, m_bits=2048, k=4) for v in vals)
+    # fp-rate sanity: (1-e^{-kn/m})^k ~ 0.012 at n=200,m=2048,k=4 —
+    # 2000 absent probes should see only a small fraction pass
+    fps = sum(
+        bloom_contains(got, f"absent{i}", m_bits=2048, k=4) for i in range(2000)
+    )
+    assert fps < 2000 * 0.05, fps
+
+
+def test_bloom_merge_by_union(spark):
+    from search_engine_spark.operators.sketches import bloom_bits
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "text string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "text string")
+    both = a.union(b)
+    merged = {
+        r["bit"]
+        for r in bloom_bits(a, "text", 1024, 3)
+        .union(bloom_bits(b, "text", 1024, 3))
+        .distinct()
+        .collect()
+    }
+    whole = {r["bit"] for r in bloom_bits(both, "text", 1024, 3).collect()}
+    assert merged == whole
+
+
+def test_bloom_maybe_contains_col_matches_driver_probe(spark):
+    """The literal-spliced codegen predicate agrees with the driver-side
+    probe on present and absent values, and the plan stays Python-free."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.sketches import (
+        bloom_bits,
+        bloom_contains,
+        bloom_maybe_contains_col,
+    )
+    from search_engine_spark.plans.explain import physical_plan
+
+    vals = [f"v{i}" for i in range(80)]
+    df = spark.createDataFrame([(v,) for v in vals], "text string")
+    bits = {r["bit"] for r in bloom_bits(df, "text", 1024, 3).collect()}
+
+    probe_vals = vals[:10] + [f"nope{i}" for i in range(40)]
+    probe = spark.createDataFrame([(v,) for v in probe_vals], "text string")
+    out = probe.select(
+        "text", bloom_maybe_contains_col("text", bits, 1024, 3).alias("maybe")
+    )
+    got = {r["text"]: r["maybe"] for r in out.collect()}
+    want = {v: bloom_contains(bits, v, 1024, 3) for v in probe_vals}
+    assert got == want
+    assert all(got[v] for v in vals[:10])  # no false negatives
+    assert "EvalPython" not in physical_plan(out)
