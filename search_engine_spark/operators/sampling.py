@@ -151,6 +151,8 @@ def contamination(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bloom_bits_prefilter: set[int] | None = None,
+    bloom_params: tuple[int, int, str] = (1 << 16, 4, "bloom0"),
 ) -> DataFrame:
     """(doc_id, n_shared_shingles) for every TRAIN doc sharing ≥1 word
     ``n``-gram with any EVAL doc — the standard pretraining
@@ -161,13 +163,33 @@ def contamination(
     KBs-to-MBs against a 100 TB train side), train shingles stream
     through one scan + broadcast semi-join, and the only shuffle is the
     per-doc count aggregate over matching rows — already filtered down
-    to hits, so skew follows contamination (rare), not corpus size."""
+    to hits, so skew follows contamination (rare), not corpus size.
+
+    ``bloom_bits_prefilter``: a collected Bloom bit set over the eval
+    shingles (sketches.bloom_bits + the matching (m_bits, k, seed)).
+    When the eval shingle set outgrows the broadcast-hash budget, the
+    exact join's build side can't be a hashmap any more — the Bloom
+    predicate (a few KB of literal array, pure codegen) drops the
+    definitely-clean shingles BEFORE the join, and zero false negatives
+    means the result is IDENTICAL (differential-tested); false
+    positives only cost a little extra join input."""
     ev = F.broadcast(
         doc_shingles(eval_docs, id_col, text_col, n)
         .select("shingle")
         .distinct()
     )
     tr = doc_shingles(train_docs, id_col, text_col, n)
+    if bloom_bits_prefilter is not None:
+        from search_engine_spark.operators.sketches import (
+            bloom_maybe_contains_col,
+        )
+
+        m_bits, k, seed = bloom_params
+        tr = tr.filter(
+            bloom_maybe_contains_col(
+                "shingle", bloom_bits_prefilter, m_bits, k, seed
+            )
+        )
     return (
         tr.join(ev, "shingle")
         .groupBy("doc_id")

@@ -312,3 +312,40 @@ def test_quality_resample_matches_manual_threshold(spark):
     # saturated) and can never satisfy bucket < 0
     assert scores[60] == 0.0
     assert 60 not in got
+
+
+def test_contamination_bloom_prefilter_identical_and_codegen(spark):
+    """The Bloom shingle prefilter must not change contamination output
+    (zero false negatives) while filtering BEFORE the join."""
+    from search_engine_spark.operators.dedup import doc_shingles
+    from search_engine_spark.operators.sampling import contamination
+    from search_engine_spark.operators.sketches import bloom_bits
+    from search_engine_spark.plans.explain import physical_plan
+
+    train = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i} filler words here") for i in range(30)]
+        + [(100, "leaked eval answer forty two exactly")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(0, "the leaked eval answer forty two exactly verbatim")],
+        "doc_id long, text string",
+    )
+    m_bits, k, seed = 4096, 4, "bloom0"
+    bits = {
+        r["bit"]
+        for r in bloom_bits(
+            doc_shingles(ev, n=3).select(F.col("shingle").alias("text")),
+            "text", m_bits, k, seed,
+        ).collect()
+    }
+    plain = {(r["doc_id"], r["n_shared_shingles"])
+             for r in contamination(train, ev, n=3).collect()}
+    fast_df = contamination(
+        train, ev, n=3,
+        bloom_bits_prefilter=bits, bloom_params=(m_bits, k, seed),
+    )
+    fast = {(r["doc_id"], r["n_shared_shingles"]) for r in fast_df.collect()}
+    assert fast == plain
+    assert any(d == 100 for d, _ in fast)  # the planted leak is caught
+    assert "EvalPython" not in physical_plan(fast_df)
