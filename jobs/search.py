@@ -7,8 +7,8 @@ code.
 Usage:
     spark-submit [--master ...] --py-files engine.zip jobs/search.py \
         --index <index_dir> --query '...' [--engine df|wand|sql|mini] \
-        [--or] [--k 10] [--offset 0] [--window W] [--snippets] \
-        [--facets col,col] | --more-like DOC_ID
+        [--or] [--prf] [--k 10] [--offset 0] [--window W] \
+        [--snippets] [--facets col,col] | --more-like DOC_ID
 
 Engines (the reference's three interchangeable strategies plus the
 mini query language):
@@ -46,6 +46,10 @@ def main() -> None:
     p.add_argument("--engine", choices=["df", "wand", "sql", "mini"], default="df")
     p.add_argument("--or", dest="match_any", action="store_true",
                    help="disjunctive (OR) semantics (df/wand engines)")
+    p.add_argument("--prf", action="store_true",
+                   help="pseudo-relevance feedback: expand the query "
+                        "with the top tf-idf lemmas of the conjunctive "
+                        "top-5 and re-rank disjunctively (df engine)")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--offset", type=int, default=0)
     p.add_argument("--snippets", action="store_true",
@@ -90,7 +94,12 @@ def main() -> None:
 
         res = more_like_this(ix, args.more_like, k=k)
     elif args.engine == "df":
-        res = bm25_topk(ix, args.query, k=k, match_all=not args.match_any)
+        if args.prf:
+            from search_engine_spark.operators.query import prf_search
+
+            res = prf_search(ix, args.query, k=k)
+        else:
+            res = bm25_topk(ix, args.query, k=k, match_all=not args.match_any)
     elif args.engine == "wand":
         res = wand_topk(disk.segments, disk.terms, args.query, k=k,
                         stats=disk.stats, match_all=not args.match_any)

@@ -111,6 +111,11 @@ def test_search_cli_engines_agree(tmp_path):
                            "--or", "--engine", "wand"))
     assert or_df and or_df == or_wand
 
+    # --prf: feedback expansion re-ranks disjunctively; the conjunctive
+    # pool seeds it, so strong AND hits stay present
+    prf = hits(_search("--index", out, "--query", "w00000 w00001", "--prf"))
+    assert prf and ({h["doc_id"] for h in df} & {h["doc_id"] for h in prf})
+
     # mini-language OR: union of two branch constraint sets — a doc
     # needs only one branch; both branches' lemmas must surface docs
     orq = hits(_search("--index", out, "--query", "w00003 | w00004",
