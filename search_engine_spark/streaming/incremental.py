@@ -50,17 +50,45 @@ def streamed_doc_id_col() -> F.Column:
     )
 
 
+def dedup_streamed_turns(
+    stream: DataFrame,
+    watermark: str = "10 minutes",
+    keys: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Streaming exact dedup: drop turns whose ``keys`` (content by
+    default) already arrived within the watermark horizon —
+    ``dropDuplicatesWithinWatermark``, the stateful streaming analog of
+    the batch :func:`~search_engine_spark.operators.dedup.
+    drop_exact_duplicates`. State is bounded by the watermark (entries
+    expire once late data can no longer collide), which is the property
+    that makes content dedup feasible on an unbounded 100 TB ingest —
+    an unwindowed distinct would grow state forever. Exactly-one-
+    SURVIVOR semantics per key per horizon; which duplicate survives is
+    arrival order (the streaming contract), so this is an ingest
+    throttle, not the deterministic batch keeper selection."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def incremental_index_refresh(
     spark: SparkSession,
     input_dir: str,
     index_dir: str,
     checkpoint_dir: str | None = None,
+    dedupe: bool = False,
+    dedup_watermark: str = "10 minutes",
 ) -> None:
-    """Drain new transcript parquet files into postings/doclen/terms deltas."""
+    """Drain new transcript parquet files into postings/doclen/terms
+    deltas. ``dedupe=True`` inserts the streaming content dedup
+    (:func:`dedup_streamed_turns`) before indexing, so byte-identical
+    turns arriving within the watermark index once."""
     checkpoint_dir = checkpoint_dir or os.path.join(index_dir, "_stream_checkpoint")
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(input_dir)
     )
+    if dedupe:
+        stream = dedup_streamed_turns(stream, dedup_watermark)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():

@@ -161,3 +161,35 @@ def test_windowed_term_counts_and_trending(spark, tmp_path):
     w1 = [r for r in top if r["window_start"].minute == 0]
     # first window: growth == n (no prior window)
     assert [(r["lemma"], r["growth"]) for r in w1] == [("alpha", 3), ("beta", 1)]
+
+
+def test_streaming_dedup_drops_duplicate_content(spark, tmp_path):
+    """dedupe=True: byte-identical turn texts arriving in one horizon
+    index exactly once; distinct texts all survive."""
+    import datetime
+
+    from search_engine_spark.streaming.incremental import (
+        incremental_index_refresh,
+    )
+
+    input_dir = str(tmp_path / "in")
+    index_dir = str(tmp_path / "idx")
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("c1", 0, "user", "alpha beta gamma", "", base),
+        ("c2", 0, "user", "alpha beta gamma", "", base),  # exact dup
+        ("c3", 0, "user", "delta epsilon zeta", "", base),
+        ("c3", 1, "tool", "alpha beta gamma", "", base),  # dup again
+    ]
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    spark.createDataFrame(rows, schema).write.parquet(input_dir)
+    incremental_index_refresh(spark, input_dir, index_dir, dedupe=True)
+
+    docs = spark.read.parquet(os.path.join(index_dir, "docs_stream"))
+    texts = [r["text"] for r in docs.collect()]
+    assert sorted(set(texts)) == ["alpha beta gamma", "delta epsilon zeta"]
+    assert len(texts) == 2  # one survivor per distinct content
+    # postings cover exactly the surviving docs
+    p = spark.read.parquet(os.path.join(index_dir, "postings_stream"))
+    assert p.select("doc_id").distinct().count() == 2
