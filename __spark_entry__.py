@@ -398,6 +398,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_shared_shingles").cast("long").alias("n_shared_shingles"),
         )
 
+    def q_contamination_bloom(spark, sf):
+        # the SAME contamination result through the Bloom-prefiltered
+        # scale path: eval-shingle filter collected (≤ m_bits ints),
+        # spliced as a literal codegen predicate over the train shingle
+        # stream BEFORE the exact join — zero false negatives ⇒ the
+        # oracle is the exact query's oracle, and the driver's hash
+        # check IS the prefilter-lossless proof
+        from search_engine_spark.operators.dedup import doc_shingles
+        from search_engine_spark.operators.sketches import bloom_bits
+
+        docs = dataset_split(_documents(spark, sf))
+        train = docs.filter(F.col("split") != "test")
+        ev = docs.filter(F.col("split") == "test")
+        bits = {
+            r["bit"]
+            for r in bloom_bits(
+                doc_shingles(ev, n=JACCARD_N).select(
+                    F.col("shingle").alias("text")
+                ),
+                "text", BLOOM_M, BLOOM_K,
+            ).collect()
+        }
+        return contamination(
+            train, ev, n=JACCARD_N,
+            bloom_bits_prefilter=bits,
+            bloom_params=(BLOOM_M, BLOOM_K, "bloom0"),
+        ).select(
+            "doc_id",
+            F.col("n_shared_shingles").cast("long").alias("n_shared_shingles"),
+        )
+
     def q_hll_registers(spark, sf):
         # portable HyperLogLog register table over document texts —
         # exact integers (the estimate is a driver-side scalar; keeping
@@ -893,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "stratified_sample": q_stratified_sample,
         "contamination": q_contamination,
+        "contamination_bloom": q_contamination_bloom,
         "pii_scrub": q_pii_scrub,
         "sequence_pack": q_sequence_pack,
         "corpus_profile": q_corpus_profile,
@@ -1245,6 +1277,38 @@ def oracle_sql() -> dict[str, str]:
     prf_lemmas = parse_query(Q_MAIN)
     prf_in = "(" + ", ".join(f"'{l}'" for l in prf_lemmas) + ")"
     prf_arr = "[" + ", ".join(f"'{l}'" for l in prf_lemmas) + "]"
+
+    contamination_oracle = f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   {dataset_split_sql_duckdb()} AS split
+            FROM documents
+        ),
+        toks_tr AS (
+            SELECT doc_id, {_TOKS} AS tok FROM base WHERE split <> 'test'
+        ),
+        sh_tr AS (
+            SELECT doc_id, unnest(list_distinct(
+                [array_to_string(tok[i : i + {JACCARD_N - 1}], ' ')
+                 for i in generate_series(1, len(tok) - {JACCARD_N - 1})]
+            )) AS shingle
+            FROM toks_tr WHERE len(tok) >= {JACCARD_N}
+        ),
+        toks_ev AS (
+            SELECT doc_id, {_TOKS} AS tok FROM base WHERE split = 'test'
+        ),
+        sh_ev AS (
+            SELECT DISTINCT unnest(list_distinct(
+                [array_to_string(tok[i : i + {JACCARD_N - 1}], ' ')
+                 for i in generate_series(1, len(tok) - {JACCARD_N - 1})]
+            )) AS shingle
+            FROM toks_ev WHERE len(tok) >= {JACCARD_N}
+        )
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shared_shingles
+        FROM sh_tr t JOIN sh_ev e USING (shingle)
+        GROUP BY t.doc_id
+    """
     and_lemmas = parse_query(Q_AND)
     and_in = "(" + ", ".join(f"'{l}'" for l in and_lemmas) + ")"
 
@@ -1834,37 +1898,11 @@ def oracle_sql() -> dict[str, str]:
                 default_fraction=SAMPLE_DEFAULT_FRACTION,
             )}
         """,
-        "contamination": f"""
-            WITH base AS (
-                SELECT doc_id, text,
-                       {dataset_split_sql_duckdb()} AS split
-                FROM documents
-            ),
-            toks_tr AS (
-                SELECT doc_id, {_TOKS} AS tok FROM base WHERE split <> 'test'
-            ),
-            sh_tr AS (
-                SELECT doc_id, unnest(list_distinct(
-                    [array_to_string(tok[i : i + {JACCARD_N - 1}], ' ')
-                     for i in generate_series(1, len(tok) - {JACCARD_N - 1})]
-                )) AS shingle
-                FROM toks_tr WHERE len(tok) >= {JACCARD_N}
-            ),
-            toks_ev AS (
-                SELECT doc_id, {_TOKS} AS tok FROM base WHERE split = 'test'
-            ),
-            sh_ev AS (
-                SELECT DISTINCT unnest(list_distinct(
-                    [array_to_string(tok[i : i + {JACCARD_N - 1}], ' ')
-                     for i in generate_series(1, len(tok) - {JACCARD_N - 1})]
-                )) AS shingle
-                FROM toks_ev WHERE len(tok) >= {JACCARD_N}
-            )
-            SELECT t.doc_id,
-                   CAST(count(*) AS BIGINT) AS n_shared_shingles
-            FROM sh_tr t JOIN sh_ev e USING (shingle)
-            GROUP BY t.doc_id
-        """,
+        "contamination": contamination_oracle,
+        # the Bloom-prefiltered variant must produce the IDENTICAL
+        # result (zero false negatives) — same oracle by design; the
+        # driver's hash match is the prefilter-lossless proof
+        "contamination_bloom": contamination_oracle,
         "sequence_pack": sequence_pack_sql_duckdb(
             budget=PACK_BUDGET, n_shards=PACK_SHARDS
         ),

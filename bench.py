@@ -211,7 +211,7 @@ def main() -> None:
         "field_subtraction", "event_windows", "top_users_per_event",
         "dataset_split", "contamination", "pii_scrub",
         "duplicate_spans", "chunk_documents", "quality_resample",
-        "hybrid_rrf", "prf_search",
+        "hybrid_rrf", "prf_search", "contamination_bloom", "bloom_bits",
     ]
     qs = entrymod.queries()
     for name in suite:
