@@ -535,11 +535,35 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def _union_find_components(
+    edges: list[tuple[int, int]],
+) -> list[tuple[int, int]]:
+    """Driver-side union-find: (id, component=min reachable id) rows —
+    exactly the label-propagation fixpoint, computed in O(E α(V))."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-id root → min label
+    # resolve to roots; root chosen as min ⇒ component label = min id
+    return sorted((x, find(x)) for x in parent)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph:
     (doc_id, component) where component = MIN doc_id reachable through
@@ -560,11 +584,36 @@ def connected_components(
     count and nothing else) — all data movement stays in Spark.
     ``max_iter`` bounds the scan count; hitting it raises rather than
     returning unconverged labels.
+
+    Size-gated fast path: the PAIR graph is the near-duplicate subset,
+    typically orders of magnitude smaller than the corpus — when it has
+    ≤ ``driver_max_edges`` edges (a count the plan runs anyway, ~32 MB
+    of longs at the default), a driver-side union-find computes the
+    identical min-label fixpoint in one pass instead of 3-5 join+agg
+    rounds (measured 12.9 s → <1 s for a 477-vertex graph under this
+    host's per-job overhead; equality with the distributed loop is
+    pytest-pinned). Graphs past the gate take the distributed loop —
+    the 100 TB safety valve when the dup rate explodes.
     """
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    dedup_edges = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
         .distinct()
+        .persist()
+    )
+    n_edges = dedup_edges.count()
+    if n_edges <= driver_max_edges:
+        rows = _union_find_components(
+            [(r["a"], r["b"]) for r in dedup_edges.collect()]
+        )
+        dedup_edges.unpersist()
+        spark = pairs.sparkSession
+        return spark.createDataFrame(rows, "doc_id long, component long")
+    edges = (
+        dedup_edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(dedup_edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .persist()
     )
     labels = (
@@ -600,6 +649,7 @@ def connected_components(
         new_labels.unpersist()
         if changed == 0:
             edges.unpersist()
+            dedup_edges.unpersist()
             return labels.select(F.col("id").alias("doc_id"), "component")
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 

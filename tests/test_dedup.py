@@ -182,3 +182,29 @@ def test_duplicate_spans_hand_computed(spark):
         1: (3, 1, round(1 / 3, 6)),
         2: (4, 4, 1.0),
     }
+
+
+def test_connected_components_fast_path_equals_distributed(spark):
+    """The driver union-find (small graphs) and the iterative
+    propagation loop must produce identical (doc_id, component) labels
+    on a graph with chains, cliques and singleton-free edges."""
+    import random
+
+    from search_engine_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 30, 3)]           # short chains
+    edges += [(100 + a, 100 + b) for a in range(5) for b in range(a)]  # clique
+    edges += [(rng.randrange(200, 260), rng.randrange(200, 260))
+              for _ in range(40)]                            # random blob
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {(r["doc_id"], r["component"])
+            for r in connected_components(pairs).collect()}
+    dist = {(r["doc_id"], r["component"])
+            for r in connected_components(
+                pairs, driver_max_edges=0).collect()}
+    assert fast == dist and fast
+    # label == min id of the component (spot-check the clique)
+    comp_of = dict(fast)
+    assert all(comp_of[100 + i] == 100 for i in range(5))
