@@ -129,6 +129,8 @@ from search_engine_spark.operators.similarity import (
     hash_centroids,
     ivf_assign,
     ivf_query_topk,
+    semdedup_keepers,
+    semdedup_pairs,
     sq8_params,
     sq8_topk,
     srp_neardup_pairs,
@@ -553,6 +555,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_planes=6, n_tables=4,
         ).select("vec_a", "vec_b", "cosine")
 
+    def q_semdedup_pairs(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return semdedup_pairs(
+            emb, dim=64, eps=COSINE_NEARDUP_THRESHOLD,
+            n_clusters=IVF_CLUSTERS,
+        ).select("vec_a", "vec_b", "cluster", "cosine")
+
+    def q_semdedup_keepers(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return semdedup_keepers(
+            emb, dim=64, eps=COSINE_NEARDUP_THRESHOLD,
+            n_clusters=IVF_CLUSTERS,
+        ).select("vec_id", "keeper_id", "is_keeper")
+
     def q_ivf_ann(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
@@ -948,6 +964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand_tree": q_wand_tree,
         "embedding_neardup_pairs": q_cosine_neardup,
         "srp_neardup_pairs": q_srp_neardup,
+        "semdedup_pairs": q_semdedup_pairs,
+        "semdedup_keepers": q_semdedup_keepers,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "quality_scores": q_quality,
@@ -1217,6 +1235,80 @@ def _ivf_ann_sql(n_clusters: int = 16, n_probe: int = 4, dim: int = 64,
              6) AS cosine
     FROM e JOIN cand USING (vec_id) CROSS JOIN q
     ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _semdedup_sql(eps: float, what: str, n_clusters: int = 16,
+                  dim: int = 64) -> str:
+    """Exact DuckDB twin of semdedup_pairs / semdedup_keepers: replay
+    the literal hash-centroid assignment (first-position-of-max, same as
+    the IVF oracle), the cluster-bounded rounded-cosine pair join, and —
+    for keepers — the recursive min-label transitive closure plus the
+    paper's argmin-centroid-cosine keeper window."""
+    from search_engine_spark.operators.similarity import hash_centroids
+
+    cent = hash_centroids(dim, n_clusters)
+
+    def cent_lit(row) -> str:
+        return "[" + ", ".join(repr(float(c)) for c in row) + "]::DOUBLE[]"
+
+    dots = "[" + ", ".join(
+        f"list_dot_product(v, {cent_lit(cent[c])})" for c in range(n_clusters)
+    ) + "]"
+    cos = ("round(list_dot_product(ea.v, eb.v) / "
+           "(sqrt(list_dot_product(ea.v, ea.v)) * "
+           "sqrt(list_dot_product(eb.v, eb.v))), 6)")
+    ctes = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+    assign AS (
+        SELECT vec_id,
+               CAST(list_position(dots, list_max(dots)) - 1 AS INTEGER)
+                   AS cluster,
+               dots[list_position(dots, list_max(dots))] AS cent_dot
+        FROM (SELECT vec_id, {dots} AS dots FROM e)
+    ),
+    pairs AS (
+        SELECT aa.vec_id AS vec_a, ab.vec_id AS vec_b,
+               aa.cluster AS cluster, {cos} AS cosine
+        FROM assign aa
+        JOIN assign ab ON aa.cluster = ab.cluster AND aa.vec_id < ab.vec_id
+        JOIN e ea ON ea.vec_id = aa.vec_id
+        JOIN e eb ON eb.vec_id = ab.vec_id
+        WHERE {cos} >= {eps}
+    )"""
+    if what == "pairs":
+        return f"WITH {ctes} SELECT vec_a, vec_b, cluster, cosine FROM pairs"
+    return f"""
+    WITH RECURSIVE {ctes},
+    edges AS (
+        SELECT vec_a AS s, vec_b AS d FROM pairs
+        UNION
+        SELECT vec_b AS s, vec_a AS d FROM pairs
+    ),
+    reach(doc, lab) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e2.d, r.lab FROM reach r JOIN edges e2 ON e2.s = r.doc
+    ),
+    comp AS (SELECT doc, min(lab) AS component FROM reach GROUP BY doc),
+    cc AS (
+        SELECT c.doc, c.component,
+               round(a.cent_dot / sqrt(list_dot_product(e.v, e.v)), 6)
+                   AS cent_cos
+        FROM comp c JOIN assign a ON a.vec_id = c.doc
+        JOIN e ON e.vec_id = c.doc
+    ),
+    keep AS (
+        SELECT doc,
+               first_value(doc) OVER (
+                   PARTITION BY component ORDER BY cent_cos ASC, doc ASC
+               ) AS keeper_id
+        FROM cc
+    )
+    SELECT e.vec_id,
+           coalesce(k.keeper_id, e.vec_id) AS keeper_id,
+           (e.vec_id = coalesce(k.keeper_id, e.vec_id)) AS is_keeper
+    FROM e LEFT JOIN keep k ON k.doc = e.vec_id
     """
 
 
@@ -2136,6 +2228,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "srp_neardup_pairs": _srp_neardup_sql(
             COSINE_NEARDUP_THRESHOLD, n_planes=6, n_tables=4, dim=64
+        ),
+        # SemDeDup: cluster-bounded pairs + argmin-centroid-cos keepers,
+        # assignment replayed from the same centroid literals as IVF
+        "semdedup_pairs": _semdedup_sql(
+            COSINE_NEARDUP_THRESHOLD, "pairs", n_clusters=IVF_CLUSTERS, dim=64
+        ),
+        "semdedup_keepers": _semdedup_sql(
+            COSINE_NEARDUP_THRESHOLD, "keepers", n_clusters=IVF_CLUSTERS,
+            dim=64
         ),
         "embedding_topk": _embedding_topk_sql(10),
         # PRF: feedback pool by the same rounded-score order the engine

@@ -697,3 +697,178 @@ def sq8_topk(
         .orderBy(F.col("qdot").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication via cluster-bounded cosine pairs
+# ---------------------------------------------------------------------------
+def _assign_with_cent_dot(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, cluster, cent_dot): nearest-centroid assignment PLUS the dot
+    with that centroid, one vectorized Arrow pass (same per-centroid
+    left-fold accumulation as :func:`ivf_assign`, so the DuckDB twin's
+    ``list_dot_product`` on centroid literals replays it bit-for-bit).
+    Keeps a ``_norm`` column for the caller's cosine division."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    n_clusters, dim = cent.shape
+    e = with_norm(embeddings, vec_col, dim).filter(F.col("_norm") > 0)
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("cent_dot", T.DoubleType()),
+    ]))
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        n = len(vecs)
+        if n == 0:
+            return pd.DataFrame({"cluster": pd.Series([], dtype="int32"),
+                                 "cent_dot": pd.Series([], dtype="float64")})
+        m = _stack(vecs)
+        dots = np.empty((n_clusters, n), dtype=np.float64)
+        for c in range(n_clusters):
+            acc = np.zeros(n, dtype=np.float64)
+            row = cent[c]
+            for i in range(dim):
+                acc = acc + m[:, i] * row[i]
+            dots[c] = acc
+        best = np.argmax(dots, axis=0)
+        return pd.DataFrame({
+            "cluster": pd.Series(best.astype(np.int32)),
+            "cent_dot": pd.Series(dots[best, np.arange(n)]),
+        })
+
+    return e.select(
+        F.col(id_col), F.col(vec_col), F.col("_norm"),
+        assign(F.col(vec_col)).alias("_a"),
+    ).select(
+        id_col, vec_col, "_norm",
+        F.col("_a.cluster").alias("cluster"),
+        F.col("_a.cent_dot").alias("cent_dot"),
+    )
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    eps: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) candidate pairs:
+    embeddings are clustered by nearest coarse centroid, and cosine is
+    computed ONLY within a cluster — the published trick that turns the
+    O(N²) semantic-near-dup search into O(N²/k) with negligible recall
+    loss (semantic duplicates land in the same cluster by construction;
+    the paper dedups LAION-scale corpora this way).
+
+    Scale shape: the self-join shuffles on the cluster key, so cost is
+    Σ per-cluster size² — at 100 TB you raise ``n_clusters`` so the
+    expected cluster size stays bounded (SemDeDup uses k≈50k on LAION);
+    a skewed giant cluster is the one hazard, handled the same way as a
+    hot shingle (raise k, or cap-and-flag). Nothing here is all-pairs.
+
+    ``centroids=None`` uses the deterministic :func:`hash_centroids`
+    quantizer so the DuckDB oracle replays the exact assignment from
+    literals (hard equality oracle, like `ivf_ann_topk`); pass k-means
+    centroids from :func:`build_ivf_index` for production recall.
+
+    Returns (vec_a, vec_b, cluster, cosine) with cosine rounded to 6
+    decimals, pairs deduped by vec_a < vec_b. Reference analog: the
+    pair-generation stage of the dedup family (SURVEY §2 LLM-ops);
+    same verify arithmetic as :func:`cosine_near_duplicates`.
+    """
+    cent = hash_centroids(dim, n_clusters) if centroids is None else centroids
+    v = _assign_with_cent_dot(embeddings, cent, id_col, vec_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        "_norm", "cluster",
+    )
+    spark = embeddings.sparkSession
+    a = v.repartition(spark.sparkContext.defaultParallelism, "cluster").alias("a")
+    b = v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                _pair_dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a._norm") * F.col("b._norm")),
+                COS_DECIMALS,
+            ),
+        )
+        .filter(F.col("cosine") >= eps)
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.col("a.cluster").alias("cluster"),
+            "cosine",
+        )
+    )
+
+
+def semdedup_keepers(
+    embeddings: DataFrame,
+    dim: int,
+    eps: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup keeper selection: semantic-dup groups (transitive closure
+    of :func:`semdedup_pairs`) keep the member with the LOWEST cosine to
+    its cluster centroid — the paper's keep-farthest-from-centroid rule
+    (retains the hardest / least prototypical example of each duplicate
+    group; ties broken by min id). Docs in no pair keep themselves.
+
+    Plan: pairs (cluster-bounded, above) → connected components (the
+    size-gated union-find / label-propagation in dedup.py) → per-component
+    argmin(cent_cos, id) via one window over the TINY component table →
+    broadcast back onto the full id set. The corpus is scanned once for
+    assignment and once for the id projection; everything per-component
+    is duplicate-subset-sized.
+
+    Returns (vec_id, keeper_id, is_keeper) for every non-zero-norm row.
+    """
+    from search_engine_spark.operators.dedup import connected_components
+    from pyspark.sql.window import Window
+
+    cent = hash_centroids(dim, n_clusters) if centroids is None else centroids
+    assigned = _assign_with_cent_dot(embeddings, cent, id_col, vec_col)
+    pairs = semdedup_pairs(
+        embeddings, dim, eps, n_clusters, id_col, vec_col, centroids=cent
+    )
+    comp = connected_components(pairs, "vec_a", "vec_b")
+    # cent_cos only needed for paired docs (the component table)
+    scored = comp.join(
+        assigned.select(
+            F.col(id_col).alias("doc_id"),
+            F.round(
+                F.col("cent_dot") / F.col("_norm"), COS_DECIMALS
+            ).alias("cent_cos"),
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("cent_cos").asc(), F.col("doc_id").asc()
+    )
+    per_doc = scored.select(
+        "doc_id", F.first("doc_id").over(w).alias("keeper_id")
+    )
+    return (
+        assigned.select(F.col(id_col).alias("vec_id"))
+        .join(F.broadcast(per_doc), F.col("vec_id") == F.col("doc_id"), "left")
+        .select(
+            "vec_id",
+            F.coalesce("keeper_id", F.col("vec_id")).alias("keeper_id"),
+        )
+        .withColumn("is_keeper", F.col("vec_id") == F.col("keeper_id"))
+    )

@@ -350,3 +350,67 @@ def test_sq8_topk_matches_python_quantizer(emb):
     # codes are valid uint8 and a constant dim (span 0) maps to code 0
     assert all(0 <= c <= 255 for row in codes for c in row)
     assert sq8_quantize_py([3.0], [3.0], [0.0]) == [0]
+
+
+def test_semdedup_pairs_are_same_cluster_subset_of_exact(emb):
+    """SemDeDup pairs == the same-cluster subset of exact near-dup pairs
+    (same rounded-cosine verify, cluster bound is the only pruning)."""
+    from search_engine_spark.operators.similarity import (
+        hash_centroids, ivf_assign, semdedup_pairs)
+
+    thr = 0.2
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in cosine_near_duplicates(emb, thr, dim=DIM).collect()
+    }
+    assign = {
+        r["vec_id"]: r["cluster"]
+        for r in ivf_assign(emb, hash_centroids(DIM, 8)).collect()
+    }
+    got = semdedup_pairs(emb, dim=DIM, eps=thr, n_clusters=8).collect()
+    sem = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in got}
+    expect = {p: c for p, c in exact.items() if assign[p[0]] == assign[p[1]]}
+    assert sem == expect
+    for r in got:  # cluster column reports the shared cluster
+        assert r["cluster"] == assign[r["vec_a"]] == assign[r["vec_b"]]
+    # the planted near-dup (0, 1) is a true semantic dup: the clustering
+    # must not split it (the paper's recall claim at small scale)
+    assert (0, 1) in sem
+
+
+def test_semdedup_keepers_argmin_centroid_cos(emb):
+    """Each dup component keeps exactly the member with the lowest
+    centroid cosine (ties by id); unpaired docs keep themselves."""
+    from search_engine_spark.operators.similarity import (
+        hash_centroids, semdedup_keepers, semdedup_pairs,
+        _assign_with_cent_dot)
+    from search_engine_spark.operators.dedup import _union_find_components
+
+    thr, k = 0.2, 8
+    pairs = [
+        (r["vec_a"], r["vec_b"])
+        for r in semdedup_pairs(emb, dim=DIM, eps=thr, n_clusters=k).collect()
+    ]
+    cent = hash_centroids(DIM, k)
+    cc = {
+        r["vec_id"]: round(r["cent_dot"] / r["_norm"], 6)
+        for r in _assign_with_cent_dot(emb, cent, "vec_id", "embedding")
+        .select("vec_id", "cent_dot", "_norm").collect()
+    }
+    comp = dict(_union_find_components(pairs))
+    groups: dict[int, list[int]] = {}
+    for doc, c in comp.items():
+        groups.setdefault(c, []).append(doc)
+    expected = {}
+    for members in groups.values():
+        keeper = min(members, key=lambda d: (cc[d], d))
+        for d in members:
+            expected[d] = keeper
+    got = semdedup_keepers(emb, dim=DIM, eps=thr, n_clusters=k).collect()
+    assert len(got) == N
+    for r in got:
+        want = expected.get(r["vec_id"], r["vec_id"])
+        assert r["keeper_id"] == want
+        assert r["is_keeper"] == (r["vec_id"] == want)
+    # at least one real dup group exists (planted pair) and drops a doc
+    assert any(not r["is_keeper"] for r in got)
