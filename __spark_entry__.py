@@ -67,6 +67,12 @@ from search_engine_spark.operators.dedup import (
     repetition_signals,
     simhash_near_duplicates,
 )
+from search_engine_spark.operators.lm import (
+    cross_entropy,
+    dsir_gumbel_sql_duckdb,
+    dsir_resample,
+    train_bigram_lm,
+)
 from search_engine_spark.operators.sampling import (
     SPLIT_BUCKETS,
     chunk_documents_sql_duckdb,
@@ -591,6 +597,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", content_fingerprint_col("text").alias("fingerprint")
         )
 
+    def q_lm_bigram_model(spark, sf):
+        # the trained model itself as a table (transition counts + the
+        # smoothing denominators joined on): checks the training
+        # groupBys independently of the scoring arithmetic
+        lm = train_bigram_lm(_documents(spark, sf))
+        return (
+            lm.bigrams.join(lm.contexts, "w1")
+            .crossJoin(F.broadcast(lm.vocab))
+            .select(
+                "w1", "w2",
+                F.col("c").cast("long").alias("c"),
+                F.col("ctx").cast("long").alias("ctx"),
+                F.col("v").cast("long").alias("v"),
+            )
+        )
+
+    def q_lm_doc_perplexity(spark, sf):
+        docs = _documents(spark, sf)
+        return cross_entropy(docs, train_bigram_lm(docs))
+
+    def q_dsir_resample(spark, sf):
+        docs = _documents(spark, sf)
+        return dsir_resample(
+            docs, docs.filter(F.col("lang") == "en"), k=50, seed="dsir0"
+        )
+
     def q_repetition(spark, sf):
         # Gopher-style repetition filters: per-doc top-bigram dominance
         # and duplicate-bigram fraction (one explode + two combinable
@@ -968,6 +1000,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_keepers": q_semdedup_keepers,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
+        "lm_bigram_model": q_lm_bigram_model,
+        "lm_doc_perplexity": q_lm_doc_perplexity,
+        "dsir_resample_topk": q_dsir_resample,
         "quality_scores": q_quality,
         "repetition_signals": q_repetition,
         "langid": q_langid,
@@ -1345,6 +1380,78 @@ def _simhash_sql(max_hamming: int = 3) -> str:
            CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
     FROM sim a JOIN sim b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+    """
+
+
+def _lm_sql(what: str, alpha: float = 0.5, k: int = 50,
+            seed: str = "dsir0") -> str:
+    """Exact DuckDB twin of the bigram-LM family (operators/lm.py):
+    same transition stream, same add-alpha quotient on bit-identical
+    integer operands, per-transition ln rounded to the 1e-10 grid and
+    summed as DECIMAL(28,10) — order-independent, so the hash matches
+    the Spark decimal sum exactly."""
+
+    def model(src: str, p: str) -> str:
+        return f"""
+    {p}mb AS (SELECT w1, w2, count(*) AS c FROM {src} GROUP BY w1, w2),
+    {p}mc AS (SELECT w1, count(*) AS ctx FROM {src} GROUP BY w1),
+    {p}mv AS (SELECT count(DISTINCT w) AS v FROM
+        (SELECT w1 AS w FROM {p}mb UNION ALL SELECT w2 FROM {p}mb))"""
+
+    def ce(p: str) -> str:
+        lp = (f"round(ln((COALESCE({p}mb.c, 0) + {alpha}) / "
+              f"(COALESCE({p}mc.ctx, 0) + {alpha} * {p}mv.v)), 10)")
+        return f"""
+    {p}sc AS (
+        SELECT b.doc_id, CAST({lp} AS DECIMAL(28,10)) AS lp
+        FROM bi b
+        LEFT JOIN {p}mb ON {p}mb.w1 = b.w1 AND {p}mb.w2 = b.w2
+        LEFT JOIN {p}mc ON {p}mc.w1 = b.w1
+        CROSS JOIN {p}mv
+    ),
+    {p}ce AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS cross_entropy
+        FROM {p}sc GROUP BY doc_id
+    )"""
+
+    base = f"""
+    toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+    bi AS (
+        SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+        WHERE len(t) >= 2
+    )"""
+    if what == "model":
+        return f"""
+    WITH {base},{model('bi', '')}
+    SELECT mb.w1, mb.w2, mb.c, mc.ctx, mv.v
+    FROM mb JOIN mc ON mc.w1 = mb.w1 CROSS JOIN mv
+    """
+    if what == "perplexity":
+        return f"""
+    WITH {base},{model('bi', '')},{ce('')}
+    SELECT doc_id, n_bigrams, cross_entropy,
+           round(exp(cross_entropy), 6) AS perplexity
+    FROM ce
+    """
+    # DSIR: raw model over all docs, target model over lang='en' docs,
+    # Gumbel top-k by the portable md5 hash
+    gumbel = dsir_gumbel_sql_duckdb("j.doc_id", seed)
+    return f"""
+    WITH {base},
+    tbi AS (SELECT * FROM bi WHERE lang = 'en'),{model('bi', 'r')},{ce('r')},{model('tbi', 't')},{ce('t')},
+    j AS (
+        SELECT rce.doc_id, rce.n_bigrams,
+               round((rce.cross_entropy - tce.cross_entropy)
+                     * rce.n_bigrams, 6) AS log_weight
+        FROM rce JOIN tce ON tce.doc_id = rce.doc_id
+    )
+    SELECT doc_id, n_bigrams, log_weight,
+           round(log_weight + {gumbel}, 6) AS key
+    FROM j
+    ORDER BY key DESC, doc_id ASC
+    LIMIT {k}
     """
 
 
@@ -2342,6 +2449,11 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string({_TOKS}, ' ')) AS fingerprint
             FROM documents
         """,
+        # bigram-LM family: training counts, add-alpha perplexity with
+        # the order-independent decimal log-prob sum, DSIR Gumbel top-k
+        "lm_bigram_model": _lm_sql("model"),
+        "lm_doc_perplexity": _lm_sql("perplexity"),
+        "dsir_resample_topk": _lm_sql("dsir", k=50, seed="dsir0"),
         # decimal arithmetic, mirroring quality_score_col: 0.3 * a
         # 6-decimal ratio can land exactly on a .5 boundary at the 7th
         # decimal where double round() differs across engines

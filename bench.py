@@ -212,6 +212,8 @@ def main() -> None:
         "dataset_split", "contamination", "pii_scrub",
         "duplicate_spans", "chunk_documents", "quality_resample",
         "hybrid_rrf", "prf_search", "contamination_bloom", "bloom_bits",
+        "semdedup_pairs", "semdedup_keepers",
+        "lm_doc_perplexity", "dsir_resample_topk",
     ]
     qs = entrymod.queries()
     for name in suite:
