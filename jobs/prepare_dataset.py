@@ -8,6 +8,7 @@ Usage:
         --input <table-or-parquet> | --n-synthetic-convs N \
         --output <dir> [--budget 2048] [--shards 64] \
         [--quality-floor 0.5] [--lang latin-script] [--no-dedup] \
+        [--ppl-max 500] \
         [--no-decontaminate] [--train 0.8] [--val 0.1] [--seed split0]
 
 Writes under --output:
@@ -37,6 +38,11 @@ def main() -> None:
     p.add_argument("--quality-floor", type=float, default=0.5)
     p.add_argument("--lang", default="latin-script",
                    help="keep docs with this langid label ('' disables)")
+    p.add_argument("--ppl-max", type=float, default=None,
+                   help="CCNet-style model filter: after the heuristic "
+                        "cleanse, train a bigram LM on the surviving docs "
+                        "and drop docs whose perplexity exceeds this (also "
+                        "drops <2-token docs, which have no perplexity)")
     p.add_argument("--no-dedup", action="store_true")
     p.add_argument("--no-decontaminate", action="store_true")
     p.add_argument("--train", type=float, default=0.8)
@@ -114,6 +120,23 @@ def main() -> None:
             dedup=not args.no_dedup,
         ).persist()
         counts["cleansed"] = cleansed.count()
+
+        # stage 1b (opt-in): LM perplexity filter — the model tier of
+        # the cleanse. Trained on the heuristically-cleansed corpus
+        # itself (one groupBy pair), scored in one broadcast join; the
+        # semi join keeps the doc columns untouched.
+        if args.ppl_max is not None:
+            from search_engine_spark.operators.lm import (
+                cross_entropy,
+                train_bigram_lm,
+            )
+
+            ce = cross_entropy(cleansed, train_bigram_lm(cleansed))
+            keep = ce.filter(F.col("perplexity") <= args.ppl_max)
+            cleansed = cleansed.join(
+                keep.select("doc_id"), "doc_id", "left_semi"
+            ).persist()
+            counts["ppl_filtered"] = cleansed.count()
 
         # stage 2: deterministic split, STAGED to parquet — the write
         # both checkpoints the expensive cleanse (a --resume restart

@@ -215,6 +215,25 @@ def test_prepare_dataset_cli(tmp_path):
     assert len(train_ids) == m["train_decontaminated"]
 
 
+def test_prepare_dataset_ppl_filter(tmp_path):
+    """--ppl-max inserts the LM-perplexity stage: counts chain through
+    ppl_filtered and the splits partition the filtered set."""
+    out = str(tmp_path / "prep_ppl")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "prepare_dataset.py"),
+         "--local-cpus", "4", "--n-synthetic-convs", "40",
+         "--output", out, "--budget", "128", "--shards", "2",
+         "--ppl-max", "2800", "--no-decontaminate"],
+        capture_output=True, text=True, cwd=REPO, timeout=300, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert 0 < m["ppl_filtered"] <= m["cleansed"]
+    assert m["train"] + m["val"] + m["test"] == m["ppl_filtered"]
+    assert m["packed_docs"] == m["train"]
+
+
 def test_refresh_index_cli(tmp_path, spark):
     """jobs/refresh_index.py: drain streamed deltas, compact, and serve
     the merged corpus — the /api/startIndexing loop at CLI level."""
