@@ -617,19 +617,34 @@ def _compact_terms_and_stats(
     os.replace(tmp, os.path.join(index_dir, "stats.json"))
 
 
+def _swap_sibling(path: str, suffix: str) -> str:
+    """Transient sibling dir for a swap of `path`, with a DOT-prefixed
+    leaf name: when `path` is a partition dir inside a live table
+    (e.g. postings/bucket=3), the in-flight copy and crash residue must
+    be INVISIBLE to Hadoop file listing / partition discovery — a
+    visible `bucket=3.tmp_swap` dir would be discovered as a partition
+    (value "3.tmp_swap", forcing the bucket column to string) and its
+    stale rows served next to the live ones."""
+    head, leaf = os.path.split(path)
+    return os.path.join(head, f".{leaf}.{suffix}")
+
+
 def _swap_write(df: DataFrame, path: str, partition_by: str | None = None) -> None:
-    """Rewrite a parquet dir we may be reading from: write to a sibling
-    tmp dir, then atomically swap (Spark refuses to overwrite an input
-    of a running plan, and a crash mid-write must not clobber the old
-    table)."""
+    """Rewrite a parquet dir we may be reading from: write to a hidden
+    sibling tmp dir, then atomically swap (Spark refuses to overwrite
+    an input of a running plan, and a crash mid-write must not clobber
+    the old table — nor leave residue that partition discovery would
+    read, see _swap_sibling)."""
     import shutil
 
-    tmp = path + ".tmp_swap"
+    tmp = _swap_sibling(path, "tmp_swap")
+    shutil.rmtree(tmp, ignore_errors=True)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(tmp)
-    old = path + ".old"
+    old = _swap_sibling(path, "old")
+    shutil.rmtree(old, ignore_errors=True)
     if os.path.isdir(path):
         os.replace(path, old)
     os.replace(tmp, path)
@@ -664,13 +679,18 @@ def _swap_buckets(
     readers keep resolving the schema."""
     import shutil
 
-    tmp = path + ".tmp_swap"
+    tmp = path + ".tmp_swap"  # sibling of the TABLE dir — not discoverable
     shutil.rmtree(tmp, ignore_errors=True)
     out.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     for b in buckets:
         src_b = os.path.join(tmp, f"bucket={b}")
         dst_b = os.path.join(path, f"bucket={b}")
-        old = dst_b + ".old"
+        # the retired partition parks INSIDE the live table until the
+        # rmtree below — hide it from partition discovery (a visible
+        # `bucket=3.old` would be read as partition value "3.old",
+        # forcing the bucket column to string and double-serving rows)
+        old = _swap_sibling(dst_b, "old")
+        shutil.rmtree(old, ignore_errors=True)
         if os.path.isdir(dst_b):
             os.replace(dst_b, old)
         if os.path.isdir(src_b):

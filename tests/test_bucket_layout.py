@@ -169,3 +169,50 @@ def test_delete_scope_replay_from_mid_swap_crash(spark, tiny_transcripts, tmp_pa
         b = sorted(tuple(r) for r in b_df.select(*cols).collect())
         assert a == b, cols
     assert got.docs.filter(F.col("conv_id") == victim).count() == 0
+
+
+def test_mutation_residue_hidden_from_partition_discovery(
+    spark, tiny_transcripts, tmp_path
+):
+    """Swap residue inside a LIVE partitioned table must be invisible to
+    Hadoop partition discovery: the in-flight copy and the retired
+    partition of `_swap_write(postings/bucket=N)` / `_swap_buckets`
+    park as DOT-prefixed siblings. A visible `bucket=3.tmp_swap` dir
+    would be discovered as partition value "3.tmp_swap" (forcing the
+    bucket column to string) and its stale rows served next to the
+    live ones — so (a) mutations leave only `bucket=*` entries behind,
+    and (b) crash residue in the hidden form is ignored by readers and
+    reaped by the next swap of the same bucket."""
+    idx_dir = str(tmp_path / "idx")
+    ix = build_index(tiny_transcripts, use_arrow_udf=False, weighted=True)
+    write_index(ix, idx_dir, input_desc="tiny", bucket_width=BW)
+
+    row = tiny_transcripts.orderBy("conv_id", "turn_idx").limit(1).collect()[0]
+    info = reindex_turn(spark, idx_dir, row["conv_id"], row["turn_idx"],
+                        "w00000 w00001 w00002", bucket_width=BW)
+    victim = tiny_transcripts.orderBy(F.col("conv_id").desc()).limit(1) \
+        .collect()[0]["conv_id"]
+    delete_scope(spark, idx_dir, "conv_id", victim, bucket_width=BW)
+
+    # (a) no visible non-partition entries survive either mutation
+    for table in ("postings", "doclen", "docs"):
+        tdir = os.path.join(idx_dir, table)
+        stray = [n for n in os.listdir(tdir)
+                 if not n.startswith(("bucket=", "_", "."))]
+        assert stray == [], (table, stray)
+
+    # (b) hidden crash residue: a stale copy of bucket=B parked under
+    # the dot-name is ignored by partition discovery ...
+    pdir = os.path.join(idx_dir, "postings")
+    bdir = os.path.join(pdir, f"bucket={info['bucket']}")
+    residue = os.path.join(pdir, f".bucket={info['bucket']}.old")
+    n_clean = spark.read.parquet(pdir).count()
+    shutil.copytree(bdir, residue)
+    live = spark.read.parquet(pdir)
+    assert dict(live.dtypes)["bucket"] == "int"
+    assert live.count() == n_clean  # residue rows NOT double-served
+
+    # ... and the next swap of that bucket reaps it
+    reindex_turn(spark, idx_dir, row["conv_id"], row["turn_idx"],
+                 "w00003 w00004", bucket_width=BW)
+    assert not os.path.isdir(residue)
