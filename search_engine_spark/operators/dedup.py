@@ -67,14 +67,22 @@ def shingles_over_tokens_expr(tokens_col: str, n: int = 3) -> F.Column:
     not common-subexpression-eliminate a repeated tokenize expression
     across the window bound and the slice, so inlining tokenization
     here re-ran the regex pipeline 3× per row (measured 11× slower on
-    the sf0.1 shingle scan)."""
+    the sf0.1 shingle scan).
+
+    Rows with fewer than `n` tokens yield an EMPTY array. The guard must
+    be a CASE, not `sequence(0, greatest(size-n, -1))`: Spark's sequence
+    picks step -1 when start > stop, so sequence(0,-1) is [0,-1] — the
+    -1 index then makes slice() throw INVALID_PARAMETER_VALUE.START and
+    a short row aborts the whole job."""
     return F.array_distinct(
         F.expr(
             f"""
-            transform(
-              sequence(0, greatest(size({tokens_col}) - {n}, -1)),
-              i -> array_join(slice({tokens_col}, i + 1, {n}), ' ')
-            )
+            case when size({tokens_col}) >= {n} then
+              transform(
+                sequence(0, size({tokens_col}) - {n}),
+                i -> array_join(slice({tokens_col}, i + 1, {n}), ' ')
+              )
+            else array_repeat('', 0) end
             """
         )
     )
@@ -350,12 +358,27 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32, n: int = 3,
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8) -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 8,
+                        num_hashes: int | None = None) -> DataFrame:
     """Band the signature, hash each band, self-join on band buckets.
 
     Shuffle cost O(docs × bands); pair blowup only inside identical-band
-    buckets (true near-dups + few false positives)."""
-    num_hashes = bands  # resolved below from the array size at runtime
+    buckets (true near-dups + few false positives).
+
+    Pass `num_hashes` (the signature length) when known: bands must
+    divide it. With bands > num_hashes the per-band slice width
+    `size(sig) div bands` is 0, every band hashes the SAME empty slice,
+    every doc lands in every bucket, and the self-join silently
+    degenerates to the all-pairs O(N²) blowup LSH exists to prevent;
+    a non-dividing bands silently drops the trailing hashes."""
+    if num_hashes is not None and (
+        bands < 1 or bands > num_hashes or num_hashes % bands != 0
+    ):
+        raise ValueError(
+            f"bands={bands} must be in [1, num_hashes] and divide "
+            f"num_hashes={num_hashes} (bands > num_hashes degenerates "
+            "the band join to all-pairs)"
+        )
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -389,7 +412,7 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.8,
     sigs = minhash_signatures(docs, num_hashes, n)
     # persist: the pair set feeds BOTH the semi-join prune and the
     # verification join — without it the LSH band join runs twice
-    cands = lsh_candidate_pairs(sigs, bands).persist()
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes=num_hashes).persist()
     sh = doc_shingles(docs, n=n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # verify only candidate docs' shingles (semi-join prune; see
@@ -535,14 +558,15 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-def _union_find_components(
-    edges: list[tuple[int, int]],
-) -> list[tuple[int, int]]:
+def _union_find_components(edges: list[tuple]) -> list[tuple]:
     """Driver-side union-find: (id, component=min reachable id) rows —
-    exactly the label-propagation fixpoint, computed in O(E α(V))."""
-    parent: dict[int, int] = {}
+    exactly the label-propagation fixpoint, computed in O(E α(V)).
+    Generic over id type: any hashable whose Python ordering matches
+    Spark's least/greatest (ints trivially; strings too — UTF-8 byte
+    order preserves code-point order, which is Python's str order)."""
+    parent: dict = {}
 
-    def find(x: int) -> int:
+    def find(x):
         r = x
         while parent.setdefault(r, r) != r:
             r = parent[r]
@@ -551,11 +575,16 @@ def _union_find_components(
         return r
 
     for a, b in edges:
-        ra, rb = find(int(a)), find(int(b))
+        ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)  # min-id root → min label
     # resolve to roots; root chosen as min ⇒ component label = min id
     return sorted((x, find(x)) for x in parent)
+
+
+# id types whose driver-side Python ordering provably matches Spark's
+# least/greatest — the precondition for the union-find fast path
+_UNION_FIND_SAFE_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
 
 
 def connected_components(
@@ -578,8 +607,10 @@ def connected_components(
     near-cliques, so 2-4 rounds in practice; the classic
     large-star/small-star optimization halves rounds on long chains but
     adds two more shuffles per round — wrong trade at this diameter).
-    Each round's labels are persisted and the previous round's
-    unpersisted; convergence is an exact changed-row count. The loop is
+    Each round's labels are eagerly localCheckpoint'ed — lineage
+    truncation, not just caching, because the doubling-per-round plan
+    otherwise makes Catalyst analysis exponential in the round count;
+    convergence is an exact changed-row count. The loop is
     driver-side CONTROL only (two scalar actions per round: the changed
     count and nothing else) — all data movement stays in Spark.
     ``max_iter`` bounds the scan count; hitting it raises rather than
@@ -604,25 +635,40 @@ def connected_components(
         .persist()
     )
     n_edges = dedup_edges.count()
-    if n_edges <= driver_max_edges:
+    id_dtype = dict(dedup_edges.dtypes)["a"]
+    # fast path only for id types whose Python min/max provably matches
+    # Spark's least/greatest (ADVICE r3: the int() cast crashed string
+    # ids below the gate while the distributed loop handled them)
+    if n_edges <= driver_max_edges and id_dtype in _UNION_FIND_SAFE_TYPES:
         rows = _union_find_components(
             [(r["a"], r["b"]) for r in dedup_edges.collect()]
         )
         dedup_edges.unpersist()
         spark = pairs.sparkSession
-        return spark.createDataFrame(rows, "doc_id long, component long")
+        out = spark.createDataFrame(
+            rows, f"doc_id {id_dtype}, component {id_dtype}"
+        )
+        out._cc_edge_count = n_edges  # size hint for dedup_keepers' join
+        return out
     edges = (
         dedup_edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(dedup_edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .persist()
     )
+    # localCheckpoint (eager) per round: each round references `labels`
+    # twice (neighbour agg + own-label join), so without lineage
+    # TRUNCATION the logical plan doubles every round and Catalyst
+    # analysis alone goes exponential (measured: round 7 took 110 s on
+    # a 58-edge graph). persist() only short-circuits execution, not
+    # analysis — checkpointing is the canonical fix for iterative
+    # algorithms (at cluster scale with executor loss, point
+    # spark.checkpoint.dir at reliable storage and use checkpoint()).
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
-    labels.count()
     for _ in range(max_iter):
         # neighbour minimum, then fold in the current own label
         nbr = (
@@ -643,14 +689,19 @@ def connected_components(
             )
             .persist()
         )
+        # the agg MATERIALIZES new_labels' cache; the checkpoint then
+        # reads through it (one join evaluation per round, ADVICE r3 —
+        # the old unpersist-before-materialize recomputed the whole
+        # round lineage), after which the cache can be dropped
         changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
-        labels.unpersist()
-        labels = new_labels.select("id", "component").persist()
+        labels = new_labels.select("id", "component").localCheckpoint()
         new_labels.unpersist()
         if changed == 0:
             edges.unpersist()
             dedup_edges.unpersist()
-            return labels.select(F.col("id").alias("doc_id"), "component")
+            out = labels.select(F.col("id").alias("doc_id"), "component")
+            out._cc_edge_count = n_edges
+            return out
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
@@ -664,13 +715,21 @@ def dedup_keepers(
     """(doc_id, keeper_id, is_keeper) for EVERY doc: near-dup clusters
     (transitive closure of `pairs`) keep their MIN doc_id, docs in no
     pair keep themselves — the canonical-document selection a training
-    pipeline applies before sampling. The component table is tiny next
-    to the corpus (only docs that appear in a pair) → broadcast join;
-    the corpus itself is touched by exactly one projection."""
+    pipeline applies before sampling. The component table is usually
+    tiny next to the corpus (only docs that appear in a pair) →
+    broadcast join, but ONLY when connected_components' edge count
+    bounds it (≤ 2 rows/edge): past the driver gate the component table
+    can be corpus-sized and a forced broadcast would blow the 8 GB
+    limit on exactly the dup-heavy inputs the distributed path exists
+    for (ADVICE r3) — there AQE picks the strategy from runtime stats.
+    The corpus itself is touched by exactly one projection."""
     comp = connected_components(pairs, a_col, b_col)
+    n_edges = getattr(comp, "_cc_edge_count", None)
+    if n_edges is not None and n_edges <= 2_000_000:
+        comp = F.broadcast(comp)
     return (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(F.broadcast(comp), "doc_id", "left")
+        .join(comp, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("component", F.col("doc_id")).alias("keeper_id"),

@@ -96,13 +96,19 @@ def train_bigram_lm(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int | None = None,
+    transitions: DataFrame | None = None,
 ) -> BigramLM:
     """Count-based bigram model from a training corpus: two groupBys
     over one transition stream. ``min_count`` prunes rare bigrams
     (CCNet-style) so the model stays broadcastable at scale — contexts
     and vocab are computed BEFORE the prune so pruning only moves mass
-    into the smoothing floor, never invents probability."""
-    bi = doc_bigrams(train_docs, id_col, text_col)
+    into the smoothing floor, never invents probability.
+
+    Pass ``transitions`` (a — typically persisted — doc_bigrams frame
+    for the same corpus) to share one tokenize+explode scan with other
+    stages; see dsir_resample."""
+    bi = (transitions if transitions is not None
+          else doc_bigrams(train_docs, id_col, text_col))
     bigrams = bi.groupBy("w1", "w2").agg(F.count("*").alias("c"))
     contexts = bi.groupBy("w1").agg(F.count("*").alias("ctx"))
     # vocab from the model tables (w1 ∪ w2), not a second corpus scan
@@ -136,6 +142,7 @@ def cross_entropy(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_model: bool = True,
+    transitions: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc cross-entropy (nats/transition) and perplexity under the
     model: (doc_id, n_bigrams, cross_entropy, perplexity).
@@ -148,9 +155,11 @@ def cross_entropy(
     Plan shape: doc transitions join the model on (w1, w2) then w1 —
     broadcast by default (models are vocab-bounded); set
     ``broadcast_model=False`` to shuffle-join when a giant unpruned
-    model is deliberately kept."""
+    model is deliberately kept. ``transitions`` shares a persisted
+    doc_bigrams frame, as in train_bigram_lm."""
     hint = F.broadcast if broadcast_model else (lambda d: d)
-    bi = doc_bigrams(docs, id_col, text_col)
+    bi = (transitions if transitions is not None
+          else doc_bigrams(docs, id_col, text_col))
     scored = (
         bi.join(hint(lm.bigrams), ["w1", "w2"], "left")
         .join(hint(lm.contexts), ["w1"], "left")
@@ -223,17 +232,24 @@ def dsir_resample(
     no collect.
 
     Both models score every raw doc (two broadcast joins over one
-    transition stream); the target corpus is typically tiny (a quality
-    reference set), the raw corpus is the 100 TB side and is scanned
-    once per model — persist the transition stream to make it once
-    total.
+    transition stream). The raw-side transition stream is PERSISTED and
+    shared by raw-model training, raw-model scoring, and target-model
+    scoring; the target stream is persisted for its model's two
+    groupBys + vocab — one tokenize+explode per corpus total (ADVICE
+    r3: without this, one action re-tokenized the raw corpus ~5×). The
+    caches are owned by the returned DataFrame's lineage (one-shot
+    query shape).
 
     Returns (doc_id, n_bigrams, log_weight, key).
     """
-    ce_raw = cross_entropy(docs, train_bigram_lm(docs, id_col, text_col),
-                           alpha, id_col, text_col)
-    ce_tgt = cross_entropy(docs, train_bigram_lm(target_docs, id_col, text_col),
-                           alpha, id_col, text_col)
+    bi_raw = doc_bigrams(docs, id_col, text_col).persist()
+    bi_tgt = doc_bigrams(target_docs, id_col, text_col).persist()
+    lm_raw = train_bigram_lm(docs, id_col, text_col, transitions=bi_raw)
+    lm_tgt = train_bigram_lm(target_docs, id_col, text_col, transitions=bi_tgt)
+    ce_raw = cross_entropy(docs, lm_raw, alpha, id_col, text_col,
+                           transitions=bi_raw)
+    ce_tgt = cross_entropy(docs, lm_tgt, alpha, id_col, text_col,
+                           transitions=bi_raw)
     joined = (
         ce_raw.select("doc_id", "n_bigrams",
                       F.col("cross_entropy").alias("_ce_raw"))

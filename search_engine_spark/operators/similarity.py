@@ -525,22 +525,32 @@ def build_ivf_index(
     write_srp_index.
 
     Returns (assignments DataFrame, centroids) — centroids are the
-    query-side model, deterministic given the corpus (seeded sample +
-    fixed-iteration k-means)."""
+    query-side model, deterministic given the corpus: the sample is the
+    sample_size LOWEST ids (orderBy+limit = TakeOrderedAndProject, a
+    k-bounded heap per partition — a bare limit() returns whichever
+    partitions answer first, so "seeded" k-means still drifted across
+    runs/partitionings), then fixed-iteration k-means. n_clusters is
+    clamped to the sample size so a small corpus degrades to
+    one-vector-per-cluster instead of crashing np.random.choice."""
     from pyspark.sql import types as T
 
     norm_sample = (
         with_norm(embeddings, vec_col, dim)
         .filter(F.col("_norm") > 0)
+        .orderBy(id_col)
         .limit(sample_size)
         .select(vec_col, "_norm")
         .collect()
     )
+    if not norm_sample:
+        raise ValueError(
+            "build_ivf_index: no vectors with non-zero norm to sample"
+        )
     sample = np.array(
         [np.asarray(r[vec_col], dtype=np.float64) / float(r["_norm"])
          for r in norm_sample]
     )
-    cent = _kmeans_centroids(sample, n_clusters)
+    cent = _kmeans_centroids(sample, min(n_clusters, len(sample)))
     spark = embeddings.sparkSession
     bc = spark.sparkContext.broadcast(cent)
 
@@ -787,7 +797,15 @@ def semdedup_pairs(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
         "_norm", "cluster",
     )
-    spark = embeddings.sparkSession
+    return _semdedup_pairs_from(v, eps)
+
+
+def _semdedup_pairs_from(v: DataFrame, eps: float) -> DataFrame:
+    """Cluster-bounded pair join over an already-assigned
+    (vid, vec, _norm, cluster) frame — split out so semdedup_keepers
+    can share ONE persisted assignment pass with the pair stage instead
+    of re-running the Arrow assignment UDF on both join sides."""
+    spark = v.sparkSession
     a = v.repartition(spark.sparkContext.defaultParallelism, "cluster").alias("a")
     b = v.alias("b")
     return (
@@ -832,9 +850,11 @@ def semdedup_keepers(
     Plan: pairs (cluster-bounded, above) → connected components (the
     size-gated union-find / label-propagation in dedup.py) → per-component
     argmin(cent_cos, id) via one window over the TINY component table →
-    broadcast back onto the full id set. The corpus is scanned once for
-    assignment and once for the id projection; everything per-component
-    is duplicate-subset-sized.
+    broadcast back onto the full id set. The assignment UDF output is
+    PERSISTED and shared by the pair join (both sides), the cent_cos
+    scoring, and the id projection — the Arrow pass over the corpus
+    runs once, not ~4× (ADVICE r3). The cache is owned by the returned
+    DataFrame's lineage (one-shot query shape, as elsewhere).
 
     Returns (vec_id, keeper_id, is_keeper) for every non-zero-norm row.
     """
@@ -842,9 +862,13 @@ def semdedup_keepers(
     from pyspark.sql.window import Window
 
     cent = hash_centroids(dim, n_clusters) if centroids is None else centroids
-    assigned = _assign_with_cent_dot(embeddings, cent, id_col, vec_col)
-    pairs = semdedup_pairs(
-        embeddings, dim, eps, n_clusters, id_col, vec_col, centroids=cent
+    assigned = _assign_with_cent_dot(embeddings, cent, id_col, vec_col).persist()
+    pairs = _semdedup_pairs_from(
+        assigned.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+            "_norm", "cluster",
+        ),
+        eps,
     )
     comp = connected_components(pairs, "vec_a", "vec_b")
     # cent_cos only needed for paired docs (the component table)

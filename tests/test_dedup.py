@@ -208,3 +208,64 @@ def test_connected_components_fast_path_equals_distributed(spark):
     # label == min id of the component (spot-check the clique)
     comp_of = dict(fast)
     assert all(comp_of[100 + i] == 100 for i in range(5))
+
+
+def test_shingles_short_rows_yield_empty_array(spark):
+    """shingles_over_tokens_expr must be safe on UNFILTERED rows: a row
+    with fewer than n tokens yields an EMPTY array. The old guard
+    sequence(0, greatest(size-n, -1)) produced [0,-1] (Spark's sequence
+    steps -1 when start > stop) and the -1 index made slice() throw —
+    one short row aborted the whole job (ADVICE r3, confirmed repro)."""
+    from search_engine_spark.operators.dedup import shingles_over_tokens_expr
+
+    df = spark.createDataFrame(
+        [(0, ["a", "b"]), (1, []), (2, ["a", "b", "c", "d"])],
+        "doc_id long, _toks array<string>",
+    )
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", shingles_over_tokens_expr("_toks", 3).alias("sh")
+        ).collect()
+    }
+    assert got[0] == [] and got[1] == []
+    assert got[2] == ["a b c", "b c d"]
+
+
+def test_lsh_rejects_degenerate_banding(spark, docs):
+    """bands > num_hashes makes every band hash the SAME empty slice —
+    every doc lands in every bucket and the band join silently
+    degenerates to the all-pairs O(N²) blowup LSH exists to prevent;
+    a non-dividing bands silently drops trailing hashes. Both must be
+    rejected loudly (ADVICE r3)."""
+    from search_engine_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures)
+
+    with pytest.raises(ValueError, match="bands"):
+        minhash_near_duplicates(docs, num_hashes=16, bands=32)
+    sigs = minhash_signatures(docs, num_hashes=32)
+    with pytest.raises(ValueError, match="divide"):
+        lsh_candidate_pairs(sigs, bands=5, num_hashes=32)
+    # dividing banding still works
+    assert lsh_candidate_pairs(sigs, bands=8, num_hashes=32).count() >= 0
+
+
+def test_connected_components_string_ids(spark):
+    """The driver union-find fast path must support any id type whose
+    Python ordering matches Spark's least/greatest — string ids crashed
+    the old int() cast below the size gate while the distributed loop
+    handled them (ADVICE r3). Both paths must agree and preserve the
+    id type."""
+    from search_engine_spark.operators.dedup import connected_components
+
+    edges = [("conv-2:1", "conv-9:0"), ("conv-9:0", "conv-5:3"),
+             ("x:1", "x:2")]
+    pairs = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    fast = {(r["doc_id"], r["component"])
+            for r in connected_components(pairs).collect()}
+    dist = {(r["doc_id"], r["component"])
+            for r in connected_components(pairs, driver_max_edges=0).collect()}
+    assert fast == dist
+    comp_of = dict(fast)
+    assert comp_of["conv-9:0"] == "conv-2:1" == comp_of["conv-5:3"]
+    assert comp_of["x:2"] == "x:1"

@@ -414,3 +414,26 @@ def test_semdedup_keepers_argmin_centroid_cos(emb):
         assert r["is_keeper"] == (r["vec_id"] == want)
     # at least one real dup group exists (planted pair) and drops a doc
     assert any(not r["is_keeper"] for r in got)
+
+
+def test_ivf_small_corpus_and_zero_norm(spark):
+    """build_ivf_index with fewer non-zero-norm vectors than n_clusters
+    must clamp k instead of crashing np.random.choice (ADVICE r3), and
+    an all-zero-norm table must raise a clear ValueError."""
+    import pytest as _pytest
+
+    from search_engine_spark.operators.similarity import (
+        build_ivf_index, ivf_query_topk)
+
+    rows = [(i, [float(i + 1), float((i * 3) % 5), 1.0, 0.5]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx, cent = build_ivf_index(emb, dim=4, n_clusters=16)
+    assert cent.shape[0] <= 5
+    got = ivf_query_topk(emb, idx, cent, rows[2][1], k=3,
+                         n_probe=cent.shape[0]).collect()
+    assert got and got[0]["vec_id"] == 2
+
+    zero = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="non-zero norm"):
+        build_ivf_index(zero, dim=4)
