@@ -71,6 +71,7 @@ from search_engine_spark.operators.lm import (
     cross_entropy,
     dsir_gumbel_sql_duckdb,
     dsir_resample,
+    perplexity_buckets,
     train_bigram_lm,
 )
 from search_engine_spark.operators.sampling import (
@@ -94,6 +95,7 @@ from search_engine_spark.operators.index_build import (
 )
 from search_engine_spark.operators.query import (
     bm25_topk,
+    bm25_topk_per_scope,
     bm25_topk_sql,
     candidate_docs,
     fuzzy_search,
@@ -617,6 +619,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _documents(spark, sf)
         return cross_entropy(docs, train_bigram_lm(docs))
 
+    def q_ppl_buckets(spark, sf):
+        docs = _documents(spark, sf)
+        return perplexity_buckets(
+            cross_entropy(docs, train_bigram_lm(docs))
+        ).select(
+            "doc_id", "perplexity",
+            F.col("bucket").cast("long").alias("bucket"), "label",
+        )
+
+    def q_bm25_grouped(spark, sf):
+        return bm25_topk_per_scope(
+            _index_for(spark, sf), _documents(spark, sf), Q_MAIN,
+            scope_col="source", n_per_scope=3,
+        ).select(
+            "scope", "doc_id", "score", F.col("rnk").cast("long").alias("rnk")
+        )
+
     def q_dsir_resample(spark, sf):
         docs = _documents(spark, sf)
         return dsir_resample(
@@ -1002,6 +1021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "lm_bigram_model": q_lm_bigram_model,
         "lm_doc_perplexity": q_lm_doc_perplexity,
+        "lm_ppl_buckets": q_ppl_buckets,
+        "bm25_topk_grouped": q_bm25_grouped,
         "dsir_resample_topk": q_dsir_resample,
         "quality_scores": q_quality,
         "repetition_signals": q_repetition,
@@ -1114,6 +1135,46 @@ def _bm25_sql(query: str, k: int = 10, cte: str = _POSTINGS,
     )
     SELECT doc_id, round(raw, 6) AS score FROM scored
     ORDER BY score DESC, doc_id ASC LIMIT {k}
+    """
+
+
+def _bm25_grouped_sql(query: str, n_per_scope: int = 3) -> str:
+    """Per-source top-n twin of query.bm25_topk_per_scope: the same
+    AND-candidate + BM25 sum as _bm25_sql, ranked per scope by the
+    ROUNDED score (the pinned cross-engine tie-break) instead of a
+    global LIMIT."""
+    lemmas = parse_query(query)
+    in_list = "(" + ", ".join(f"'{l}'" for l in lemmas) + ")"
+    return f"""
+    WITH {_POSTINGS},
+    cand AS (
+        SELECT doc_id FROM postings WHERE lemma IN {in_list}
+        GROUP BY doc_id HAVING count(*) = {len(lemmas)}
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               sum(
+                 ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+                 * (p.tf * {BM25_K1 + 1.0!r})
+                 / (p.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * d.dl / s.avgdl))
+               ) AS raw
+        FROM postings p
+        JOIN cand USING (doc_id)
+        JOIN doclen d USING (doc_id)
+        JOIN terms t USING (lemma)
+        CROSS JOIN stats s
+        WHERE p.lemma IN {in_list}
+        GROUP BY p.doc_id
+    ),
+    ranked AS (
+        SELECT dd.source AS scope, sc.doc_id, round(sc.raw, 6) AS score,
+               row_number() OVER (
+                   PARTITION BY dd.source
+                   ORDER BY round(sc.raw, 6) DESC, sc.doc_id ASC) AS rnk
+        FROM scored sc JOIN documents dd ON dd.doc_id = sc.doc_id
+    )
+    SELECT scope, doc_id, score, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {n_per_scope}
     """
 
 
@@ -1434,6 +1495,27 @@ def _lm_sql(what: str, alpha: float = 0.5, k: int = 50,
     SELECT doc_id, n_bigrams, cross_entropy,
            round(exp(cross_entropy), 6) AS perplexity
     FROM ce
+    """
+    if what == "buckets":
+        # CCNet head/middle/tail tiers: integer-arithmetic cut over the
+        # perplexity rank (lm.perplexity_buckets twin; ntile() avoided —
+        # its remainder placement is implementation-defined)
+        return f"""
+    WITH {base},{model('bi', '')},{ce('')},
+    ppl AS (
+        SELECT doc_id, round(exp(cross_entropy), 6) AS perplexity FROM ce
+    ),
+    ranked AS (
+        SELECT doc_id, perplexity,
+               row_number() OVER (ORDER BY perplexity, doc_id) AS rn,
+               count(*) OVER () AS n
+        FROM ppl
+    )
+    SELECT doc_id, perplexity,
+           CAST(((rn - 1) * 3) // n AS BIGINT) AS bucket,
+           CASE ((rn - 1) * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                ELSE 'tail' END AS label
+    FROM ranked
     """
     # DSIR: raw model over all docs, target model over lang='en' docs,
     # Gumbel top-k by the portable md5 hash
@@ -2453,6 +2535,8 @@ def oracle_sql() -> dict[str, str]:
         # the order-independent decimal log-prob sum, DSIR Gumbel top-k
         "lm_bigram_model": _lm_sql("model"),
         "lm_doc_perplexity": _lm_sql("perplexity"),
+        "lm_ppl_buckets": _lm_sql("buckets"),
+        "bm25_topk_grouped": _bm25_grouped_sql(Q_MAIN, 3),
         "dsir_resample_topk": _lm_sql("dsir", k=50, seed="dsir0"),
         # decimal arithmetic, mirroring quality_score_col: 0.3 * a
         # 6-decimal ratio can land exactly on a .5 boundary at the 7th

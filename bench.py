@@ -214,6 +214,17 @@ def main() -> None:
         "hybrid_rrf", "prf_search", "contamination_bloom", "bloom_bits",
         "semdedup_pairs", "semdedup_keepers",
         "lm_doc_perplexity", "dsir_resample_topk",
+        # completeness sweep: every registered operator query except the
+        # raw index-table dumps (postings/terms/doclen/titles — collect
+        # volume, not operator latency)
+        "and_search", "bm25_paginated", "bm25_topk_rare",
+        "bm25_topk_scoped", "bm25_topk_wand", "cms_counters",
+        "corpus_profile", "dedup_exact", "hll_registers", "langid",
+        "lemma_frequency_top10", "lm_bigram_model", "reference_relevance",
+        "repetition_signals", "result_merge", "search_wildcard",
+        "sequence_pack", "sq8_topk", "statistics", "stratified_sample",
+        "suggest_spelling", "training_prepare", "trending_events",
+        "lm_ppl_buckets", "bm25_topk_grouped",
     ]
     qs = entrymod.queries()
     for name in suite:

@@ -185,6 +185,46 @@ def cross_entropy(
     )
 
 
+def perplexity_buckets(
+    ce: DataFrame, n_buckets: int = 3,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style quality tiers: rank docs by perplexity ascending and
+    cut into ``n_buckets`` equal slices — bucket 0 ("head") is the
+    lowest-perplexity (most in-domain) third, the slice CCNet keeps.
+
+    bucket = ((rank − 1) · n_buckets) div n — pure INTEGER arithmetic
+    over a dense rank, so membership is engine-identical (ntile() is
+    avoided on purpose: its remainder distribution is
+    implementation-defined). Ties broken by doc_id, as everywhere.
+
+    Plan: one global sort window over the (small) per-doc perplexity
+    frame. This is the exact audit path; at 100 TB compute the two
+    cutoffs once with approx_percentile and assign buckets with a pure
+    comparison filter instead of ranking every doc.
+
+    Returns (doc_id, perplexity, bucket, label).
+    """
+    from pyspark.sql import Window
+
+    if len(labels) != n_buckets:
+        raise ValueError("labels must have n_buckets entries")
+    w = Window.orderBy(F.col("perplexity").asc(), F.col("doc_id").asc())
+    ranked = ce.select(
+        "doc_id",
+        "perplexity",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy()).alias("_n"),
+    )
+    bucket = F.expr(f"CAST(((_rn - 1) * {n_buckets}) div _n AS INT)")
+    label = F.element_at(
+        F.array(*[F.lit(s) for s in labels]), bucket + F.lit(1)
+    )
+    return ranked.select(
+        "doc_id", "perplexity", bucket.alias("bucket"), label.alias("label")
+    )
+
+
 def _gumbel_col(id_col: str, seed: str) -> Column:
     """Deterministic standard-Gumbel noise from the portable 60-bit
     md5 prefix of "<id>:<seed>" (split_bucket_col's hash, full width):

@@ -124,6 +124,30 @@ def bm25_topk_lemmas(
         return index.postings.sparkSession.createDataFrame(
             [], "doc_id long, score double, score_raw double"
         )
+    scored = _bm25_scored(
+        index, lemmas, k1=k1, b=b, match_all=match_all,
+        doc_filter=doc_filter, doc_exclude=doc_exclude,
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .select("doc_id", "score", "score_raw")
+        .limit(k)
+    )
+
+
+def _bm25_scored(
+    index: InvertedIndex,
+    lemmas: list[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    match_all: bool = True,
+    doc_filter: DataFrame | None = None,
+    doc_exclude: DataFrame | None = None,
+) -> DataFrame:
+    """The shared pre-top-k scoring plan: every matching doc's rounded
+    BM25 score (doc_id, score, score_raw, _nt). :func:`bm25_topk_lemmas`
+    adds the global orderBy+limit; :func:`bm25_topk_per_scope` adds a
+    per-scope rank instead."""
     stats = index.stats
     # Single-pass plan: filter postings to the query lemmas (IN-list,
     # pruned at the scan), score every posting using the dl column the
@@ -154,10 +178,50 @@ def bm25_topk_lemmas(
         )  # AND semantics (default) vs disjunctive OR
         .withColumn("score", F.round(F.col("score_raw"), SCORE_DECIMALS))
     )
+    return scored
+
+
+def bm25_topk_per_scope(
+    index: InvertedIndex,
+    docs: DataFrame,
+    query: str,
+    scope_col: str = "source",
+    n_per_scope: int = 3,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    match_all: bool = True,
+) -> DataFrame:
+    """Top-n results PER SCOPE (site/source/role) for one query — the
+    reference UI's per-site result breakdown (ApiService.java renders
+    hits grouped by site) in ONE pass instead of a re-query per site.
+
+    Plan: the shared single-aggregate scorer (:func:`_bm25_scored`,
+    global idf — scores are comparable across scopes), one broadcast-
+    able join to the doc store for the scope column, one per-scope rank
+    window. The window partitions by scope over only the MATCHING docs
+    (query-term postings), never the corpus, so its input is
+    selectivity-bounded; ranking uses the ROUNDED score + doc_id — the
+    same pinned cross-engine tie-break as the global top-k.
+
+    Returns (scope, doc_id, score, rnk), rnk 1..n per scope.
+    """
+    from pyspark.sql import Window
+
+    lemmas = parse_query(query)
+    if not lemmas:
+        return index.postings.sparkSession.createDataFrame(
+            [], "scope string, doc_id long, score double, rnk int"
+        )
+    scored = _bm25_scored(index, lemmas, k1=k1, b=b, match_all=match_all)
+    w = Window.partitionBy("scope").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
     return (
-        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .select("doc_id", "score", "score_raw")
-        .limit(k)
+        scored.join(docs.select("doc_id", F.col(scope_col).alias("scope")),
+                    "doc_id")
+        .select("scope", "doc_id", "score",
+                F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= n_per_scope)
     )
 
 

@@ -153,3 +153,22 @@ def test_scoring_plan_is_broadcast_and_python_free(docs):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SortMergeJoin" not in plan  # model joins must not shuffle
+
+
+def test_perplexity_buckets_integer_cut(docs):
+    """CCNet tiers: bucket = ((rank-1)*3) div n over (perplexity,
+    doc_id) ascending — engine-identical integer arithmetic, labels
+    aligned; short/empty docs (no transitions) never appear."""
+    from search_engine_spark.operators.lm import perplexity_buckets
+
+    ce = cross_entropy(docs, train_bigram_lm(docs))
+    got = {
+        r["doc_id"]: (r["bucket"], r["label"])
+        for r in perplexity_buckets(ce).collect()
+    }
+    rows = sorted((r["perplexity"], r["doc_id"]) for r in ce.collect())
+    n = len(rows)
+    labels = ("head", "middle", "tail")
+    want = {d: ((i * 3) // n, labels[(i * 3) // n]) for i, (_p, d) in enumerate(rows)}
+    assert got == want
+    assert n == 5 and set(got) == {0, 1, 2, 3, 4}

@@ -652,3 +652,33 @@ def test_prf_search_expands_and_composes(tiny_index):
 
     # empty query stays empty; unmatched query falls back to plain OR
     assert prf_search(tiny_index, "", k=5).count() == 0
+
+
+def test_grouped_topk_matches_global_scores(tiny_index):
+    """bm25_topk_per_scope == per-scope top-3 of the GLOBAL score set
+    (global idf — scores comparable across scopes), pinned tie-break."""
+    from search_engine_spark.operators.query import bm25_topk_per_scope
+
+    got = [
+        (r["scope"], r["doc_id"], r["score"], r["rnk"])
+        for r in bm25_topk_per_scope(
+            tiny_index, tiny_index.docs, "w00000",
+            scope_col="role", n_per_scope=3,
+        ).orderBy("scope", "rnk").collect()
+    ]
+    all_scores = bm25_topk(tiny_index, "w00000", k=10**6).collect()
+    roles = {
+        int(r["doc_id"]): r["role"]
+        for r in tiny_index.docs.select("doc_id", "role").collect()
+    }
+    by_scope: dict = {}
+    for r in all_scores:
+        by_scope.setdefault(roles[int(r["doc_id"])], []).append(
+            (r["score"], r["doc_id"])
+        )
+    want = []
+    for scope in sorted(by_scope):
+        ranked = sorted(by_scope[scope], key=lambda t: (-t[0], t[1]))[:3]
+        want += [(scope, d, s, i + 1) for i, (s, d) in enumerate(ranked)]
+    assert got == want
+    assert len({s for s, *_ in got}) > 1  # fixture really has >1 scope
