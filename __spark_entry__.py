@@ -636,6 +636,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "scope", "doc_id", "score", F.col("rnk").cast("long").alias("rnk")
         )
 
+    def q_bpe_merges(spark, sf):
+        from search_engine_spark.operators.bpe import train_bpe
+
+        return train_bpe(_documents(spark, sf), n_merges=8)
+
+    def q_bpe_token_counts(spark, sf):
+        from search_engine_spark.operators.bpe import (
+            bpe_token_counts,
+            train_bpe,
+        )
+
+        docs = _documents(spark, sf)
+        merges = [
+            (r["lhs"], r["rhs"])
+            for r in train_bpe(docs, n_merges=8).orderBy("merge_rank").collect()
+        ]
+        return bpe_token_counts(docs, merges)
+
     def q_dsir_resample(spark, sf):
         docs = _documents(spark, sf)
         return dsir_resample(
@@ -1023,6 +1041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_doc_perplexity": q_lm_doc_perplexity,
         "lm_ppl_buckets": q_ppl_buckets,
         "bm25_topk_grouped": q_bm25_grouped,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
         "dsir_resample_topk": q_dsir_resample,
         "quality_scores": q_quality,
         "repetition_signals": q_repetition,
@@ -1175,6 +1195,79 @@ def _bm25_grouped_sql(query: str, n_per_scope: int = 3) -> str:
     )
     SELECT scope, doc_id, score, CAST(rnk AS BIGINT) AS rnk
     FROM ranked WHERE rnk <= {n_per_scope}
+    """
+
+
+def _bpe_sql(what: str, k: int = 8) -> str:
+    """Exact DuckDB twin of the BPE trainer (operators/bpe.py): the
+    data-dependent merge loop unrolled as k CTE rounds — pair counts
+    over the 2-space symbol encoding, scalar-subquery argmax (count
+    desc, pair asc), and the SAME left-to-right non-overlapping
+    ``replace`` merge both engines share. ``what``: 'merges' returns
+    the merge table; 'counts' encodes every doc under the learned
+    merges and counts pieces (empty docs 0, word boundaries never
+    merged across)."""
+    # every w{r}/b{r} is MATERIALIZED: w{r} is referenced twice (pair
+    # counts + the next round's replace), so inlined CTEs would double
+    # the base-table scan tree per round — 2^k parquet opens (the same
+    # exponential-lineage failure mode the Spark side avoids with a
+    # per-round localCheckpoint)
+    blocks = [
+        f"words AS MATERIALIZED (SELECT w AS word, count(*) AS cnt FROM "
+        f"(SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY 1)",
+        "w0 AS MATERIALIZED (SELECT '  ' || "
+        "regexp_replace(word, '(.)', '\\1  ', 'g') AS repr, cnt FROM words)",
+    ]
+    for r in range(k):
+        blocks.append(
+            f"""p{r} AS (
+        SELECT t[i] AS a, t[i + 1] AS b, sum(cnt) AS c
+        FROM (SELECT string_split(trim(repr), '  ') AS t, cnt FROM w{r}) s,
+             LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+        GROUP BY 1, 2)"""
+        )
+        blocks.append(
+            f"b{r} AS MATERIALIZED "
+            f"(SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1)"
+        )
+        blocks.append(
+            f"w{r + 1} AS MATERIALIZED (SELECT replace(repr, "
+            f"' ' || (SELECT a FROM b{r}) || '  ' || (SELECT b FROM b{r}) || ' ', "
+            f"' ' || (SELECT a || b FROM b{r}) || ' ') AS repr, cnt FROM w{r})"
+        )
+    cte = ",\n    ".join(blocks)
+    if what == "merges":
+        union = "\n        UNION ALL ".join(
+            f"SELECT {r} AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, "
+            f"c AS pair_count FROM b{r}"
+            for r in range(k)
+        )
+        return f"""
+    WITH {cte}
+    SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lhs, rhs, merged,
+           CAST(pair_count AS BIGINT) AS pair_count
+    FROM ({union})
+    """
+    # counts: chained-replace encode of every token, piece counts summed
+    enc = "'  ' || regexp_replace(w, '(.)', '\\1  ', 'g')"
+    for r in range(k):
+        enc = (
+            f"replace({enc}, ' ' || bs.a{r} || '  ' || bs.b{r} || ' ', "
+            f"' ' || bs.a{r} || bs.b{r} || ' ')"
+        )
+    bs_cols = ", ".join(
+        f"(SELECT a FROM b{r}) AS a{r}, (SELECT b FROM b{r}) AS b{r}"
+        for r in range(k)
+    )
+    return f"""
+    WITH {cte},
+    bs AS (SELECT {bs_cols}),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           CAST(COALESCE(list_sum(list_transform(t,
+               w -> len(string_split(trim({enc}), '  ')))), 0) AS BIGINT)
+               AS n_tokens_bpe
+    FROM toks CROSS JOIN bs
     """
 
 
@@ -2537,6 +2630,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_doc_perplexity": _lm_sql("perplexity"),
         "lm_ppl_buckets": _lm_sql("buckets"),
         "bm25_topk_grouped": _bm25_grouped_sql(Q_MAIN, 3),
+        "bpe_merges": _bpe_sql("merges"),
+        "bpe_token_counts": _bpe_sql("counts"),
         "dsir_resample_topk": _lm_sql("dsir", k=50, seed="dsir0"),
         # decimal arithmetic, mirroring quality_score_col: 0.3 * a
         # 6-decimal ratio can land exactly on a .5 boundary at the 7th

@@ -225,6 +225,7 @@ def main() -> None:
         "sequence_pack", "sq8_topk", "statistics", "stratified_sample",
         "suggest_spelling", "training_prepare", "trending_events",
         "lm_ppl_buckets", "bm25_topk_grouped",
+        "bpe_merges", "bpe_token_counts",
     ]
     qs = entrymod.queries()
     for name in suite:
