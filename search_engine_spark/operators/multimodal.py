@@ -2,12 +2,14 @@
 metadata, with decode/feature-extract/resize/frame-sample operators.
 
 The Spark-side machinery here is REAL and tested: schemas, Arrow batch
-shape, mapInPandas partitioning, deterministic fake features. The actual
-codec calls are STUBBED — this container has no image/audio libraries —
-behind ``_decode_image_real`` / ``_decode_audio_real`` which raise
-``NotImplementedError`` with the dependency named. Swapping in Pillow /
-torchaudio touches only those two functions; every schema and operator
-signature stays fixed.
+shape, mapInPandas partitioning, deterministic fake features. The decode
+hooks are REAL for PNG and WAV via the zero-dependency stdlib codecs
+(functions/codecs.py) — actual pixels and PCM samples feed the feature
+extractors under ``use_real_codecs=True``. Formats that genuinely need a
+codec library (JPEG, MP3, MP4) raise ``NotImplementedError`` naming the
+dependency (Pillow / soundfile); swapping one in touches only
+``_decode_image_real`` / ``_decode_audio_real`` — every schema and
+operator signature stays fixed.
 
 Scale notes: binary payloads ride the normal columnar path (Parquet
 binary + Arrow). Decode work is embarrassingly parallel → mapInPandas
@@ -58,17 +60,21 @@ def _pil():  # optional dependency probe (importable on hosts with Pillow)
 
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
-    """bytes → HxWx3 uint8 RGB array via Pillow WHEN AVAILABLE.
+    """bytes → HxWx3 uint8 RGB array.
 
-    This container ships no codec libraries, so the default path stays
-    the deterministic fake (fake_features); on a host with Pillow this
-    hook is live and ``extract_features(use_real_codecs=True)`` routes
-    image rows through it (tested, skipped where Pillow is absent)."""
+    PNG payloads decode for real with the zero-dependency stdlib codec
+    (functions/codecs.py — 8-bit gray/RGB/palette/alpha, all five
+    scanline filters). Other formats go through Pillow when the host
+    has it; otherwise this raises naming the dependency."""
+    from search_engine_spark.functions.codecs import decode_png, is_png
+
+    if is_png(payload or b""):
+        return decode_png(payload)
     Image = _pil()
-    if Image is None:  # pragma: no cover - exercised only without Pillow
+    if Image is None:
         raise NotImplementedError(
-            "image decode requires Pillow (pip install pillow); "
-            "deterministic fake features are used instead — see fake_features()"
+            "non-PNG image decode requires Pillow (pip install pillow); "
+            "PNG decodes with the built-in stdlib codec"
         )
     import io
 
@@ -102,10 +108,44 @@ def image_features_real(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return (out / n).astype(np.float32)
 
 
-def _decode_audio_real(payload: bytes):  # pragma: no cover - stub
+def _decode_audio_real(payload: bytes) -> tuple[np.ndarray, int]:
+    """bytes → (mono float64 samples, sample_rate). WAV/PCM-16 decodes
+    for real via the stdlib codec; compressed formats (mp3/ogg/flac)
+    genuinely need a codec library and raise naming it."""
+    from search_engine_spark.functions.codecs import decode_wav, is_wav
+
+    if is_wav(payload or b""):
+        return decode_wav(payload)
     raise NotImplementedError(
-        "audio decode requires soundfile/torchaudio (not in this container)"
+        "non-WAV audio decode requires soundfile/torchaudio; "
+        "WAV/PCM-16 decodes with the built-in stdlib codec"
     )
+
+
+def audio_features_real(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real-sample audio feature vector: duration, RMS, zero-crossing
+    rate, and 8 log-spaced FFT band energies, L2-normalized to ``dim``
+    floats — deterministic given the decoded PCM, exercising the REAL
+    decode path end-to-end (decode → embed → ANN)."""
+    samples, rate = _decode_audio_real(payload)
+    n = samples.size
+    if n == 0:
+        return np.zeros(dim, dtype=np.float32)
+    rms = float(np.sqrt((samples * samples).mean()))
+    zcr = float((np.signbit(samples[1:]) != np.signbit(samples[:-1])).mean())
+    spec = np.abs(np.fft.rfft(samples))
+    edges = np.unique(
+        np.geomspace(1, spec.size, 9).astype(np.int64).clip(1, spec.size)
+    )
+    bands = [float(spec[a:b].sum()) for a, b in zip(edges, edges[1:])]
+    total = sum(bands) or 1.0
+    feats = np.asarray(
+        [n / rate, rms, zcr] + [e / total for e in bands], dtype=np.float64
+    )
+    out = np.zeros(dim, dtype=np.float64)
+    out[: min(dim, feats.size)] = feats[:dim]
+    nrm = float(np.sqrt((out * out).sum())) or 1.0
+    return (out / nrm).astype(np.float32)
 
 
 def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -139,6 +179,8 @@ def extract_features(
                 feats = [
                     image_features_real(p, dim).tolist()
                     if k == "image"
+                    else audio_features_real(p, dim).tolist()
+                    if k == "audio"
                     else fake_features(p, dim).tolist()
                     for k, p in zip(pdf["kind"], payloads)
                 ]
@@ -202,21 +244,50 @@ def resize_metadata(media: DataFrame, max_side: int = 512) -> DataFrame:
 
 
 def synthesize_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    """Deterministic media table for tests: image rows carry REAL PNG
+    bytes (seeded gradient pattern), audio rows REAL 16-bit WAV sines,
+    video rows opaque seeded bytes (no stdlib MP4 codec exists) — so
+    ``extract_features(use_real_codecs=True)`` runs genuine decodes."""
+    from search_engine_spark.functions.codecs import (
+        encode_png,
+        encode_wav_sine,
+    )
+
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 7)
+        width = 640 + (i % 5) * 160 if kind != "audio" else None
+        height = 480 + (i % 3) * 120 if kind != "audio" else None
+        duration = (i % 10 + 1) * 1000 if kind != "image" else None
+        if kind == "image":
+            # small real pixels (payload dims decouple from the metadata
+            # columns on purpose — resize planning is metadata-only)
+            h, w = 8 + i % 5, 8 + i % 7
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [(yy * 31 + i) % 256, (xx * 17 + i) % 256, (yy + xx + i) % 256],
+                axis=2,
+            ).astype(np.uint8)
+            payload = bytearray(encode_png(px, filter_type=i % 5))
+        elif kind == "audio":
+            payload = bytearray(
+                encode_wav_sine(200.0 + 50.0 * i, 40 + (i % 4) * 20)
+            )
+        else:
+            payload = bytearray(
+                hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 7)
+            )
         rows.append(
             (
                 i,
                 kind,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                bytearray(payload),
-                640 + (i % 5) * 160 if kind != "audio" else None,
-                480 + (i % 3) * 120 if kind != "audio" else None,
-                (i % 10 + 1) * 1000 if kind != "image" else None,
+                {"image": "image/png", "audio": "audio/wav",
+                 "video": "video/mp4"}[kind],
+                payload,
+                width,
+                height,
+                duration,
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

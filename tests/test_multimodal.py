@@ -104,31 +104,21 @@ def test_resize_metadata_preserves_aspect(media):
             assert abs(ar_src - ar_dst) / ar_src < 0.02
 
 
-def test_real_image_decode_when_pillow_available(spark):
-    """On hosts with Pillow the decode hook is live: a real PNG decodes
-    and its pixel-grid features flow through the same mapInPandas plan.
-    Skipped where Pillow is absent (this container) — there the hook
-    must raise NotImplementedError naming the dependency."""
-    import pytest
-
+def test_real_png_decode_builtin(spark):
+    """The built-in stdlib PNG codec makes the image decode hook REAL
+    (no Pillow needed): a red-dominant PNG's pixel-grid features flow
+    through the same mapInPandas plan."""
+    from search_engine_spark.functions.codecs import encode_png
     from search_engine_spark.operators.multimodal import (
         MEDIA_SCHEMA,
-        _decode_image_real,
-        _pil,
         extract_features,
     )
 
-    if _pil() is None:
-        with pytest.raises(NotImplementedError, match="Pillow"):
-            _decode_image_real(b"\x89PNG fake")
-        pytest.skip("Pillow not installed; stub contract asserted instead")
-
-    import io
-
-    Image = _pil()
-    buf = io.BytesIO()
-    Image.new("RGB", (8, 6), (200, 10, 30)).save(buf, format="PNG")
-    png = buf.getvalue()
+    px = np.zeros((6, 8, 3), dtype=np.uint8)
+    px[..., 0] = 200
+    px[..., 1] = 10
+    px[..., 2] = 30
+    png = encode_png(px)
     media = spark.createDataFrame(
         [(1, "image", "image/png", bytearray(png), 8, 6, None)], MEDIA_SCHEMA
     )
@@ -138,3 +128,107 @@ def test_real_image_decode_when_pillow_available(spark):
     assert len(feats) == 32 and abs(sum(f * f for f in feats) - 1.0) < 1e-5
     # red-dominant image: global R mean (index 16) > B mean (index 18)
     assert feats[16] > feats[18]
+    # non-PNG formats still name their dependency honestly
+    from search_engine_spark.operators.multimodal import (
+        _decode_image_real,
+        _pil,
+    )
+
+    if _pil() is None:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            _decode_image_real(b"\xff\xd8\xff jpeg-ish")
+
+
+def test_png_roundtrip_every_filter():
+    """decode(encode(x, f)) == x for every PNG scanline filter 0-4."""
+    from search_engine_spark.functions.codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(11, 13, 3), dtype=np.uint8)
+    for f in range(5):
+        got = decode_png(encode_png(px, filter_type=f))
+        np.testing.assert_array_equal(got, px, err_msg=f"filter {f}")
+
+
+def test_png_color_types_decode_to_rgb():
+    """Hand-built gray / gray+alpha / RGBA / palette PNGs all decode to
+    the expected HxWx3 RGB."""
+    import struct
+    import zlib
+
+    from search_engine_spark.functions.codecs import (
+        _PNG_SIG,
+        _chunk,
+        decode_png,
+    )
+
+    def build(color, bpp, scanlines, plte=None):
+        h, w = len(scanlines), len(scanlines[0]) // bpp
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        raw = b"".join(b"\x00" + bytes(s) for s in scanlines)
+        chunks = _chunk(b"IHDR", ihdr)
+        if plte is not None:
+            chunks += _chunk(b"PLTE", bytes(plte))
+        chunks += _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+        return _PNG_SIG + chunks
+
+    # gray (type 0): value replicates across channels
+    g = decode_png(build(0, 1, [[10, 20], [30, 40]]))
+    np.testing.assert_array_equal(g[0, 1], [20, 20, 20])
+    # gray+alpha (type 4): alpha dropped
+    ga = decode_png(build(4, 2, [[10, 255, 20, 0]]))
+    np.testing.assert_array_equal(ga[0], [[10, 10, 10], [20, 20, 20]])
+    # RGBA (type 6): alpha dropped
+    rgba = decode_png(build(6, 4, [[1, 2, 3, 9, 4, 5, 6, 9]]))
+    np.testing.assert_array_equal(rgba[0], [[1, 2, 3], [4, 5, 6]])
+    # palette (type 3): indices map through PLTE
+    pal = decode_png(build(3, 1, [[1, 0]], plte=[255, 0, 0, 0, 255, 0]))
+    np.testing.assert_array_equal(pal[0], [[0, 255, 0], [255, 0, 0]])
+
+
+def test_wav_roundtrip_and_audio_features():
+    from search_engine_spark.functions.codecs import (
+        decode_wav,
+        encode_wav_sine,
+    )
+    from search_engine_spark.operators.multimodal import audio_features_real
+
+    wav = encode_wav_sine(440.0, 100, rate=8000)
+    samples, rate = decode_wav(wav)
+    assert rate == 8000 and samples.size == 800
+    assert abs(samples.max() - 0.5) < 0.01  # amplitude preserved
+    feats = audio_features_real(wav)
+    assert feats.size == FEATURE_DIM
+    assert abs(float((feats.astype(np.float64) ** 2).sum()) - 1.0) < 1e-5
+    np.testing.assert_array_equal(feats, audio_features_real(wav))
+    # different tones embed differently
+    other = audio_features_real(encode_wav_sine(1200.0, 100, rate=8000))
+    assert not np.array_equal(feats, other)
+
+
+def test_real_codecs_route_by_kind(media):
+    """use_real_codecs: image rows get pixel features, audio rows get
+    PCM features (both differ from the sha256 fake), video rows keep
+    the deterministic fake."""
+    from search_engine_spark.operators.multimodal import extract_features
+
+    src = {r["media_id"]: r for r in media.collect()}
+    rows = {
+        r["media_id"]: r
+        for r in extract_features(media, use_real_codecs=True).collect()
+    }
+    for mid, r in rows.items():
+        fake = fake_features(bytes(src[mid]["payload"])).tolist()
+        if src[mid]["kind"] == "video":
+            np.testing.assert_allclose(r["features"], fake, rtol=1e-6)
+        else:
+            assert not np.allclose(r["features"], fake)
+
+
+def test_resize_nearest_pixels():
+    from search_engine_spark.functions.codecs import resize_nearest
+
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = resize_nearest(px, 2, 3)
+    assert out.shape == (2, 3, 3)
+    np.testing.assert_array_equal(out[0, 0], px[0, 0])
