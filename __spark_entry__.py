@@ -2462,11 +2462,15 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 0.0 END AS inv
                 FROM st
             ),
-            qc AS (
+            qw AS (
+                -- ADC weights: W_d = floor(q_d/inv_d * 2^40 + 0.5)
+                -- (similarity.sq8_adc_weights_py twin — power-of-two
+                -- scale keeps the arithmetic exact and engine-identical)
                 SELECT p.i,
-                       least(255, greatest(0, CAST(floor(
-                           (CAST(q.embedding[p.i] AS DOUBLE) - p.mn) * p.inv
-                       ) AS BIGINT))) AS qv
+                       CASE WHEN p.inv > 0 THEN CAST(floor(
+                           CAST(q.embedding[p.i] AS DOUBLE) / p.inv
+                           * 1099511627776.0 + 0.5) AS BIGINT)
+                            ELSE 0 END AS w
                 FROM prm p
                 CROSS JOIN (SELECT embedding FROM embeddings
                             WHERE vec_id = 0) q
@@ -2474,11 +2478,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, CAST(sum(
                 least(255, greatest(0, CAST(floor(
                     (CAST(e.embedding[p.i] AS DOUBLE) - p.mn) * p.inv
-                ) AS BIGINT))) * qc.qv
+                ) AS BIGINT))) * qw.w
             ) AS BIGINT) AS qdot
             FROM embeddings e
             CROSS JOIN prm p
-            JOIN qc ON qc.i = p.i
+            JOIN qw ON qw.i = p.i
             GROUP BY e.vec_id
             ORDER BY qdot DESC, e.vec_id ASC LIMIT 10
         """,

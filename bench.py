@@ -30,6 +30,79 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 15) -> dict:
+    """Measured recall@k of every ANN path vs exact brute-force ground
+    truth over the driver embeddings table — quality evidence beside
+    the latency numbers (a fast ANN scan with unknown recall is not
+    'done'). Deterministic: the query sample is the lowest non-zero
+    vec_ids; ground truth and reranks share the pinned
+    (cosine desc, vec_id asc) tie-break. SQ8 ranks by integer MIPS
+    (documented metric trade), so its recall is the honest price of the
+    4x memory cut."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        build_srp_index,
+        ivf_query_topk,
+        sq8_params,
+        sq8_topk,
+        srp_query_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    rows = emb.orderBy("vec_id").limit(n_queries * 2).collect()
+    queries = []
+    for r in rows:
+        vec = [float(x) for x in r["embedding"]]
+        if float(np.dot(vec, vec)) > 0.0:  # cosine undefined for zero rows
+            queries.append((int(r["vec_id"]), vec))
+        if len(queries) == n_queries:
+            break
+    dim = len(queries[0][1])
+    truth = {
+        vid: {r["vec_id"] for r in brute_force_topk(emb, vec, k=k).collect()}
+        for vid, vec in queries
+    }
+    srp = build_srp_index(emb, dim=dim, n_planes=8, n_tables=4).cache()
+    srp.count()
+    ivf_idx, cents = build_ivf_index(emb, dim=dim, n_clusters=16)
+    ivf_idx = ivf_idx.cache()
+    ivf_idx.count()
+    mins, invs = sq8_params(emb, dim=dim)
+    # Two knob settings per probe-bounded method: the driver embeddings
+    # are UNSTRUCTURED random unit vectors (no neighborhood structure —
+    # the worst case for bucketed ANN), so absolute recall is bounded by
+    # probe coverage; what must show is the recall LEVER rising with
+    # multiprobe/n_probe at proportional probe cost. SQ8 scans
+    # everything (approximation is quantization only) — expect ~1.0.
+    hits: dict[str, list[float]] = {
+        "srp_mp1": [], "srp_mp2": [], "ivf_p4": [], "ivf_p8": [], "sq8": []
+    }
+    for vid, vec in queries:
+        for name, mp in (("srp_mp1", 1), ("srp_mp2", 2)):
+            got = {r["vec_id"] for r in
+                   srp_query_topk(srp, vec, k=k, n_planes=8, n_tables=4,
+                                  multiprobe_hamming=mp).collect()}
+            hits[name].append(len(got & truth[vid]) / k)
+        for name, np_ in (("ivf_p4", 4), ("ivf_p8", 8)):
+            got = {r["vec_id"] for r in
+                   ivf_query_topk(emb, ivf_idx, cents, vec, k=k,
+                                  n_probe=np_).collect()}
+            hits[name].append(len(got & truth[vid]) / k)
+        got = {r["vec_id"] for r in
+               sq8_topk(emb, vec, mins, invs, k=k).collect()}
+        hits["sq8"].append(len(got & truth[vid]) / k)
+    srp.unpersist()
+    ivf_idx.unpersist()
+    emb.unpersist()
+    out = {m: round(sum(v) / len(v), 4) for m, v in hits.items()}
+    out.update({"k": k, "n_queries": len(queries)})
+    return out
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -237,6 +310,14 @@ def main() -> None:
             log(f"bench query {name} failed: {exc}")
             timings[name] = -1.0
 
+    # ---- ANN quality: recall@k vs exact ground truth ---------------------
+    ann_recall = None
+    if os.environ.get("BENCH_SKIP_RECALL") != "1":
+        t0 = time.monotonic()
+        ann_recall = _ann_recall(spark, sf_dir)
+        ann_recall["wall_sec"] = round(time.monotonic() - t0, 3)
+        log(f"ann recall@{ann_recall['k']}: {ann_recall}")
+
     total = round(time.monotonic() - t_all, 3)
 
     # untimed: host-capacity control (~5s), recorded so every wall-clock
@@ -261,6 +342,7 @@ def main() -> None:
             "segment_encode_sec": round(seg_sec, 3),
             "cpus": cpus,
         },
+        "ann_recall": ann_recall,
         "host_control": control,
         "host_control_pre": pre_control,
         # True when the pre-gate control never reached min_ratio: the

@@ -353,17 +353,26 @@ def _probe_condition(
     group_shift: int | None = None,
 ) -> F.Column:
     """(table, bucket) predicate for the query's probe set — the query
-    signature per table plus its 1-bit-flip neighbours. With
-    ``group_shift`` (the disk layout), an additional ``bgroup`` term is
-    emitted so the PARTITION columns (table, bgroup) prune directories
-    and the in-file ``bucket`` column prunes rows."""
+    signature per table plus every bucket within Hamming distance
+    ``multiprobe_hamming`` (Σ C(n_planes, i) probes per table; m=1 → 9
+    buckets of 256 at 8 planes, m=2 → 37). With ``group_shift`` (the
+    disk layout), an additional ``bgroup`` term is emitted so the
+    PARTITION columns (table, bgroup) prune directories and the in-file
+    ``bucket`` column prunes rows. (Round-3 fix: values ≥ 2 previously
+    degraded silently to the 1-bit flip set.)"""
+    from itertools import combinations
+
     cond = None
     for t in range(n_tables):
         sig = _query_signature(q, n_planes, t)
-        probes = [sig]
-        if multiprobe_hamming >= 1:
-            probes += [sig ^ (1 << p) for p in range(n_planes)]
-        c = (F.col("table") == t) & F.col("bucket").isin([int(x) for x in probes])
+        probes = {int(sig)}
+        for d in range(1, min(multiprobe_hamming, n_planes) + 1):
+            for bits in combinations(range(n_planes), d):
+                flip = 0
+                for p in bits:
+                    flip |= 1 << p
+                probes.add(int(sig) ^ flip)
+        c = (F.col("table") == t) & F.col("bucket").isin(sorted(probes))
         if group_shift is not None:
             groups = sorted({int(x) >> group_shift for x in probes})
             c = c & F.col("bgroup").isin(groups)
@@ -665,6 +674,23 @@ def sq8_quantize_py(vec: list[float], mins: list[float], invs: list[float]) -> l
     ]
 
 
+SQ8_W_SCALE = float(1 << 40)  # power of two: the scaling multiply is exact
+
+
+def sq8_adc_weights_py(query_vec: list[float], invs: list[float]) -> list[int]:
+    """Integer ADC weights W_d = floor(q_d/inv_d · 2⁴⁰ + 0.5) (0 for a
+    constant dimension). floor(x + 0.5) is round-half-up — the one
+    rounding rule Python, Spark, and DuckDB express identically (SQL
+    round() and Python round() disagree on halves). The DuckDB twin
+    recomputes this formula textually from the same double literals."""
+    import math
+
+    return [
+        int(math.floor(float(q) / inv * SQ8_W_SCALE + 0.5)) if inv else 0
+        for q, inv in zip(query_vec, invs)
+    ]
+
+
 def sq8_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -674,13 +700,24 @@ def sq8_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k by uint8×uint8 integer dot product over
-    scalar-quantized vectors — the scan you run when float embeddings
-    don't fit the cluster's memory budget (4× smaller than float32,
-    8× smaller than float64; FAISS IndexScalarQuantizer SQ8 semantics,
-    asymmetric ranking without rescale: the affine per-dim constants
-    shift every dot equally only approximately, which is the documented
-    accuracy trade).
+    """Approximate top-k over uint8 scalar-quantized vectors — the scan
+    you run when float embeddings don't fit the cluster's memory budget
+    (4× smaller than float32; FAISS IndexScalarQuantizer SQ8).
+
+    Ranking is ASYMMETRIC (ADC, the FAISS default): the FLOAT query
+    scores each vector's decoded codes — dot(q, decode(x)) =
+    Σ q_d·m_d (constant) + Σ (q_d/inv_d)·code_d — so ranking by the
+    weighted code sum with weights w_d = q_d/inv_d is exact decoded-dot
+    order. A symmetric quantized·quantized dot is NOT rank-safe here:
+    expanding Σ inv²(x−m)(q−m) leaves a −Σ inv²·m_d·x_d bias whose
+    per-dim weight (∝|m|) dominates the signal weight (∝|q_d|) for
+    zero-centered data, collapsing recall to chance (measured 0.12 on
+    clustered vectors before this fix; ≥0.9 after).
+
+    Weights ride as integers W_d = floor(w_d·2⁴⁰ + 0.5) — 2⁴⁰ is a
+    power of two so the scaling is exact, the same IEEE ops produce the
+    same W_d in Python, Spark, and the DuckDB oracle, and the score
+    stays an order-independent int64 (max |W|·255·dim ≪ 2⁶³).
 
     Plan: ONE scan, per-row O(dim) integer fold, TakeOrderedAndProject —
     no shuffle beyond the k-row merge, no Python. Scores are exact
@@ -691,12 +728,12 @@ def sq8_topk(
     Returns (id_col, qdot) ordered qdot desc, id asc.
     """
     dim = len(query_vec)
-    qq = sq8_quantize_py(query_vec, mins, invs)
+    weights = sq8_adc_weights_py(query_vec, invs)
     codes = ", ".join(
         _sq8_code_sql(f"element_at({vec_col}, {i + 1})", mins[i], invs[i])
         for i in range(dim)
     )
-    qlit = ", ".join(f"cast({c} as bigint)" for c in qq)
+    qlit = ", ".join(f"cast({w} as bigint)" for w in weights)
     dot = (
         f"aggregate(zip_with(array({codes}), array({qlit}), "
         f"(x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"

@@ -313,12 +313,11 @@ def test_zero_vector_oracle_parity(spark):
 
 
 def test_sq8_topk_matches_python_quantizer(emb):
-    """SQ8 integer-dot top-k == the Python twin quantizer applied to the
-    same vectors (exact integer scores), self-query ranks itself first,
-    and the plan stays JVM-side on one scan."""
-    import math
-
+    """SQ8 ADC top-k == the Python twin (quantize every vector, score by
+    the integer ADC weights — exact integer scores), and the plan stays
+    JVM-side on one scan."""
     from search_engine_spark.operators.similarity import (
+        sq8_adc_weights_py,
         sq8_params,
         sq8_quantize_py,
         sq8_topk,
@@ -331,16 +330,14 @@ def test_sq8_topk_matches_python_quantizer(emb):
     # python twin: quantize every vector with the identical formula
     codes = [sq8_quantize_py([float(x) for x in v[i]], mins, invs)
              for i in range(N)]
-    qq = sq8_quantize_py(q, mins, invs)
-    dots = [sum(a * b for a, b in zip(c, qq)) for c in codes]
+    ws = sq8_adc_weights_py(q, invs)
+    dots = [sum(c * w for c, w in zip(row, ws)) for row in codes]
     order = sorted(range(N), key=lambda i: (-dots[i], i))[:10]
 
     df = sq8_topk(emb, q, mins, invs, k=10)
     got = df.collect()
     assert [r["vec_id"] for r in got] == order
     assert [r["qdot"] for r in got] == [dots[i] for i in order]
-    # NOTE: the self vector need NOT rank first — an unnormalized
-    # integer dot favors large-magnitude vectors (documented trade)
 
     plan = physical_plan(df)
     assert "EvalPython" not in plan, plan
@@ -350,6 +347,42 @@ def test_sq8_topk_matches_python_quantizer(emb):
     # codes are valid uint8 and a constant dim (span 0) maps to code 0
     assert all(0 <= c <= 255 for row in codes for c in row)
     assert sq8_quantize_py([3.0], [3.0], [0.0]) == [0]
+    assert sq8_adc_weights_py([3.0], [0.0]) == [0]
+
+
+def test_sq8_adc_recall_on_clustered_vectors(spark):
+    """The reason ADC ranking exists: on cluster-structured embeddings
+    the decoded-dot order recovers the exact cosine top-10 almost
+    perfectly, where the old symmetric quantized·quantized dot measured
+    0.12 (chance). Pin recall@10 >= 0.8."""
+    import numpy as np
+
+    from search_engine_spark.operators.similarity import (
+        brute_force_topk,
+        sq8_params,
+        sq8_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    cents = rng.randn(20, DIM)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    vecs = []
+    for i in range(400):
+        x = cents[i % 20] + 0.15 * rng.randn(DIM)
+        vecs.append(x / np.linalg.norm(x))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    mins, invs = sq8_params(df, dim=DIM)
+    rec = []
+    for qi in range(0, 30, 3):
+        q = [float(x) for x in vecs[qi]]
+        truth = {r["vec_id"] for r in brute_force_topk(df, q, k=10).collect()}
+        got = {r["vec_id"] for r in sq8_topk(df, q, mins, invs, k=10).collect()}
+        rec.append(len(got & truth) / 10)
+    df.unpersist()
+    assert sum(rec) / len(rec) >= 0.8, rec
 
 
 def test_semdedup_pairs_are_same_cluster_subset_of_exact(emb):
@@ -437,3 +470,25 @@ def test_ivf_small_corpus_and_zero_norm(spark):
         [(0, [0.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError, match="non-zero norm"):
         build_ivf_index(zero, dim=4)
+
+
+def test_srp_multiprobe_hamming_ball_expands(emb):
+    """multiprobe_hamming=2 probes the full Hamming-2 ball (round-3 fix:
+    it used to degrade silently to the 1-bit set): candidate rows grow
+    monotonically with m, and m=1 equals the documented 9-bucket set."""
+    import numpy as np
+
+    from search_engine_spark.operators.similarity import (
+        _probe_condition,
+        build_srp_index,
+    )
+
+    v = _vecs()
+    idx = build_srp_index(emb, dim=DIM, n_planes=8, n_tables=4).cache()
+    q = np.asarray([float(x) for x in v[3]])
+    counts = [
+        idx.filter(_probe_condition(q, 8, 4, m)).count() for m in (0, 1, 2)
+    ]
+    assert counts[0] <= counts[1] <= counts[2]
+    assert counts[2] > counts[1]  # the Hamming-2 shell really probes
+    idx.unpersist()
