@@ -93,6 +93,36 @@ def main() -> None:
     report["stream_delta_bytes"] = deltas
     report["compaction_pending"] = bool(deltas)
 
+    # snapshots: versions + the TRUE extra bytes they pin (hardlink
+    # trees share data files with the live table — only inodes no
+    # longer referenced by it cost storage, so count distinct inodes
+    # with link-count == their in-snapshot occurrence count)
+    from search_engine_spark.sources.index_store import list_snapshots
+
+    snaps = list_snapshots(args.index)
+    report["snapshots"] = [
+        {"version": s["version"], "note": s["note"]} for s in snaps
+    ]
+    snap_root = os.path.join(args.index, "_snapshots")
+    if os.path.isdir(snap_root):
+        seen: dict = {}
+        for root, _dirs, files in os.walk(snap_root):
+            for f in files:
+                try:
+                    st = os.stat(os.path.join(root, f))
+                except OSError:
+                    continue
+                seen.setdefault(st.st_ino, [st.st_size, st.st_nlink, 0])
+                seen[st.st_ino][2] += 1
+        # an inode whose every link lives under _snapshots is retained
+        # ONLY by snapshots: expiring them frees it
+        report["snapshot_only_bytes"] = sum(
+            sz for sz, nlink, inside in seen.values() if inside >= nlink
+        )
+        report["snapshot_shared_bytes"] = sum(
+            sz for sz, nlink, inside in seen.values() if inside < nlink
+        )
+
     # dictionary size needs one tiny parquet read — the only Spark use;
     # skipped (reported null) when --local-cpus is not given and no
     # session is ambient, keeping the default path scan-free

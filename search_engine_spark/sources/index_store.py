@@ -88,6 +88,149 @@ def _write_manifest(index_dir: str, bucket: int, payload: dict) -> None:
     os.replace(tmp, os.path.join(mdir, f"bucket={bucket}.json"))  # atomic commit
 
 
+# ---------------------------------------------------------------------------
+# Snapshots: time-travel reads + expiry (the Iceberg-snapshot half of
+# the parquet stand-in; the MERGE/DELETE half is the bucket-bounded
+# mutation machinery below)
+# ---------------------------------------------------------------------------
+SNAPSHOT_DIR = "_snapshots"
+
+
+def _snap_root(index_dir: str) -> str:
+    return os.path.join(index_dir, SNAPSHOT_DIR)
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Hardlink-copy a directory tree: O(#files) metadata ops, ZERO data
+    bytes — sound because parquet files are immutable once written (the
+    mutation paths below always publish NEW files and swap directories,
+    never write into an existing file). Falls back to a real copy when
+    the filesystem refuses links (cross-device). On an object store the
+    equivalent is recording the file LIST in the snapshot manifest —
+    same immutability argument, no links needed."""
+    import shutil
+
+    for root, dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out, exist_ok=True)
+        # hidden leaf dirs are in-flight swap residue, never snapshot them
+        dirs[:] = [d for d in dirs if not d.startswith(".")]
+        for f in files:
+            if f.startswith("."):
+                continue
+            s, d = os.path.join(root, f), os.path.join(out, f)
+            try:
+                os.link(s, d)
+            except OSError:  # pragma: no cover - cross-device fallback
+                shutil.copy2(s, d)
+
+
+def list_snapshots(index_dir: str) -> list[dict]:
+    """Snapshot log, oldest first: [{version, ts, note}]. Versions are
+    listed from the snapshot DIRECTORIES (the source of truth — a crash
+    between dir publish and log append must not hide a usable
+    snapshot); notes come from the log when present."""
+    root = _snap_root(index_dir)
+    if not os.path.isdir(root):
+        return []
+    notes = {}
+    log_path = os.path.join(root, "log.json")
+    if os.path.exists(log_path):
+        with open(log_path) as fh:
+            notes = {int(e["version"]): e for e in json.load(fh)}
+    out = []
+    for name in os.listdir(root):
+        if name.startswith("v") and not name.startswith(".") and name[1:].isdigit():
+            v = int(name[1:])
+            e = notes.get(v, {})
+            out.append({"version": v, "ts": e.get("ts"),
+                        "note": e.get("note", "")})
+    return sorted(out, key=lambda e: e["version"])
+
+
+def create_snapshot(index_dir: str, note: str = "") -> int:
+    """Freeze the CURRENT index state as a new snapshot version and
+    return it. The snapshot is a hardlink tree of every published table
+    (docs/postings/doclen/terms/segments/stats.json/manifests + any
+    streamed-delta sibling dirs), published atomically via a hidden tmp
+    dir. Readers time-travel with ``DiskIndex(spark, dir, as_of=v)``;
+    mutations call this automatically before touching the live tables,
+    so every destructive operation is undoable until
+    :func:`expire_snapshots` garbage-collects."""
+    root = _snap_root(index_dir)
+    os.makedirs(root, exist_ok=True)
+    versions = [s["version"] for s in list_snapshots(index_dir)]
+    v = (max(versions) + 1) if versions else 1
+    tmp = os.path.join(root, f".v{v}.tmp")
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    for name in os.listdir(index_dir):
+        if name == SNAPSHOT_DIR or name.startswith("."):
+            continue
+        src = os.path.join(index_dir, name)
+        dst = os.path.join(tmp, name)
+        if os.path.isdir(src):
+            _link_tree(src, dst)
+        else:
+            try:
+                os.link(src, dst)
+            except OSError:  # pragma: no cover
+                shutil.copy2(src, dst)
+    os.replace(tmp, os.path.join(root, f"v{v}"))
+    log_path = os.path.join(root, "log.json")
+    entries = []
+    if os.path.exists(log_path):
+        with open(log_path) as fh:
+            entries = json.load(fh)
+    entries.append({"version": v, "ts": time.time(), "note": note})
+    tmp_log = log_path + ".tmp"
+    with open(tmp_log, "w") as fh:
+        json.dump(entries, fh, indent=1)
+    os.replace(tmp_log, log_path)
+    return v
+
+
+def expire_snapshots(index_dir: str, keep_last: int = 3) -> list[int]:
+    """Drop all but the newest ``keep_last`` snapshots (Iceberg's
+    expire_snapshots maintenance op) and return the expired versions.
+    Unlinking a snapshot tree only decrements hardlink refcounts —
+    data files still referenced by the live table or a kept snapshot
+    survive untouched."""
+    import shutil
+
+    snaps = list_snapshots(index_dir)
+    drop = snaps[:-keep_last] if keep_last > 0 else snaps
+    dropped = []
+    for s in drop:
+        shutil.rmtree(os.path.join(_snap_root(index_dir), f"v{s['version']}"),
+                      ignore_errors=True)
+        dropped.append(s["version"])
+    if dropped:
+        log_path = os.path.join(_snap_root(index_dir), "log.json")
+        if os.path.exists(log_path):
+            with open(log_path) as fh:
+                entries = json.load(fh)
+            entries = [e for e in entries if e["version"] not in set(dropped)]
+            tmp_log = log_path + ".tmp"
+            with open(tmp_log, "w") as fh:
+                json.dump(entries, fh, indent=1)
+            os.replace(tmp_log, log_path)
+    return dropped
+
+
+def snapshot_path(index_dir: str, version: int) -> str:
+    p = os.path.join(_snap_root(index_dir), f"v{version}")
+    if not os.path.isdir(p):
+        known = [s["version"] for s in list_snapshots(index_dir)]
+        raise ValueError(
+            f"no snapshot v{version} under {index_dir} (have {known})"
+        )
+    return p
+
+
 def _bucket_col(bucket_width: int) -> F.Column:
     """Doc-range bucket of a doc_id — the storage partition key shared
     by the per-doc tables and the segment encoder."""
@@ -198,7 +341,8 @@ def write_index(
             os.path.join(index_dir, "doclen")
         )
         index.terms.write.mode("overwrite").parquet(os.path.join(index_dir, "terms"))
-        with open(stats_path, "w") as fh:
+        # tmp+replace (snapshot hardlinks must never see a truncation)
+        with open(stats_path + ".tmp2", "w") as fh:
             json.dump(
                 {
                     "n_docs": index.stats.n_docs,
@@ -227,6 +371,7 @@ def write_index(
                 },
                 fh,
             )
+        os.replace(stats_path + ".tmp2", stats_path)
 
     all_buckets = set(range((index.stats.n_docs + bucket_width - 1) // bucket_width or 1))
     done = completed_buckets(index_dir) if resume else set()
@@ -378,6 +523,7 @@ def compact_index(
     spark: SparkSession,
     index_dir: str,
     bucket_width: int = DOC_BUCKET_WIDTH,
+    snapshot: bool = True,
 ) -> dict:
     """Fold streamed deltas back into the canonical dense index — the
     Lucene-merge analog closing the streaming lifecycle
@@ -414,6 +560,8 @@ def compact_index(
     stats = load_stats(index_dir)
     if stats is None:
         raise ValueError(f"no index at {index_dir} (stats.json missing)")
+    if snapshot:
+        create_snapshot(index_dir, note="pre compact_index")
     stream_docs_path = os.path.join(index_dir, "docs_stream")
     delta_path = os.path.join(index_dir, "terms_delta")
     if not os.path.isdir(stream_docs_path) and not os.path.isdir(delta_path):
@@ -708,6 +856,7 @@ def delete_scope(
     scope_col: str,
     scope_value: str,
     bucket_width: int = DOC_BUCKET_WIDTH,
+    snapshot: bool = True,
 ) -> dict:
     """Bulk delete of one scope's documents — the reference's
     ``delete_site_information`` / ``delete_function`` (plpgsql cascade
@@ -752,7 +901,8 @@ def delete_scope(
     if os.path.isdir(os.path.join(index_dir, "docs_stream")) or os.path.isdir(
         os.path.join(index_dir, "terms_delta")
     ):
-        compact_index(spark, index_dir, bucket_width)
+        # the explicit pre-delete snapshot below covers this fold too
+        compact_index(spark, index_dir, bucket_width, snapshot=False)
 
     pending_path = os.path.join(index_dir, "delete_pending.json")
     if os.path.isfile(pending_path):
@@ -763,6 +913,13 @@ def delete_scope(
         _run_scope_delete(
             spark, index_dir, pending["scope"][0], pending["scope"][1],
             pending["buckets"], int(pending["bucket_width"]),
+        )
+
+    if snapshot:
+        # freeze the (now-consistent: deltas folded, crashes replayed)
+        # pre-delete state — time-travel readable via DiskIndex(as_of=v)
+        create_snapshot(
+            index_dir, note=f"pre delete_scope {scope_col}={scope_value}"
         )
 
     disk = DiskIndex(spark, index_dir)
@@ -900,6 +1057,7 @@ def reindex_turn(
     turn_idx: int,
     new_text: str,
     bucket_width: int = DOC_BUCKET_WIDTH,
+    snapshot: bool = True,
 ) -> dict:
     """Single-document delete + reinsert — the reference's
     ``/api/indexPage`` (Parser.java:181-256: remove the page's postings,
@@ -929,6 +1087,11 @@ def reindex_turn(
         role_weight_col,
     )
     from search_engine_spark.streaming.incremental import STREAM_ID_BASE
+
+    if snapshot:
+        create_snapshot(
+            index_dir, note=f"pre reindex_turn ({conv_id}, {turn_idx})"
+        )
 
     disk = DiskIndex(spark, index_dir)
     docs = disk.docs
@@ -1069,8 +1232,12 @@ def reindex_turn(
         # docs were materialized locally with explicit ids above
         stats["docs_source"] = None
         stats["docid_adjust"] = {}
-    with open(os.path.join(index_dir, "stats.json"), "w") as fh:
+    # tmp+replace, NEVER truncate in place: stats.json's inode is shared
+    # with the pre-mutation snapshot's hardlink (create_snapshot above)
+    stats_path = os.path.join(index_dir, "stats.json")
+    with open(stats_path + ".tmp", "w") as fh:
         json.dump(stats, fh)
+    os.replace(stats_path + ".tmp", stats_path)
 
     # re-encode ONLY the affected bucket from the updated tables (on a
     # v4 layout the encode input is the bucket's own partition dir — a
@@ -1110,10 +1277,21 @@ def reindex_turn(
 
 
 class DiskIndex:
-    """Handle on a persisted index (serving side)."""
+    """Handle on a persisted index (serving side).
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    ``as_of`` time-travels: pass a snapshot version from
+    :func:`list_snapshots` and every table/stat resolves against that
+    frozen hardlink tree — queries over a pre-mutation state run
+    unchanged (the Iceberg snapshot-read analog). The live index is
+    ``as_of=None``."""
+
+    def __init__(
+        self, spark: SparkSession, index_dir: str, as_of: int | None = None
+    ):
         self.spark = spark
+        self.as_of = as_of
+        if as_of is not None:
+            index_dir = snapshot_path(index_dir, as_of)
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "stats.json")) as fh:
             s = json.load(fh)
