@@ -33,6 +33,10 @@ def main() -> None:
     p.add_argument("--compact", action="store_true",
                    help="fold streamed deltas into the dense index after "
                         "draining (compact_index)")
+    p.add_argument("--expire-snapshots", type=int, default=None,
+                   metavar="KEEP",
+                   help="after the run, keep only the newest KEEP "
+                        "snapshots (index_store.expire_snapshots)")
     p.add_argument("--local-cpus", type=int, default=None)
     args = p.parse_args()
 
@@ -60,6 +64,12 @@ def main() -> None:
     if args.compact:
         out["compaction"] = compact_index(spark, args.index)
         out["compacted"] = True
+    if args.expire_snapshots is not None:
+        from search_engine_spark.sources.index_store import expire_snapshots
+
+        out["snapshots_expired"] = expire_snapshots(
+            args.index, keep_last=args.expire_snapshots
+        )
 
     # backlog state after the run (file metadata only)
     deltas = {}

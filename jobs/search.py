@@ -57,6 +57,9 @@ def main() -> None:
     p.add_argument("--suggest", action="store_true",
                    help="print did-you-mean corrections (one JSON line per "
                         "query word whose best dictionary match differs)")
+    p.add_argument("--as-of", type=int, default=None, metavar="VERSION",
+                   help="time-travel: query the index as of a snapshot "
+                        "version (see index_store.list_snapshots)")
     p.add_argument("--local-cpus", type=int, default=None)
     args = p.parse_args()
 
@@ -85,7 +88,11 @@ def main() -> None:
               file=sys.stderr)
         sys.exit(2)
 
-    disk = DiskIndex(spark, args.index)
+    try:
+        disk = DiskIndex(spark, args.index, as_of=args.as_of)
+    except ValueError as exc:  # unknown snapshot version
+        print(str(exc), file=sys.stderr)
+        sys.exit(2)
     ix = disk.as_inverted_index()
     k = args.offset + args.k  # fetch offset+limit, slice below (O2)
 

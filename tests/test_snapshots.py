@@ -86,6 +86,30 @@ def test_mutations_snapshot_and_time_travel(spark, tiny_transcripts, tmp_path):
     assert create_snapshot(idx_dir, note="manual") == 3
     assert _topk(spark, idx_dir, as_of=3) == live
 
+    # the search CLI exposes time travel (--as-of) and rejects unknown
+    # versions with the invalid-input exit code
+    import json as _json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo)
+
+    def _cli(*extra):
+        return subprocess.run(
+            [sys.executable, os.path.join(repo, "jobs", "search.py"),
+             "--local-cpus", "2", "--index", idx_dir, "--query", QUERY,
+             *extra],
+            capture_output=True, text=True, cwd=repo, timeout=300, env=env,
+        )
+
+    r = _cli("--as-of", "3")
+    assert r.returncode == 0, r.stderr[-2000:]
+    hits = [_json.loads(l) for l in r.stdout.strip().splitlines() if l]
+    assert [(h["doc_id"], h["score"]) for h in hits] == live
+    bad = _cli("--as-of", "99")
+    assert bad.returncode == 2 and "no snapshot v99" in bad.stderr
+
 
 def test_snapshot_is_isolated_from_live_writes(spark, tiny_transcripts,
                                                tmp_path):
