@@ -1,0 +1,126 @@
+"""spark-submit entry point: persistent ANN index over an embedding
+table — build the partition-pruned SRP index once, probe it many times,
+or run the exact brute-force baseline for recall spot-checks.
+
+Usage:
+    python jobs/ann.py build --embeddings <parquet> --index <dir> \
+        [--planes 8] [--tables 4] [--group-bits 5] [--local-cpus N]
+    python jobs/ann.py query --embeddings <parquet> --index <dir> \
+        (--vec-id ID | --vector "0.1,0.2,...") [--k 10] \
+        [--multiprobe 1] [--brute] [--local-cpus N]
+
+``build`` persists ids-only (table, bucket-group)-partitioned lists
+(similarity.write_srp_index) plus an ``_ann_meta.json`` (underscore-prefixed: parquet
+directory listing ignores it, like _SUCCESS) recording the
+hashing parameters, so ``query`` never needs the flags repeated — the
+same contract as the search index's stats.json. ``query`` prints one
+JSON line per hit {vec_id, cosine}; ``--brute`` bypasses the index for
+the exact baseline (recall spot-check: compare the two outputs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("mode", choices=["build", "query"])
+    p.add_argument("--embeddings", required=True,
+                   help="parquet with (vec_id long, embedding array)")
+    p.add_argument("--index", required=True, help="SRP index dir")
+    p.add_argument("--planes", type=int, default=8)
+    p.add_argument("--tables", type=int, default=4)
+    p.add_argument("--group-bits", type=int, default=5)
+    p.add_argument("--vec-id", type=int, default=None,
+                   help="query by an existing vector's id")
+    p.add_argument("--vector", default=None,
+                   help="query by a literal comma-separated vector")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--multiprobe", type=int, default=1,
+                   help="probe Hamming radius (recall lever)")
+    p.add_argument("--brute", action="store_true",
+                   help="exact brute-force baseline (ignores the index)")
+    p.add_argument("--local-cpus", type=int, default=None)
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.similarity import (
+        brute_force_topk,
+        srp_query_topk_disk,
+        write_srp_index,
+    )
+
+    if args.local_cpus:
+        from search_engine_spark.session import build_session
+
+        spark = build_session("ann", cpus=args.local_cpus)
+    else:
+        spark = SparkSession.builder.appName("ann").getOrCreate()
+
+    emb = spark.read.parquet(args.embeddings)
+    meta_path = os.path.join(args.index, "_ann_meta.json")
+
+    if args.mode == "build":
+        dim = len(emb.select("embedding").head()[0])
+        write_srp_index(emb, args.index, dim=dim, n_planes=args.planes,
+                        n_tables=args.tables, group_bits=args.group_bits)
+        meta = {"dim": dim, "n_planes": args.planes,
+                "n_tables": args.tables, "group_bits": args.group_bits,
+                "embeddings": os.path.abspath(args.embeddings)}
+        with open(meta_path + ".tmp", "w") as fh:
+            json.dump(meta, fh)
+        os.replace(meta_path + ".tmp", meta_path)
+        print(json.dumps({"built": args.index, **meta,
+                          "n_vectors": emb.count()}), flush=True)
+        spark.stop()
+        return
+
+    # query
+    if (args.vec_id is None) == (args.vector is None):
+        print("exactly one of --vec-id / --vector is required",
+              file=sys.stderr)
+        spark.stop()
+        sys.exit(2)
+    if args.vector is not None:
+        qvec = [float(x) for x in args.vector.split(",")]
+    else:
+        row = emb.filter(F.col("vec_id") == args.vec_id).head()
+        if row is None:
+            print(f"vec_id {args.vec_id} not in {args.embeddings}",
+                  file=sys.stderr)
+            spark.stop()
+            sys.exit(2)
+        qvec = [float(x) for x in row["embedding"]]
+
+    if args.brute:
+        hits = brute_force_topk(emb, qvec, k=args.k).collect()
+    else:
+        if not os.path.exists(meta_path):
+            print(f"no ANN index at {args.index} (_ann_meta.json missing); "
+                  "run build first", file=sys.stderr)
+            spark.stop()
+            sys.exit(2)
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        hits = srp_query_topk_disk(
+            emb, args.index, qvec, k=args.k,
+            n_planes=meta["n_planes"], n_tables=meta["n_tables"],
+            multiprobe_hamming=args.multiprobe,
+            group_bits=meta["group_bits"],
+        ).collect()
+    for r in hits:
+        print(json.dumps({"vec_id": r["vec_id"], "cosine": r["cosine"]}),
+              flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

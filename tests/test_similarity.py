@@ -492,3 +492,49 @@ def test_srp_multiprobe_hamming_ball_expands(emb):
     assert counts[0] <= counts[1] <= counts[2]
     assert counts[2] > counts[1]  # the Hamming-2 shell really probes
     idx.unpersist()
+
+
+def test_ann_cli_build_query_brute(tmp_path):
+    """jobs/ann.py end-to-end: build persists the index + meta, query
+    probes it (self-query retrieves itself first), --brute gives the
+    exact baseline, bad inputs exit 2."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo)
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "ann_idx")
+
+    def run(*a):
+        return subprocess.run(
+            [sys.executable, os.path.join(repo, "jobs", "ann.py"),
+             *a, "--embeddings", emb, "--index", idx, "--local-cpus", "2"],
+            capture_output=True, text=True, cwd=repo, timeout=300, env=env,
+        )
+
+    b = run("build")
+    assert b.returncode == 0, b.stderr[-2000:]
+    meta = _json.loads(b.stdout.strip().splitlines()[-1])
+    assert meta["n_vectors"] > 0 and os.path.exists(
+        os.path.join(idx, "_ann_meta.json"))
+
+    q = run("query", "--vec-id", "3", "--k", "5")
+    assert q.returncode == 0, q.stderr[-2000:]
+    hits = [_json.loads(l) for l in q.stdout.strip().splitlines() if l]
+    assert hits and hits[0]["vec_id"] == 3 and abs(hits[0]["cosine"] - 1) < 1e-6
+
+    br = run("query", "--vec-id", "3", "--k", "5", "--brute")
+    bhits = [_json.loads(l) for l in br.stdout.strip().splitlines() if l]
+    assert bhits[0]["vec_id"] == 3
+    # ANN hits are a subset of vectors; every ANN cosine matches brute's
+    # exact value for the same id
+    bmap = {h["vec_id"]: h["cosine"] for h in bhits}
+    for h in hits:
+        if h["vec_id"] in bmap:
+            assert h["cosine"] == bmap[h["vec_id"]]
+
+    assert run("query").returncode == 2  # neither --vec-id nor --vector
+    assert run("query", "--vec-id", "999999").returncode == 2
