@@ -4,10 +4,11 @@ or run the exact brute-force baseline for recall spot-checks.
 
 Usage:
     python jobs/ann.py build --embeddings <parquet> --index <dir> \
-        [--planes 8] [--tables 4] [--group-bits 5] [--local-cpus N]
+        [--method srp|ivf] [--planes 8] [--tables 4] [--group-bits 5] \
+        [--clusters 16] [--local-cpus N]
     python jobs/ann.py query --embeddings <parquet> --index <dir> \
         (--vec-id ID | --vector "0.1,0.2,...") [--k 10] \
-        [--multiprobe 1] [--brute] [--local-cpus N]
+        [--multiprobe 1] [--n-probe 4] [--brute] [--local-cpus N]
 
 ``build`` persists ids-only (table, bucket-group)-partitioned lists
 (similarity.write_srp_index) plus an ``_ann_meta.json`` (underscore-prefixed: parquet
@@ -34,7 +35,14 @@ def main() -> None:
     p.add_argument("--embeddings", required=True,
                    help="parquet with (vec_id long, embedding array)")
     p.add_argument("--index", required=True, help="SRP index dir")
+    p.add_argument("--method", choices=["srp", "ivf"], default="srp",
+                   help="index family: SRP-LSH bucket tables or IVF "
+                        "coarse-quantizer cluster lists")
     p.add_argument("--planes", type=int, default=8)
+    p.add_argument("--clusters", type=int, default=16,
+                   help="IVF cluster count (build)")
+    p.add_argument("--n-probe", type=int, default=4,
+                   help="IVF probe width (query recall lever)")
     p.add_argument("--tables", type=int, default=4)
     p.add_argument("--group-bits", type=int, default=5)
     p.add_argument("--vec-id", type=int, default=None,
@@ -54,7 +62,9 @@ def main() -> None:
 
     from search_engine_spark.operators.similarity import (
         brute_force_topk,
+        ivf_query_topk_disk,
         srp_query_topk_disk,
+        write_ivf_index,
         write_srp_index,
     )
 
@@ -70,11 +80,17 @@ def main() -> None:
 
     if args.mode == "build":
         dim = len(emb.select("embedding").head()[0])
-        write_srp_index(emb, args.index, dim=dim, n_planes=args.planes,
-                        n_tables=args.tables, group_bits=args.group_bits)
-        meta = {"dim": dim, "n_planes": args.planes,
-                "n_tables": args.tables, "group_bits": args.group_bits,
-                "embeddings": os.path.abspath(args.embeddings)}
+        if args.method == "ivf":
+            write_ivf_index(emb, args.index, dim=dim,
+                            n_clusters=args.clusters)
+            meta = {"method": "ivf", "dim": dim, "n_clusters": args.clusters,
+                    "embeddings": os.path.abspath(args.embeddings)}
+        else:
+            write_srp_index(emb, args.index, dim=dim, n_planes=args.planes,
+                            n_tables=args.tables, group_bits=args.group_bits)
+            meta = {"method": "srp", "dim": dim, "n_planes": args.planes,
+                    "n_tables": args.tables, "group_bits": args.group_bits,
+                    "embeddings": os.path.abspath(args.embeddings)}
         with open(meta_path + ".tmp", "w") as fh:
             json.dump(meta, fh)
         os.replace(meta_path + ".tmp", meta_path)
@@ -110,12 +126,17 @@ def main() -> None:
             sys.exit(2)
         with open(meta_path) as fh:
             meta = json.load(fh)
-        hits = srp_query_topk_disk(
-            emb, args.index, qvec, k=args.k,
-            n_planes=meta["n_planes"], n_tables=meta["n_tables"],
-            multiprobe_hamming=args.multiprobe,
-            group_bits=meta["group_bits"],
-        ).collect()
+        if meta.get("method") == "ivf":
+            hits = ivf_query_topk_disk(
+                emb, args.index, qvec, k=args.k, n_probe=args.n_probe,
+            ).collect()
+        else:
+            hits = srp_query_topk_disk(
+                emb, args.index, qvec, k=args.k,
+                n_planes=meta["n_planes"], n_tables=meta["n_tables"],
+                multiprobe_hamming=args.multiprobe,
+                group_bits=meta["group_bits"],
+            ).collect()
     for r in hits:
         print(json.dumps({"vec_id": r["vec_id"], "cosine": r["cosine"]}),
               flush=True)

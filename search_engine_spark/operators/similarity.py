@@ -440,6 +440,75 @@ def write_srp_index(
     )
 
 
+def write_ivf_index(
+    embeddings: DataFrame, out_dir: str, dim: int, n_clusters: int = 16,
+    sample_size: int = 2048, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Persist the IVF index as ``partitionBy(cluster)`` id lists plus a
+    ``_ivf_meta.json`` carrying the centroids (the query-side model —
+    n_clusters·dim doubles, driver-sized by construction). The disk
+    twin of :func:`build_ivf_index`, shaped like :func:`write_srp_index`:
+    ids only, one directory per cluster, so a probe is a partition-
+    pruned read of n_probe directories. Returns the centroids."""
+    import json
+    import os
+
+    idx, cent = build_ivf_index(
+        embeddings, dim=dim, n_clusters=n_clusters, sample_size=sample_size,
+        id_col=id_col, vec_col=vec_col,
+    )
+    (
+        idx.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(out_dir)
+    )
+    meta = {
+        "dim": dim,
+        "n_clusters": int(cent.shape[0]),
+        "centroids": [[float(x) for x in row] for row in cent],
+    }
+    # underscore prefix: parquet directory listing must ignore it
+    meta_path = os.path.join(out_dir, "_ivf_meta.json")
+    with open(meta_path + ".tmp", "w") as fh:
+        json.dump(meta, fh)
+    os.replace(meta_path + ".tmp", meta_path)
+    return cent
+
+
+def read_ivf_centroids(index_dir: str) -> "np.ndarray":
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "_ivf_meta.json")) as fh:
+        return np.asarray(json.load(fh)["centroids"], dtype=np.float64)
+
+
+def ivf_query_topk_disk(
+    embeddings: DataFrame, index_dir: str, query_vec: list[float],
+    k: int = 10, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a :func:`write_ivf_index` directory: the probe
+    clusters are picked driver-side from the persisted centroids, the
+    ``cluster`` predicate prunes PARTITION directories (plan-pinned),
+    and the candidate ids broadcast-join back for the exact rerank —
+    identical results to :func:`ivf_query_topk` on the same model."""
+    spark = embeddings.sparkSession
+    cent = read_ivf_centroids(index_dir)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (float(np.sqrt((q * q).sum())) or 1.0)
+    dots = cent @ qn
+    order = sorted(range(len(dots)), key=lambda c: (-dots[c], c))[:n_probe]
+    cand_ids = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("cluster").isin([int(c) for c in order]))
+        .select(id_col)
+    )
+    cand = embeddings.join(F.broadcast(cand_ids), id_col)
+    return brute_force_topk(cand, [float(x) for x in q], k, id_col, vec_col)
+
+
 def _kmeans_centroids(
     sample: np.ndarray, k: int, iters: int = 10, seed: int = 7
 ) -> np.ndarray:

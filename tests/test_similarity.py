@@ -538,3 +538,58 @@ def test_ann_cli_build_query_brute(tmp_path):
 
     assert run("query").returncode == 2  # neither --vec-id nor --vector
     assert run("query", "--vec-id", "999999").returncode == 2
+
+    # IVF family through the same CLI: self-query retrieves itself
+    idx2 = str(tmp_path / "ann_ivf")
+
+    def run2(*a):
+        return subprocess.run(
+            [sys.executable, os.path.join(repo, "jobs", "ann.py"),
+             *a, "--embeddings", emb, "--index", idx2, "--local-cpus", "2"],
+            capture_output=True, text=True, cwd=repo, timeout=300, env=env,
+        )
+
+    b2 = run2("build", "--method", "ivf", "--clusters", "8")
+    assert b2.returncode == 0, b2.stderr[-2000:]
+    q2 = run2("query", "--vec-id", "3", "--k", "5", "--n-probe", "2")
+    assert q2.returncode == 0, q2.stderr[-2000:]
+    h2 = [_json.loads(l) for l in q2.stdout.strip().splitlines() if l]
+    assert h2 and h2[0]["vec_id"] == 3 and abs(h2[0]["cosine"] - 1) < 1e-6
+
+
+def test_ivf_disk_index_matches_memory_and_prunes_partitions(emb, spark,
+                                                             tmp_path):
+    """write_ivf_index + ivf_query_topk_disk == the in-memory IVF on the
+    same persisted model; the probe scan prunes cluster PARTITION dirs."""
+    from search_engine_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query_topk,
+        ivf_query_topk_disk,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+    from search_engine_spark.plans.explain import physical_plan
+
+    v = _vecs()
+    out = str(tmp_path / "ivf_idx")
+    cent_w = write_ivf_index(emb, out, dim=DIM, n_clusters=8)
+    np.testing.assert_array_equal(read_ivf_centroids(out), cent_w)
+    # deterministic model: disk build == a fresh in-memory build
+    idx_mem, cent_m = build_ivf_index(emb, dim=DIM, n_clusters=8)
+    np.testing.assert_array_equal(cent_w, cent_m)
+
+    q = [float(x) for x in v[11]]
+    want = [(r["vec_id"], r["cosine"]) for r in
+            ivf_query_topk(emb, idx_mem, cent_m, q, k=7, n_probe=3).collect()]
+    got_df = ivf_query_topk_disk(emb, out, q, k=7, n_probe=3)
+    got = [(r["vec_id"], r["cosine"]) for r in got_df.collect()]
+    assert got == want and len(got) == 7
+
+    # ids only on disk; probe is a partition-pruned read
+    stored = spark.read.parquet(out)
+    assert set(stored.columns) == {"vec_id", "cluster"}
+    from pyspark.sql import functions as F
+    plan = physical_plan(spark.read.parquet(out).filter(
+        F.col("cluster").isin([0, 1])))
+    assert "PartitionFilters" in plan and "cluster" in plan.split(
+        "PartitionFilters:")[1].split("]")[0], plan
