@@ -137,6 +137,8 @@ from search_engine_spark.operators.similarity import (
     hash_centroids,
     ivf_assign,
     ivf_query_topk,
+    ivf_query_topk_disk,
+    write_ivf_index,
     semdedup_keepers,
     semdedup_pairs,
     sq8_params,
@@ -587,6 +589,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, idx, cent, qvec, k=10, n_probe=IVF_NPROBE
         ).select("vec_id", "cosine")
 
+    def q_ivf_ann_disk(spark, sf):
+        # IVF twin of q_srp_ann_disk: persist (cluster, vec_id) lists
+        # partitionBy(cluster) with the literal-replayable hash-centroid
+        # quantizer, then probe = partition-pruned read of n_probe
+        # cluster dirs + broadcast exact rerank. Same arithmetic as
+        # ivf_ann_topk → same hard equality oracle.
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+        qvec = [float(x) for x in row[0]]
+        key = ("ivf_disk", sf)
+        if key not in _INDEX_CACHE:
+            import tempfile
+
+            out_dir = tempfile.mkdtemp(prefix="ivf_index_")
+            write_ivf_index(
+                emb, out_dir, dim=len(qvec),
+                centroids=hash_centroids(len(qvec), IVF_CLUSTERS),
+            )
+            _INDEX_CACHE[key] = out_dir
+        return ivf_query_topk_disk(
+            emb, _INDEX_CACHE[key], qvec, k=10, n_probe=IVF_NPROBE
+        ).select("vec_id", "cosine")
+
     def q_token_counts(spark, sf):
         return _documents(spark, sf).select(
             "doc_id",
@@ -1030,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_ann_topk": q_srp_ann,
         "srp_ann_topk_disk": q_srp_ann_disk,
         "ivf_ann_topk": q_ivf_ann,
+        "ivf_ann_topk_disk": q_ivf_ann_disk,
         "bm25_topk_wand_tree": q_wand_tree,
         "embedding_neardup_pairs": q_cosine_neardup,
         "srp_neardup_pairs": q_srp_neardup,
@@ -2492,6 +2518,11 @@ def oracle_sql() -> dict[str, str]:
         "srp_ann_topk_disk": _srp_ann_sql(n_planes=8, n_tables=4, dim=64, k=10),
         "bm25_topk_wand_tree": _bm25_sql(Q_MAIN),
         "ivf_ann_topk": _ivf_ann_sql(
+            n_clusters=IVF_CLUSTERS, n_probe=IVF_NPROBE, dim=64, k=10
+        ),
+        # disk variant assigns with the same hash centroids and probes the
+        # same clusters (partition-pruned) — identical candidates/rerank
+        "ivf_ann_topk_disk": _ivf_ann_sql(
             n_clusters=IVF_CLUSTERS, n_probe=IVF_NPROBE, dim=64, k=10
         ),
         "embedding_neardup_pairs": f"""

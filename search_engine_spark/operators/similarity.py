@@ -443,20 +443,29 @@ def write_srp_index(
 def write_ivf_index(
     embeddings: DataFrame, out_dir: str, dim: int, n_clusters: int = 16,
     sample_size: int = 2048, id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
 ) -> "np.ndarray":
     """Persist the IVF index as ``partitionBy(cluster)`` id lists plus a
     ``_ivf_meta.json`` carrying the centroids (the query-side model —
     n_clusters·dim doubles, driver-sized by construction). The disk
     twin of :func:`build_ivf_index`, shaped like :func:`write_srp_index`:
     ids only, one directory per cluster, so a probe is a partition-
-    pruned read of n_probe directories. Returns the centroids."""
+    pruned read of n_probe directories. Returns the centroids.
+
+    Pass ``centroids`` (e.g. :func:`hash_centroids`) to skip the k-means
+    fit and assign with :func:`ivf_assign` — the literal-replayable
+    arithmetic the DuckDB equality oracle uses."""
     import json
     import os
 
-    idx, cent = build_ivf_index(
-        embeddings, dim=dim, n_clusters=n_clusters, sample_size=sample_size,
-        id_col=id_col, vec_col=vec_col,
-    )
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+        idx = ivf_assign(embeddings, cent, id_col=id_col, vec_col=vec_col)
+    else:
+        idx, cent = build_ivf_index(
+            embeddings, dim=dim, n_clusters=n_clusters,
+            sample_size=sample_size, id_col=id_col, vec_col=vec_col,
+        )
     (
         idx.repartition("cluster")
         .write.mode("overwrite")

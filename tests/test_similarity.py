@@ -593,3 +593,20 @@ def test_ivf_disk_index_matches_memory_and_prunes_partitions(emb, spark,
         F.col("cluster").isin([0, 1])))
     assert "PartitionFilters" in plan and "cluster" in plan.split(
         "PartitionFilters:")[1].split("]")[0], plan
+
+    # centroids= branch (the oracle-replayable hash-centroid quantizer):
+    # disk probe == in-memory ivf_query_topk on the same model
+    from search_engine_spark.operators.similarity import (
+        hash_centroids,
+        ivf_assign,
+    )
+
+    out_h = str(tmp_path / "ivf_idx_hash")
+    cent_h = hash_centroids(DIM, 8)
+    got_cent = write_ivf_index(emb, out_h, dim=DIM, centroids=cent_h)
+    np.testing.assert_array_equal(got_cent, cent_h)
+    want_h = [(r["vec_id"], r["cosine"]) for r in ivf_query_topk(
+        emb, ivf_assign(emb, cent_h), cent_h, q, k=7, n_probe=3).collect()]
+    got_h = [(r["vec_id"], r["cosine"]) for r in
+             ivf_query_topk_disk(emb, out_h, q, k=7, n_probe=3).collect()]
+    assert got_h == want_h and len(got_h) == 7
