@@ -95,6 +95,7 @@ from search_engine_spark.operators.index_build import (
 )
 from search_engine_spark.operators.query import (
     bm25_topk,
+    bm25_topk_batch,
     bm25_topk_per_scope,
     bm25_topk_sql,
     candidate_docs,
@@ -312,6 +313,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query as q_bm25 — same oracle, 3-way differential harness
         return bm25_topk_sql(_index_for(spark, sf), Q_MAIN, k=10).select(
             "doc_id", "score"
+        )
+
+    def q_bm25_batch(spark, sf):
+        # the offline query-log replay: all four headline queries in ONE
+        # postings pass (one groupBy(query_id, doc_id) shuffle), per-
+        # query windowed top-k — rank-identical per query to bm25_topk
+        return bm25_topk_batch(
+            _index_for(spark, sf),
+            {0: Q_MAIN, 1: Q_RARE, 2: Q_AND, 3: Q_REL},
+            k=10,
         )
 
     def q_and_search(spark, sf):
@@ -1021,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_df_salted": q_terms_salted,
         "doclen": q_doclen,
         "bm25_topk": q_bm25,
+        "bm25_topk_batch": q_bm25_batch,
         "bm25_topk_rare": q_bm25_rare,
         "bm25_topk_or": q_bm25_or,
         "bm25_topk_or_wand": q_bm25_or_wand,
@@ -1182,6 +1194,21 @@ def _bm25_sql(query: str, k: int = 10, cte: str = _POSTINGS,
     SELECT doc_id, round(raw, 6) AS score FROM scored
     ORDER BY score DESC, doc_id ASC LIMIT {k}
     """
+
+
+def _bm25_batch_sql(queries: dict[int, str], k: int = 10) -> str:
+    """DuckDB twin of query.bm25_topk_batch: each query's top-k is the
+    exact _bm25_sql statement, stamped with its query_id and its rnk
+    (recomputed by the same rounded-score + doc_id-asc tie-break the
+    window in the Spark plan uses), UNION ALL'd across the log."""
+    parts = []
+    for qid in sorted(queries):
+        parts.append(f"""
+    SELECT CAST({qid} AS BIGINT) AS query_id, doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                AS INTEGER) AS rnk
+    FROM ({_bm25_sql(queries[qid], k=k)})""")
+    return " UNION ALL ".join(parts)
 
 
 def _bm25_grouped_sql(query: str, n_per_scope: int = 3) -> str:
@@ -2194,6 +2221,9 @@ def oracle_sql() -> dict[str, str]:
         "terms_df_salted": f"WITH {_POSTINGS} SELECT lemma, df FROM terms",
         "doclen": f"WITH {_POSTINGS} SELECT doc_id, dl FROM doclen",
         "bm25_topk": _bm25_sql(Q_MAIN),
+        "bm25_topk_batch": _bm25_batch_sql(
+            {0: Q_MAIN, 1: Q_RARE, 2: Q_AND, 3: Q_REL}, k=10
+        ),
         "bm25_topk_rare": _bm25_sql(Q_RARE),
         "bm25_topk_or": _bm25_sql(Q_AND, match_all=False),
         "bm25_topk_or_wand": _bm25_sql(Q_AND, match_all=False),

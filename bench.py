@@ -267,7 +267,8 @@ def main() -> None:
 
     # ---- operator suite over the driver testdata ------------------------
     suite = [
-        "bm25_topk", "bm25_topk_sql", "ngram_jaccard_pairs",
+        "bm25_topk", "bm25_topk_sql", "bm25_topk_batch",
+        "ngram_jaccard_pairs",
         "minhash_lsh_pairs", "dedup_keepers", "training_cleanse",
         "simhash_pairs", "embedding_topk",
         "srp_ann_topk", "srp_ann_topk_disk", "ivf_ann_topk",

@@ -225,6 +225,94 @@ def bm25_topk_per_scope(
     )
 
 
+def bm25_topk_batch(
+    index: InvertedIndex,
+    queries: dict[int, str] | list[tuple[int, str]],
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    match_all: bool = True,
+) -> DataFrame:
+    """Top-k for a whole QUERY LOG in ONE postings pass — the offline
+    eval / relevance-regression shape (replay yesterday's queries
+    against today's index) where a per-query loop would rescan the
+    corpus |queries| times.
+
+    Plan: every query is parsed driver-side with the same
+    :func:`parse_query` as the online path, the union of lemmas becomes
+    ONE IN-list postings scan (pushdown-pruned exactly like the
+    single-query engine), a tiny broadcast (query_id, lemma) table fans
+    each posting out to the queries that contain its lemma, and one
+    groupBy(query_id, doc_id) aggregate produces score + AND-arity for
+    all queries together. Per-query top-k is a row_number window over
+    only the MATCHING docs (selectivity-bounded, never the corpus).
+    Shuffles: one, on (query_id, doc_id) — independent of |queries|.
+    The query log is driver-sized by contract (it is someone's eval
+    set, not a table); at 100 TB the postings side is the scale axis
+    and it is scanned once.
+
+    Rank-identical per query to :func:`bm25_topk` (same weights, same
+    rounded-score + doc_id-asc tie-break; pinned by a differential
+    test). Queries that parse to no lemmas contribute no rows — the
+    reference's 'empty request' guard (ApiService.java:49-69).
+
+    Returns (query_id, doc_id, score, rnk), rnk 1..k per query.
+    """
+    from pyspark.sql import Window
+
+    items = sorted(queries.items()) if isinstance(queries, dict) else list(queries)
+    qlem: list[tuple[int, str]] = []
+    arity: list[tuple[int, int]] = []
+    for qid, text in items:
+        lems = parse_query(text)
+        if not lems:
+            continue
+        arity.append((int(qid), len(lems)))
+        qlem.extend((int(qid), lem) for lem in lems)
+    spark = index.postings.sparkSession
+    if not qlem:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, score double, rnk int"
+        )
+    all_lemmas = sorted({lem for _, lem in qlem})
+    qdf = spark.createDataFrame(qlem, "query_id long, lemma string")
+    adf = spark.createDataFrame(arity, "query_id long, n_lemmas int")
+    stats = index.stats
+    scored = (
+        index.postings.filter(F.col("lemma").isin(all_lemmas))
+        .join(F.broadcast(qdf), "lemma")
+        .join(
+            F.broadcast(
+                index.terms.filter(F.col("lemma").isin(all_lemmas))
+                .select("lemma", "df")
+            ),
+            "lemma",
+        )
+        .withColumn("_idf", idf_col(F.col("df").cast("double"), stats.n_docs))
+        .withColumn(
+            "_w",
+            bm25_weight_col(F.col("tf").cast("double"),
+                            F.col("dl").cast("double"),
+                            F.col("_idf"), stats.avgdl, k1, b),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("_nt"), F.sum("_w").alias("score_raw"))
+        .join(F.broadcast(adf), "query_id")
+        .filter(
+            (F.col("_nt") == F.col("n_lemmas")) if match_all else F.lit(True)
+        )
+        .withColumn("score", F.round(F.col("score_raw"), SCORE_DECIMALS))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.select("query_id", "doc_id", "score",
+                      F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def bm25_topk_sql(
     index: InvertedIndex,
     query: str,

@@ -682,3 +682,43 @@ def test_grouped_topk_matches_global_scores(tiny_index):
         want += [(scope, d, s, i + 1) for i, (s, d) in enumerate(ranked)]
     assert got == want
     assert len({s for s, *_ in got}) > 1  # fixture really has >1 scope
+
+
+def test_batch_topk_matches_per_query(tiny_index):
+    """bm25_topk_batch over the whole QUERIES log == per-query bm25_topk
+    (docIDs AND rounded scores, rnk = position); queries that parse
+    empty yield no rows."""
+    from search_engine_spark.operators.query import bm25_topk_batch
+
+    batch = bm25_topk_batch(
+        tiny_index, list(enumerate(QUERIES)), k=10
+    ).orderBy("query_id", "rnk").collect()
+    got: dict = {}
+    for r in batch:
+        got.setdefault(int(r["query_id"]), []).append(
+            (r["doc_id"], r["score"], r["rnk"])
+        )
+    for qid, query in enumerate(QUERIES):
+        want = [(d, s, i + 1) for i, (d, s) in
+                enumerate(_rows(bm25_topk(tiny_index, query, k=10)))]
+        assert got.get(qid, []) == want, query
+    assert set(got) == {
+        qid for qid, q in enumerate(QUERIES) if parse_query(q)
+        and _rows(bm25_topk(tiny_index, q, k=10))
+    }
+
+
+def test_batch_topk_or_mode_and_empty_log(tiny_index):
+    from search_engine_spark.operators.query import bm25_topk_batch
+
+    rows = bm25_topk_batch(
+        tiny_index, {7: "w00000 zzznotaword"}, k=5, match_all=False
+    ).collect()
+    want = _rows(bm25_topk(tiny_index, "w00000 zzznotaword", k=5,
+                           match_all=False))
+    assert [(r["doc_id"], r["score"]) for r in
+            sorted(rows, key=lambda r: r["rnk"])] == want
+
+    empty = bm25_topk_batch(tiny_index, {1: "the and of"}, k=5)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "doc_id", "score", "rnk"]
