@@ -6,9 +6,15 @@ Usage:
     python jobs/ann.py build --embeddings <parquet> --index <dir> \
         [--method srp|ivf] [--planes 8] [--tables 4] [--group-bits 5] \
         [--clusters 16] [--local-cpus N]
+    python jobs/ann.py append --embeddings <delta_parquet> --index <dir> \
+        [--allow-duplicates] [--local-cpus N]
     python jobs/ann.py query --embeddings <parquet> --index <dir> \
         (--vec-id ID | --vector "0.1,0.2,...") [--k 10] \
         [--multiprobe 1] [--n-probe 4] [--brute] [--local-cpus N]
+
+``append`` folds NEW vectors into an existing index (either family)
+using the parameters recorded in its meta, rewriting ONLY the partition
+dirs that received rows — O(delta), not O(index).
 
 ``build`` persists ids-only (table, bucket-group)-partitioned lists
 (similarity.write_srp_index) plus an ``_ann_meta.json`` (underscore-prefixed: parquet
@@ -31,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("mode", choices=["build", "query"])
+    p.add_argument("mode", choices=["build", "append", "query"])
     p.add_argument("--embeddings", required=True,
                    help="parquet with (vec_id long, embedding array)")
     p.add_argument("--index", required=True, help="SRP index dir")
@@ -54,6 +60,8 @@ def main() -> None:
                    help="probe Hamming radius (recall lever)")
     p.add_argument("--brute", action="store_true",
                    help="exact brute-force baseline (ignores the index)")
+    p.add_argument("--allow-duplicates", action="store_true",
+                   help="skip the already-indexed-id check on append")
     p.add_argument("--local-cpus", type=int, default=None)
     args = p.parse_args()
 
@@ -61,6 +69,8 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from search_engine_spark.operators.similarity import (
+        append_ivf_index,
+        append_srp_index,
         brute_force_topk,
         ivf_query_topk_disk,
         srp_query_topk_disk,
@@ -96,6 +106,29 @@ def main() -> None:
         os.replace(meta_path + ".tmp", meta_path)
         print(json.dumps({"built": args.index, **meta,
                           "n_vectors": emb.count()}), flush=True)
+        spark.stop()
+        return
+
+    if args.mode == "append":
+        if not os.path.exists(meta_path):
+            print(f"no ANN index at {args.index} (_ann_meta.json missing); "
+                  "run build first", file=sys.stderr)
+            spark.stop()
+            sys.exit(2)
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        check = not args.allow_duplicates
+        if meta.get("method") == "ivf":
+            affected = append_ivf_index(emb, args.index,
+                                        check_duplicates=check)
+        else:
+            affected = append_srp_index(
+                emb, args.index, dim=meta["dim"],
+                n_planes=meta["n_planes"], n_tables=meta["n_tables"],
+                group_bits=meta["group_bits"], check_duplicates=check,
+            )
+        print(json.dumps({"appended": emb.count(),
+                          "affected_partitions": len(affected)}), flush=True)
         spark.stop()
         return
 

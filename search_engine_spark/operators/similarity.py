@@ -15,6 +15,8 @@ shares the machinery.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -483,6 +485,157 @@ def write_ivf_index(
         json.dump(meta, fh)
     os.replace(meta_path + ".tmp", meta_path)
     return cent
+
+
+def _swap_partition_dirs(
+    combined: DataFrame, index_dir: str, partition_cols: list[str],
+    affected: list[tuple], sort_col: str | None = None,
+) -> None:
+    """Replace ONLY the affected partition dirs of a partitioned ANN
+    index with `combined` (which must be restricted to those partition
+    values): one job writes the replacements to a HIDDEN sibling tmp
+    dir, then each affected leaf dir is atomically swapped — untouched
+    partitions' files are never read or rewritten (the same
+    Iceberg-MERGE-shaped mutation bound as index_store._swap_buckets,
+    whose dot-prefixed-sibling discipline this reuses: visible residue
+    would be discovered as a bogus partition value)."""
+    import shutil
+
+    from search_engine_spark.sources.index_store import _swap_sibling
+
+    tmp = os.path.join(
+        os.path.dirname(index_dir.rstrip("/")),
+        "." + os.path.basename(index_dir.rstrip("/")) + ".tmp_swap",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    w = combined.repartition(*[F.col(c) for c in partition_cols])
+    if sort_col is not None:
+        w = w.sortWithinPartitions(sort_col)
+    w.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+    for values in affected:
+        rel = os.path.join(
+            *(f"{c}={v}" for c, v in zip(partition_cols, values))
+        )
+        src = os.path.join(tmp, rel)
+        dst = os.path.join(index_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        old = _swap_sibling(dst, "old")
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(dst):
+            os.replace(dst, old)
+        if os.path.isdir(src):
+            os.replace(src, dst)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _reject_duplicate_ids(
+    index_dir: str, delta: DataFrame, id_col: str
+) -> None:
+    """Append-only contract: a vec_id already in the index means the
+    caller wants an upsert (delete + re-add, which would have to touch
+    the OLD assignment's partition too) — refuse loudly instead of
+    silently double-serving the id from two lists. Cost: one ids-only
+    column scan of the index, the price of a checked append; pass
+    check_duplicates=False when the producer guarantees fresh ids."""
+    spark = delta.sparkSession
+    existing = spark.read.parquet(index_dir).select(id_col)
+    dup = existing.join(
+        F.broadcast(delta.select(id_col).distinct()), id_col
+    ).limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"append: {id_col}={dup[0][0]} already indexed "
+            "(append is insert-only; delete/rebuild to re-embed)"
+        )
+
+
+def append_ivf_index(
+    embeddings_delta: DataFrame, index_dir: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    check_duplicates: bool = True,
+) -> list[int]:
+    """Fold NEW vectors into a :func:`write_ivf_index` directory without
+    rebuilding it: assign the delta with the PERSISTED centroids (the
+    model is frozen at build time — append never re-fits), then rewrite
+    only the cluster partition dirs that received rows. Untouched
+    clusters keep their exact files, so append cost is O(delta +
+    affected clusters), not O(index). Returns the affected cluster ids.
+
+    Result-identical to a from-scratch :func:`write_ivf_index` of the
+    full corpus with the same centroids (pinned by test)."""
+    cent = read_ivf_centroids(index_dir)
+    delta = ivf_assign(
+        embeddings_delta, cent, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint()
+    if check_duplicates:
+        _reject_duplicate_ids(index_dir, delta, id_col)
+    spark = delta.sparkSession
+    affected = sorted(
+        int(r["cluster"]) for r in delta.select("cluster").distinct().collect()
+    )
+    if not affected:
+        return []
+    existing = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("cluster").isin(affected))
+        .select(id_col, "cluster")
+    )
+    combined = existing.unionByName(delta.select(id_col, "cluster"))
+    _swap_partition_dirs(
+        combined, index_dir, ["cluster"], [(c,) for c in affected]
+    )
+    return affected
+
+
+def append_srp_index(
+    embeddings_delta: DataFrame, index_dir: str, dim: int,
+    n_planes: int = 8, n_tables: int = 4, group_bits: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    check_duplicates: bool = True,
+) -> list[tuple[int, int]]:
+    """SRP twin of :func:`append_ivf_index`: bucket the NEW vectors with
+    the same deterministic hyperplanes (derived from (dim, n_planes,
+    n_tables) — pass the parameters the index was written with, e.g.
+    from the CLI's _ann_meta.json) and rewrite only the (table, bgroup)
+    partition dirs that received rows, keeping the bucket-sorted in-file
+    order the probe's row-group pruning relies on. Returns the affected
+    (table, bgroup) pairs."""
+    shift = max(n_planes - group_bits, 0)
+    usable = with_norm(embeddings_delta, vec_col, dim).filter(
+        F.col("_norm") > 0
+    )
+    delta = (
+        _with_table_buckets(usable, dim, n_planes, n_tables, vec_col,
+                            keep=[id_col])
+        .withColumn("bgroup", F.shiftright(F.col("bucket"), shift))
+        .localCheckpoint()
+    )
+    if check_duplicates:
+        _reject_duplicate_ids(index_dir, delta, id_col)
+    spark = delta.sparkSession
+    affected = sorted(
+        (int(r["table"]), int(r["bgroup"]))
+        for r in delta.select("table", "bgroup").distinct().collect()
+    )
+    if not affected:
+        return []
+    pred = None
+    for t, g in affected:
+        leg = (F.col("table") == t) & (F.col("bgroup") == g)
+        pred = leg if pred is None else (pred | leg)
+    existing = (
+        spark.read.parquet(index_dir)
+        .filter(pred)
+        .select("bucket", id_col, "table", "bgroup")
+    )
+    combined = existing.unionByName(
+        delta.select("bucket", id_col, "table", "bgroup")
+    )
+    _swap_partition_dirs(
+        combined, index_dir, ["table", "bgroup"], affected, sort_col="bucket"
+    )
+    return affected
 
 
 def read_ivf_centroids(index_dir: str) -> "np.ndarray":

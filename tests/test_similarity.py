@@ -610,3 +610,163 @@ def test_ivf_disk_index_matches_memory_and_prunes_partitions(emb, spark,
     got_h = [(r["vec_id"], r["cosine"]) for r in
              ivf_query_topk_disk(emb, out_h, q, k=7, n_probe=3).collect()]
     assert got_h == want_h and len(got_h) == 7
+
+
+def _dir_snapshot(root):
+    """{relpath: (size, mtime_ns)} for every file under root."""
+    import os
+
+    out = {}
+    for dp, _, fns in os.walk(root):
+        for fn in fns:
+            p = os.path.join(dp, fn)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_append_ivf_partition_bounded(emb, spark, tmp_path):
+    """append_ivf_index == from-scratch build of the full corpus on the
+    same frozen centroids; only the clusters that received delta rows
+    are rewritten (untouched partition dirs byte-stable); duplicate ids
+    are refused."""
+    from search_engine_spark.operators.similarity import (
+        append_ivf_index,
+        hash_centroids,
+        ivf_assign,
+        ivf_query_topk_disk,
+        write_ivf_index,
+    )
+
+    v = _vecs()
+    base = emb.filter(F.col("vec_id") < 290)
+    delta = emb.filter(F.col("vec_id") >= 290)
+    cent = hash_centroids(DIM, 8)
+    out = str(tmp_path / "ivf_append")
+    write_ivf_index(base, out, dim=DIM, centroids=cent)
+    before = _dir_snapshot(out)
+
+    affected = append_ivf_index(delta, out)
+    assert affected  # the 10-vector delta landed somewhere
+    untouched = [c for c in range(8) if c not in affected]
+    assert untouched  # fixture leaves at least one cluster untouched
+    after = _dir_snapshot(out)
+    for rel, sig in before.items():
+        cl = rel.split("/")[0]
+        if cl.startswith("cluster=") and int(cl.split("=")[1]) in untouched:
+            assert after.get(rel) == sig, rel  # never read, never rewritten
+
+    # stored assignments == one fresh assignment pass over the full set
+    stored = {(r["vec_id"], r["cluster"])
+              for r in spark.read.parquet(out).collect()}
+    want = {(r["vec_id"], r["cluster"])
+            for r in ivf_assign(emb, cent).collect()}
+    assert stored == want and len(stored) == N
+
+    # probe result == a fresh full build's probe
+    out_full = str(tmp_path / "ivf_full")
+    write_ivf_index(emb, out_full, dim=DIM, centroids=cent)
+    q = [float(x) for x in v[3]]
+    got = [(r["vec_id"], r["cosine"]) for r in
+           ivf_query_topk_disk(emb, out, q, k=8, n_probe=3).collect()]
+    want_q = [(r["vec_id"], r["cosine"]) for r in
+              ivf_query_topk_disk(emb, out_full, q, k=8, n_probe=3).collect()]
+    assert got == want_q and got[0][0] == 3
+
+    with pytest.raises(ValueError, match="already indexed"):
+        append_ivf_index(emb.filter(F.col("vec_id") == 0), out)
+
+
+def test_append_srp_partition_bounded(emb, spark, tmp_path):
+    """append_srp_index: appended index answers probes identically to a
+    from-scratch build of the full corpus (same deterministic
+    hyperplanes); untouched (table, bgroup) dirs byte-stable."""
+    from search_engine_spark.operators.similarity import (
+        append_srp_index,
+        srp_query_topk_disk,
+        write_srp_index,
+    )
+
+    v = _vecs()
+    base = emb.filter(F.col("vec_id") < 290)
+    delta = emb.filter(F.col("vec_id") >= 290)
+    out = str(tmp_path / "srp_append")
+    write_srp_index(base, out, dim=DIM, n_planes=8, n_tables=2)
+    before = _dir_snapshot(out)
+
+    affected = append_srp_index(delta, out, dim=DIM, n_planes=8, n_tables=2)
+    assert affected
+    aff = set(affected)
+    touched_rel = {f"table={t}/bgroup={g}" for t, g in aff}
+    after = _dir_snapshot(out)
+    untouched_seen = 0
+    for rel, sig in before.items():
+        parts = rel.split("/")
+        if len(parts) >= 3 and parts[0].startswith("table="):
+            if f"{parts[0]}/{parts[1]}" not in touched_rel:
+                assert after.get(rel) == sig, rel
+                untouched_seen += 1
+    assert untouched_seen  # fixture leaves some groups untouched
+
+    out_full = str(tmp_path / "srp_full")
+    write_srp_index(emb, out_full, dim=DIM, n_planes=8, n_tables=2)
+    q = [float(x) for x in v[295]]  # a delta vector must be findable
+    got = [(r["vec_id"], r["cosine"]) for r in srp_query_topk_disk(
+        emb, out, q, k=5, n_planes=8, n_tables=2).collect()]
+    want = [(r["vec_id"], r["cosine"]) for r in srp_query_topk_disk(
+        emb, out_full, q, k=5, n_planes=8, n_tables=2).collect()]
+    assert got == want and got and got[0][0] == 295
+
+    with pytest.raises(ValueError, match="already indexed"):
+        append_srp_index(emb.filter(F.col("vec_id") == 1), out,
+                         dim=DIM, n_planes=8, n_tables=2)
+
+
+def test_ann_cli_append(tmp_path):
+    """jobs/ann.py append: fold a delta parquet into a built index using
+    the recorded meta; new ids become retrievable; re-appending an
+    already-indexed id fails loudly."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    import duckdb
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo)
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    base = str(tmp_path / "base.parquet")
+    delta = str(tmp_path / "delta.parquet")
+    con = duckdb.connect()
+    nmax = con.sql(f"SELECT max(vec_id) FROM '{emb}'").fetchone()[0]
+    cut = nmax - 5
+    con.sql(f"COPY (SELECT * FROM '{emb}' WHERE vec_id <= {cut}) "
+            f"TO '{base}' (FORMAT PARQUET)")
+    con.sql(f"COPY (SELECT * FROM '{emb}' WHERE vec_id > {cut}) "
+            f"TO '{delta}' (FORMAT PARQUET)")
+    idx = str(tmp_path / "ann_idx")
+
+    def run(embeddings, *a):
+        return subprocess.run(
+            [sys.executable, os.path.join(repo, "jobs", "ann.py"),
+             *a, "--embeddings", embeddings, "--index", idx,
+             "--local-cpus", "2"],
+            capture_output=True, text=True, cwd=repo, timeout=300, env=env,
+        )
+
+    b = run(base, "build", "--method", "ivf", "--clusters", "8")
+    assert b.returncode == 0, b.stderr[-2000:]
+    a = run(delta, "append")
+    assert a.returncode == 0, a.stderr[-2000:]
+    stats = _json.loads(a.stdout.strip().splitlines()[-1])
+    assert stats["appended"] == 5 and stats["affected_partitions"] >= 1
+
+    q = run(emb, "query", "--vec-id", str(nmax), "--k", "5")
+    assert q.returncode == 0, q.stderr[-2000:]
+    hits = [_json.loads(l) for l in q.stdout.strip().splitlines() if l]
+    assert hits and hits[0]["vec_id"] == nmax \
+        and abs(hits[0]["cosine"] - 1) < 1e-6
+
+    dup = run(delta, "append")  # same ids again → insert-only contract
+    assert dup.returncode != 0 and "already indexed" in dup.stderr
