@@ -16,6 +16,14 @@ Usage:
 using the parameters recorded in its meta, rewriting ONLY the partition
 dirs that received rows — O(delta), not O(index).
 
+``refresh`` is the STREAMING form of append: treat --embeddings as a
+location where new files keep landing, drain whatever is new
+(Trigger.AvailableNow + checkpoint → exactly-once per file), and fold
+each micro-batch in with the same partition-bounded appends. Re-emitted
+ids in new files are skipped, not fatal (--duplicates skip|error|allow).
+Run it from cron / a scheduler and the ANN index tracks the embedding
+table with no rebuilds.
+
 ``build`` persists ids-only (table, bucket-group)-partitioned lists
 (similarity.write_srp_index) plus an ``_ann_meta.json`` (underscore-prefixed: parquet
 directory listing ignores it, like _SUCCESS) recording the
@@ -37,7 +45,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("mode", choices=["build", "append", "query"])
+    p.add_argument("mode", choices=["build", "append", "refresh", "query"])
     p.add_argument("--embeddings", required=True,
                    help="parquet with (vec_id long, embedding array)")
     p.add_argument("--index", required=True, help="SRP index dir")
@@ -62,6 +70,12 @@ def main() -> None:
                    help="exact brute-force baseline (ignores the index)")
     p.add_argument("--allow-duplicates", action="store_true",
                    help="skip the already-indexed-id check on append")
+    p.add_argument("--duplicates", choices=["skip", "error", "allow"],
+                   default="skip",
+                   help="refresh: policy for ids already in the index")
+    p.add_argument("--checkpoint", default=None,
+                   help="refresh: stream checkpoint dir (default "
+                        "<index>/_stream_checkpoint)")
     p.add_argument("--local-cpus", type=int, default=None)
     args = p.parse_args()
 
@@ -129,6 +143,28 @@ def main() -> None:
             )
         print(json.dumps({"appended": emb.count(),
                           "affected_partitions": len(affected)}), flush=True)
+        spark.stop()
+        return
+
+    if args.mode == "refresh":
+        if not os.path.exists(meta_path):
+            print(f"no ANN index at {args.index} (_ann_meta.json missing); "
+                  "run build first", file=sys.stderr)
+            spark.stop()
+            sys.exit(2)
+        from search_engine_spark.streaming.ann_refresh import (
+            incremental_ann_refresh,
+        )
+
+        before = spark.read.parquet(args.index).count()
+        incremental_ann_refresh(
+            spark, args.embeddings, args.index,
+            checkpoint_dir=args.checkpoint, on_duplicate=args.duplicates,
+        )
+        after = spark.read.parquet(args.index).count()
+        print(json.dumps({"refreshed": args.index,
+                          "n_vectors_before": before,
+                          "n_vectors_after": after}), flush=True)
         spark.stop()
         return
 

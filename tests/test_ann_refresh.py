@@ -1,0 +1,234 @@
+"""Streaming ANN refresh (streaming/ann_refresh.py): AvailableNow drain
+folds new embedding files into the disk index via partition-bounded
+appends; duplicate re-emits are skipped; result == from-scratch build."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.streaming.ann_refresh import (
+    append_ann_batch,
+    incremental_ann_refresh,
+    read_ann_meta,
+)
+
+DIM = 16
+N = 120
+
+
+def _vecs():
+    rs = np.random.RandomState(11)
+    return rs.randn(N, DIM)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    v = _vecs()
+    rows = [(i, [float(x) for x in v[i]], i % 3) for i in range(N)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def ivf_stream(spark, emb, tmp_path_factory):
+    """Base IVF index over ids [0, 90) + a streamed delta [90, 120)."""
+    from search_engine_spark.operators.similarity import (
+        hash_centroids,
+        write_ivf_index,
+    )
+
+    base_dir = tmp_path_factory.mktemp("ann_stream")
+    index_dir = str(base_dir / "ivf")
+    input_dir = str(base_dir / "incoming")
+    cent = hash_centroids(DIM, 8)
+    write_ivf_index(
+        emb.filter(F.col("vec_id") < 90), index_dir, dim=DIM, centroids=cent
+    )
+    meta = {"method": "ivf", "dim": DIM, "n_clusters": 8}
+    with open(os.path.join(index_dir, "_ann_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    emb.filter(F.col("vec_id") >= 90).write.mode("overwrite").parquet(
+        input_dir
+    )
+    incremental_ann_refresh(spark, input_dir, index_dir)
+    return input_dir, index_dir, cent
+
+
+def test_stream_folds_delta_into_ivf(spark, emb, ivf_stream):
+    from search_engine_spark.operators.similarity import ivf_assign
+
+    _, index_dir, cent = ivf_stream
+    stored = {
+        (r["vec_id"], r["cluster"])
+        for r in spark.read.parquet(index_dir).collect()
+    }
+    want = {
+        (r["vec_id"], r["cluster"]) for r in ivf_assign(emb, cent).collect()
+    }
+    assert stored == want and len(stored) == N
+
+
+def test_stream_probe_matches_full_build(spark, emb, ivf_stream, tmp_path):
+    from search_engine_spark.operators.similarity import (
+        ivf_query_topk_disk,
+        write_ivf_index,
+    )
+
+    _, index_dir, cent = ivf_stream
+    full_dir = str(tmp_path / "ivf_full")
+    write_ivf_index(emb, full_dir, dim=DIM, centroids=cent)
+    q = [float(x) for x in _vecs()[95]]
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_query_topk_disk(emb, index_dir, q, k=9, n_probe=3).collect()
+    ]
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_query_topk_disk(emb, full_dir, q, k=9, n_probe=3).collect()
+    ]
+    assert got == want and got[0][0] == 95
+
+
+def test_redelivered_file_is_skipped_not_fatal(spark, emb, ivf_stream):
+    """A producer re-emitting already-indexed ids in a NEW file (so the
+    stream checkpoint does not dedup it) is absorbed by the skip policy:
+    no duplicate rows, no stream failure."""
+    input_dir, index_dir, _ = ivf_stream
+    emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)).write.mode(
+        "append"
+    ).parquet(input_dir)
+    incremental_ann_refresh(spark, input_dir, index_dir)
+    got = spark.read.parquet(index_dir).groupBy("vec_id").count()
+    assert got.filter(F.col("count") > 1).isEmpty()
+    assert got.count() == N
+
+
+def test_checkpoint_makes_drain_idempotent(spark, ivf_stream):
+    """No new files → the drain is a no-op (exactly-once per file)."""
+    input_dir, index_dir, _ = ivf_stream
+    import search_engine_spark.streaming.ann_refresh as ar
+
+    calls = []
+    orig = ar.append_ann_batch
+
+    def spy(batch, idx, meta, on_duplicate="skip"):
+        calls.append(1)
+        return orig(batch, idx, meta, on_duplicate=on_duplicate)
+
+    ar.append_ann_batch = spy
+    try:
+        incremental_ann_refresh(spark, input_dir, index_dir)
+    finally:
+        ar.append_ann_batch = orig
+    assert not calls
+
+
+def test_error_policy_raises_on_duplicate(spark, emb, ivf_stream):
+    _, index_dir, _ = ivf_stream
+    meta = read_ann_meta(index_dir)
+    dup = emb.filter(F.col("vec_id") == 0)
+    with pytest.raises(Exception, match="already indexed"):
+        append_ann_batch(dup, index_dir, meta, on_duplicate="error")
+
+
+def test_srp_stream_refresh(spark, emb, tmp_path):
+    """Same drain over the SRP family: meta-recorded hyperplane params,
+    appended index answers probes like a from-scratch full build."""
+    from search_engine_spark.operators.similarity import (
+        srp_query_topk_disk,
+        write_srp_index,
+    )
+
+    index_dir = str(tmp_path / "srp")
+    input_dir = str(tmp_path / "incoming")
+    write_srp_index(
+        emb.filter(F.col("vec_id") < 90), index_dir, dim=DIM,
+        n_planes=8, n_tables=2,
+    )
+    meta = {"method": "srp", "dim": DIM, "n_planes": 8, "n_tables": 2,
+            "group_bits": 5}
+    with open(os.path.join(index_dir, "_ann_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    emb.filter(F.col("vec_id") >= 90).write.mode("overwrite").parquet(
+        input_dir
+    )
+    incremental_ann_refresh(spark, input_dir, index_dir)
+
+    full_dir = str(tmp_path / "srp_full")
+    write_srp_index(emb, full_dir, dim=DIM, n_planes=8, n_tables=2)
+    q = [float(x) for x in _vecs()[103]]
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in srp_query_topk_disk(
+            emb, index_dir, q, k=8, n_planes=8, n_tables=2
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in srp_query_topk_disk(
+            emb, full_dir, q, k=8, n_planes=8, n_tables=2
+        ).collect()
+    ]
+    assert got == want and got and got[0][0] == 103
+
+
+def test_ann_cli_refresh(tmp_path):
+    """jobs/ann.py refresh: drain an incoming dir into a built index;
+    a second drain with no new files is a no-op; a re-emitted id in a
+    NEW file is skipped, not fatal."""
+    import json as _json
+    import subprocess
+    import sys
+
+    import duckdb
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo)
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    base = str(tmp_path / "base.parquet")
+    incoming = str(tmp_path / "incoming")
+    os.makedirs(incoming)
+    con = duckdb.connect()
+    nmax = con.sql(f"SELECT max(vec_id) FROM '{emb}'").fetchone()[0]
+    cut = nmax - 5
+    con.sql(f"COPY (SELECT * FROM '{emb}' WHERE vec_id <= {cut}) "
+            f"TO '{base}' (FORMAT PARQUET)")
+    con.sql(f"COPY (SELECT * FROM '{emb}' WHERE vec_id > {cut}) "
+            f"TO '{incoming}/delta1.parquet' (FORMAT PARQUET)")
+    idx = str(tmp_path / "ann_idx")
+
+    def run(embeddings, *a):
+        return subprocess.run(
+            [sys.executable, os.path.join(repo, "jobs", "ann.py"),
+             *a, "--embeddings", embeddings, "--index", idx,
+             "--local-cpus", "2"],
+            capture_output=True, text=True, cwd=repo, timeout=300, env=env,
+        )
+
+    b = run(base, "build", "--method", "ivf", "--clusters", "8")
+    assert b.returncode == 0, b.stderr[-2000:]
+    r = run(incoming, "refresh")
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["n_vectors_after"] - stats["n_vectors_before"] == 5
+
+    # no new files → no-op; re-emitted ids in a new file → skipped
+    con.sql(f"COPY (SELECT * FROM '{emb}' WHERE vec_id > {cut}) "
+            f"TO '{incoming}/delta1_again.parquet' (FORMAT PARQUET)")
+    r2 = run(incoming, "refresh")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    stats2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert stats2["n_vectors_after"] == stats2["n_vectors_before"] \
+        == stats["n_vectors_after"]
+
+    q = run(emb, "query", "--vec-id", str(nmax), "--k", "5")
+    assert q.returncode == 0, q.stderr[-2000:]
+    hits = [_json.loads(l) for l in q.stdout.strip().splitlines() if l]
+    assert hits and hits[0]["vec_id"] == nmax \
+        and abs(hits[0]["cosine"] - 1) < 1e-6
