@@ -8,6 +8,8 @@ Usage:
         [--clusters 16] [--local-cpus N]
     python jobs/ann.py append --embeddings <delta_parquet> --index <dir> \
         [--allow-duplicates] [--local-cpus N]
+    python jobs/ann.py delete --embeddings <parquet> --index <dir> \
+        --vec-ids "7,42,99" [--local-cpus N]
     python jobs/ann.py query --embeddings <parquet> --index <dir> \
         (--vec-id ID | --vector "0.1,0.2,...") [--k 10] \
         [--multiprobe 1] [--n-probe 4] [--brute] [--local-cpus N]
@@ -45,7 +47,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("mode", choices=["build", "append", "refresh", "query"])
+    p.add_argument("mode",
+                   choices=["build", "append", "refresh", "delete", "query"])
     p.add_argument("--embeddings", required=True,
                    help="parquet with (vec_id long, embedding array)")
     p.add_argument("--index", required=True, help="SRP index dir")
@@ -70,9 +73,13 @@ def main() -> None:
                    help="exact brute-force baseline (ignores the index)")
     p.add_argument("--allow-duplicates", action="store_true",
                    help="skip the already-indexed-id check on append")
-    p.add_argument("--duplicates", choices=["skip", "error", "allow"],
+    p.add_argument("--duplicates",
+                   choices=["skip", "error", "allow", "upsert"],
                    default="skip",
-                   help="refresh: policy for ids already in the index")
+                   help="refresh: policy for ids already in the index "
+                        "(upsert = re-embedding: delete old, append new)")
+    p.add_argument("--vec-ids", default=None,
+                   help="delete: comma-separated ids to remove")
     p.add_argument("--checkpoint", default=None,
                    help="refresh: stream checkpoint dir (default "
                         "<index>/_stream_checkpoint)")
@@ -142,6 +149,22 @@ def main() -> None:
                 group_bits=meta["group_bits"], check_duplicates=check,
             )
         print(json.dumps({"appended": emb.count(),
+                          "affected_partitions": len(affected)}), flush=True)
+        spark.stop()
+        return
+
+    if args.mode == "delete":
+        if not args.vec_ids:
+            print("delete needs --vec-ids", file=sys.stderr)
+            spark.stop()
+            sys.exit(2)
+        from search_engine_spark.operators.similarity import (
+            delete_from_ann_index,
+        )
+
+        ids = [int(x) for x in args.vec_ids.split(",")]
+        affected = delete_from_ann_index(spark, args.index, ids)
+        print(json.dumps({"deleted_ids": len(ids),
                           "affected_partitions": len(affected)}), flush=True)
         spark.stop()
         return

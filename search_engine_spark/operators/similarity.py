@@ -19,7 +19,7 @@ import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -644,6 +644,62 @@ def read_ivf_centroids(index_dir: str) -> "np.ndarray":
 
     with open(os.path.join(index_dir, "_ivf_meta.json")) as fh:
         return np.asarray(json.load(fh)["centroids"], dtype=np.float64)
+
+
+def delete_from_ann_index(
+    spark: SparkSession, index_dir: str, vec_ids: list[int],
+    partition_cols: list[str] | None = None, id_col: str = "vec_id",
+) -> list[tuple]:
+    """Remove ids from a disk ANN index (either family) by rewriting
+    ONLY the partition dirs that contain them — the delete twin of the
+    appends, completing build/append/refresh/delete with the same
+    O(affected partitions) mutation bound (the reference's single-page
+    delete+reinsert, Parser.java:181-256, applied to vectors).
+
+    Locating the ids costs one ids-only column scan (same price as the
+    checked append — no stored vectors are needed, so this works even
+    when the embedding rows are already gone, the usual reason for a
+    delete). A partition whose rows are all deleted disappears from the
+    directory tree (`_swap_partition_dirs` drops dirs with no
+    replacement). Returns the affected partition keys; a no-op (none of
+    the ids indexed) returns []. SRP indexes hold each id in n_tables
+    partitions — all of them are cleaned.
+
+    ``partition_cols`` defaults by sniffing the layout: ``[cluster]``
+    (IVF) vs ``[table, bgroup]`` (SRP)."""
+    if not vec_ids:
+        return []
+    ids = [int(i) for i in vec_ids]
+    if partition_cols is None:
+        entry = next(
+            (d for d in sorted(os.listdir(index_dir)) if "=" in d), None
+        )
+        if entry is None:
+            raise ValueError(f"{index_dir}: no partition dirs")
+        partition_cols = (
+            ["table", "bgroup"] if entry.startswith("table=") else ["cluster"]
+        )
+    full = spark.read.parquet(index_dir)
+    hit = full.filter(F.col(id_col).isin(ids))
+    affected = sorted(
+        tuple(int(r[c]) for c in partition_cols)
+        for r in hit.select(*partition_cols).distinct().collect()
+    )
+    if not affected:
+        return []
+    pred = None
+    for values in affected:
+        leg = None
+        for c, v in zip(partition_cols, values):
+            term = F.col(c) == v
+            leg = term if leg is None else (leg & term)
+        pred = leg if pred is None else (pred | leg)
+    survivors = full.filter(pred).filter(~F.col(id_col).isin(ids))
+    sort_col = "bucket" if "bucket" in full.columns else None
+    _swap_partition_dirs(
+        survivors, index_dir, partition_cols, affected, sort_col=sort_col
+    )
+    return affected
 
 
 def ivf_query_topk_disk(

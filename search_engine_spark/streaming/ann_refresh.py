@@ -22,7 +22,9 @@ VECTOR additionally needs duplicate handling, because a producer may
 re-emit an id in a later file: ``on_duplicate="skip"`` anti-joins the
 batch against the index's ids-only column scan (the checked-append
 price), ``"error"`` fails the stream loudly (the batch append's
-default contract), ``"allow"`` trusts the producer. The append path is
+default contract), ``"allow"`` trusts the producer, and ``"upsert"``
+treats a re-emitted id as a RE-EMBEDDING (delete the old assignment,
+append the new — both partition-bounded). The append path is
 O(delta + affected partition dirs), never O(index) — the property that
 makes continuous refresh viable on a 100 TB vector table where a
 rebuild is a day-scale job.
@@ -40,6 +42,7 @@ from pyspark.sql import types as T
 from search_engine_spark.operators.similarity import (
     append_ivf_index,
     append_srp_index,
+    delete_from_ann_index,
 )
 
 # (vec_id, embedding) is the index contract; label rides along unused.
@@ -84,8 +87,10 @@ def append_ann_batch(
     the duplicate policy, then the partition-bounded append for the
     index's recorded family. Returns the affected partition keys
     (cluster ids for IVF, (table, bgroup) pairs for SRP)."""
-    if on_duplicate not in ("skip", "error", "allow"):
+    if on_duplicate not in ("skip", "error", "allow", "upsert"):
         raise ValueError(f"on_duplicate={on_duplicate!r}")
+    if on_duplicate == "upsert":
+        return upsert_ann_batch(batch, index_dir, meta)
     batch = batch.dropDuplicates(["vec_id"])
     if on_duplicate == "skip":
         batch = _drop_already_indexed(batch, index_dir).localCheckpoint()
@@ -99,6 +104,22 @@ def append_ann_batch(
         n_tables=meta["n_tables"], group_bits=meta["group_bits"],
         check_duplicates=check,
     )
+
+
+def upsert_ann_batch(
+    batch: DataFrame, index_dir: str, meta: dict
+) -> list:
+    """Re-embedded vectors: delete the ids' OLD assignments, then append
+    the new ones — both halves partition-bounded, so an upsert costs
+    O(old partitions + new partitions), never O(index). The window
+    between the two swaps serves neither version (an id briefly absent
+    beats briefly double-served: ANN probes tolerate a missing
+    candidate, not a stale duplicate outranking the fresh one)."""
+    batch = batch.dropDuplicates(["vec_id"])
+    ids = [int(r["vec_id"]) for r in batch.select("vec_id").collect()]
+    spark = batch.sparkSession
+    delete_from_ann_index(spark, index_dir, ids)
+    return append_ann_batch(batch, index_dir, meta, on_duplicate="allow")
 
 
 def incremental_ann_refresh(

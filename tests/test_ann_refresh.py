@@ -232,3 +232,114 @@ def test_ann_cli_refresh(tmp_path):
     hits = [_json.loads(l) for l in q.stdout.strip().splitlines() if l]
     assert hits and hits[0]["vec_id"] == nmax \
         and abs(hits[0]["cosine"] - 1) < 1e-6
+
+    # delete the id we just retrieved → gone from subsequent probes
+    d = run(emb, "delete", "--vec-ids", str(nmax))
+    assert d.returncode == 0, d.stderr[-2000:]
+    dstats = _json.loads(d.stdout.strip().splitlines()[-1])
+    assert dstats["affected_partitions"] >= 1
+    q2 = run(emb, "query", "--vec-id", str(nmax), "--k", "5")
+    assert q2.returncode == 0, q2.stderr[-2000:]
+    hits2 = [_json.loads(l) for l in q2.stdout.strip().splitlines() if l]
+    assert all(h["vec_id"] != nmax for h in hits2)
+
+
+def test_delete_partition_bounded_ivf(spark, emb, tmp_path):
+    """delete_from_ann_index rewrites only the partitions holding the
+    ids; untouched cluster dirs byte-stable; the index afterwards equals
+    a from-scratch build of the surviving corpus; deleting an absent id
+    is a no-op; a fully-emptied cluster dir disappears."""
+    from search_engine_spark.operators.similarity import (
+        delete_from_ann_index,
+        hash_centroids,
+        ivf_assign,
+        write_ivf_index,
+    )
+    from tests.test_similarity import _dir_snapshot
+
+    cent = hash_centroids(DIM, 8)
+    out = str(tmp_path / "ivf_del")
+    write_ivf_index(emb, out, dim=DIM, centroids=cent)
+    assigned = {r["vec_id"]: r["cluster"]
+                for r in ivf_assign(emb, cent).collect()}
+    # pick every id in one cluster (empties it) + two ids elsewhere
+    clusters = {}
+    for i, c in assigned.items():
+        clusters.setdefault(c, []).append(i)
+    empty_c, empty_ids = min(clusters.items(), key=lambda kv: len(kv[1]))
+    other = next(iter(clusters[c][0] for c in clusters if c != empty_c))
+    doomed = list(empty_ids) + [other]
+    before = _dir_snapshot(out)
+
+    affected = delete_from_ann_index(spark, out, doomed)
+    touched = {c for (c,) in affected}
+    assert empty_c in touched and assigned[other] in touched
+    after = _dir_snapshot(out)
+    for rel, sig in before.items():
+        c = rel.split("/")[0]
+        if c.startswith("cluster=") and int(c.split("=")[1]) not in touched:
+            assert after.get(rel) == sig, rel
+    assert not os.path.isdir(os.path.join(out, f"cluster={empty_c}"))
+
+    stored = {(r["vec_id"], r["cluster"])
+              for r in spark.read.parquet(out).collect()}
+    want = {(i, c) for i, c in assigned.items() if i not in set(doomed)}
+    assert stored == want
+
+    assert delete_from_ann_index(spark, out, [10**9]) == []
+
+
+def test_delete_srp_cleans_all_tables(spark, emb, tmp_path):
+    """An SRP id lives in n_tables partitions — delete removes every
+    copy and probes stop returning it."""
+    from search_engine_spark.operators.similarity import (
+        delete_from_ann_index,
+        srp_query_topk_disk,
+        write_srp_index,
+    )
+
+    out = str(tmp_path / "srp_del")
+    write_srp_index(emb, out, dim=DIM, n_planes=8, n_tables=3)
+    affected = delete_from_ann_index(spark, out, [42])
+    assert len({t for t, _ in affected}) == 3  # one hit per table
+    left = spark.read.parquet(out).filter(F.col("vec_id") == 42)
+    assert left.isEmpty()
+    q = [float(x) for x in _vecs()[42]]
+    got = srp_query_topk_disk(emb, out, q, k=5, n_planes=8,
+                              n_tables=3).collect()
+    assert all(r["vec_id"] != 42 for r in got)
+
+
+def test_upsert_reassigns_moved_vector(spark, emb, ivf_stream, tmp_path):
+    """upsert_ann_batch: a re-embedded vector lands in its NEW cluster
+    with the old assignment gone — index equals a fresh build over the
+    updated corpus."""
+    from search_engine_spark.operators.similarity import (
+        hash_centroids,
+        ivf_assign,
+        write_ivf_index,
+    )
+    from search_engine_spark.streaming.ann_refresh import (
+        read_ann_meta,
+        upsert_ann_batch,
+    )
+
+    cent = hash_centroids(DIM, 8)
+    out = str(tmp_path / "ivf_ups")
+    write_ivf_index(emb, out, dim=DIM, centroids=cent)
+    # re-embed ids 5 and 6 as copies of vector 50 (likely new clusters)
+    v = _vecs()
+    new_rows = [(5, [float(x) for x in v[50]], 0),
+                (6, [float(x) for x in -v[50]], 0)]
+    newb = spark.createDataFrame(
+        new_rows, "vec_id long, embedding array<double>, label int"
+    )
+    meta = {"method": "ivf", "dim": DIM}
+    upsert_ann_batch(newb, out, meta)
+
+    updated = emb.filter(~F.col("vec_id").isin([5, 6])).unionByName(newb)
+    want = {(r["vec_id"], r["cluster"])
+            for r in ivf_assign(updated, cent).collect()}
+    stored = {(r["vec_id"], r["cluster"])
+              for r in spark.read.parquet(out).collect()}
+    assert stored == want and len(stored) == N
