@@ -48,7 +48,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("mode",
-                   choices=["build", "append", "refresh", "delete", "query"])
+                   choices=["build", "append", "refresh", "delete", "query",
+                            "snapshots"])
     p.add_argument("--embeddings", required=True,
                    help="parquet with (vec_id long, embedding array)")
     p.add_argument("--index", required=True, help="SRP index dir")
@@ -80,6 +81,12 @@ def main() -> None:
                         "(upsert = re-embedding: delete old, append new)")
     p.add_argument("--vec-ids", default=None,
                    help="delete: comma-separated ids to remove")
+    p.add_argument("--no-snapshot", action="store_true",
+                   help="delete: skip the automatic pre-state snapshot")
+    p.add_argument("--as-of", type=int, default=None,
+                   help="query: probe snapshot version v instead of live")
+    p.add_argument("--expire-keep", type=int, default=None,
+                   help="snapshots: drop all but the newest N")
     p.add_argument("--checkpoint", default=None,
                    help="refresh: stream checkpoint dir (default "
                         "<index>/_stream_checkpoint)")
@@ -163,9 +170,25 @@ def main() -> None:
         )
 
         ids = [int(x) for x in args.vec_ids.split(",")]
-        affected = delete_from_ann_index(spark, args.index, ids)
+        affected = delete_from_ann_index(spark, args.index, ids,
+                                         snapshot=not args.no_snapshot)
         print(json.dumps({"deleted_ids": len(ids),
                           "affected_partitions": len(affected)}), flush=True)
+        spark.stop()
+        return
+
+    if args.mode == "snapshots":
+        from search_engine_spark.sources.index_store import (
+            expire_snapshots,
+            list_snapshots,
+        )
+
+        out = {"snapshots": list_snapshots(args.index)}
+        if args.expire_keep is not None:
+            out["expired"] = expire_snapshots(args.index,
+                                              keep_last=args.expire_keep)
+            out["snapshots"] = list_snapshots(args.index)
+        print(json.dumps(out), flush=True)
         spark.stop()
         return
 
@@ -221,13 +244,14 @@ def main() -> None:
         if meta.get("method") == "ivf":
             hits = ivf_query_topk_disk(
                 emb, args.index, qvec, k=args.k, n_probe=args.n_probe,
+                as_of=args.as_of,
             ).collect()
         else:
             hits = srp_query_topk_disk(
                 emb, args.index, qvec, k=args.k,
                 n_planes=meta["n_planes"], n_tables=meta["n_tables"],
                 multiprobe_hamming=args.multiprobe,
-                group_bits=meta["group_bits"],
+                group_bits=meta["group_bits"], as_of=args.as_of,
             ).collect()
     for r in hits:
         print(json.dumps({"vec_id": r["vec_id"], "cosine": r["cosine"]}),

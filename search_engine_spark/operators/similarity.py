@@ -649,6 +649,7 @@ def read_ivf_centroids(index_dir: str) -> "np.ndarray":
 def delete_from_ann_index(
     spark: SparkSession, index_dir: str, vec_ids: list[int],
     partition_cols: list[str] | None = None, id_col: str = "vec_id",
+    snapshot: bool = True,
 ) -> list[tuple]:
     """Remove ids from a disk ANN index (either family) by rewriting
     ONLY the partition dirs that contain them — the delete twin of the
@@ -666,7 +667,11 @@ def delete_from_ann_index(
     partitions — all of them are cleaned.
 
     ``partition_cols`` defaults by sniffing the layout: ``[cluster]``
-    (IVF) vs ``[table, bgroup]`` (SRP)."""
+    (IVF) vs ``[table, bgroup]`` (SRP). ``snapshot=True`` freezes the
+    pre-delete state as a hardlink-tree snapshot first (same undo
+    contract as the fulltext index's mutations; the disk probes take
+    ``as_of=`` to read one), skipped when the delete turns out to be a
+    no-op."""
     if not vec_ids:
         return []
     ids = [int(i) for i in vec_ids]
@@ -687,6 +692,10 @@ def delete_from_ann_index(
     )
     if not affected:
         return []
+    if snapshot:
+        from search_engine_spark.sources.index_store import create_snapshot
+
+        create_snapshot(index_dir, note=f"pre-delete of {len(ids)} ids")
     pred = None
     for values in affected:
         leg = None
@@ -706,12 +715,19 @@ def ivf_query_topk_disk(
     embeddings: DataFrame, index_dir: str, query_vec: list[float],
     k: int = 10, n_probe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    as_of: int | None = None,
 ) -> DataFrame:
     """ANN top-k against a :func:`write_ivf_index` directory: the probe
     clusters are picked driver-side from the persisted centroids, the
     ``cluster`` predicate prunes PARTITION directories (plan-pinned),
     and the candidate ids broadcast-join back for the exact rerank —
-    identical results to :func:`ivf_query_topk` on the same model."""
+    identical results to :func:`ivf_query_topk` on the same model.
+    ``as_of=v`` probes snapshot v (centroids included — the meta is
+    hardlinked into the snapshot tree) instead of the live index."""
+    if as_of is not None:
+        from search_engine_spark.sources.index_store import snapshot_path
+
+        index_dir = snapshot_path(index_dir, as_of)
     spark = embeddings.sparkSession
     cent = read_ivf_centroids(index_dir)
     q = np.asarray(query_vec, dtype=np.float64)
@@ -888,7 +904,7 @@ def srp_query_topk_disk(
     embeddings: DataFrame, index_dir: str, query_vec: list[float], k: int = 10,
     n_planes: int = 8, n_tables: int = 4, multiprobe_hamming: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    group_bits: int = 5,
+    group_bits: int = 5, as_of: int | None = None,
 ) -> DataFrame:
     """ANN top-k against a :func:`write_srp_index` directory (pass the
     same ``group_bits`` it was written with).
@@ -898,7 +914,12 @@ def srp_query_topk_disk(
     files → exact min/max stats), so the scan touches only the probed
     groups (pinned by a plan test asserting PartitionFilters). Candidate
     ids are a tiny set → broadcast-joined back to the vector table for
-    the exact rerank."""
+    the exact rerank. ``as_of=v`` probes snapshot v (the pre-mutation
+    state frozen by delete/upsert) instead of the live index."""
+    if as_of is not None:
+        from search_engine_spark.sources.index_store import snapshot_path
+
+        index_dir = snapshot_path(index_dir, as_of)
     spark = embeddings.sparkSession
     q = np.asarray(query_vec, dtype=np.float64)
     cond = _probe_condition(

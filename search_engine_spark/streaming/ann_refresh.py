@@ -107,18 +107,21 @@ def append_ann_batch(
 
 
 def upsert_ann_batch(
-    batch: DataFrame, index_dir: str, meta: dict
+    batch: DataFrame, index_dir: str, meta: dict, snapshot: bool = True,
 ) -> list:
     """Re-embedded vectors: delete the ids' OLD assignments, then append
     the new ones — both halves partition-bounded, so an upsert costs
     O(old partitions + new partitions), never O(index). The window
     between the two swaps serves neither version (an id briefly absent
     beats briefly double-served: ANN probes tolerate a missing
-    candidate, not a stale duplicate outranking the fresh one)."""
+    candidate, not a stale duplicate outranking the fresh one). The
+    delete half snapshots the pre-state by default — a continuously
+    upserting stream should pair this with periodic
+    ``index_store.expire_snapshots`` (or pass snapshot=False)."""
     batch = batch.dropDuplicates(["vec_id"])
     ids = [int(r["vec_id"]) for r in batch.select("vec_id").collect()]
     spark = batch.sparkSession
-    delete_from_ann_index(spark, index_dir, ids)
+    delete_from_ann_index(spark, index_dir, ids, snapshot=snapshot)
     return append_ann_batch(batch, index_dir, meta, on_duplicate="allow")
 
 

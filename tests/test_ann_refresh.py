@@ -343,3 +343,53 @@ def test_upsert_reassigns_moved_vector(spark, emb, ivf_stream, tmp_path):
     stored = {(r["vec_id"], r["cluster"])
               for r in spark.read.parquet(out).collect()}
     assert stored == want and len(stored) == N
+
+
+def test_delete_snapshots_pre_state_and_as_of_probe(spark, emb, tmp_path):
+    """A delete freezes its pre-state: list_snapshots gains a version,
+    as_of probes still return the deleted id with pre-delete ranks, the
+    live probe doesn't, and expire_snapshots GCs the tree. Same undo
+    contract as the fulltext index's mutations."""
+    from search_engine_spark.operators.similarity import (
+        delete_from_ann_index,
+        hash_centroids,
+        ivf_query_topk_disk,
+        write_ivf_index,
+    )
+    from search_engine_spark.sources.index_store import (
+        expire_snapshots,
+        list_snapshots,
+    )
+
+    out = str(tmp_path / "ivf_snap")
+    cent = hash_centroids(DIM, 8)
+    write_ivf_index(emb, out, dim=DIM, centroids=cent)
+    import json as _json
+    with open(os.path.join(out, "_ann_meta.json"), "w") as fh:
+        _json.dump({"method": "ivf", "dim": DIM}, fh)
+    q = [float(x) for x in _vecs()[17]]
+    pre = [(r["vec_id"], r["cosine"])
+           for r in ivf_query_topk_disk(emb, out, q, k=5).collect()]
+    assert pre[0][0] == 17
+
+    delete_from_ann_index(spark, out, [17])
+    snaps = list_snapshots(out)
+    assert len(snaps) == 1 and "pre-delete" in snaps[0]["note"]
+    v = snaps[0]["version"]
+
+    live = [(r["vec_id"], r["cosine"])
+            for r in ivf_query_topk_disk(emb, out, q, k=5).collect()]
+    assert all(i != 17 for i, _ in live)
+    old = [(r["vec_id"], r["cosine"])
+           for r in ivf_query_topk_disk(emb, out, q, k=5, as_of=v).collect()]
+    assert old == pre  # time travel: exact pre-delete ranking
+
+    # no-op delete (absent id) must not burn a snapshot version
+    delete_from_ann_index(spark, out, [10**9])
+    assert len(list_snapshots(out)) == 1
+
+    assert expire_snapshots(out, keep_last=0) == [v]
+    assert list_snapshots(out) == []
+    # live index unaffected by the GC (hardlink refcounts, not copies)
+    assert [(r["vec_id"], r["cosine"])
+            for r in ivf_query_topk_disk(emb, out, q, k=5).collect()] == live
