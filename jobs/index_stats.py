@@ -35,11 +35,65 @@ def _du(path: str) -> int:
     return total
 
 
+def _ann_report(index_dir: str) -> dict:
+    """ANN-index flavor of the report: per-partition row counts straight
+    from parquet FOOTERS (pyarrow metadata — zero data pages read), so
+    balance/skew over a 100 TB vector index costs one footer per file.
+    Skew is the capacity-planning number: IVF clusters drift as appends
+    accumulate, and max/mean ≫ 1 means the hot cluster bounds probe
+    latency — time to re-fit centroids (a rebuild, priced O(index))."""
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(index_dir, "_ann_meta.json")) as fh:
+        meta = json.load(fh)
+    parts: dict[str, int] = {}
+    for root, dirs, files in os.walk(index_dir):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        rel = os.path.relpath(root, index_dir)
+        if "=" not in os.path.basename(root):
+            continue
+        n = 0
+        has = False
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            has = True
+            n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        if has:
+            parts[rel] = parts.get(rel, 0) + n
+    report: dict = {"ann_meta": meta, "n_partitions": len(parts)}
+    if parts:
+        rows = list(parts.values())
+        total = sum(rows)
+        mean = total / len(rows)
+        report.update({
+            "n_vectors": total if meta.get("method") == "ivf" else None,
+            "n_entries": total,
+            "partition_rows_min": min(rows),
+            "partition_rows_max": max(rows),
+            "partition_skew": round(max(rows) / mean, 3) if mean else None,
+            "hottest_partition": max(parts, key=parts.get),
+        })
+    report["index_bytes"] = _du(index_dir)
+
+    from search_engine_spark.sources.index_store import list_snapshots
+
+    report["snapshots"] = [
+        {"version": s["version"], "note": s["note"]}
+        for s in list_snapshots(index_dir)
+    ]
+    return report
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--index", required=True)
     p.add_argument("--local-cpus", type=int, default=None)
     args = p.parse_args()
+
+    if os.path.exists(os.path.join(args.index, "_ann_meta.json")):
+        print(json.dumps(_ann_report(args.index)), flush=True)
+        return
 
     stats_path = os.path.join(args.index, "stats.json")
     if not os.path.exists(stats_path):

@@ -243,6 +243,20 @@ def test_ann_cli_refresh(tmp_path):
     hits2 = [_json.loads(l) for l in q2.stdout.strip().splitlines() if l]
     assert all(h["vec_id"] != nmax for h in hits2)
 
+    # scan-free ANN stats report (footers only, no Spark session)
+    st = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "index_stats.py"),
+         "--index", idx],
+        capture_output=True, text=True, cwd=repo, timeout=120, env=env,
+    )
+    assert st.returncode == 0, st.stderr[-2000:]
+    rep = _json.loads(st.stdout.strip().splitlines()[-1])
+    assert rep["ann_meta"]["method"] == "ivf"
+    assert rep["n_partitions"] >= 1 and rep["partition_skew"] >= 1.0
+    # build + refreshed delta - the deleted id
+    assert rep["n_vectors"] == stats["n_vectors_after"] - 1
+    assert [s["version"] for s in rep["snapshots"]] == [1]  # the delete's
+
 
 def test_delete_partition_bounded_ivf(spark, emb, tmp_path):
     """delete_from_ann_index rewrites only the partitions holding the
