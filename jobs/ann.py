@@ -10,6 +10,10 @@ Usage:
         [--allow-duplicates] [--local-cpus N]
     python jobs/ann.py delete --embeddings <parquet> --index <dir> \
         --vec-ids "7,42,99" [--local-cpus N]
+    python jobs/ann.py rebuild --embeddings <parquet> --index <dir> \
+        [--clusters K] [--no-snapshot]   # IVF: re-fit drifted centroids
+    python jobs/ann.py snapshots --embeddings <parquet> --index <dir> \
+        [--expire-keep N]
     python jobs/ann.py query --embeddings <parquet> --index <dir> \
         (--vec-id ID | --vector "0.1,0.2,...") [--k 10] \
         [--multiprobe 1] [--n-probe 4] [--brute] [--local-cpus N]
@@ -49,7 +53,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("mode",
                    choices=["build", "append", "refresh", "delete", "query",
-                            "snapshots"])
+                            "snapshots", "rebuild"])
     p.add_argument("--embeddings", required=True,
                    help="parquet with (vec_id long, embedding array)")
     p.add_argument("--index", required=True, help="SRP index dir")
@@ -174,6 +178,37 @@ def main() -> None:
                                          snapshot=not args.no_snapshot)
         print(json.dumps({"deleted_ids": len(ids),
                           "affected_partitions": len(affected)}), flush=True)
+        spark.stop()
+        return
+
+    if args.mode == "rebuild":
+        if not os.path.exists(meta_path):
+            print(f"no ANN index at {args.index}", file=sys.stderr)
+            spark.stop()
+            sys.exit(2)
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta.get("method") != "ivf":
+            print("rebuild re-fits IVF centroids; SRP hyperplanes are "
+                  "data-independent (rebuild = build with new params)",
+                  file=sys.stderr)
+            spark.stop()
+            sys.exit(2)
+        from search_engine_spark.operators.similarity import (
+            rebuild_ivf_index,
+        )
+
+        k = args.clusters if "--clusters" in sys.argv else None
+        cent = rebuild_ivf_index(emb, args.index, n_clusters=k,
+                                 snapshot=not args.no_snapshot)
+        meta["n_clusters"] = int(cent.shape[0])
+        meta["embeddings"] = os.path.abspath(args.embeddings)
+        with open(meta_path + ".tmp", "w") as fh:
+            json.dump(meta, fh)
+        os.replace(meta_path + ".tmp", meta_path)
+        print(json.dumps({"rebuilt": args.index,
+                          "n_clusters": meta["n_clusters"],
+                          "n_vectors": emb.count()}), flush=True)
         spark.stop()
         return
 

@@ -638,6 +638,52 @@ def append_srp_index(
     return affected
 
 
+def rebuild_ivf_index(
+    embeddings: DataFrame, index_dir: str, n_clusters: int | None = None,
+    sample_size: int = 2048, id_col: str = "vec_id", vec_col: str = "embedding",
+    snapshot: bool = True,
+) -> "np.ndarray":
+    """Re-fit the IVF coarse quantizer over the CURRENT corpus and
+    rewrite the index — the priced-O(index) remedy when the stats
+    report's partition skew says the frozen centroids have drifted
+    (appends assign with the build-time model and never re-fit).
+
+    The fresh index is written to a hidden sibling dir first, then
+    swapped in — a plain ``mode("overwrite")`` of ``index_dir`` would
+    wipe ``_snapshots`` and the stream checkpoint along with the data.
+    The pre-rebuild state is snapshotted by default (a bad re-fit, or a
+    crash mid-swap, rolls back to ``as_of`` the last version).
+    ``n_clusters`` defaults to the old model's count. Returns the new
+    centroids."""
+    import shutil
+
+    old = read_ivf_centroids(index_dir)
+    k = int(n_clusters) if n_clusters is not None else int(old.shape[0])
+    dim = int(old.shape[1])
+    if snapshot:
+        from search_engine_spark.sources.index_store import create_snapshot
+
+        create_snapshot(index_dir, note=f"pre-rebuild (k={k})")
+    tmp = os.path.join(
+        os.path.dirname(index_dir.rstrip("/")),
+        "." + os.path.basename(index_dir.rstrip("/")) + ".tmp_rebuild",
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    cent = write_ivf_index(
+        embeddings, tmp, dim=dim, n_clusters=k, sample_size=sample_size,
+        id_col=id_col, vec_col=vec_col,
+    )
+    for name in list(os.listdir(index_dir)):
+        if name.startswith((".", "_")) and name != "_ivf_meta.json":
+            continue  # keep _snapshots / _ann_meta.json / checkpoint
+        path = os.path.join(index_dir, name)
+        (shutil.rmtree if os.path.isdir(path) else os.remove)(path)
+    for name in os.listdir(tmp):
+        os.replace(os.path.join(tmp, name), os.path.join(index_dir, name))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return cent
+
+
 def read_ivf_centroids(index_dir: str) -> "np.ndarray":
     import json
     import os

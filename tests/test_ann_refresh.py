@@ -257,6 +257,16 @@ def test_ann_cli_refresh(tmp_path):
     assert rep["n_vectors"] == stats["n_vectors_after"] - 1
     assert [s["version"] for s in rep["snapshots"]] == [1]  # the delete's
 
+    # rebuild: re-fit centroids over the current table, keep snapshots
+    rb = run(emb, "rebuild")
+    assert rb.returncode == 0, rb.stderr[-2000:]
+    rbs = _json.loads(rb.stdout.strip().splitlines()[-1])
+    assert rbs["n_clusters"] == 8
+    q3 = run(emb, "query", "--vec-id", "0", "--k", "3")
+    assert q3.returncode == 0, q3.stderr[-2000:]
+    hits3 = [_json.loads(l) for l in q3.stdout.strip().splitlines() if l]
+    assert hits3 and hits3[0]["vec_id"] == 0
+
 
 def test_delete_partition_bounded_ivf(spark, emb, tmp_path):
     """delete_from_ann_index rewrites only the partitions holding the
@@ -407,3 +417,50 @@ def test_delete_snapshots_pre_state_and_as_of_probe(spark, emb, tmp_path):
     # live index unaffected by the GC (hardlink refcounts, not copies)
     assert [(r["vec_id"], r["cosine"])
             for r in ivf_query_topk_disk(emb, out, q, k=5).collect()] == live
+
+
+def test_rebuild_refits_centroids_preserving_snapshots(spark, emb, tmp_path):
+    """rebuild_ivf_index re-fits k-means over the current corpus and
+    swaps the data in WITHOUT touching _snapshots or _ann_meta.json; the
+    result is identical to a from-scratch k-means build of the same
+    corpus; the pre-rebuild state stays probe-able via as_of."""
+    from search_engine_spark.operators.similarity import (
+        hash_centroids,
+        ivf_query_topk_disk,
+        rebuild_ivf_index,
+        write_ivf_index,
+    )
+    from search_engine_spark.sources.index_store import list_snapshots
+
+    out = str(tmp_path / "ivf_rb")
+    cent0 = hash_centroids(DIM, 8)
+    write_ivf_index(emb, out, dim=DIM, centroids=cent0)
+    import json as _json
+    with open(os.path.join(out, "_ann_meta.json"), "w") as fh:
+        _json.dump({"method": "ivf", "dim": DIM, "n_clusters": 8}, fh)
+    q = [float(x) for x in _vecs()[22]]
+    pre = [(r["vec_id"], r["cosine"])
+           for r in ivf_query_topk_disk(emb, out, q, k=5).collect()]
+
+    cent1 = rebuild_ivf_index(emb, out, n_clusters=8)
+    assert cent1.shape == (8, DIM)
+    assert not np.allclose(cent1, cent0)  # actually re-fit
+
+    # fresh k-means build of the same corpus == the rebuilt index
+    fresh = str(tmp_path / "ivf_fresh")
+    cent2 = write_ivf_index(emb, fresh, dim=DIM, n_clusters=8)
+    np.testing.assert_allclose(cent1, cent2)
+    stored = {(r["vec_id"], r["cluster"])
+              for r in spark.read.parquet(out).collect()}
+    want = {(r["vec_id"], r["cluster"])
+            for r in spark.read.parquet(fresh).collect()}
+    assert stored == want and len(stored) == N
+
+    # meta survived the swap; snapshot holds the pre-rebuild state
+    assert read_ann_meta(out)["method"] == "ivf"
+    snaps = list_snapshots(out)
+    assert len(snaps) == 1 and "pre-rebuild" in snaps[0]["note"]
+    old = [(r["vec_id"], r["cosine"])
+           for r in ivf_query_topk_disk(
+               emb, out, q, k=5, as_of=snaps[0]["version"]).collect()]
+    assert old == pre
