@@ -132,9 +132,11 @@ from search_engine_spark.operators.sketches import (
     hll_registers_sql_duckdb,
 )
 from search_engine_spark.operators.similarity import (
+    append_ivf_index,
     brute_force_topk,
     build_srp_index,
     cosine_near_duplicates,
+    delete_from_ann_index,
     hash_centroids,
     ivf_assign,
     ivf_query_topk,
@@ -623,6 +625,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, _INDEX_CACHE[key], qvec, k=10, n_probe=IVF_NPROBE
         ).select("vec_id", "cosine")
 
+    def q_ivf_ann_mutate(spark, sf):
+        # mutation-path correctness as a DRIVER-GATED query: build the
+        # IVF disk index over a base split, fold the rest in with the
+        # partition-bounded append, then delete every 11th id — the
+        # surviving (vec_id, cluster) table must equal a from-scratch
+        # assignment of the full corpus minus the deletions (the
+        # invariant the appends/deletes are pinned to), which the
+        # DuckDB oracle replays literally from the hash centroids.
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        key = ("ivf_mutate", sf)
+        if key not in _INDEX_CACHE:
+            import tempfile
+
+            dim = len(emb.select("embedding").head()[0])
+            out_dir = tempfile.mkdtemp(prefix="ivf_mut_")
+            cent = hash_centroids(dim, IVF_CLUSTERS)
+            write_ivf_index(
+                emb.filter(F.col("vec_id") % 7 != 0), out_dir,
+                dim=dim, centroids=cent,
+            )
+            append_ivf_index(emb.filter(F.col("vec_id") % 7 == 0), out_dir)
+            doomed = [
+                int(r[0]) for r in
+                emb.filter(F.col("vec_id") % 11 == 0)
+                .select("vec_id").collect()
+            ]
+            delete_from_ann_index(spark, out_dir, doomed, snapshot=False)
+            _INDEX_CACHE[key] = out_dir
+        return (
+            spark.read.parquet(_INDEX_CACHE[key])
+            .select(
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.col("cluster").cast("int").alias("cluster"),
+            )
+            .orderBy("vec_id")
+        )
+
     def q_token_counts(spark, sf):
         return _documents(spark, sf).select(
             "doc_id",
@@ -1068,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_ann_topk_disk": q_srp_ann_disk,
         "ivf_ann_topk": q_ivf_ann,
         "ivf_ann_topk_disk": q_ivf_ann_disk,
+        "ivf_ann_mutated_index": q_ivf_ann_mutate,
         "bm25_topk_wand_tree": q_wand_tree,
         "embedding_neardup_pairs": q_cosine_neardup,
         "srp_neardup_pairs": q_srp_neardup,
@@ -1430,6 +1470,34 @@ def _srp_neardup_sql(threshold: float, n_planes: int = 6, n_tables: int = 4,
              / (sqrt(list_dot_product(ea.v, ea.v))
                 * sqrt(list_dot_product(eb.v, eb.v))),
              6) >= {threshold}
+    """
+
+
+def _ivf_mutate_sql(n_clusters: int = 16, dim: int = 64,
+                    delete_mod: int = 11) -> str:
+    """Oracle for the mutated disk index: the append is pinned identical
+    to a full-corpus build on the same frozen centroids and the delete
+    removes exactly its ids, so the surviving index IS the literal
+    hash-centroid assignment minus vec_id % delete_mod = 0 (zero-norm
+    vectors never enter either side)."""
+    from search_engine_spark.operators.similarity import hash_centroids
+
+    cent = hash_centroids(dim, n_clusters)
+
+    def cent_lit(row) -> str:
+        return "[" + ", ".join(repr(float(c)) for c in row) + "]::DOUBLE[]"
+
+    dots = "[" + ", ".join(
+        f"list_dot_product(v, {cent_lit(cent[c])})" for c in range(n_clusters)
+    ) + "]"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
+    SELECT vec_id,
+           CAST(list_position(dots, list_max(dots)) - 1 AS INTEGER) AS cluster
+    FROM (SELECT vec_id, {dots} AS dots FROM e)
+    WHERE vec_id % {delete_mod} <> 0
+    ORDER BY vec_id
     """
 
 
@@ -2554,6 +2622,9 @@ def oracle_sql() -> dict[str, str]:
         # same clusters (partition-pruned) — identical candidates/rerank
         "ivf_ann_topk_disk": _ivf_ann_sql(
             n_clusters=IVF_CLUSTERS, n_probe=IVF_NPROBE, dim=64, k=10
+        ),
+        "ivf_ann_mutated_index": _ivf_mutate_sql(
+            n_clusters=IVF_CLUSTERS, dim=64, delete_mod=11
         ),
         "embedding_neardup_pairs": f"""
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

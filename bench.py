@@ -272,7 +272,7 @@ def main() -> None:
         "minhash_lsh_pairs", "dedup_keepers", "training_cleanse",
         "simhash_pairs", "embedding_topk",
         "srp_ann_topk", "srp_ann_topk_disk", "ivf_ann_topk",
-        "ivf_ann_topk_disk",
+        "ivf_ann_topk_disk", "ivf_ann_mutated_index",
         "bm25_topk_wand_tree", "embedding_neardup_pairs",
         "srp_neardup_pairs",
         "token_counts", "quality_scores", "fingerprints",
