@@ -134,6 +134,7 @@ from search_engine_spark.operators.sketches import (
 from search_engine_spark.operators.similarity import (
     append_ivf_index,
     brute_force_topk,
+    brute_force_topk_per_group,
     build_srp_index,
     cosine_near_duplicates,
     delete_from_ann_index,
@@ -523,6 +524,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return brute_force_topk(emb, [float(x) for x in qvec], k=10).select(
             "vec_id", "cosine"
         )
+
+    def q_embed_topk_per_label(spark, sf):
+        # top-k similar PER CATEGORY (one scan + WindowGroupLimit rank):
+        # the embedding twin of the per-scope BM25 grouped top-k
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+        return brute_force_topk_per_group(
+            emb, [float(x) for x in qvec], "label", k=3
+        ).select("label", "vec_id", "cosine", F.col("rank").cast("int"))
 
     def q_sq8_topk(spark, sf):
         # scalar-quantized (uint8) integer-dot top-k: the memory-bounded
@@ -1102,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash,
         "simhash_pairs": q_simhash,
         "embedding_topk": q_embed_topk,
+        "embedding_topk_per_label": q_embed_topk_per_label,
         "sq8_topk": q_sq8_topk,
         "srp_ann_topk": q_srp_ann,
         "srp_ann_topk_disk": q_srp_ann_disk,
@@ -2657,6 +2668,26 @@ def oracle_sql() -> dict[str, str]:
             dim=64
         ),
         "embedding_topk": _embedding_topk_sql(10),
+        # per-group twin: same rounded cosine, rank-over-window per label
+        "embedding_topk_per_label": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT label, vec_id,
+                       round(
+                         list_dot_product(embedding::DOUBLE[], qv)
+                         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+                FROM embeddings CROSS JOIN q
+                WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+            )
+            SELECT label, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+                SELECT label, vec_id, cosine,
+                       row_number() OVER (PARTITION BY label
+                                          ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 3
+            ORDER BY label, rank
+        """,
         # PRF: feedback pool by the same rounded-score order the engine
         # emits, expansion by round(sum(tf)·idf, 6) with lemma-asc ties
         # (query lemmas excluded), disjunctive re-rank over the union

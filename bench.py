@@ -270,7 +270,7 @@ def main() -> None:
         "bm25_topk", "bm25_topk_sql", "bm25_topk_batch",
         "ngram_jaccard_pairs",
         "minhash_lsh_pairs", "dedup_keepers", "training_cleanse",
-        "simhash_pairs", "embedding_topk",
+        "simhash_pairs", "embedding_topk", "embedding_topk_per_label",
         "srp_ann_topk", "srp_ann_topk_disk", "ivf_ann_topk",
         "ivf_ann_topk_disk", "ivf_ann_mutated_index",
         "bm25_topk_wand_tree", "embedding_neardup_pairs",

@@ -869,6 +869,53 @@ def ivf_assign(
     )
 
 
+def brute_force_topk_per_group(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    group_col: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k PER GROUP (per label/language/source shard) —
+    the embedding twin of bm25_topk_per_scope: one scan scoring every
+    vector, then a rank-over-window per group. Spark 4 pushes the
+    rank <= k predicate into WindowGroupLimit, so each partition keeps
+    a k-bounded heap per group instead of materializing the full sort —
+    the property that makes "top-k similar per category" one pass at
+    100 TB. Returns (group, id, cosine, rank), rank 1-based, ties by id
+    asc (same cut rule as brute_force_topk)."""
+    from pyspark.sql.window import Window
+
+    q = [float(x) for x in query_vec]
+    qnorm = float(np.sqrt(np.dot(q, q)))
+    if qnorm == 0.0:
+        raise ValueError("query_vec must be non-zero (cosine undefined)")
+    q_sql = "array(" + ", ".join(f"cast({x!r} as double)" for x in q) + ")"
+    dim = len(q)
+    scored = (
+        with_norm(embeddings, vec_col, dim)
+        .filter(F.col("_norm") > 0)
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(_dot_sql(vec_col, q_sql, dim))
+                / (F.col("_norm") * F.lit(qnorm)),
+                COS_DECIMALS,
+            ),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, id_col, "cosine", "rank")
+        .orderBy(group_col, "rank")
+    )
+
+
 def build_ivf_index(
     embeddings: DataFrame, dim: int, n_clusters: int = 16,
     sample_size: int = 2048, id_col: str = "vec_id", vec_col: str = "embedding",

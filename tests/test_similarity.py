@@ -770,3 +770,33 @@ def test_ann_cli_append(tmp_path):
 
     dup = run(delta, "append")  # same ids again → insert-only contract
     assert dup.returncode != 0 and "already indexed" in dup.stderr
+
+
+def test_brute_force_topk_per_group(emb, spark):
+    """Per-group exact top-k == running brute_force_topk inside each
+    group; the rank<=k predicate reaches WindowGroupLimit (k-bounded
+    heap per group, not a full sort — the one-pass at-scale property)."""
+    from search_engine_spark.operators.similarity import (
+        brute_force_topk_per_group,
+    )
+
+    v = _vecs()
+    labeled = emb.withColumn("label", (F.col("vec_id") % 4).cast("int"))
+    q = [float(x) for x in v[7]]
+    got = brute_force_topk_per_group(labeled, q, "label", k=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    rows = got.collect()
+    assert [c for c in got.columns] == ["label", "vec_id", "cosine", "rank"]
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append((r["vec_id"], r["cosine"]))
+    assert set(by_label) == {0, 1, 2, 3}
+    for lab, hits in by_label.items():
+        want = [
+            (r["vec_id"], r["cosine"])
+            for r in brute_force_topk(
+                labeled.filter(F.col("label") == lab), q, k=3
+            ).collect()
+        ]
+        assert hits == want, lab
