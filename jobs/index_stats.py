@@ -85,11 +85,101 @@ def _ann_report(index_dir: str) -> dict:
     return report
 
 
+def _fsck(index_dir: str) -> list[str]:
+    """Structural integrity check, footers + file metadata only (no
+    data pages): manifest↔segment-bucket bijection, manifest block
+    counts vs parquet footer row counts, bucket-set agreement across
+    the per-doc tables, interrupted-swap residue, snapshot-log vs
+    snapshot-dir agreement. Returns a list of problems (empty = clean).
+    The check an operator runs after a crash mid-mutation, before
+    trusting resume/replay did its job."""
+    import pyarrow.parquet as pq
+
+    problems: list[str] = []
+    mdir = os.path.join(index_dir, "manifests")
+    manifest_buckets = set()
+    manifest_blocks: dict[int, int] = {}
+    if os.path.isdir(mdir):
+        for f in os.listdir(mdir):
+            if f.startswith("bucket=") and f.endswith(".json"):
+                b = int(f[len("bucket="):-len(".json")])
+                manifest_buckets.add(b)
+                with open(os.path.join(mdir, f)) as fh:
+                    manifest_blocks[b] = json.load(fh).get("blocks", 0)
+    seg_root = os.path.join(index_dir, "segments")
+    seg_buckets = set()
+    if os.path.isdir(seg_root):
+        for d in os.listdir(seg_root):
+            if d.startswith("bucket="):
+                seg_buckets.add(int(d.split("=")[1]))
+    for b in sorted(manifest_buckets - seg_buckets):
+        problems.append(f"manifest bucket={b} has no segments dir")
+    for b in sorted(seg_buckets - manifest_buckets):
+        problems.append(f"segments bucket={b} has no manifest (resume "
+                        "will re-encode it)")
+    for b in sorted(manifest_buckets & seg_buckets):
+        rows = 0
+        d = os.path.join(seg_root, f"bucket={b}")
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                rows += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+        if rows != manifest_blocks[b]:
+            problems.append(
+                f"segments bucket={b}: {rows} block rows on disk vs "
+                f"{manifest_blocks[b]} in manifest"
+            )
+    # the per-doc tables must agree on the bucket universe (a partial
+    # swap leaves one table missing a bucket the others have)
+    table_buckets: dict[str, set] = {}
+    for table in ("postings", "doclen", "docs"):
+        root = os.path.join(index_dir, table)
+        if os.path.isdir(root):
+            bs = {d for d in os.listdir(root) if d.startswith("bucket=")}
+            if bs:
+                table_buckets[table] = bs
+    if len({frozenset(v) for v in table_buckets.values()}) > 1:
+        problems.append(
+            "bucket sets disagree across tables: "
+            + ", ".join(f"{t}={len(v)}" for t, v in sorted(table_buckets.items()))
+        )
+    # interrupted-swap residue: visible *.old / tmp dirs inside the
+    # index would be discovered as bogus partition values
+    for root, dirs, _files in os.walk(index_dir):
+        if "_snapshots" in root:
+            continue
+        for d in dirs:
+            if d.endswith(".old") or ".tmp" in d:
+                if not d.startswith("."):
+                    problems.append(
+                        f"visible swap residue: {os.path.relpath(os.path.join(root, d), index_dir)}"
+                    )
+    # snapshot log entries must have backing dirs
+    snap_root = os.path.join(index_dir, "_snapshots")
+    log_path = os.path.join(snap_root, "log.json")
+    if os.path.exists(log_path):
+        with open(log_path) as fh:
+            for e in json.load(fh):
+                if not os.path.isdir(os.path.join(snap_root, f"v{e['version']}")):
+                    problems.append(
+                        f"snapshot log lists v{e['version']} but the dir is gone"
+                    )
+    return problems
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--index", required=True)
     p.add_argument("--local-cpus", type=int, default=None)
+    p.add_argument("--fsck", action="store_true",
+                   help="structural integrity check (footers only); "
+                        "exit 1 and report problems if any")
     args = p.parse_args()
+
+    if args.fsck:
+        problems = _fsck(args.index)
+        print(json.dumps({"fsck": "clean" if not problems else "problems",
+                          "problems": problems}), flush=True)
+        sys.exit(1 if problems else 0)
 
     if os.path.exists(os.path.join(args.index, "_ann_meta.json")):
         print(json.dumps(_ann_report(args.index)), flush=True)
