@@ -5,6 +5,8 @@ compaction — the reference's `GET /api/startIndexing` re-index loop
 Usage:
     python jobs/refresh_index.py --index <index_dir> --input <dir> \
         [--compact] [--local-cpus N]
+    python jobs/refresh_index.py --index <dst> --merge-from <src_index> \
+        [--local-cpus N]          # fold a parallel shard build into dst
 
 Drains any NEW transcript parquet files from --input into the index's
 streamed-delta tables (exactly-once per file via the stream checkpoint;
@@ -28,8 +30,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--index", required=True)
-    p.add_argument("--input", required=True,
+    p.add_argument("--input", default=None,
                    help="directory of transcript parquet files to drain")
+    p.add_argument("--merge-from", default=None, metavar="SRC_INDEX",
+                   help="merge a complete index built over a disjoint "
+                        "shard into --index (index_store.merge_indexes); "
+                        "skips the drain unless --input is also given")
     p.add_argument("--compact", action="store_true",
                    help="fold streamed deltas into the dense index after "
                         "draining (compact_index)")
@@ -59,8 +65,19 @@ def main() -> None:
         spark.stop()
         sys.exit(2)
 
-    incremental_index_refresh(spark, args.input, args.index)
-    out: dict = {"drained": True, "compacted": False}
+    out: dict = {"drained": False, "compacted": False}
+    if not args.input and not args.merge_from:
+        print("nothing to do: pass --input and/or --merge-from",
+              file=sys.stderr)
+        spark.stop()
+        sys.exit(2)
+    if args.input:
+        incremental_index_refresh(spark, args.input, args.index)
+        out["drained"] = True
+    if args.merge_from:
+        from search_engine_spark.sources.index_store import merge_indexes
+
+        out["merge"] = merge_indexes(spark, args.index, args.merge_from)
     if args.compact:
         out["compaction"] = compact_index(spark, args.index)
         out["compacted"] = True

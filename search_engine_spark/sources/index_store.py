@@ -1276,6 +1276,169 @@ def reindex_turn(
     return {"doc_id": d, "bucket": bucket, "blocks": int(n_blocks)}
 
 
+def merge_indexes(
+    spark: SparkSession,
+    dst_dir: str,
+    src_dir: str,
+    snapshot: bool = True,
+) -> dict:
+    """Fold a complete index built over a DISJOINT corpus shard into
+    ``dst_dir`` — the Lucene segment-merge analog for PARALLEL SHARD
+    BUILDS: at 100 TB you run N independent build jobs (each one
+    shuffle over its shard) and merge, instead of one global build.
+    Merge cost is O(src) narrow work + a dictionary-sized aggregate;
+    dst's existing bucket dirs and segments are NEVER read or
+    rewritten.
+
+    Mechanics: src doc ids are shifted by a BUCKET-ALIGNED offset
+    (ceil(n_dst/width)·width), so src bucket b lands as dst bucket
+    b+offset/width — postings/doclen/docs move in as brand-new
+    partition dirs (tmp + rename, no existing dir touched), the
+    dictionary merges by lemma (dst term_ids stable, src-only lemmas
+    get fresh ids above dst's max), stats sum (avgdl
+    doc-count-weighted), and only the NEW buckets' segments are
+    encoded (the same tail re-encode compact_index uses). The merged
+    index must equal a from-scratch build of the concatenated corpus
+    up to doc-id naming — pinned by test via natural-key comparison.
+
+    Both indexes must be complete, materialized (no docs_source /
+    docid_adjust indirection — run compact_index first), stream-delta
+    free, and share bucket_width/format. ``snapshot=True`` freezes
+    dst's pre-merge state (a crash mid-merge is recovered by restoring
+    that version; fsck detects the partial state)."""
+    import shutil
+
+    if os.path.realpath(dst_dir) == os.path.realpath(src_dir):
+        raise ValueError("merge_indexes: dst and src are the same index")
+    sides = {}
+    for name, d in (("dst", dst_dir), ("src", src_dir)):
+        s = load_stats(d)
+        if not s or not s.get("complete"):
+            raise ValueError(f"merge_indexes: {name} index incomplete ({d})")
+        if s.get("docs_source") or s.get("docid_adjust"):
+            raise ValueError(
+                f"merge_indexes: {name} uses docs_source/docid_adjust "
+                "indirection — run compact_index first"
+            )
+        for delta in ("postings_stream", "doclen_stream", "docs_stream",
+                      "terms_delta"):
+            if os.path.isdir(os.path.join(d, delta)):
+                raise ValueError(
+                    f"merge_indexes: {name} has undrained stream deltas "
+                    f"({delta}) — run compact_index first"
+                )
+        mdir = _manifest_dir(d)
+        ms = sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []
+        if not ms:
+            raise ValueError(f"merge_indexes: {name} has no manifests")
+        with open(os.path.join(mdir, ms[0])) as fh:
+            width = json.load(fh).get("bucket_width", DOC_BUCKET_WIDTH)
+        sides[name] = (s, int(width))
+    (dst_stats, w_dst), (src_stats, w_src) = sides["dst"], sides["src"]
+    if w_dst != w_src:
+        raise ValueError(
+            f"merge_indexes: bucket_width mismatch dst={w_dst} src={w_src}"
+        )
+    if int(dst_stats.get("format", 1)) != int(src_stats.get("format", 1)):
+        raise ValueError("merge_indexes: index format mismatch")
+    width = w_dst
+    n_dst, n_src = int(dst_stats["n_docs"]), int(src_stats["n_docs"])
+    b_off = (n_dst + width - 1) // width
+    offset = b_off * width
+
+    if snapshot:
+        create_snapshot(dst_dir, note=f"pre-merge of {src_dir}")
+
+    # 1. move the shifted per-doc tables in as NEW bucket dirs
+    new_buckets: list[int] = []
+    for table, sort_cols in (
+        ("postings", ["bucket", "lemma", "doc_id"]),
+        ("doclen", ["doc_id"]),
+        ("docs", ["doc_id"]),
+    ):
+        src_path = os.path.join(src_dir, table)
+        raw = spark.read.parquet(src_path)
+        if "bucket" not in raw.columns or not _is_bucketed(
+            os.path.join(dst_dir, table)
+        ):
+            raise ValueError(
+                f"merge_indexes: {table} is not v4 bucket-partitioned on "
+                "both sides — rebuild or compact to the current layout"
+            )
+        shifted = (
+            raw
+            .withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+            .withColumn("bucket", (F.col("bucket") + F.lit(b_off)).cast("int"))
+        )
+        if table == "postings":  # keep the lemma-file-clustering invariant
+            shifted = shifted.repartitionByRange(*[F.col(c) for c in sort_cols])
+        else:
+            shifted = shifted.repartition("bucket")
+        shifted = shifted.sortWithinPartitions(*sort_cols)
+        tmp = _swap_sibling(os.path.join(dst_dir, table), "merge_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shifted.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        for d in sorted(os.listdir(tmp)):
+            if d.startswith("bucket="):
+                os.replace(os.path.join(tmp, d),
+                           os.path.join(dst_dir, table, d))
+                if table == "postings":
+                    new_buckets.append(int(d.split("=")[1]))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # 2. dictionary merge by lemma — dst ids stable, new lemmas above max
+    from pyspark.sql import Window
+
+    dst_terms = spark.read.parquet(os.path.join(dst_dir, "terms"))
+    src_terms = spark.read.parquet(os.path.join(src_dir, "terms"))
+    counts = (
+        dst_terms.select("lemma", "df", "cf")
+        .unionByName(src_terms.select("lemma", "df", "cf"))
+        .groupBy("lemma")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+    )
+    max_id = dst_terms.agg(F.max("term_id")).collect()[0][0] or 0
+    with_ids = counts.join(dst_terms.select("lemma", "term_id"), "lemma", "left")
+    fresh = with_ids.filter(F.col("term_id").isNull()).withColumn(
+        "term_id",
+        F.row_number().over(Window.orderBy("lemma")) + F.lit(int(max_id)),
+    )
+    merged_terms_df = (
+        with_ids.filter(F.col("term_id").isNotNull())
+        .unionByName(fresh)
+        .select("term_id", "lemma", "df", "cf")
+    )
+    _swap_write(merged_terms_df, os.path.join(dst_dir, "terms"))
+
+    # 3. stats: counts sum, avgdl doc-weighted
+    a_dst, a_src = float(dst_stats["avgdl"]), float(src_stats["avgdl"])
+    dst_stats["n_docs"] = n_dst + n_src
+    dst_stats["avgdl"] = (n_dst * a_dst + n_src * a_src) / (n_dst + n_src)
+    dst_stats["input"] = f"{dst_stats.get('input', '')}+merge:{src_stats.get('input', src_dir)}"
+    stats_path = os.path.join(dst_dir, "stats.json")
+    with open(stats_path + ".tmp", "w") as fh:
+        json.dump(dst_stats, fh)
+    os.replace(stats_path + ".tmp", stats_path)
+
+    # 4. encode segments for the NEW buckets only (tail re-encode —
+    # same path compact_index takes; writes their manifests)
+    disk = DiskIndex(spark, dst_dir)
+    ix = disk.as_inverted_index()
+    ix.backing_dir = dst_dir
+    ix.postings = ix.postings.filter(F.col("doc_id") >= offset)
+    seg_metrics = _write_segment_buckets(
+        ix, dst_dir, new_buckets, width,
+        input_desc=f"merge:{src_dir}",
+    )
+    return {
+        "merged_from": src_dir,
+        "doc_id_offset": offset,
+        "new_buckets": len(new_buckets),
+        "n_docs": dst_stats["n_docs"],
+        **seg_metrics,
+    }
+
+
 class DiskIndex:
     """Handle on a persisted index (serving side).
 

@@ -1,0 +1,122 @@
+"""Shard-merge (index_store.merge_indexes): two independently-built
+indexes over disjoint corpus shards fold into one; queries over the
+merged index match a from-scratch build of the union corpus (by
+natural key); dst's pre-existing bucket dirs are never rewritten."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.corpus import synthesize_transcripts
+from search_engine_spark.operators.index_build import build_index
+from search_engine_spark.operators.query import bm25_topk
+from search_engine_spark.sources.index_store import (
+    DiskIndex,
+    list_snapshots,
+    load_stats,
+    merge_indexes,
+    write_index,
+)
+
+QUERY = "w00001s w00002ies"
+
+
+def _dir_snapshot(root):
+    out = {}
+    for dp, _, fns in os.walk(root):
+        for fn in fns:
+            if fn.lstrip(".").startswith("_"):  # _SUCCESS (+.crc) markers
+                continue  # are rewritten by any append job on the table
+            p = os.path.join(dp, fn)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def _topk_by_natural_key(spark, index_dir, query, k=10):
+    """(conv_id, turn_idx, score) ranking — doc_id numbering differs
+    between a merged index and a union build, the natural key must not."""
+    disk = DiskIndex(spark, index_dir)
+    hits = bm25_topk(disk.as_inverted_index(), query, k=k)
+    return [
+        (r["conv_id"], r["turn_idx"], r["score"])
+        for r in hits.join(
+            disk.docs.select("doc_id", "conv_id", "turn_idx"), "doc_id"
+        ).orderBy(F.col("score").desc(), "conv_id", "turn_idx").collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def merged(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("merge")
+    dst = str(base / "dst")
+    src = str(base / "src")
+    union = str(base / "union")
+    all_t = synthesize_transcripts(spark, 80, partitions=2).cache()
+    shard_a = all_t.filter(F.col("conv_id") < "conv-00000050")
+    shard_b = all_t.filter(F.col("conv_id") >= "conv-00000050")
+    write_index(build_index(shard_a, use_arrow_udf=False), dst,
+                input_desc="shard_a", bucket_width=256)
+    write_index(build_index(shard_b, use_arrow_udf=False), src,
+                input_desc="shard_b", bucket_width=256)
+    write_index(build_index(all_t, use_arrow_udf=False), union,
+                input_desc="union", bucket_width=256)
+    before = _dir_snapshot(os.path.join(dst, "segments"))
+    stats = merge_indexes(spark, dst, src)
+    return dst, src, union, before, stats
+
+
+def test_merge_matches_union_build(spark, merged):
+    dst, _, union, _, stats = merged
+    assert _topk_by_natural_key(spark, dst, QUERY) == _topk_by_natural_key(
+        spark, union, QUERY
+    )
+    su, sm = load_stats(union), load_stats(dst)
+    assert sm["n_docs"] == su["n_docs"]
+    assert abs(sm["avgdl"] - su["avgdl"]) < 1e-9
+    assert stats["new_buckets"] >= 1
+
+
+def test_merge_never_rewrites_dst_buckets(merged):
+    dst, _, _, before, _ = merged
+    after = _dir_snapshot(os.path.join(dst, "segments"))
+    for rel, sig in before.items():
+        assert after.get(rel) == sig, rel  # old segment files untouched
+
+
+def test_merged_dictionary_and_engines_agree(spark, merged):
+    """Dictionary df/cf equal the union build's; WAND over the merged
+    segments ranks identically to the DF engine (the three-engine
+    invariant holds across a merge)."""
+    from search_engine_spark.operators.wand import wand_topk
+
+    dst, _, union, _, _ = merged
+    t_m = {
+        r["lemma"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(os.path.join(dst, "terms")).collect()
+    }
+    t_u = {
+        r["lemma"]: (r["df"], r["cf"])
+        for r in spark.read.parquet(os.path.join(union, "terms")).collect()
+    }
+    assert t_m == t_u
+    disk = DiskIndex(spark, dst)
+    a = bm25_topk(disk.as_inverted_index(), QUERY).collect()
+    b = wand_topk(disk.segments, disk.terms, QUERY, stats=disk.stats).collect()
+    assert [(r.doc_id, r.score) for r in a] == [(r.doc_id, r.score) for r in b]
+
+
+def test_merge_snapshot_and_fsck(spark, merged):
+    dst, src, _, _, _ = merged
+    snaps = list_snapshots(dst)
+    assert len(snaps) == 1 and "pre-merge" in snaps[0]["note"]
+    from tests.test_fsck import _fsck
+
+    assert _fsck(dst) == []
+
+    # guards: self-merge and double-merge of the same ids are refused
+    with pytest.raises(ValueError, match="same index"):
+        merge_indexes(spark, dst, dst)
