@@ -57,6 +57,10 @@ def main() -> None:
     p.add_argument("--suggest", action="store_true",
                    help="print did-you-mean corrections (one JSON line per "
                         "query word whose best dictionary match differs)")
+    p.add_argument("--federate", default=None, metavar="DIR[,DIR...]",
+                   help="additional shard index dirs: score every shard "
+                        "with GLOBAL idf and merge the top-k "
+                        "(serving.federated_bm25_topk); df engine only")
     p.add_argument("--as-of", type=int, default=None, metavar="VERSION",
                    help="time-travel: query the index as of a snapshot "
                         "version (see index_store.list_snapshots)")
@@ -95,6 +99,26 @@ def main() -> None:
         sys.exit(2)
     ix = disk.as_inverted_index()
     k = args.offset + args.k  # fetch offset+limit, slice below (O2)
+
+    if args.federate:
+        from search_engine_spark.operators.serving import federated_bm25_topk
+
+        if args.more_like is not None or args.engine != "df":
+            print("--federate supports --query with the df engine only",
+                  file=sys.stderr)
+            spark.stop()
+            sys.exit(2)
+        disks = [disk] + [
+            DiskIndex(spark, d, as_of=None) for d in args.federate.split(",")
+        ]
+        res = federated_bm25_topk(disks, args.query, k=k)
+        # offset slice driver-side: rows are top-k sized and paginate's
+        # doc_id tie-break is blind to the shard namespace
+        for r in res.collect()[args.offset:args.offset + args.k]:
+            print(json.dumps({"shard": r["shard"], "doc_id": r["doc_id"],
+                              "score": r["score"]}), flush=True)
+        spark.stop()
+        return
 
     if args.more_like is not None:
         from search_engine_spark.operators.query import more_like_this

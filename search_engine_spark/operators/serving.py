@@ -52,6 +52,89 @@ def merge_results(
     )
 
 
+def federated_bm25_topk(
+    disks: list,
+    query: str,
+    k: int = 10,
+) -> DataFrame:
+    """Query-time federation over N shard indexes — the serving-side
+    dual of ``index_store.merge_indexes`` (merge rewrites storage once;
+    federation answers one query across shards that stay separate —
+    how a 100 TB corpus is actually served: each shard index on its
+    own executors, one small top-k merge at the coordinator).
+
+    Correctness hinges on GLOBAL idf: scoring each shard with its local
+    df would make scores incomparable across shards (a lemma rare in
+    one shard but common overall would be over-weighted there). So:
+    global df for the query's lemmas = sum of the per-shard dictionary
+    rows (a len(lemmas)-row lookup per shard — driver-tiny), global
+    n_docs/avgdl = summed/doc-weighted stats, every shard scored with
+    that shared model. Each doc lives in exactly one shard, so the
+    global top-k is exactly the top-k of the per-shard top-k union
+    (pinned against a single merged index by test). Returns
+    (shard, doc_id, score, score_raw); ties by (shard, doc_id) asc —
+    doc ids are per-shard namespaces."""
+    from search_engine_spark.operators.index_build import (
+        CorpusStats,
+        InvertedIndex,
+    )
+    from search_engine_spark.operators.query import (
+        bm25_topk_lemmas,
+        parse_query,
+    )
+
+    lemmas = parse_query(query)
+    spark = disks[0].terms.sparkSession
+    if not lemmas:
+        return spark.createDataFrame(
+            [], "shard int, doc_id long, score double, score_raw double"
+        )
+    n_total = sum(d.stats.n_docs for d in disks)
+    avgdl = (
+        sum(d.stats.n_docs * d.stats.avgdl for d in disks) / n_total
+        if n_total
+        else 0.0
+    )
+    df_global: dict[str, int] = {}
+    for d in disks:
+        for r in (
+            d.terms.filter(F.col("lemma").isin(lemmas))
+            .select("lemma", "df")
+            .collect()
+        ):
+            df_global[r["lemma"]] = df_global.get(r["lemma"], 0) + int(r["df"])
+    if not df_global:
+        return spark.createDataFrame(
+            [], "shard int, doc_id long, score double, score_raw double"
+        )
+    terms_df = spark.createDataFrame(
+        [(lem, df) for lem, df in sorted(df_global.items())],
+        "lemma string, df long",
+    )
+    stats = CorpusStats(n_docs=n_total, avgdl=avgdl)
+    per_shard = []
+    for i, d in enumerate(disks):
+        ix = d.as_inverted_index()
+        patched = InvertedIndex(
+            docs=ix.docs, postings=ix.postings, doclen=ix.doclen,
+            terms=terms_df, stats=stats,
+        )
+        per_shard.append(
+            bm25_topk_lemmas(patched, lemmas, k=k).withColumn(
+                "shard", F.lit(i).cast("int")
+            )
+        )
+    merged = per_shard[0]
+    for h in per_shard[1:]:
+        merged = merged.unionByName(h)
+    return (
+        merged.select("shard", "doc_id", "score", "score_raw")
+        .orderBy(F.col("score").desc(), F.col("shard").asc(),
+                 F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def scope_docs(docs: DataFrame, scope_col: str, scope_value: str) -> DataFrame:
     """Per-scope search restriction — the reference's per-site search
     (siteId != 0 path, ApiService.java:36-47). A plain pushed-down

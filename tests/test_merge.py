@@ -120,3 +120,53 @@ def test_merge_snapshot_and_fsck(spark, merged):
     # guards: self-merge and double-merge of the same ids are refused
     with pytest.raises(ValueError, match="same index"):
         merge_indexes(spark, dst, dst)
+
+
+@pytest.fixture(scope="module")
+def shards(spark, tmp_path_factory):
+    """Two shard indexes + the union build, UNTOUCHED by the merge tests
+    (the merged fixture consumes its dst)."""
+    base = tmp_path_factory.mktemp("fed")
+    a, b, u = str(base / "a"), str(base / "b"), str(base / "u")
+    all_t = synthesize_transcripts(spark, 50, partitions=2).cache()
+    write_index(build_index(
+        all_t.filter(F.col("conv_id") < "conv-00000030"),
+        use_arrow_udf=False), a, input_desc="a", bucket_width=256)
+    write_index(build_index(
+        all_t.filter(F.col("conv_id") >= "conv-00000030"),
+        use_arrow_udf=False), b, input_desc="b", bucket_width=256)
+    write_index(build_index(all_t, use_arrow_udf=False), u,
+                input_desc="u", bucket_width=256)
+    return a, b, u
+
+
+def test_federated_matches_union_index(spark, shards):
+    """Query-time federation over two shards with GLOBAL idf ranks
+    exactly like a single index over the union corpus (natural keys:
+    doc ids are per-shard namespaces)."""
+    from search_engine_spark.operators.serving import federated_bm25_topk
+
+    a, b, u = shards
+    disks = [DiskIndex(spark, a), DiskIndex(spark, b)]
+    fed = federated_bm25_topk(disks, QUERY, k=10)
+    rows = fed.collect()
+    assert {r["shard"] for r in rows} == {0, 1}  # both shards contribute
+    keyed = []
+    for r in rows:
+        d = disks[r["shard"]]
+        doc = d.docs.filter(F.col("doc_id") == r["doc_id"]).select(
+            "conv_id", "turn_idx").head()
+        keyed.append((doc["conv_id"], doc["turn_idx"], r["score"]))
+    want = _topk_by_natural_key(spark, u, QUERY, k=10)
+    assert sorted(keyed) == sorted(want)
+    # scores descend and the global ordering is the union index's
+    assert [x[2] for x in keyed] == [x[2] for x in want]
+
+
+def test_federated_empty_and_absent_terms(spark, shards):
+    from search_engine_spark.operators.serving import federated_bm25_topk
+
+    a, b, _ = shards
+    disks = [DiskIndex(spark, a), DiskIndex(spark, b)]
+    assert federated_bm25_topk(disks, "").collect() == []
+    assert federated_bm25_topk(disks, "zzzznope").collect() == []
