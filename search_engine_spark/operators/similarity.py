@@ -712,8 +712,12 @@ def delete_from_ann_index(
     the ids indexed) returns []. SRP indexes hold each id in n_tables
     partitions — all of them are cleaned.
 
-    ``partition_cols`` defaults by sniffing the layout: ``[cluster]``
-    (IVF) vs ``[table, bgroup]`` (SRP). ``snapshot=True`` freezes the
+    ``vec_ids`` is a driver-side list spliced into an IN predicate —
+    right for mutation-sized deletes (up to ~10^4 ids); a bulk purge
+    beyond that should join against an ids DataFrame instead (or
+    rebuild). ``partition_cols`` defaults by sniffing the layout:
+    ``[cluster]`` (IVF) vs ``[table, bgroup]`` (SRP). ``snapshot=True``
+    freezes the
     pre-delete state as a hardlink-tree snapshot first (same undo
     contract as the fulltext index's mutations; the disk probes take
     ``as_of=`` to read one), skipped when the delete turns out to be a
