@@ -61,8 +61,9 @@ def main() -> None:
                    help="index family: SRP-LSH bucket tables or IVF "
                         "coarse-quantizer cluster lists")
     p.add_argument("--planes", type=int, default=8)
-    p.add_argument("--clusters", type=int, default=16,
-                   help="IVF cluster count (build)")
+    p.add_argument("--clusters", type=int, default=None,
+                   help="IVF cluster count (build: default 16; "
+                        "rebuild: default = the old model's count)")
     p.add_argument("--n-probe", type=int, default=4,
                    help="IVF probe width (query recall lever)")
     p.add_argument("--tables", type=int, default=4)
@@ -91,6 +92,10 @@ def main() -> None:
                    help="query: probe snapshot version v instead of live")
     p.add_argument("--expire-keep", type=int, default=None,
                    help="snapshots: drop all but the newest N")
+    p.add_argument("--max-files-per-batch", type=int, default=None,
+                   help="refresh: cap files per micro-batch "
+                        "(maxFilesPerTrigger) — bound backfill batches, "
+                        "required practice with --duplicates upsert")
     p.add_argument("--checkpoint", default=None,
                    help="refresh: stream checkpoint dir (default "
                         "<index>/_stream_checkpoint)")
@@ -117,15 +122,22 @@ def main() -> None:
     else:
         spark = SparkSession.builder.appName("ann").getOrCreate()
 
-    emb = spark.read.parquet(args.embeddings)
     meta_path = os.path.join(args.index, "_ann_meta.json")
 
+    def read_emb():
+        # lazy: refresh must no-op on an empty/initial incoming dir, and
+        # delete/snapshots never need the vector table at all
+        return spark.read.parquet(args.embeddings)
+
+
     if args.mode == "build":
+        emb = read_emb()
         dim = len(emb.select("embedding").head()[0])
         if args.method == "ivf":
+            k_build = args.clusters or 16
             write_ivf_index(emb, args.index, dim=dim,
-                            n_clusters=args.clusters)
-            meta = {"method": "ivf", "dim": dim, "n_clusters": args.clusters,
+                            n_clusters=k_build)
+            meta = {"method": "ivf", "dim": dim, "n_clusters": k_build,
                     "embeddings": os.path.abspath(args.embeddings)}
         else:
             write_srp_index(emb, args.index, dim=dim, n_planes=args.planes,
@@ -150,6 +162,7 @@ def main() -> None:
         with open(meta_path) as fh:
             meta = json.load(fh)
         check = not args.allow_duplicates
+        emb = read_emb()
         if meta.get("method") == "ivf":
             affected = append_ivf_index(emb, args.index,
                                         check_duplicates=check)
@@ -198,8 +211,8 @@ def main() -> None:
             rebuild_ivf_index,
         )
 
-        k = args.clusters if "--clusters" in sys.argv else None
-        cent = rebuild_ivf_index(emb, args.index, n_clusters=k,
+        cent = rebuild_ivf_index(read_emb(), args.index,
+                                 n_clusters=args.clusters,
                                  snapshot=not args.no_snapshot)
         meta["n_clusters"] = int(cent.shape[0])
         meta["embeddings"] = os.path.abspath(args.embeddings)
@@ -207,8 +220,7 @@ def main() -> None:
             json.dump(meta, fh)
         os.replace(meta_path + ".tmp", meta_path)
         print(json.dumps({"rebuilt": args.index,
-                          "n_clusters": meta["n_clusters"],
-                          "n_vectors": emb.count()}), flush=True)
+                          "n_clusters": meta["n_clusters"]}), flush=True)
         spark.stop()
         return
 
@@ -237,19 +249,20 @@ def main() -> None:
             incremental_ann_refresh,
         )
 
-        before = spark.read.parquet(args.index).count()
-        incremental_ann_refresh(
+        totals = incremental_ann_refresh(
             spark, args.embeddings, args.index,
             checkpoint_dir=args.checkpoint, on_duplicate=args.duplicates,
+            max_files_per_batch=args.max_files_per_batch,
         )
-        after = spark.read.parquet(args.index).count()
-        print(json.dumps({"refreshed": args.index,
-                          "n_vectors_before": before,
-                          "n_vectors_after": after}), flush=True)
+        # O(delta) bookkeeping only — an index scan per cron tick would
+        # betray the refresh's own never-O(index) contract; vector
+        # counts come from index_stats' footer report when wanted
+        print(json.dumps({"refreshed": args.index, **totals}), flush=True)
         spark.stop()
         return
 
     # query
+    emb = read_emb()
     if (args.vec_id is None) == (args.vector is None):
         print("exactly one of --vec-id / --vector is required",
               file=sys.stderr)

@@ -134,7 +134,8 @@ def _fsck(index_dir: str) -> list[str]:
     for table in ("postings", "doclen", "docs"):
         root = os.path.join(index_dir, table)
         if os.path.isdir(root):
-            bs = {d for d in os.listdir(root) if d.startswith("bucket=")}
+            bs = {d for d in os.listdir(root)
+                  if d.startswith("bucket=") and d.split("=")[1].isdigit()}
             if bs:
                 table_buckets[table] = bs
     if len({frozenset(v) for v in table_buckets.values()}) > 1:
@@ -142,6 +143,20 @@ def _fsck(index_dir: str) -> list[str]:
             "bucket sets disagree across tables: "
             + ", ".join(f"{t}={len(v)}" for t, v in sorted(table_buckets.items()))
         )
+    # per-doc tables must also agree with the SEGMENT universe: a crash
+    # mid-merge (tables moved in, segments not yet encoded) leaves the
+    # DF engine serving docs WAND cannot see — rank-identity silently
+    # broken unless this is flagged
+    if table_buckets and manifest_buckets:
+        doc_b = {
+            int(x.split("=")[1]) for x in next(iter(table_buckets.values()))
+        }
+        only_docs = sorted(doc_b - manifest_buckets)
+        if only_docs:
+            problems.append(
+                f"doc-table buckets {only_docs} have no segment manifest "
+                "(crash mid-merge/compaction? WAND cannot serve them)"
+            )
     # interrupted-swap residue: visible *.old / tmp dirs inside the
     # index would be discovered as bogus partition values
     for root, dirs, _files in os.walk(index_dir):
@@ -176,6 +191,14 @@ def main() -> None:
     args = p.parse_args()
 
     if args.fsck:
+        if os.path.exists(os.path.join(args.index, "_ann_meta.json")):
+            print("fsck covers fulltext indexes; for ANN dirs use the "
+                  "default report", file=sys.stderr)
+            sys.exit(2)
+        if not os.path.exists(os.path.join(args.index, "stats.json")):
+            print(f"no index at {args.index} (stats.json missing)",
+                  file=sys.stderr)
+            sys.exit(2)
         problems = _fsck(args.index)
         print(json.dumps({"fsck": "clean" if not problems else "problems",
                           "problems": problems}), flush=True)

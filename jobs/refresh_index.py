@@ -35,7 +35,7 @@ def main() -> None:
     p.add_argument("--merge-from", default=None, metavar="SRC_INDEX",
                    help="merge a complete index built over a disjoint "
                         "shard into --index (index_store.merge_indexes); "
-                        "skips the drain unless --input is also given")
+                        "runs before the drain when --input is also given")
     p.add_argument("--compact", action="store_true",
                    help="fold streamed deltas into the dense index after "
                         "draining (compact_index)")
@@ -71,13 +71,15 @@ def main() -> None:
               file=sys.stderr)
         spark.stop()
         sys.exit(2)
-    if args.input:
-        incremental_index_refresh(spark, args.input, args.index)
-        out["drained"] = True
+    # merge FIRST: merge_indexes refuses undrained stream deltas, and a
+    # drain in the same invocation would create exactly those
     if args.merge_from:
         from search_engine_spark.sources.index_store import merge_indexes
 
         out["merge"] = merge_indexes(spark, args.index, args.merge_from)
+    if args.input:
+        incremental_index_refresh(spark, args.input, args.index)
+        out["drained"] = True
     if args.compact:
         out["compaction"] = compact_index(spark, args.index)
         out["compacted"] = True

@@ -56,6 +56,7 @@ def federated_bm25_topk(
     disks: list,
     query: str,
     k: int = 10,
+    match_all: bool = True,
 ) -> DataFrame:
     """Query-time federation over N shard indexes — the serving-side
     dual of ``index_store.merge_indexes`` (merge rewrites storage once;
@@ -120,9 +121,8 @@ def federated_bm25_topk(
             terms=terms_df, stats=stats,
         )
         per_shard.append(
-            bm25_topk_lemmas(patched, lemmas, k=k).withColumn(
-                "shard", F.lit(i).cast("int")
-            )
+            bm25_topk_lemmas(patched, lemmas, k=k, match_all=match_all)
+            .withColumn("shard", F.lit(i).cast("int"))
         )
     merged = per_shard[0]
     for h in per_shard[1:]:

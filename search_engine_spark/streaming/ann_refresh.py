@@ -120,6 +120,13 @@ def upsert_ann_batch(
     ``index_store.expire_snapshots`` (or pass snapshot=False)."""
     batch = batch.dropDuplicates(["vec_id"])
     ids = [int(r["vec_id"]) for r in batch.select("vec_id").collect()]
+    if len(ids) > 20_000:
+        raise ValueError(
+            f"upsert batch of {len(ids)} ids exceeds the delete IN-list "
+            "bound (~10^4) — bound micro-batches with max_files_per_batch "
+            "(maxFilesPerTrigger), or rebuild instead of upserting a bulk "
+            "re-embed"
+        )
     spark = batch.sparkSession
     delete_from_ann_index(spark, index_dir, ids, snapshot=snapshot)
     return append_ann_batch(batch, index_dir, meta, on_duplicate="allow")
@@ -131,11 +138,18 @@ def incremental_ann_refresh(
     index_dir: str,
     checkpoint_dir: str | None = None,
     on_duplicate: str = "skip",
-) -> None:
+    max_files_per_batch: int | None = None,
+) -> dict:
     """Drain new embedding parquet files into the ANN index. The
     checkpoint lives OUTSIDE the index dir's partition tree (sibling
     ``_stream_checkpoint`` — underscore-prefixed so parquet directory
-    listing ignores it, same convention as _ann_meta.json)."""
+    listing ignores it, same convention as _ann_meta.json).
+    ``max_files_per_batch`` caps each micro-batch (maxFilesPerTrigger —
+    AvailableNow still drains EVERYTHING, in bounded batches): set it
+    when draining a large backfill, mandatory territory for the upsert
+    policy whose per-batch delete is IN-list-bounded. Returns
+    {"batches": n, "affected_partitions": total} — O(delta) bookkeeping
+    only, no index scans."""
     meta = read_ann_meta(index_dir)
     checkpoint_dir = checkpoint_dir or os.path.join(
         index_dir, "_stream_checkpoint"
@@ -147,14 +161,20 @@ def incremental_ann_refresh(
         schema = spark.read.parquet(input_dir).schema
     except Exception:
         schema = EMBEDDING_STREAM_SCHEMA
-    stream = spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_batch:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_batch))
+    stream = reader.parquet(input_dir)
+    totals = {"batches": 0, "affected_partitions": 0}
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        append_ann_batch(
+        affected = append_ann_batch(
             batch_df, index_dir, meta, on_duplicate=on_duplicate
         )
+        totals["batches"] += 1
+        totals["affected_partitions"] += len(affected)
 
     q = (
         stream.writeStream.foreachBatch(process_batch)
@@ -163,3 +183,4 @@ def incremental_ann_refresh(
         .start()
     )
     q.awaitTermination()
+    return totals

@@ -211,12 +211,25 @@ def test_ann_cli_refresh(tmp_path):
             capture_output=True, text=True, cwd=repo, timeout=300, env=env,
         )
 
+    def footer_vectors():
+        st = subprocess.run(
+            [sys.executable, os.path.join(repo, "jobs", "index_stats.py"),
+             "--index", idx],
+            capture_output=True, text=True, cwd=repo, timeout=120, env=env,
+        )
+        assert st.returncode == 0, st.stderr[-2000:]
+        return _json.loads(st.stdout.strip().splitlines()[-1])
+
     b = run(base, "build", "--method", "ivf", "--clusters", "8")
     assert b.returncode == 0, b.stderr[-2000:]
+    n_base = footer_vectors()["n_vectors"]
     r = run(incoming, "refresh")
     assert r.returncode == 0, r.stderr[-2000:]
     stats = _json.loads(r.stdout.strip().splitlines()[-1])
-    assert stats["n_vectors_after"] - stats["n_vectors_before"] == 5
+    assert stats["batches"] == 1 and stats["affected_partitions"] >= 1
+    n_after = footer_vectors()["n_vectors"]
+    assert n_after - n_base == 5
+    stats = {"n_vectors_after": n_after}  # for the report check below
 
     # no new files → no-op; re-emitted ids in a new file → skipped
     con.sql(f"COPY (SELECT * FROM '{emb}' WHERE vec_id > {cut}) "
@@ -224,8 +237,8 @@ def test_ann_cli_refresh(tmp_path):
     r2 = run(incoming, "refresh")
     assert r2.returncode == 0, r2.stderr[-2000:]
     stats2 = _json.loads(r2.stdout.strip().splitlines()[-1])
-    assert stats2["n_vectors_after"] == stats2["n_vectors_before"] \
-        == stats["n_vectors_after"]
+    assert stats2["affected_partitions"] == 0  # all ids skipped
+    assert footer_vectors()["n_vectors"] == n_after
 
     q = run(emb, "query", "--vec-id", str(nmax), "--k", "5")
     assert q.returncode == 0, q.stderr[-2000:]
@@ -464,3 +477,16 @@ def test_rebuild_refits_centroids_preserving_snapshots(spark, emb, tmp_path):
            for r in ivf_query_topk_disk(
                emb, out, q, k=5, as_of=snaps[0]["version"]).collect()]
     assert old == pre
+
+
+def test_upsert_bulk_batch_refused(spark, ivf_stream):
+    """A bulk re-embed upsert beyond the IN-list bound fails loudly
+    BEFORE touching the index, pointing at max_files_per_batch."""
+    from search_engine_spark.streaming.ann_refresh import upsert_ann_batch
+
+    _, index_dir, _ = ivf_stream
+    big = spark.range(20_001).selectExpr(
+        "id AS vec_id", "array(CAST(1.0 AS DOUBLE)) AS embedding"
+    )
+    with pytest.raises(ValueError, match="max_files_per_batch"):
+        upsert_ann_batch(big, index_dir, {"method": "ivf"})

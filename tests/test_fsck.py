@@ -82,6 +82,20 @@ def test_corruptions_detected(idx, tmp_path):
     assert any("swap residue" in p for p in probs)
     shutil.rmtree(os.path.join(d, "postings", "bucket=0.old"))
 
+    # 5b. crash mid-merge: ALL per-doc tables carry a new bucket that
+    # has no segment manifest — tables agree with each other, so only
+    # the doc-vs-manifest check can catch it
+    for t in ("postings", "doclen", "docs"):
+        src_b = sorted(x for x in os.listdir(os.path.join(d, t))
+                       if x.startswith("bucket="))[0]
+        shutil.copytree(os.path.join(d, t, src_b),
+                        os.path.join(d, t, "bucket=99"))
+    probs = _fsck(d)
+    assert any("no segment manifest" in p for p in probs)
+    for t in ("postings", "doclen", "docs"):
+        shutil.rmtree(os.path.join(d, t, "bucket=99"))
+    assert _fsck(d) == []
+
     # 5. snapshot log pointing at a vanished dir
     v = create_snapshot(d, note="fsck test")
     shutil.rmtree(os.path.join(d, "_snapshots", f"v{v}"))
