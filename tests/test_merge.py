@@ -170,3 +170,32 @@ def test_federated_empty_and_absent_terms(spark, shards):
     disks = [DiskIndex(spark, a), DiskIndex(spark, b)]
     assert federated_bm25_topk(disks, "").collect() == []
     assert federated_bm25_topk(disks, "zzzznope").collect() == []
+
+
+def test_three_way_sequential_merge(spark, shards, tmp_path):
+    """merge(merge(a, b), c) == union build: the offset arithmetic and
+    dictionary merge compose across repeated merges (how an N-shard
+    parallel build actually lands)."""
+    import shutil
+
+    a, b, u = shards
+    dst = str(tmp_path / "acc")
+    shutil.copytree(a, dst)
+    # third shard: a disjoint extra corpus slice
+    extra = synthesize_transcripts(spark, 60, partitions=2).filter(
+        F.col("conv_id") >= "conv-00000050"
+    )
+    c = str(tmp_path / "c")
+    u3 = str(tmp_path / "u3")
+    write_index(build_index(extra, use_arrow_udf=False), c,
+                input_desc="c", bucket_width=256)
+    all_t = synthesize_transcripts(spark, 60, partitions=2)
+    write_index(build_index(all_t, use_arrow_udf=False), u3,
+                input_desc="u3", bucket_width=256)
+
+    merge_indexes(spark, dst, b, snapshot=False)
+    merge_indexes(spark, dst, c, snapshot=False)
+    assert _topk_by_natural_key(spark, dst, QUERY) == _topk_by_natural_key(
+        spark, u3, QUERY
+    )
+    assert load_stats(dst)["n_docs"] == load_stats(u3)["n_docs"]
