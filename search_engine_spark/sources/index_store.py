@@ -1276,6 +1276,37 @@ def reindex_turn(
     return {"doc_id": d, "bucket": bucket, "blocks": int(n_blocks)}
 
 
+def materialize_docs(
+    spark: SparkSession, index_dir: str, bucket_width: int = DOC_BUCKET_WIDTH
+) -> bool:
+    """Resolve an indirected docs layout (by-reference ``docs_source``
+    or spilled ``_mid`` + ``docid_adjust``) to an explicit
+    bucket-partitioned table with real doc_ids — the copy-on-first-write
+    step compact_index/delete_scope already perform before mutating.
+    Returns True if a rewrite happened (one O(docs) narrow job), False
+    if the layout was already materialized."""
+    stats = load_stats(index_dir) or {}
+    disk = DiskIndex(spark, index_dir)
+    docs_path = os.path.join(index_dir, "docs")
+    explicit = (
+        not disk.docs_source
+        and not disk.docid_adjust
+        and os.path.isdir(docs_path)
+        and "doc_id" in spark.read.parquet(docs_path).columns
+        and _is_bucketed(docs_path)
+    )
+    if explicit:
+        return False
+    _swap_write_bucketed(disk._base_docs, docs_path, bucket_width)
+    stats["docs_source"] = None
+    stats["docid_adjust"] = {}
+    stats_path = os.path.join(index_dir, "stats.json")
+    with open(stats_path + ".tmp", "w") as fh:
+        json.dump(stats, fh)
+    os.replace(stats_path + ".tmp", stats_path)
+    return True
+
+
 def merge_indexes(
     spark: SparkSession,
     dst_dir: str,
@@ -1301,9 +1332,11 @@ def merge_indexes(
     index must equal a from-scratch build of the concatenated corpus
     up to doc-id naming — pinned by test via natural-key comparison.
 
-    Both indexes must be complete, materialized (no docs_source /
-    docid_adjust indirection — run compact_index first), stream-delta
-    free, and share bucket_width/format. ``snapshot=True`` freezes
+    Both indexes must be complete, stream-delta free, and share
+    bucket_width/format. Indirected docs layouts are handled: dst's is
+    materialized in place first (:func:`materialize_docs`, the same
+    copy-on-first-write every other mutation performs), src's is read
+    resolved without mutating src. ``snapshot=True`` freezes
     dst's pre-merge state (a crash mid-merge is recovered by restoring
     that version; fsck detects the partial state)."""
     import shutil
@@ -1315,11 +1348,6 @@ def merge_indexes(
         s = load_stats(d)
         if not s or not s.get("complete"):
             raise ValueError(f"merge_indexes: {name} index incomplete ({d})")
-        if s.get("docs_source") or s.get("docid_adjust"):
-            raise ValueError(
-                f"merge_indexes: {name} uses docs_source/docid_adjust "
-                "indirection — run compact_index first"
-            )
         for delta in ("postings_stream", "doclen_stream", "docs_stream",
                       "terms_delta"):
             if os.path.isdir(os.path.join(d, delta)):
@@ -1348,6 +1376,11 @@ def merge_indexes(
 
     if snapshot:
         create_snapshot(dst_dir, note=f"pre-merge of {src_dir}")
+    # dst docs must hold explicit bucketed ids before new bucket dirs
+    # land beside them (an indirected _mid / by-reference layout would
+    # mix schemas); src is never mutated — its docs are read resolved
+    materialize_docs(spark, dst_dir, width)
+    dst_stats = load_stats(dst_dir)  # materialize may rewrite markers
 
     # 1. move the shifted per-doc tables in as NEW bucket dirs
     new_buckets: list[int] = []
@@ -1356,8 +1389,14 @@ def merge_indexes(
         ("doclen", ["doc_id"]),
         ("docs", ["doc_id"]),
     ):
-        src_path = os.path.join(src_dir, table)
-        raw = spark.read.parquet(src_path)
+        if table == "docs":
+            # resolves every src layout (local, by-reference docs_source,
+            # spilled _mid) to explicit doc_ids without touching src
+            raw = DiskIndex(spark, src_dir)._base_docs.withColumn(
+                "bucket", _bucket_col(width)
+            )
+        else:
+            raw = spark.read.parquet(os.path.join(src_dir, table))
         if "bucket" not in raw.columns or not _is_bucketed(
             os.path.join(dst_dir, table)
         ):

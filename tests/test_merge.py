@@ -199,3 +199,33 @@ def test_three_way_sequential_merge(spark, shards, tmp_path):
         spark, u3, QUERY
     )
     assert load_stats(dst)["n_docs"] == load_stats(u3)["n_docs"]
+
+
+def test_merge_spilled_mid_layout(spark, tmp_path):
+    """The AT-SCALE build layout (fused docID spill: docs store _mid +
+    docid_adjust) merges directly — dst's docs materialize in place
+    (copy-on-first-write), src is read resolved and never mutated."""
+    import shutil
+    import tempfile
+
+    all_t = synthesize_transcripts(spark, 40, partitions=2).cache()
+    dst, src, u = str(tmp_path / "d"), str(tmp_path / "s"), str(tmp_path / "u")
+    for d, pred in ((dst, F.col("conv_id") < "conv-00000020"),
+                    (src, F.col("conv_id") >= "conv-00000020")):
+        write_index(
+            build_index(all_t.filter(pred), use_arrow_udf=True,
+                        scratch_dir=tempfile.mkdtemp()),
+            d, input_desc="spilled", bucket_width=256,
+        )
+    assert load_stats(dst)["docid_adjust"] or load_stats(src)["docid_adjust"], \
+        "fixture should exercise the _mid layout"
+    src_before = _dir_snapshot(src)
+    write_index(build_index(all_t, use_arrow_udf=False), u,
+                input_desc="u", bucket_width=256)
+
+    merge_indexes(spark, dst, src, snapshot=False)
+    assert _topk_by_natural_key(spark, dst, QUERY) == _topk_by_natural_key(
+        spark, u, QUERY
+    )
+    assert load_stats(dst)["docid_adjust"] == {}  # materialized
+    assert _dir_snapshot(src) == src_before  # src never mutated
