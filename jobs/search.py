@@ -103,18 +103,26 @@ def main() -> None:
     if args.federate:
         from search_engine_spark.operators.serving import federated_bm25_topk
 
-        if args.more_like is not None or args.engine != "df" or args.prf \
-                or args.as_of is not None:
-            print("--federate supports --query with the df engine only "
-                  "(no --prf; no --as-of — shards are always read live)",
-                  file=sys.stderr)
+        if args.more_like is not None or args.engine not in ("df", "wand") \
+                or args.prf or args.as_of is not None:
+            print("--federate supports --query with the df/wand engines "
+                  "only (no --prf; no --as-of — shards are always read "
+                  "live)", file=sys.stderr)
             spark.stop()
             sys.exit(2)
         disks = [disk] + [
             DiskIndex(spark, d, as_of=None) for d in args.federate.split(",")
         ]
-        res = federated_bm25_topk(disks, args.query, k=k,
-                                  match_all=not args.match_any)
+        if args.engine == "wand":
+            from search_engine_spark.operators.serving import (
+                federated_wand_topk,
+            )
+
+            res = federated_wand_topk(disks, args.query, k=k,
+                                      match_all=not args.match_any)
+        else:
+            res = federated_bm25_topk(disks, args.query, k=k,
+                                      match_all=not args.match_any)
         # offset slice driver-side: rows are top-k sized and paginate's
         # doc_id tie-break is blind to the shard namespace
         for r in res.collect()[args.offset:args.offset + args.k]:

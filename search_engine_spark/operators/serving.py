@@ -52,6 +52,82 @@ def merge_results(
     )
 
 
+def _global_bm25_model(disks: list, lemmas: list):
+    """The shared cross-shard scoring model: global df for the query's
+    lemmas (per-shard dictionary rows summed driver-side — a
+    len(lemmas)-row lookup per shard), global n_docs, doc-weighted
+    avgdl. Returns (terms_df, stats), or (None, None) when the query is
+    empty or no shard knows any lemma."""
+    from search_engine_spark.operators.index_build import CorpusStats
+
+    if not lemmas:
+        return None, None
+    spark = disks[0].terms.sparkSession
+    n_total = sum(d.stats.n_docs for d in disks)
+    avgdl = (
+        sum(d.stats.n_docs * d.stats.avgdl for d in disks) / n_total
+        if n_total
+        else 0.0
+    )
+    df_global: dict[str, int] = {}
+    for d in disks:
+        for r in (
+            d.terms.filter(F.col("lemma").isin(lemmas))
+            .select("lemma", "df")
+            .collect()
+        ):
+            df_global[r["lemma"]] = df_global.get(r["lemma"], 0) + int(r["df"])
+    if not df_global:
+        return None, None
+    terms_df = spark.createDataFrame(
+        [(lem, df) for lem, df in sorted(df_global.items())],
+        "lemma string, df long",
+    )
+    return terms_df, CorpusStats(n_docs=n_total, avgdl=avgdl)
+
+
+def federated_wand_topk(
+    disks: list,
+    query: str,
+    k: int = 10,
+    match_all: bool = True,
+) -> DataFrame:
+    """Block-max WAND over every shard's compressed segments with the
+    SAME global model as :func:`federated_bm25_topk` — the engine
+    you'd actually federate at 100 TB (segments are the posting store;
+    the DF copy exists for oracle parity). Rank-identical to the DF
+    federation by construction: v2 segments store raw tf/dl, all BM25
+    weights are computed query-side from (global df, global stats), so
+    both engines evaluate the identical formula. Pinned by differential
+    test. Returns (shard, doc_id, score, score_raw)."""
+    from search_engine_spark.operators.query import parse_query
+    from search_engine_spark.operators.wand import wand_topk
+
+    lemmas = parse_query(query)
+    spark = disks[0].terms.sparkSession
+    terms_df, stats = _global_bm25_model(disks, lemmas)
+    if terms_df is None:
+        return spark.createDataFrame(
+            [], "shard int, doc_id long, score double, score_raw double"
+        )
+    per_shard = []
+    for i, d in enumerate(disks):
+        per_shard.append(
+            wand_topk(d.segments, terms_df, query, k=k, stats=stats,
+                      match_all=match_all)
+            .withColumn("shard", F.lit(i).cast("int"))
+        )
+    merged = per_shard[0]
+    for h in per_shard[1:]:
+        merged = merged.unionByName(h)
+    return (
+        merged.select("shard", "doc_id", "score", "score_raw")
+        .orderBy(F.col("score").desc(), F.col("shard").asc(),
+                 F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def federated_bm25_topk(
     disks: list,
     query: str,
@@ -86,33 +162,11 @@ def federated_bm25_topk(
 
     lemmas = parse_query(query)
     spark = disks[0].terms.sparkSession
-    if not lemmas:
+    terms_df, stats = _global_bm25_model(disks, lemmas)
+    if terms_df is None:
         return spark.createDataFrame(
             [], "shard int, doc_id long, score double, score_raw double"
         )
-    n_total = sum(d.stats.n_docs for d in disks)
-    avgdl = (
-        sum(d.stats.n_docs * d.stats.avgdl for d in disks) / n_total
-        if n_total
-        else 0.0
-    )
-    df_global: dict[str, int] = {}
-    for d in disks:
-        for r in (
-            d.terms.filter(F.col("lemma").isin(lemmas))
-            .select("lemma", "df")
-            .collect()
-        ):
-            df_global[r["lemma"]] = df_global.get(r["lemma"], 0) + int(r["df"])
-    if not df_global:
-        return spark.createDataFrame(
-            [], "shard int, doc_id long, score double, score_raw double"
-        )
-    terms_df = spark.createDataFrame(
-        [(lem, df) for lem, df in sorted(df_global.items())],
-        "lemma string, df long",
-    )
-    stats = CorpusStats(n_docs=n_total, avgdl=avgdl)
     per_shard = []
     for i, d in enumerate(disks):
         ix = d.as_inverted_index()

@@ -229,3 +229,24 @@ def test_merge_spilled_mid_layout(spark, tmp_path):
     )
     assert load_stats(dst)["docid_adjust"] == {}  # materialized
     assert _dir_snapshot(src) == src_before  # src never mutated
+
+
+def test_federated_wand_rank_identical_to_df(spark, shards):
+    """The WAND federation evaluates the identical global model — rank-
+    and score-identical to the DF federation, in AND and OR modes."""
+    from search_engine_spark.operators.serving import (
+        federated_bm25_topk,
+        federated_wand_topk,
+    )
+
+    a, b, _ = shards
+    disks = [DiskIndex(spark, a), DiskIndex(spark, b)]
+    for match_all in (True, False):
+        df_hits = [(r["shard"], r["doc_id"], r["score"]) for r in
+                   federated_bm25_topk(disks, QUERY, k=10,
+                                       match_all=match_all).collect()]
+        wd_hits = [(r["shard"], r["doc_id"], r["score"]) for r in
+                   federated_wand_topk(disks, QUERY, k=10,
+                                       match_all=match_all).collect()]
+        assert df_hits == wd_hits and df_hits
+    assert federated_wand_topk(disks, "zzzznope").collect() == []
