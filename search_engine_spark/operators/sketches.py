@@ -265,17 +265,39 @@ def bloom_maybe_contains_col(
     seed: str = "bloom0",
 ) -> Column:
     """Boolean Column: the Bloom membership probe as a pure-codegen
-    expression over a LITERAL bit array (the collected filter spliced in,
+    expression over a LITERAL bitmap (the collected filter spliced in,
     the SRP/SQ8 literal-replay pattern) — the broadcast prefilter shape
     for 100 TB decontamination. False ⇒ definitely not in the filtered
-    set; rows passing still need the exact join."""
-    arr = "array(" + ", ".join(str(int(b)) for b in sorted(bits)) + ")"
-    probes = [
-        _hash60_col(col, f"{seed}:{i}") % m_bits for i in range(k)
-    ]
+    set; rows passing still need the exact join.
+
+    The bitmap is packed into m_bits/64 longs probed with
+    element_at + shift — O(1) per probe. (The first version spliced the
+    set-bit LIST and probed with array_contains: an O(|bits|) linear
+    scan per probe per row, measured 27 s on the sf0.1 contamination
+    prefilter where the bitmap probe is sub-second; a flat 8192-element
+    literal would also flirt with Janino's 64 KB method limit, the
+    packed form is 128 longs.)"""
+    words = [0] * ((m_bits + 63) // 64)
+    for b in bits:
+        words[int(b) >> 6] |= 1 << (int(b) & 63)
+    # Spark longs are signed 64-bit
+    lits = ", ".join(
+        f"{w - (1 << 64) if w >= (1 << 63) else w}L" for w in words
+    )
+    arr = f"array({lits})"
     cond = None
-    for p in probes:
-        c = F.array_contains(F.expr(arr), p)
+    for i in range(k):
+        # SQL text throughout: pyspark's shiftrightunsigned wrapper
+        # rejects a per-row numBits Column, the SQL function takes one
+        h = (
+            f"cast(conv(substring(md5(concat(cast({col} as string), "
+            f"':{seed}:{i}')), 1, 15), 16, 10) as bigint)"
+        )
+        p = f"pmod({h}, {m_bits})"
+        word = f"element_at({arr}, cast(({p} div 64) as int) + 1)"
+        c = F.expr(
+            f"(shiftrightunsigned({word}, cast(pmod({p}, 64) as int)) & 1) = 1"
+        )
         cond = c if cond is None else (cond & c)
     return cond
 
