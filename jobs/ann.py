@@ -99,6 +99,11 @@ def main() -> None:
     p.add_argument("--checkpoint", default=None,
                    help="refresh: stream checkpoint dir (default "
                         "<index>/_stream_checkpoint)")
+    p.add_argument("--federate", default=None,
+                   metavar="EMB:IDX[,EMB:IDX...]",
+                   help="query: additional (embeddings, index) shard "
+                        "pairs — per-shard probes, one cosine-ordered "
+                        "merge (cosine is absolute, no global model)")
     p.add_argument("--local-cpus", type=int, default=None)
     args = p.parse_args()
 
@@ -278,6 +283,25 @@ def main() -> None:
             spark.stop()
             sys.exit(2)
         qvec = [float(x) for x in row["embedding"]]
+
+    if args.federate:
+        from search_engine_spark.operators.similarity import (
+            federated_ann_topk,
+        )
+
+        shards = [(emb, args.index)]
+        for pair in args.federate.split(","):
+            e_path, i_path = pair.rsplit(":", 1)
+            shards.append((spark.read.parquet(e_path), i_path))
+        hits = federated_ann_topk(
+            shards, qvec, k=args.k, n_probe=args.n_probe,
+            multiprobe_hamming=args.multiprobe,
+        ).collect()
+        for r in hits:
+            print(json.dumps({"shard": r["shard"], "vec_id": r["vec_id"],
+                              "cosine": r["cosine"]}), flush=True)
+        spark.stop()
+        return
 
     if args.brute:
         hits = brute_force_topk(emb, qvec, k=args.k).collect()

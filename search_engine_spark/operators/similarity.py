@@ -684,6 +684,57 @@ def rebuild_ivf_index(
     return cent
 
 
+def federated_ann_topk(
+    shards: list,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    multiprobe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k across N shard indexes that stay separate — the vector
+    twin of serving.federated_bm25_topk, and simpler: cosine is an
+    ABSOLUTE metric (no corpus statistics in the score), so per-shard
+    top-ks are comparable as-is and the global k is exactly the top-k
+    of their union. Each shard is (embeddings_df, index_dir); the
+    index's family and hashing parameters come from its _ann_meta.json,
+    so heterogeneous fleets (IVF shard next to SRP shard) federate
+    fine. Returns (shard, vec_id, cosine); ties (cosine, shard, id)
+    asc — ids are per-shard namespaces."""
+    import json
+
+    per = []
+    spark = None
+    for i, (emb, index_dir) in enumerate(shards):
+        spark = emb.sparkSession
+        with open(os.path.join(index_dir, "_ann_meta.json")) as fh:
+            meta = json.load(fh)
+        if meta.get("method") == "ivf":
+            hits = ivf_query_topk_disk(
+                emb, index_dir, query_vec, k=k, n_probe=n_probe,
+                id_col=id_col, vec_col=vec_col,
+            )
+        else:
+            hits = srp_query_topk_disk(
+                emb, index_dir, query_vec, k=k,
+                n_planes=meta["n_planes"], n_tables=meta["n_tables"],
+                group_bits=meta["group_bits"],
+                multiprobe_hamming=multiprobe_hamming,
+                id_col=id_col, vec_col=vec_col,
+            )
+        per.append(hits.withColumn("shard", F.lit(i).cast("int")))
+    merged = per[0]
+    for h in per[1:]:
+        merged = merged.unionByName(h)
+    return (
+        merged.select("shard", id_col, "cosine")
+        .orderBy(F.col("cosine").desc(), F.col("shard").asc(),
+                 F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def read_ivf_centroids(index_dir: str) -> "np.ndarray":
     import json
     import os

@@ -490,3 +490,42 @@ def test_upsert_bulk_batch_refused(spark, ivf_stream):
     )
     with pytest.raises(ValueError, match="max_files_per_batch"):
         upsert_ann_batch(big, index_dir, {"method": "ivf"})
+
+
+def test_federated_ann_topk(spark, emb, tmp_path):
+    """Two shard indexes (one IVF, one SRP — heterogeneous fleet)
+    federate: the planted nearest neighbor is found in whichever shard
+    holds it, scores are absolute cosines, ids namespaced by shard."""
+    from search_engine_spark.operators.similarity import (
+        federated_ann_topk,
+        hash_centroids,
+        write_ivf_index,
+        write_srp_index,
+    )
+
+    v = _vecs()
+    a_emb = emb.filter(F.col("vec_id") < 60)
+    b_emb = emb.filter(F.col("vec_id") >= 60)
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    write_ivf_index(a_emb, a_dir, dim=DIM, centroids=hash_centroids(DIM, 8))
+    with open(os.path.join(a_dir, "_ann_meta.json"), "w") as fh:
+        json.dump({"method": "ivf", "dim": DIM}, fh)
+    write_srp_index(b_emb, b_dir, dim=DIM, n_planes=8, n_tables=3)
+    with open(os.path.join(b_dir, "_ann_meta.json"), "w") as fh:
+        json.dump({"method": "srp", "dim": DIM, "n_planes": 8,
+                   "n_tables": 3, "group_bits": 5}, fh)
+
+    shards = [(a_emb, a_dir), (b_emb, b_dir)]
+    # query = vector 80 (lives in shard 1) → its own id must top the list
+    hits = federated_ann_topk(
+        shards, [float(x) for x in v[80]], k=6, n_probe=4,
+        multiprobe_hamming=2,
+    ).collect()
+    assert hits[0]["shard"] == 1 and hits[0]["vec_id"] == 80
+    assert abs(hits[0]["cosine"] - 1.0) < 1e-6
+    # query = vector 10 (shard 0) → found there
+    hits = federated_ann_topk(shards, [float(x) for x in v[10]], k=6).collect()
+    assert hits[0]["shard"] == 0 and hits[0]["vec_id"] == 10
+    # cosines non-increasing across the merged list
+    cs = [h["cosine"] for h in hits]
+    assert cs == sorted(cs, reverse=True)
