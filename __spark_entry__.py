@@ -89,6 +89,7 @@ from search_engine_spark.operators.sampling import (
     training_cleanse,
 )
 from search_engine_spark.operators.index_build import (
+    build_index,
     build_index_from_docs,
     explode_lemmas,
     term_df_salted,
@@ -309,6 +310,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame(
             [(int(d), round(float(s), 6)) for d, s in rows],
             "doc_id long, score double",
+        )
+
+    def _nrt_index_dir(spark, sf):
+        # near-real-time serving fixture: 3/4 of the documents table is
+        # batch-built into a v4 disk index, the remaining 1/4 arrives
+        # through the Structured-Streaming refresher (postings/doclen/
+        # terms deltas in sibling dirs, hash-range doc ids) and is NOT
+        # compacted — the nrt views must serve it anyway.
+        key = ("nrt", sf)
+        if key not in _INDEX_CACHE:
+            import datetime
+            import tempfile
+
+            from search_engine_spark.sources.index_store import write_index
+            from search_engine_spark.streaming.incremental import (
+                incremental_index_refresh,
+            )
+
+            docs = _documents(spark, sf)
+            # zero-padded conv_id keeps dense-rank order == doc_id order
+            as_ts = docs.select(
+                F.format_string("doc-%012d", F.col("doc_id")).alias("conv_id"),
+                F.lit(0).cast("int").alias("turn_idx"),
+                F.lit("user").alias("role"),  # role weight 1.0 == no role
+                "text",
+                F.lit(None).cast("string").alias("tool"),
+                F.lit(datetime.datetime(2026, 1, 1)).alias("ts"),
+            )
+            out_dir = tempfile.mkdtemp(prefix="nrt_index_")
+            write_index(
+                build_index(
+                    as_ts.filter(F.xxhash64("conv_id") % 4 != 0),
+                    use_arrow_udf=False, weighted=True,
+                ),
+                out_dir, input_desc="nrt base",
+            )
+            stream_in = tempfile.mkdtemp(prefix="nrt_stream_")
+            as_ts.filter(F.xxhash64("conv_id") % 4 == 0).write.mode(
+                "overwrite"
+            ).parquet(stream_in)
+            incremental_index_refresh(spark, stream_in, out_dir)
+            _INDEX_CACHE[key] = out_dir
+        return _INDEX_CACHE[key]
+
+    def q_nrt_terms(spark, sf):
+        # the delta-merged dictionary (DiskIndex.nrt_terms) must equal a
+        # from-scratch dictionary over the FULL corpus — the invariant
+        # that makes uncompacted streamed lemmas retrievable with exact
+        # idf. Oracle: the same full-table terms SQL as `terms`.
+        from search_engine_spark.sources.index_store import DiskIndex
+
+        disk = DiskIndex(spark, _nrt_index_dir(spark, sf))
+        return disk.nrt_terms().select(
+            "lemma", F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+        )
+
+    def q_nrt_search(spark, sf):
+        # serving path for an index taking live writes (Lucene NRT
+        # analog): block-max WAND over compacted base segments unioned
+        # with DF scoring of the uncompacted stream, both under the
+        # delta-merged dictionary + stream-adjusted stats — ranks must
+        # equal a from-scratch build over the merged corpus (the shared
+        # full-table BM25 oracle). Streamed hash-range ids are mapped
+        # back to the original doc_id via the docs/docs_stream tables.
+        from search_engine_spark.operators.serving import nrt_wand_topk
+        from search_engine_spark.sources.index_store import DiskIndex
+
+        disk = DiskIndex(spark, _nrt_index_dir(spark, sf))
+        top = nrt_wand_topk(disk, Q_MAIN, k=10)
+        orig = disk.docs.select(
+            "doc_id",
+            F.substring("conv_id", 5, 12).cast("long").alias("orig_id"),
+        )
+        return (
+            top.join(F.broadcast(orig), "doc_id")
+            .select(F.col("orig_id").alias("doc_id"), "score")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         )
 
     def q_bm25_sql(spark, sf):
@@ -1087,6 +1166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_or_wand": q_bm25_or_wand,
         "bm25_topk_wand": q_bm25_wand,
         "bm25_topk_sql": q_bm25_sql,
+        "nrt_terms": q_nrt_terms,
+        "nrt_search": q_nrt_search,
         "and_search": q_and_search,
         "reference_relevance": q_relevance,
         "dedup_exact": q_dedup_exact,
@@ -2308,6 +2389,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_or_wand": _bm25_sql(Q_AND, match_all=False),
         "bm25_topk_wand": _bm25_sql(Q_MAIN),
         "bm25_topk_sql": _bm25_sql(Q_MAIN),
+        # NRT invariants: serving an uncompacted base+stream split must
+        # equal a from-scratch build over the FULL documents table, so
+        # both oracles are the plain full-table statements.
+        "nrt_terms": f"WITH {_POSTINGS} SELECT lemma, df, cf FROM terms",
+        "nrt_search": _bm25_sql(Q_MAIN),
         "and_search": f"""
             WITH {_POSTINGS}
             SELECT doc_id FROM postings WHERE lemma IN {and_in}

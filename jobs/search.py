@@ -61,6 +61,10 @@ def main() -> None:
                    help="additional shard index dirs: score every shard "
                         "with GLOBAL idf and merge the top-k "
                         "(serving.federated_bm25_topk); df engine only")
+    p.add_argument("--nrt", action="store_true",
+                   help="near-real-time: serve uncompacted streamed "
+                        "turns with delta-merged dictionary + stats "
+                        "(df/wand engines)")
     p.add_argument("--as-of", type=int, default=None, metavar="VERSION",
                    help="time-travel: query the index as of a snapshot "
                         "version (see index_store.list_snapshots)")
@@ -97,7 +101,7 @@ def main() -> None:
     except ValueError as exc:  # unknown snapshot version
         print(str(exc), file=sys.stderr)
         sys.exit(2)
-    ix = disk.as_inverted_index()
+    ix = disk.as_inverted_index(nrt=args.nrt)
     k = args.offset + args.k  # fetch offset+limit, slice below (O2)
 
     if args.federate:
@@ -143,8 +147,14 @@ def main() -> None:
         else:
             res = bm25_topk(ix, args.query, k=k, match_all=not args.match_any)
     elif args.engine == "wand":
-        res = wand_topk(disk.segments, disk.terms, args.query, k=k,
-                        stats=disk.stats, match_all=not args.match_any)
+        if args.nrt:
+            from search_engine_spark.operators.serving import nrt_wand_topk
+
+            res = nrt_wand_topk(disk, args.query, k=k,
+                                match_all=not args.match_any)
+        else:
+            res = wand_topk(disk.segments, disk.terms, args.query, k=k,
+                            stats=disk.stats, match_all=not args.match_any)
     elif args.engine == "sql":
         res = bm25_topk_sql(ix, args.query, k=k)
     else:  # mini language (phrases / -not / free terms)

@@ -189,6 +189,67 @@ def federated_bm25_topk(
     )
 
 
+def nrt_wand_topk(
+    disk,
+    query: str,
+    k: int = 10,
+    match_all: bool = True,
+) -> DataFrame:
+    """Near-real-time top-k: block-max WAND over the compacted base
+    segments PLUS DataFrame-engine scoring of the uncompacted streamed
+    postings, both under the SAME NRT model (delta-merged dictionary,
+    stream-adjusted stats — DiskIndex.nrt_terms/nrt_stats). The Lucene
+    "search the in-memory segment too" analog: a turn is retrievable
+    the moment the refresher drains it, with idf/avgdl already counting
+    it, without waiting for compact_index to fold the deltas into
+    segments.
+
+    Rank-identical to ``bm25_topk(disk.as_inverted_index(nrt=True))``
+    by construction (pinned in tests/test_nrt.py): streamed doc ids
+    (streaming.incremental.streamed_doc_id_col) are disjoint from the
+    dense base space, so every doc's full score lives entirely on one
+    side, both sides compute the identical query-time BM25 formula from
+    the same (terms, stats), and both round to SCORE_DECIMALS before
+    the shared (score desc, doc_id asc) tie-break. match_all semantics
+    also split cleanly: a base doc can never contain a streamed-only
+    lemma, so the base-side arity filter over the segment hashes and
+    the stream-side arity filter are each exact for their half.
+
+    At scale the stream side is tiny (one refresh epoch of postings,
+    re-read per query like Lucene's NRT reader) while the base side
+    keeps the block-max skip behavior — this is the serving path for
+    an index taking live writes between compactions."""
+    import os
+
+    from search_engine_spark.operators.index_build import InvertedIndex
+    from search_engine_spark.operators.query import bm25_topk
+    from search_engine_spark.operators.wand import wand_topk
+
+    terms = disk.nrt_terms()
+    stats = disk.nrt_stats()
+    base = wand_topk(disk.segments, terms, query, k=k, stats=stats,
+                     match_all=match_all)
+    ps = os.path.join(disk.index_dir, "postings_stream")
+    if not os.path.isdir(ps):
+        return base
+    spark = disk.spark
+    mini = InvertedIndex(
+        docs=spark.read.parquet(os.path.join(disk.index_dir, "docs_stream")),
+        postings=spark.read.parquet(ps),
+        doclen=spark.read.parquet(
+            os.path.join(disk.index_dir, "doclen_stream")
+        ),
+        terms=terms,
+        stats=stats,
+    )
+    stream_hits = bm25_topk(mini, query, k=k, match_all=match_all)
+    return (
+        base.unionByName(stream_hits)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def scope_docs(docs: DataFrame, scope_col: str, scope_value: str) -> DataFrame:
     """Per-scope search restriction — the reference's per-site search
     (siteId != 0 path, ApiService.java:36-47). A plain pushed-down

@@ -1546,6 +1546,75 @@ class DiskIndex:
     def terms(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.index_dir, "terms"))
 
+    def nrt_terms(self) -> DataFrame:
+        """Near-real-time dictionary view: the base terms table with the
+        per-epoch df/cf deltas the streaming refresher appended
+        (terms_delta/) folded in — so a lemma first seen in a streamed
+        turn is retrievable BEFORE compact_index runs, and idf for
+        existing lemmas counts the streamed docs (the Lucene
+        in-memory-segment dictionary analog; the reference's serving
+        side always sees the live word table, Parser.java one-row
+        upserts). Streamed-only lemmas carry a NULL term_id until
+        compaction assigns a dense one — no query path consumes
+        term_id, it exists for admin joins. Without terms_delta/ this
+        IS the base table (no extra scan, no plan change)."""
+        delta_path = os.path.join(self.index_dir, "terms_delta")
+        if not os.path.isdir(delta_path):
+            return self.terms
+        delta = (
+            self.spark.read.parquet(delta_path)
+            .groupBy("lemma")
+            .agg(F.sum("df").alias("_df_d"), F.sum("cf").alias("_cf_d"))
+        )
+        base = self.terms
+        return base.join(delta, "lemma", "full_outer").select(
+            "term_id",
+            "lemma",
+            (
+                F.coalesce(F.col("df"), F.lit(0))
+                + F.coalesce(F.col("_df_d"), F.lit(0))
+            ).cast("long").alias("df"),
+            (
+                F.coalesce(F.col("cf"), F.lit(0))
+                + F.coalesce(F.col("_cf_d"), F.lit(0))
+            ).cast("long").alias("cf"),
+        )
+
+    def nrt_stats(self) -> CorpusStats:
+        """Corpus stats with the uncompacted streamed docs folded in:
+        n_docs counts them, avgdl is recomputed from the EXACT base
+        doclen sum — dl is integral and the corpus sum is far below
+        2^53, so ``round(n_docs * avgdl)`` recovers the integer sum the
+        persisted average was derived from, and the folded avgdl is
+        bit-identical to a full recount over base ∪ stream (which is
+        what the DuckDB oracle computes; the 6-decimal score round
+        never sees a difference). Scan-free on the base: only the
+        (small) stream doclen is aggregated. Cached per handle; a
+        refresh that lands after construction needs a new DiskIndex.
+        A re-streamed (conv_id, turn_idx) that already exists in the
+        base is counted twice here, exactly as its postings are served
+        twice pre-compaction — compact_index dedups both."""
+        if getattr(self, "_nrt_stats", None) is not None:
+            return self._nrt_stats
+        dls = os.path.join(self.index_dir, "doclen_stream")
+        if not os.path.isdir(dls):
+            self._nrt_stats = self.stats
+            return self._nrt_stats
+        row = (
+            self.spark.read.parquet(dls)
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+            .collect()[0]
+        )
+        n_s, dl_s = int(row["n"]), int(row["s"] or 0)
+        if n_s == 0:
+            self._nrt_stats = self.stats
+            return self._nrt_stats
+        n = self.stats.n_docs + n_s
+        base_dl_sum = round(self.stats.n_docs * self.stats.avgdl)
+        avgdl = (base_dl_sum + dl_s) / n
+        self._nrt_stats = CorpusStats(n_docs=n, avgdl=avgdl)
+        return self._nrt_stats
+
     @property
     def segments(self) -> DataFrame:
         if self.format < MIN_SEGMENT_FORMAT:
@@ -1557,7 +1626,18 @@ class DiskIndex:
             )
         return self.spark.read.parquet(os.path.join(self.index_dir, "segments"))
 
-    def as_inverted_index(self) -> InvertedIndex:
+    def as_inverted_index(self, nrt: bool = False) -> InvertedIndex:
+        """DataFrame-engine view of the index. Streamed posting/doclen
+        rows are always unioned in (they're real docs); ``nrt=True``
+        additionally serves the delta-merged dictionary and
+        stream-adjusted stats so retrieval over uncompacted streamed
+        docs is COMPLETE and correctly weighted — a streamed-only lemma
+        resolves, idf/avgdl count the streamed docs, and ranks equal the
+        post-compaction index (pinned in tests/test_nrt.py). Serving
+        paths (jobs/search.py, serving.nrt_wand_topk) pass nrt=True;
+        the default stays base-stats because the mutation internals
+        (segment re-encode, dictionary compaction) derive bucket counts
+        from stats.n_docs and must see only the DENSE id space."""
         postings = _read_table(self.spark, os.path.join(self.index_dir, "postings"))
         doclen = _read_table(self.spark, os.path.join(self.index_dir, "doclen"))
         # streamed (not-yet-compacted) delta rows live in sibling dirs
@@ -1577,6 +1657,6 @@ class DiskIndex:
             docs=self.docs,
             postings=postings,
             doclen=doclen,
-            terms=self.terms,
-            stats=self.stats,
+            terms=self.nrt_terms() if nrt else self.terms,
+            stats=self.nrt_stats() if nrt else self.stats,
         )
