@@ -1017,6 +1017,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         top = bm25_topk(_index_for(spark, sf), Q_MAIN, k=20).select("doc_id", "score")
         return paginate(top, offset=5, limit=5)
 
+    def q_search_after(spark, sf):
+        # cursor ("search_after") deep paging: page 2 is defined by the
+        # LAST ROW OF PAGE 1 (client-supplied in production — the 5-row
+        # collect here plays the client), not by an offset; the cursor
+        # predicate is pushed into the scoring stage so per-page cost
+        # is flat in depth. Must equal rows 6-10 of the global order.
+        from search_engine_spark.operators.query import bm25_topk_after
+
+        ix = _index_for(spark, sf)
+        cur = bm25_topk(ix, Q_MAIN, k=5).select("doc_id", "score").collect()[-1]
+        return bm25_topk_after(
+            ix, Q_MAIN, float(cur["score"]), int(cur["doc_id"]), k=5
+        ).select("doc_id", "score")
+
     def q_multimodal_features(spark, sf):
         # multimodal plumbing over real driver data: documents' utf-8
         # bytes as opaque payloads through the mapInPandas feature
@@ -1242,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_wildcard": q_search_wildcard,
         "suggest_spelling": q_suggest_spelling,
         "bm25_paginated": q_paginated,
+        "bm25_search_after": q_search_after,
         "event_windows": q_event_windows,
         "top_users_per_event": q_top_users,
         "trending_events": q_trending_events,
@@ -3012,6 +3027,20 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS ({_bm25_sql(Q_MAIN, 20)})
             SELECT doc_id, score FROM t
             ORDER BY score DESC, doc_id ASC LIMIT 5 OFFSET 5
+        """,
+        # cursor paging twin: the cursor row is derived the same way
+        # (last row of the 5-row first page), then the SAME strict-
+        # after predicate bm25_topk_after pushes into the scored rows
+        "bm25_search_after": f"""
+            WITH t AS ({_bm25_sql(Q_MAIN, 1000000)}),
+            cur AS (
+                SELECT score, doc_id FROM t
+                ORDER BY score DESC, doc_id ASC LIMIT 1 OFFSET 4
+            )
+            SELECT t.doc_id, t.score FROM t, cur
+            WHERE t.score < cur.score
+               OR (t.score = cur.score AND t.doc_id > cur.doc_id)
+            ORDER BY t.score DESC, t.doc_id ASC LIMIT 5
         """,
         "event_windows": """
             SELECT date_trunc('hour', ts) AS ws, event_type,

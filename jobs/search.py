@@ -61,6 +61,12 @@ def main() -> None:
                    help="additional shard index dirs: score every shard "
                         "with GLOBAL idf and merge the top-k "
                         "(serving.federated_bm25_topk); df engine only")
+    p.add_argument("--after", metavar="SCORE:DOC_ID", default=None,
+                   help="cursor deep paging (df engine): return the k "
+                        "results strictly after the (score, doc_id) "
+                        "cursor — pass the last row of the previous "
+                        "page; flat per-page cost at any depth, unlike "
+                        "--offset which re-ranks the whole prefix")
     p.add_argument("--nrt", action="store_true",
                    help="near-real-time: serve uncompacted streamed "
                         "turns with delta-merged dictionary + stats "
@@ -144,6 +150,23 @@ def main() -> None:
             from search_engine_spark.operators.query import prf_search
 
             res = prf_search(ix, args.query, k=k)
+        elif args.after is not None:
+            from search_engine_spark.operators.query import bm25_topk_after
+
+            if args.offset:
+                print("--after replaces --offset (cursor paging)",
+                      file=sys.stderr)
+                spark.stop()
+                sys.exit(2)
+            try:
+                s, d = args.after.rsplit(":", 1)
+                cur_score, cur_doc = float(s), int(d)
+            except ValueError:
+                print("--after expects SCORE:DOC_ID", file=sys.stderr)
+                spark.stop()
+                sys.exit(2)
+            res = bm25_topk_after(ix, args.query, cur_score, cur_doc,
+                                  k=args.k, match_all=not args.match_any)
         else:
             res = bm25_topk(ix, args.query, k=k, match_all=not args.match_any)
     elif args.engine == "wand":

@@ -415,6 +415,56 @@ def paginate(results: DataFrame, offset: int, limit: int) -> DataFrame:
     )
 
 
+def bm25_topk_after(
+    index: InvertedIndex,
+    query: str,
+    after_score: float,
+    after_doc_id: int,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    match_all: bool = True,
+) -> DataFrame:
+    """Cursor ("search-after") deep paging: the next ``k`` results
+    strictly AFTER the ``(after_score, after_doc_id)`` cursor in the
+    global pinned order (score desc, doc_id asc) — the client passes
+    the last row of the previous page back as the cursor.
+
+    Why this exists beside :func:`paginate` (reference offset/limit,
+    ApiService.java:97-113): offset paging at depth D must rank D+k
+    rows through the final TakeOrderedAndProject on EVERY page, so a
+    crawler walking 10k pages deep re-pays the whole prefix each time.
+    The cursor form turns the page boundary into a plain predicate on
+    the scored rows — ``score < s OR (score = s AND doc_id > d)`` —
+    evaluated inside the same single-aggregate scoring stage, so each
+    page ranks only the docs that can still qualify and the per-page
+    cost is flat in depth (the Elasticsearch ``search_after`` shape,
+    the only paging that survives depth at 100 TB).
+
+    The cursor compares the ROUNDED score (SCORE_DECIMALS) — the same
+    value the pinned cross-engine tie-break sorts on and the value a
+    client actually received — so page boundaries are identical across
+    the df/SQL engines and the DuckDB oracle, and a rounded tie at the
+    boundary is broken by doc_id exactly like the in-page order.
+    Page 1 is ``bm25_topk`` itself (cursor = -inf)."""
+    lemmas = parse_query(query)
+    if not lemmas:
+        return index.postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double, score_raw double"
+        )
+    scored = _bm25_scored(index, lemmas, k1=k1, b=b, match_all=match_all)
+    after = (F.col("score") < F.lit(float(after_score))) | (
+        (F.col("score") == F.lit(float(after_score)))
+        & (F.col("doc_id") > F.lit(int(after_doc_id)))
+    )
+    return (
+        scored.filter(after)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .select("doc_id", "score", "score_raw")
+        .limit(k)
+    )
+
+
 def enrich_results(results: DataFrame, docs: DataFrame) -> DataFrame:
     """Join top-k back to the doc store for display columns (reference
     ApiService.java:202-224: page point-read + site join). The top-k side

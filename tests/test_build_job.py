@@ -103,6 +103,15 @@ def test_search_cli_engines_agree(tmp_path):
     full = hits(_search("--index", out, "--query", "w00000 w00001", "--k", "10"))
     assert page == full[3:7]
 
+    # --after: cursor paging reproduces the offset slice, flat cost
+    cur = full[2]
+    after = hits(_search("--index", out, "--query", "w00000 w00001",
+                         "--after", f"{cur['score']}:{cur['doc_id']}",
+                         "--k", "4"))
+    assert after == full[3:7] == page
+    bad = _search("--index", out, "--query", "w00000", "--after", "junk")
+    assert bad.returncode == 2
+
     # --or: AND-empty (one absent term) but OR still scores the present one
     and_empty = _search("--index", out, "--query", "w00000 zzznotaword")
     assert and_empty.returncode == 0 and not and_empty.stdout.strip()

@@ -97,6 +97,38 @@ def test_pagination(tiny_index):
     assert page == full[10:15]
 
 
+def test_search_after_walks_pages_identically(tiny_index):
+    """Cursor deep paging: walking pages via (score, doc_id) cursors
+    reproduces the global top-k order exactly — page boundaries fall on
+    the pinned rounded-score tie-break, so consecutive pages tile the
+    full ranking with no dup and no gap (incl. across rounded ties,
+    which the hot w00000 query has in abundance)."""
+    from search_engine_spark.operators.query import bm25_topk_after
+
+    full = _rows(bm25_topk(tiny_index, "w00000", k=30))
+    walked, cur = [], None
+    for _ in range(6):
+        if cur is None:
+            page = _rows(bm25_topk(tiny_index, "w00000", k=5))
+        else:
+            page = _rows(
+                bm25_topk_after(tiny_index, "w00000", cur[1], cur[0], k=5)
+            )
+        if not page:
+            break
+        walked.extend(page)
+        cur = page[-1]
+    assert walked == full
+
+
+def test_search_after_empty_and_exhausted(tiny_index):
+    from search_engine_spark.operators.query import bm25_topk_after
+
+    assert bm25_topk_after(tiny_index, "the and of", 1.0, 0).count() == 0
+    # cursor past the last result -> empty page, not an error
+    assert bm25_topk_after(tiny_index, "needlealpha", -1e9, 1 << 60).count() == 0
+
+
 def test_parse_query_dedupes_and_orders():
     assert parse_query("tables table the tables") == ["table"]
     assert parse_query("") == []
