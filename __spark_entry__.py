@@ -943,6 +943,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _index_for(spark, sf), _documents(spark, sf), Q_COMPOSED_OR, k=10
         ).select("doc_id", "score")
 
+    def q_search_boosted(spark, sf):
+        # mini-QL term^N boost (Lucene syntax): 'join^3' triples that
+        # lemma's per-doc BM25 contribution before the sum — match set
+        # identical to Q_MAIN's, ranking re-weighted; oracle is the
+        # shared BM25 SQL with the same CASE multiplier
+        return search(
+            _index_for(spark, sf), _documents(spark, sf),
+            "query filter join^3", k=10,
+        ).select("doc_id", "score")
+
     def q_search_scoped_field(spark, sf):
         # mini language field:value scope — restricts candidates to one
         # doc-store column value while ranking with FULL-corpus stats
@@ -1251,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_composed_not": q_search_composed_not,
         "search_composed_or": q_search_composed_or,
         "search_scoped_field": q_search_scoped_field,
+        "search_boosted": q_search_boosted,
         "prefix_search": q_prefix_search,
         "fuzzy_search": q_fuzzy_search,
         "search_wildcard": q_search_wildcard,
@@ -1308,9 +1319,18 @@ _POSTINGS_SCOPED = (
 
 
 def _bm25_sql(query: str, k: int = 10, cte: str = _POSTINGS,
-              match_all: bool = True) -> str:
+              match_all: bool = True,
+              boosts: dict[str, float] | None = None) -> str:
     lemmas = parse_query(query)
     in_list = "(" + ", ".join(f"'{l}'" for l in lemmas) + ")"
+    if boosts:  # per-lemma multiplier — same CASE the Spark scorer runs
+        arms = " ".join(
+            f"WHEN p.lemma = '{l}' THEN {float(w)!r}"
+            for l, w in boosts.items()
+        )
+        boost = f" * (CASE {arms} ELSE 1.0 END)"
+    else:
+        boost = ""
     if match_all:
         cand_cte = f"""
     cand AS (
@@ -1329,6 +1349,7 @@ def _bm25_sql(query: str, k: int = 10, cte: str = _POSTINGS,
                  ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
                  * (p.tf * {BM25_K1 + 1.0!r})
                  / (p.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * d.dl / s.avgdl))
+                 {boost}
                ) AS raw
         FROM postings p
         {cand_join}
@@ -2677,6 +2698,8 @@ def oracle_sql() -> dict[str, str]:
         "search_composed_not": composed_not_oracle,
         "search_composed_or": composed_or_oracle,
         "search_scoped_field": scoped_field_oracle,
+        # term^N boost: Q_MAIN's AND match set, 'join' weight tripled
+        "search_boosted": _bm25_sql(Q_MAIN, boosts={"join": 3.0}),
         "prefix_search": prefix_oracle,
         "fuzzy_search": fuzzy_oracle,
         "search_wildcard": wildcard_oracle,

@@ -81,8 +81,14 @@ def bm25_topk(
     match_all: bool = True,
     doc_filter: DataFrame | None = None,
     doc_exclude: DataFrame | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) by BM25 over the DataFrame index.
+
+    ``boosts`` maps LEMMAS to per-term weight multipliers (Lucene
+    ``term^2`` semantics): a boosted term's BM25 contribution is
+    multiplied before the per-doc sum, changing ranking emphasis
+    without touching match semantics. Unlisted lemmas boost 1.0.
 
     ``doc_filter`` (a doc_id DataFrame) restricts scoring to those docs
     via a semi-join before the aggregate — the hook :func:`search` uses
@@ -103,6 +109,7 @@ def bm25_topk(
     return bm25_topk_lemmas(
         index, parse_query(query), k=k, k1=k1, b=b,
         match_all=match_all, doc_filter=doc_filter, doc_exclude=doc_exclude,
+        boosts=boosts,
     )
 
 
@@ -115,6 +122,7 @@ def bm25_topk_lemmas(
     match_all: bool = True,
     doc_filter: DataFrame | None = None,
     doc_exclude: DataFrame | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """:func:`bm25_topk` over an explicit (already-lemmatized) lemma
     list — the internal scorer shared with :func:`prefix_search` /
@@ -126,7 +134,7 @@ def bm25_topk_lemmas(
         )
     scored = _bm25_scored(
         index, lemmas, k1=k1, b=b, match_all=match_all,
-        doc_filter=doc_filter, doc_exclude=doc_exclude,
+        doc_filter=doc_filter, doc_exclude=doc_exclude, boosts=boosts,
     )
     return (
         scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -143,11 +151,14 @@ def _bm25_scored(
     match_all: bool = True,
     doc_filter: DataFrame | None = None,
     doc_exclude: DataFrame | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """The shared pre-top-k scoring plan: every matching doc's rounded
     BM25 score (doc_id, score, score_raw, _nt). :func:`bm25_topk_lemmas`
     adds the global orderBy+limit; :func:`bm25_topk_per_scope` adds a
-    per-scope rank instead."""
+    per-scope rank instead. ``boosts`` multiplies per-lemma weights
+    before the sum (one literal CASE over the ≤|query| boosted lemmas —
+    codegen, no join, DuckDB-replayable)."""
     stats = index.stats
     # Single-pass plan: filter postings to the query lemmas (IN-list,
     # pruned at the scan), score every posting using the dl column the
@@ -171,6 +182,7 @@ def _bm25_scored(
             bm25_weight_col(F.col("tf").cast("double"), F.col("dl").cast("double"),
                             F.col("_idf"), stats.avgdl, k1, b),
         )
+        .withColumn("_w", F.col("_w") * _boost_col(boosts))
         .groupBy("doc_id")
         .agg(F.count("*").alias("_nt"), F.sum("_w").alias("score_raw"))
         .filter(
@@ -179,6 +191,21 @@ def _bm25_scored(
         .withColumn("score", F.round(F.col("score_raw"), SCORE_DECIMALS))
     )
     return scored
+
+
+def _boost_col(boosts: dict[str, float] | None):
+    """Per-lemma boost multiplier as one literal CASE expression
+    (boosted lemma → its weight, anything else → 1.0). Stays inside
+    whole-stage codegen; identical arithmetic to the DuckDB twin's
+    CASE, so boosted scores hash-match cross-engine."""
+    if not boosts:
+        return F.lit(1.0)
+    expr = None
+    for lem, w in boosts.items():
+        cond = F.col("lemma") == F.lit(lem)
+        expr = (F.when(cond, F.lit(float(w))) if expr is None
+                else expr.when(cond, F.lit(float(w))))
+    return expr.otherwise(F.lit(1.0))
 
 
 def bm25_topk_per_scope(
@@ -917,6 +944,32 @@ def parse_search_query(
     )
 
 
+def extract_boosts(query: str) -> tuple[str, dict[str, float]]:
+    """Pull Lucene-style ``term^N`` boost suffixes out of a mini-
+    language query: returns (query with bare terms, {lemma: weight}).
+    The boosted token stays in the query as a normal constraint term —
+    boosting never changes WHICH docs match, only their ranking
+    emphasis. Boosts key on the LEMMA (parse_query of the surface
+    form), so ``tables^2`` and ``table^2`` boost the same postings.
+    Stopword boosts vanish with the stopword; a negated term's boost is
+    meaningless and ``-term^2`` is left for the NOT parser (negated
+    docs are excluded, never scored)."""
+    import re as _re
+
+    boosts: dict[str, float] = {}
+
+    def _repl(m: "_re.Match[str]") -> str:
+        lems = parse_query(m.group(1))
+        if lems:
+            boosts[lems[0]] = float(m.group(2))
+        return m.group(1)
+
+    stripped = _re.sub(
+        r"(?:^|(?<=\s))(\w+)\^(\d+(?:\.\d+)?)(?=\s|$)", _repl, query
+    )
+    return stripped, boosts
+
+
 def _branch_constraints(
     index: InvertedIndex, docs: DataFrame, branch: str
 ) -> tuple[DataFrame | None, DataFrame | None, list[str], list[str]]:
@@ -1010,8 +1063,10 @@ def search(
     ApiService.java:36-47), ``pre*`` is a wildcard-prefix term (docs
     must hold ≥1 of its df-capped dictionary expansions; expansions
     join the scoring vocabulary — Lucene multi-term rewrite), ``OR`` /
-    ``|`` separates alternative conjunctive branches, and the rest are
-    conjunctive BM25 terms; ranking is BM25 over ALL positive lemmas
+    ``|`` separates alternative conjunctive branches, ``term^N``
+    multiplies that term's BM25 contribution by N (Lucene boost —
+    ranking emphasis only, the match set is untouched), and the rest
+    are conjunctive BM25 terms; ranking is BM25 over ALL positive lemmas
     (phrase lemmas score too — a doc using the phrase words often ranks
     above one meeting the bare constraint).
 
@@ -1054,6 +1109,7 @@ def search(
             [], "doc_id long, score double, score_raw double"
         )
 
+    query, boosts = extract_boosts(query)
     branches = split_or_branches(query)
     if len(branches) > 1:
         allow: DataFrame | None = None
@@ -1074,7 +1130,7 @@ def search(
             return _empty()
         return bm25_topk_lemmas(
             index, list(pool), k=k, k1=k1, b=b, match_all=False,
-            doc_filter=allow.distinct(),
+            boosts=boosts, doc_filter=allow.distinct(),
         )
     doc_filter, exclude, exact, pool = _branch_constraints(index, docs, query)
     phrases, free, _neg, _negph, _scopes, wilds = parse_search_query(query)
@@ -1088,10 +1144,10 @@ def search(
             return _empty()
         return bm25_topk_lemmas(
             index, pool, k=k, k1=k1, b=b, match_all=False,
-            doc_filter=accepted.distinct(),
+            boosts=boosts, doc_filter=accepted.distinct(),
         )
     all_terms = " ".join(phrases + [free])
-    return bm25_topk(index, all_terms, k=k, k1=k1, b=b,
+    return bm25_topk(index, all_terms, k=k, k1=k1, b=b, boosts=boosts,
                      doc_filter=doc_filter, doc_exclude=exclude)
 
 

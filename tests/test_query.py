@@ -134,6 +134,59 @@ def test_parse_query_dedupes_and_orders():
     assert parse_query("") == []
 
 
+def test_extract_boosts():
+    from search_engine_spark.operators.query import extract_boosts
+
+    q, b = extract_boosts("query filter join^3")
+    assert q == "query filter join" and b == {"join": 3.0}
+    # surface form lemmatizes: tables^2 boosts the 'table' postings
+    assert extract_boosts("tables^2")[1] == {"table": 2.0}
+    # stopword boost vanishes; negation/phrase/wildcard boosts are
+    # left alone (negated docs are never scored)
+    q, b = extract_boosts('the^4 -bad^2 "a b"^2')
+    assert b == {} and "-bad^2" in q
+
+
+def test_boosted_scores_match_per_term_golden(tiny_index):
+    """term^N golden check: the boosted doc score must equal
+    sum(per-term unboosted raw weight x that term's boost), recombined
+    driver-side from independent single-term scoring runs."""
+    from search_engine_spark.operators.query import _bm25_scored
+
+    t1, t2, w2 = "w00159", "w00268", 2.5
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(tiny_index, f"{t1} {t2}", k=1000,
+                           boosts={t2: w2}).collect()
+    }
+    raw1 = {r["doc_id"]: r["score_raw"]
+            for r in _bm25_scored(tiny_index, [t1], match_all=False).collect()}
+    raw2 = {r["doc_id"]: r["score_raw"]
+            for r in _bm25_scored(tiny_index, [t2], match_all=False).collect()}
+    both = set(raw1) & set(raw2)  # AND semantics
+    assert set(got) == both and both
+    for d in both:
+        assert math.isclose(got[d], raw1[d] + raw2[d] * w2,
+                            rel_tol=1e-9, abs_tol=1e-6), d
+    # boost of 1.0 is a no-op — identical rounded scores, same order
+    base = _rows(bm25_topk(tiny_index, f"{t1} {t2}", k=10))
+    noop = _rows(bm25_topk(tiny_index, f"{t1} {t2}", k=10, boosts={t2: 1.0}))
+    assert base == noop
+
+
+def test_mini_ql_boost_routes_to_scorer(tiny_index):
+    """search('a b^2') == bm25_topk(boosts={b:2}) — the mini-QL suffix
+    is pure syntax over the same scoring path, match set unchanged."""
+    from search_engine_spark.operators.query import search
+
+    via_ql = _rows(search(tiny_index, tiny_index.docs, "w00159 w00268^2", k=10))
+    direct = _rows(bm25_topk(tiny_index, "w00159 w00268", k=10,
+                             boosts={"w00268": 2.0}))
+    unboosted = _rows(bm25_topk(tiny_index, "w00159 w00268", k=1000))
+    assert via_ql == direct
+    assert {d for d, _ in via_ql} <= {d for d, _ in unboosted}
+
+
 @pytest.mark.parametrize("query", ["w00000", "w00159 w00268", "zzznot"])
 def test_treeaggregate_merge_matches_wand(tiny_index, segments, query):
     """UD4: the explicit treeAggregate heap merge returns rank-identical
