@@ -943,6 +943,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _index_for(spark, sf), _documents(spark, sf), Q_COMPOSED_OR, k=10
         ).select("doc_id", "score")
 
+    def q_synonym_search(spark, sf):
+        # Lucene SynonymQuery semantics: {join, merge} scores as ONE
+        # pseudo-term (tf = member-sum, df = union df, arity counts
+        # groups) — a merge-only doc satisfies the AND query. Oracle
+        # mirrors the exact group-aggregate pipeline.
+        from search_engine_spark.operators.query import bm25_topk_synonyms
+
+        return bm25_topk_synonyms(
+            _index_for(spark, sf), "filter join", {"join": ["merge"]}, k=10
+        ).select("doc_id", "score")
+
     def q_search_boosted(spark, sf):
         # mini-QL term^N boost (Lucene syntax): 'join^3' triples that
         # lemma's per-doc BM25 contribution before the sum — match set
@@ -1262,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_composed_or": q_search_composed_or,
         "search_scoped_field": q_search_scoped_field,
         "search_boosted": q_search_boosted,
+        "synonym_search": q_synonym_search,
         "prefix_search": q_prefix_search,
         "fuzzy_search": q_fuzzy_search,
         "search_wildcard": q_search_wildcard,
@@ -2700,6 +2712,36 @@ def oracle_sql() -> dict[str, str]:
         "search_scoped_field": scoped_field_oracle,
         # term^N boost: Q_MAIN's AND match set, 'join' weight tripled
         "search_boosted": _bm25_sql(Q_MAIN, boosts={"join": 3.0}),
+        # SynonymQuery: {join,merge} is ONE pseudo-term — tf member-sum
+        # per doc, df = distinct docs holding ANY member (from the
+        # matched postings), AND arity counts GROUPS
+        "synonym_search": f"""
+            WITH {_POSTINGS},
+            gp AS (
+                SELECT p.doc_id,
+                       CASE WHEN p.lemma = 'filter' THEN 'filter'
+                            ELSE 'join' END AS grp,
+                       sum(p.tf) AS tf, max(d.dl) AS dl
+                FROM postings p JOIN doclen d USING (doc_id)
+                WHERE p.lemma IN ('filter', 'join', 'merge')
+                GROUP BY 1, 2
+            ),
+            gdf AS (SELECT grp, count(*) AS df FROM gp GROUP BY grp),
+            scored AS (
+                SELECT gp.doc_id,
+                       sum(
+                         ln(1.0 + (s.n_docs - g.df + 0.5) / (g.df + 0.5))
+                         * (gp.tf * {BM25_K1 + 1.0!r})
+                         / (gp.tf + {BM25_K1!r} * ({1.0 - BM25_B!r}
+                            + {BM25_B!r} * gp.dl / s.avgdl))
+                       ) AS raw
+                FROM gp JOIN gdf g USING (grp) CROSS JOIN stats s
+                GROUP BY gp.doc_id
+                HAVING count(*) = 2
+            )
+            SELECT doc_id, round(raw, 6) AS score FROM scored
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
         "prefix_search": prefix_oracle,
         "fuzzy_search": fuzzy_oracle,
         "search_wildcard": wildcard_oracle,

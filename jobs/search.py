@@ -61,6 +61,11 @@ def main() -> None:
                    help="additional shard index dirs: score every shard "
                         "with GLOBAL idf and merge the top-k "
                         "(serving.federated_bm25_topk); df engine only")
+    p.add_argument("--synonyms", metavar="T=S1|S2;U=V", default=None,
+                   help="synonym groups for the df engine (Lucene "
+                        "SynonymQuery semantics: each group scores as "
+                        "one pseudo-term — tf member-sum, union df): "
+                        "'join=merge;fast=quick|rapid'")
     p.add_argument("--after", metavar="SCORE:DOC_ID", default=None,
                    help="cursor deep paging (df engine): return the k "
                         "results strictly after the (score, doc_id) "
@@ -167,6 +172,19 @@ def main() -> None:
                 sys.exit(2)
             res = bm25_topk_after(ix, args.query, cur_score, cur_doc,
                                   k=args.k, match_all=not args.match_any)
+        elif args.synonyms is not None:
+            from search_engine_spark.operators.query import (
+                bm25_topk_synonyms,
+            )
+
+            syn = {}
+            for grp in args.synonyms.split(";"):
+                if not grp.strip():
+                    continue
+                term, _, mems = grp.partition("=")
+                syn[term.strip()] = [m for m in mems.split("|") if m.strip()]
+            res = bm25_topk_synonyms(ix, args.query, syn, k=k,
+                                     match_all=not args.match_any)
         else:
             res = bm25_topk(ix, args.query, k=k, match_all=not args.match_any)
     elif args.engine == "wand":

@@ -492,6 +492,96 @@ def bm25_topk_after(
     )
 
 
+def bm25_topk_synonyms(
+    index: InvertedIndex,
+    query: str,
+    synonyms: dict[str, list[str]],
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    match_all: bool = True,
+) -> DataFrame:
+    """Synonym-group retrieval — Lucene ``SynonymQuery`` semantics:
+    each query lemma expands into a GROUP (itself + its synonyms) that
+    scores as ONE pseudo-term. Within a doc the group's tf is the SUM
+    of member tfs; the group's df is the count of docs containing ANY
+    member (computed from the matched postings, not derivable from the
+    members' individual dfs); idf comes from that union df; and the
+    AND arity (``match_all``) counts GROUPS, not members — a doc
+    saying only ``merge`` satisfies a ``join``-with-synonym-``merge``
+    query. This is the principled fix for the naive OR-expansion,
+    which double-counts idf per member and lets one query concept
+    outvote the others.
+
+    ``synonyms`` maps a lemma (surface forms are lemmatized) to its
+    member lemmas; query lemmas absent from the map form singleton
+    groups and score exactly like :func:`bm25_topk`. Overlapping
+    groups are rejected (a member in two groups would double-score).
+
+    Plan: one IN-pruned postings scan over all member lemmas, a
+    literal-CASE member→group projection (codegen, no join), ONE
+    (doc, group) partial-agg shuffle producing group tfs, a tiny
+    per-group df aggregate off that frame (|groups| rows, broadcast
+    back), then the same single per-doc aggregate + TakeOrdered as
+    the plain scorer. At 100 TB this adds one map-side projection and
+    one |groups|-row broadcast to the standard BM25 plan."""
+    stats = index.stats
+    reps = parse_query(query)
+    if not reps:
+        return index.postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double, score_raw double"
+        )
+    norm: dict[str, list[str]] = {}  # keys lemmatize like query terms
+    for key, vals in synonyms.items():
+        kl = parse_query(key)
+        if kl:
+            norm.setdefault(kl[0], []).extend(vals)
+    groups: dict[str, list[str]] = {}
+    for rep in reps:
+        members = dict.fromkeys([rep] + [
+            m for s in norm.get(rep, []) for m in parse_query(s)
+        ])
+        groups[rep] = list(members)
+    flat = [m for ms in groups.values() for m in ms]
+    if len(set(flat)) != len(flat):
+        raise ValueError(f"overlapping synonym groups: {groups}")
+    # member -> group-representative literal CASE (bounded by query
+    # size x synonym fan-out; same codegen shape as _boost_col)
+    grp = None
+    for rep, members in groups.items():
+        cond = F.col("lemma").isin(members)
+        grp = (F.when(cond, F.lit(rep)) if grp is None
+               else grp.when(cond, F.lit(rep)))
+    per_group = (
+        index.postings.filter(F.col("lemma").isin(flat))
+        .withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(F.sum("tf").alias("tf"), F.max("dl").alias("dl"))
+    )
+    gdf = per_group.groupBy("grp").agg(F.count("*").alias("df"))
+    scored = (
+        per_group.join(F.broadcast(gdf), "grp")
+        .withColumn("_idf", idf_col(F.col("df").cast("double"), stats.n_docs))
+        .withColumn(
+            "_w",
+            bm25_weight_col(F.col("tf").cast("double"),
+                            F.col("dl").cast("double"),
+                            F.col("_idf"), stats.avgdl, k1, b),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_nt"), F.sum("_w").alias("score_raw"))
+        .filter(
+            (F.col("_nt") == len(groups)) if match_all else F.lit(True)
+        )
+        .withColumn("score", F.round(F.col("score_raw"), SCORE_DECIMALS))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .select("doc_id", "score", "score_raw")
+        .limit(k)
+    )
+
+
 def enrich_results(results: DataFrame, docs: DataFrame) -> DataFrame:
     """Join top-k back to the doc store for display columns (reference
     ApiService.java:202-224: page point-read + site join). The top-k side

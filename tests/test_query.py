@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from search_engine_spark.operators.compression import build_segments
@@ -132,6 +134,65 @@ def test_search_after_empty_and_exhausted(tiny_index):
 def test_parse_query_dedupes_and_orders():
     assert parse_query("tables table the tables") == ["table"]
     assert parse_query("") == []
+
+
+def test_synonym_group_scores_match_python_golden(tiny_index):
+    """SynonymQuery golden: one group {a, b} scores as a single
+    pseudo-term — per-doc tf = member sum, df = docs holding ANY
+    member, idf from that union df — recomputed exactly in Python from
+    the collected postings."""
+    from search_engine_spark.operators.index_build import idf_py
+    from search_engine_spark.operators.query import bm25_topk_synonyms
+    from search_engine_spark.config import BM25_B, BM25_K1
+
+    a_lem, b_lem = "w00159", "w00268"
+    rows = tiny_index.postings.filter(
+        F.col("lemma").isin([a_lem, b_lem])
+    ).select("doc_id", "tf", "dl").collect()
+    tf: dict[int, int] = {}
+    dl: dict[int, int] = {}
+    for r in rows:
+        tf[r["doc_id"]] = tf.get(r["doc_id"], 0) + r["tf"]
+        dl[r["doc_id"]] = r["dl"]
+    idf = idf_py(len(tf), tiny_index.stats.n_docs)
+    avgdl = tiny_index.stats.avgdl
+    want = sorted(
+        (
+            (
+                d,
+                round(
+                    idf * (tf[d] * (BM25_K1 + 1.0))
+                    / (tf[d] + BM25_K1 * (1.0 - BM25_B + BM25_B * dl[d] / avgdl)),
+                    6,
+                ),
+            )
+            for d in tf
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    got = _rows(bm25_topk_synonyms(
+        tiny_index, a_lem, {a_lem: [b_lem]}, k=10
+    ))
+    assert got == want
+    # a doc holding ONLY the synonym must match (the OR-expansion
+    # equivalence on the match set)
+    only_b = {r["doc_id"] for r in tiny_index.postings.filter(
+        F.col("lemma") == b_lem).select("doc_id").collect()}
+    assert only_b <= {d for d, _ in
+                      _rows(bm25_topk_synonyms(
+                          tiny_index, a_lem, {a_lem: [b_lem]}, k=100000))}
+
+
+def test_synonym_singletons_equal_plain_bm25(tiny_index):
+    from search_engine_spark.operators.query import bm25_topk_synonyms
+
+    q = "w00159 w00268"
+    assert _rows(bm25_topk_synonyms(tiny_index, q, {}, k=10)) == _rows(
+        bm25_topk(tiny_index, q, k=10)
+    )
+    with pytest.raises(ValueError, match="overlapping"):
+        bm25_topk_synonyms(tiny_index, "w00159 w00268",
+                           {"w00159": ["w00268"]})
 
 
 def test_extract_boosts():
