@@ -604,6 +604,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", "cosine"
         )
 
+    def q_mmr_rerank(spark, sf):
+        # MMR diversification of the exact-cosine top-20 page (lam=0.7,
+        # 5 picks): greedy argmax of round(.7*rel - .3*max_sim, 6) with
+        # id tie-break — driver-side greedy over the k-bounded page,
+        # left-fold dots bit-identical to the unrolled-CTE oracle
+        from search_engine_spark.operators.similarity import mmr_rerank
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+        pool = brute_force_topk(emb, [float(x) for x in qvec], k=20)
+        return mmr_rerank(pool, emb, k=5, lam=0.7)
+
     def q_embed_topk_per_label(spark, sf):
         # top-k similar PER CATEGORY (one scan + WindowGroupLimit rank):
         # the embedding twin of the per-scope BM25 grouped top-k
@@ -1228,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash,
         "simhash_pairs": q_simhash,
         "embedding_topk": q_embed_topk,
+        "mmr_rerank": q_mmr_rerank,
         "embedding_topk_per_label": q_embed_topk_per_label,
         "sq8_topk": q_sq8_topk,
         "srp_ann_topk": q_srp_ann,
@@ -1517,6 +1530,58 @@ def _embedding_topk_sql(k: int = 10) -> str:
         FROM embeddings CROSS JOIN q
         WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
         ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _mmr_sql(n: int = 20, k: int = 5, lam: float = 0.7) -> str:
+    """Unrolled-CTE DuckDB twin of similarity.mmr_rerank over the
+    exact-cosine top-n pool (the BPE-loop trick: a data-dependent
+    greedy loop with a FIXED step count unrolls into k CTE stages —
+    each stage's argmax is an ORDER BY ... LIMIT 1 over the not-yet-
+    selected candidates with the max-sim-to-selected recomputed from
+    the previous stages' rows). Arithmetic is op-for-op the driver
+    loop's: left-fold dots (list_dot_product), sim and mmr rounded to
+    6 before comparison, ties to the lower vec_id."""
+    omega = 1.0 - lam
+    ctes = [f"""
+    cand AS (
+        SELECT p.vec_id, p.cosine AS rel, e.embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                     e.embedding::DOUBLE[])) AS nrm
+        FROM ({_embedding_topk_sql(n)}) p
+        JOIN embeddings e USING (vec_id)
+    ),
+    s1 AS (
+        SELECT vec_id, v, nrm, round({lam!r} * rel, 6) AS mmr, 1 AS rank
+        FROM cand ORDER BY round({lam!r} * rel, 6) DESC, vec_id ASC LIMIT 1
+    )"""]
+    for t in range(2, k + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT vec_id, v, nrm FROM s{i}" for i in range(1, t)
+        )
+        ctes.append(f"""
+    m{t} AS (
+        SELECT c.vec_id,
+               round({lam!r} * any_value(c.rel) - {omega!r} * max(
+                 round(list_dot_product(c.v, s.v) / (c.nrm * s.nrm), 6)
+               ), 6) AS mmr
+        FROM cand c CROSS JOIN ({sel}) s
+        WHERE c.vec_id NOT IN ({sel.replace('vec_id, v, nrm', 'vec_id')})
+        GROUP BY c.vec_id
+    ),
+    s{t} AS (
+        SELECT c.vec_id, c.v, c.nrm, m.mmr, {t} AS rank
+        FROM m{t} m JOIN cand c USING (vec_id)
+        ORDER BY m.mmr DESC, c.vec_id ASC LIMIT 1
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT rank, vec_id, mmr FROM s{i}" for i in range(1, k + 1)
+    )
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT CAST(rank AS INTEGER) AS rank, CAST(vec_id AS BIGINT) AS vec_id,
+           mmr
+    FROM ({union}) ORDER BY rank
     """
 
 
@@ -2834,6 +2899,7 @@ def oracle_sql() -> dict[str, str]:
             dim=64
         ),
         "embedding_topk": _embedding_topk_sql(10),
+        "mmr_rerank": _mmr_sql(n=20, k=5, lam=0.7),
         # per-group twin: same rounded cosine, rank-over-window per label
         "embedding_topk_per_label": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),

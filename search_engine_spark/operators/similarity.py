@@ -126,6 +126,80 @@ def brute_force_topk(
     )
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    rel_col: str = "cosine",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversification of a top-n candidate
+    page: greedily pick the item maximizing
+    ``round(lam·rel − (1−lam)·max_sim_to_selected, 6)`` (tie → lower
+    id), where pairwise sim is the 6-decimal-rounded exact cosine —
+    the classic Carbonell-Goldstein re-rank that stops a result page
+    from being k near-copies of the same hit.
+
+    Distribution contract: the DISTRIBUTED work is producing the
+    candidate page (any scorer — BM25, ANN, brute cosine) and the
+    semi-join fetch of its k-bounded vectors; the greedy loop itself is
+    inherently sequential over n ≤ a few hundred collected rows and
+    runs driver-side in numpy — at 100 TB the candidate page is still
+    top-n-sized, so this is the right split (same contract as
+    wand_topk_tree's driver merge).
+
+    Float parity (the reason this has a hard DuckDB oracle): pairwise
+    dots accumulate with the dim-loop LEFT FOLD of `_pair_dot` — bit-
+    identical to ``list_dot_product`` — norms/division/blend replicate
+    the oracle's op order exactly, and both the per-pair sim and the
+    final mmr are rounded to COS_DECIMALS before comparison, so the
+    argmax sequence is engine-exact, not merely close. ``rel`` is
+    consumed as given (already rounded by every scorer in this repo).
+
+    Returns (rank 1..k, id, mmr) in selection order."""
+    spark = candidates.sparkSession
+    cand = candidates.select(
+        F.col(id_col).alias("_id"), F.col(rel_col).cast("double").alias("_rel")
+    )
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .join(F.broadcast(cand), "_id")
+        .collect()
+    )
+    out_schema = f"rank int, {id_col} long, mmr double"
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    rows.sort(key=lambda r: r["_id"])
+    ids = np.array([r["_id"] for r in rows], dtype=np.int64)
+    rel = np.array([r["_rel"] for r in rows], dtype=np.float64)
+    mat = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+    norms = np.zeros(len(rows), dtype=np.float64)
+    for i in range(mat.shape[1]):  # left-fold == list_dot_product
+        norms = norms + mat[:, i] * mat[:, i]
+    norms = np.sqrt(norms)
+    msim = np.zeros(len(rows), dtype=np.float64)  # max sim to selected
+    taken = np.zeros(len(rows), dtype=bool)
+    picks: list[tuple[int, int, float]] = []
+    for rank in range(1, min(k, len(rows)) + 1):
+        mmr = np.round(lam * rel - (1.0 - lam) * msim, COS_DECIMALS)
+        mmr[taken] = -np.inf
+        best = int(np.argmax(mmr))  # ids sorted asc → first max wins tie
+        taken[best] = True
+        picks.append((rank, int(ids[best]), float(mmr[best])))
+        dots = np.zeros(len(rows), dtype=np.float64)
+        bv = mat[best]
+        for i in range(mat.shape[1]):
+            dots = dots + mat[:, i] * bv[i]
+        sim = np.round(dots / (norms * norms[best]), COS_DECIMALS)
+        msim = np.maximum(msim, sim)
+    return spark.createDataFrame(picks, out_schema)
+
+
 def cosine_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

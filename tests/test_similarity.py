@@ -43,6 +43,42 @@ def test_brute_force_matches_numpy(emb):
         assert abs(r["cosine"] - round(cos[r["vec_id"]], 6)) < 1e-6
 
 
+def test_mmr_rerank_diversifies_and_degenerates(emb, spark):
+    """MMR: (a) lam=1.0 degenerates to pure relevance order; (b) with
+    the planted near-dup pair (0,1) at the top of the pool, a
+    diversity-weighted lam must NOT pick both — the redundant twin is
+    deferred below a less similar candidate; (c) mmr values are
+    monotonically achievable: pick #1 is the max rel."""
+    from search_engine_spark.operators.similarity import mmr_rerank
+
+    # a ~ b (near-dups), c less relevant but diverse; the query vector
+    # itself is NOT in the pool (a pool containing the query point is
+    # order-invariant under MMR: sim-to-selected == rel for everyone)
+    a = [0.9, 0.43588989435406736, 0.0, 0.0]
+    b = [0.9001, 0.4356, 0.001, 0.0]
+    c = [0.8, 0.0, 0.6, 0.0]
+    tbl = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "vec_id long, embedding array<double>"
+    )
+    pool = brute_force_topk(tbl, [1.0, 0.0, 0.0, 0.0], k=10)
+    rel_order = [r["vec_id"] for r in pool.collect()]
+    assert rel_order == [2, 1, 3]  # b edges a on cosine, c last
+
+    pure = mmr_rerank(pool, tbl, k=3, lam=1.0).collect()
+    assert [r["vec_id"] for r in pure] == rel_order
+    assert [r["rank"] for r in pure] == [1, 2, 3]
+
+    div = mmr_rerank(pool, tbl, k=3, lam=0.5).collect()
+    # rank 1 = most relevant (b); rank 2 = DIVERSE c, the near-dup a
+    # is deferred to last despite higher relevance
+    assert [r["vec_id"] for r in div] == [2, 3, 1]
+    assert div[0]["mmr"] > div[1]["mmr"] > div[2]["mmr"]
+
+    # empty candidate page -> empty result, schema intact
+    none = mmr_rerank(pool.limit(0), tbl, k=3)
+    assert none.count() == 0 and none.columns == ["rank", "vec_id", "mmr"]
+
+
 def test_cosine_near_duplicates(emb):
     got = {(r["vec_a"], r["vec_b"]) for r in cosine_near_duplicates(emb, 0.99).collect()}
     assert (0, 1) in got
