@@ -297,6 +297,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             segs, ix.terms, Q_AND, k=10, stats=ix.stats, match_all=False
         ).select("doc_id", "score")
 
+    def q_bm25_wand_boosted(spark, sf):
+        # boosted block-max WAND: per-term boost scales decoded weights
+        # AND block-max bounds by the same positive factor, so pruning
+        # stays score-safe; same boosted oracle as the df engine
+        from search_engine_spark.operators.compression import build_segments
+
+        ix = _index_for(spark, sf)
+        segs = build_segments(ix, bucket_width=4096)
+        return wand_topk(
+            segs, ix.terms, Q_MAIN, k=10, stats=ix.stats,
+            boosts={"join": 3.0},
+        ).select("doc_id", "score")
+
     def q_wand_tree(spark, sf):
         # UD4 explicit treeAggregate top-k merge (the large-k shape:
         # per-partition heaps combine through an executor tree, driver
@@ -1287,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_scoped_field": q_search_scoped_field,
         "search_boosted": q_search_boosted,
         "synonym_search": q_synonym_search,
+        "bm25_topk_wand_boosted": q_bm25_wand_boosted,
         "prefix_search": q_prefix_search,
         "fuzzy_search": q_fuzzy_search,
         "search_wildcard": q_search_wildcard,
@@ -2777,6 +2791,8 @@ def oracle_sql() -> dict[str, str]:
         "search_scoped_field": scoped_field_oracle,
         # term^N boost: Q_MAIN's AND match set, 'join' weight tripled
         "search_boosted": _bm25_sql(Q_MAIN, boosts={"join": 3.0}),
+        # boosted WAND shares the boosted-BM25 oracle (engine identity)
+        "bm25_topk_wand_boosted": _bm25_sql(Q_MAIN, boosts={"join": 3.0}),
         # SynonymQuery: {join,merge} is ONE pseudo-term — tf member-sum
         # per doc, df = distinct docs holding ANY member (from the
         # matched postings), AND arity counts GROUPS

@@ -186,7 +186,11 @@ def main() -> None:
             res = bm25_topk_synonyms(ix, args.query, syn, k=k,
                                      match_all=not args.match_any)
         else:
-            res = bm25_topk(ix, args.query, k=k, match_all=not args.match_any)
+            from search_engine_spark.operators.query import extract_boosts
+
+            q, boosts = extract_boosts(args.query)
+            res = bm25_topk(ix, q, k=k, match_all=not args.match_any,
+                            boosts=boosts or None)
     elif args.engine == "wand":
         if args.nrt:
             from search_engine_spark.operators.serving import nrt_wand_topk
@@ -194,8 +198,12 @@ def main() -> None:
             res = nrt_wand_topk(disk, args.query, k=k,
                                 match_all=not args.match_any)
         else:
-            res = wand_topk(disk.segments, disk.terms, args.query, k=k,
-                            stats=disk.stats, match_all=not args.match_any)
+            from search_engine_spark.operators.query import extract_boosts
+
+            q, boosts = extract_boosts(args.query)
+            res = wand_topk(disk.segments, disk.terms, q, k=k,
+                            stats=disk.stats, match_all=not args.match_any,
+                            boosts=boosts or None)
     elif args.engine == "sql":
         res = bm25_topk_sql(ix, args.query, k=k)
     else:  # mini language (phrases / -not / free terms)

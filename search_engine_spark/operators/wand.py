@@ -72,7 +72,7 @@ class _TermBlocks:
     upper bounds, lazy decode + on-decode scoring."""
 
     def __init__(self, g: pd.DataFrame, idf: float, avgdl: float,
-                 k1: float, b: float):
+                 k1: float, b: float, boost: float = 1.0):
         g = g.sort_values("first_doc").reset_index(drop=True)
         self.first = g["first_doc"].to_numpy(np.int64)
         self.last = g["last_doc"].to_numpy(np.int64)
@@ -82,10 +82,18 @@ class _TermBlocks:
         self.ub = idf * (max_tf * (k1 + 1.0)) / (
             max_tf + k1 * ((1.0 - b) + b * min_dl / avgdl)
         )
+        if boost != 1.0:
+            # per-term boost scales weight AND bound by the same
+            # positive factor (validated in _per_bucket_scores), so the
+            # block-max proof is unchanged; applied AFTER the weight —
+            # the DataFrame engine's `_w * boost` op order, keeping
+            # boosted scores bit-identical across engines
+            self.ub = self.ub * boost
         self.doc_bytes = g["doc_ids"].to_list()
         self.tf_bytes = g["tfs"].to_list()
         self.dl_bytes = g["dls"].to_list()
         self.idf, self.avgdl, self.k1, self.b = idf, avgdl, k1, b
+        self.boost = boost
         self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     def overlapping(self, lo: int, hi: int) -> np.ndarray:
@@ -108,6 +116,8 @@ class _TermBlocks:
                     self.doc_bytes[i], self.tf_bytes[i], self.dl_bytes[i]
                 )
                 s = bm25_scores_np(tf, dl, self.idf, self.avgdl, self.k1, self.b)
+                if self.boost != 1.0:
+                    s = s * self.boost
                 cached = (d, s)
                 self._decoded[i] = cached
                 if counters is not None:
@@ -138,6 +148,7 @@ def score_bucket_pd(
     k1: float = BM25_K1,
     b: float = BM25_B,
     counters: dict | None = None,
+    boost_by_key: dict[int, float] | None = None,
 ) -> pd.DataFrame:
     """One doc-range bucket → ≤k (doc_id, score_raw) rows.
 
@@ -153,8 +164,10 @@ def score_bucket_pd(
     present = set(int(t) for t in pdf["term_key"].unique())
     if len(present) < n_terms:
         return _EMPTY  # some query term absent in this doc range → AND fails
+    bb = boost_by_key or {}
     terms = {
-        int(t): _TermBlocks(g, idf_by_key[int(t)], avgdl, k1, b)
+        int(t): _TermBlocks(g, idf_by_key[int(t)], avgdl, k1, b,
+                            boost=bb.get(int(t), 1.0))
         for t, g in pdf.groupby("term_key", sort=False)
     }
     rarest = term_order[0]
@@ -301,6 +314,7 @@ def score_bucket_or_pd(
     k1: float = BM25_K1,
     b: float = BM25_B,
     counters: dict | None = None,
+    boost_by_key: dict[int, float] | None = None,
 ) -> pd.DataFrame:
     """Disjunctive (OR) bucket scorer: every doc in ANY query term's
     blocks is a candidate; its score sums the decoded contributions of
@@ -336,8 +350,10 @@ def score_bucket_or_pd(
         return _EMPTY
     # pdf is pre-filtered to query terms (_per_bucket_scores); groupby
     # yields exactly the PRESENT subset — absent terms contribute nothing
+    bb = boost_by_key or {}
     terms = {
-        int(t): _TermBlocks(g, idf_by_key[int(t)], avgdl, k1, b)
+        int(t): _TermBlocks(g, idf_by_key[int(t)], avgdl, k1, b,
+                            boost=bb.get(int(t), 1.0))
         for t, g in pdf.groupby("term_key", sort=False)
     }
     tkeys = list(terms)
@@ -402,6 +418,7 @@ def _per_bucket_scores(
     k: int,
     stats: CorpusStats,
     match_all: bool = True,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame | None:
     """Shared front half of both WAND variants: resolve query terms on
     the driver, filter the segment scan, run the bucket scorers.
@@ -412,9 +429,13 @@ def _per_bucket_scores(
     lemmas = parse_query(query)
     if not lemmas:
         return None
+    if boosts and any(w <= 0 for w in boosts.values()):
+        # non-positive boosts invalidate the block-max upper bounds
+        raise ValueError(f"boosts must be positive: {boosts}")
     qrows = (
         terms.filter(F.col("lemma").isin(lemmas))
         .select(
+            "lemma",
             term_key_col("lemma").alias("term_key"),
             "df",
             # idf computed JVM-side → bit-identical to the DataFrame
@@ -428,11 +449,17 @@ def _per_bucket_scores(
     by_df = sorted(qrows, key=lambda r: (r["df"], r["term_key"]))
     term_order = [int(r["term_key"]) for r in by_df]
     idf_by_key = {int(r["term_key"]): float(r["idf"]) for r in qrows}
+    boost_by_key = {
+        int(r["term_key"]): float(boosts[r["lemma"]])
+        for r in qrows
+        if boosts and r["lemma"] in boosts
+    } or None
     avgdl = stats.avgdl
     scorer = score_bucket_pd if match_all else score_bucket_or_pd
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        return scorer(pdf, term_order, idf_by_key, avgdl, k)
+        return scorer(pdf, term_order, idf_by_key, avgdl, k,
+                      boost_by_key=boost_by_key)
 
     seg = segments.filter(F.col("term_key").isin(term_order))
     return seg.groupBy("bucket").applyInPandas(score_bucket, RESULT_SCHEMA)
@@ -445,8 +472,15 @@ def wand_topk(
     k: int = DEFAULT_TOP_K,
     stats: CorpusStats | None = None,
     match_all: bool = True,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) by BM25 over compressed segments.
+
+    ``boosts`` (lemma → positive multiplier) applies Lucene term^N
+    weighting: each boosted term's decoded weights AND its block-max
+    bounds scale by the same factor, so the pruning proof is
+    unchanged and results stay rank-identical to
+    ``bm25_topk(boosts=...)`` (differential-tested).
 
     ``stats`` (n_docs, avgdl) is required: blocks store raw tf/dl and
     the BM25 weights are computed here (segments are stats-independent,
@@ -460,7 +494,7 @@ def wand_topk(
         raise ValueError("wand_topk requires CorpusStats (index.stats)")
     spark = segments.sparkSession
     per_bucket = _per_bucket_scores(segments, terms, query, k, stats,
-                                    match_all=match_all)
+                                    match_all=match_all, boosts=boosts)
     if per_bucket is None:
         return spark.createDataFrame(
             [], "doc_id long, score double, score_raw double"

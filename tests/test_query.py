@@ -235,6 +235,29 @@ def test_boosted_scores_match_per_term_golden(tiny_index):
     assert base == noop
 
 
+@pytest.mark.parametrize("match_all", [True, False])
+def test_boosted_wand_matches_boosted_dataframe(tiny_index, segments,
+                                                match_all):
+    """Engine parity under boosts: the WAND scorer applies each term's
+    boost to decoded weights AND block-max bounds (same positive
+    factor — pruning proof unchanged), so boosted ranks and scores
+    must equal the DataFrame engine's exactly."""
+    q = "w00000s w00001"
+    boosts = {"w00001": 2.5}
+    a = _rows(bm25_topk(tiny_index, q, k=10, match_all=match_all,
+                        boosts=boosts))
+    w = _rows(wand_topk(segments, tiny_index.terms, q, k=10,
+                        stats=tiny_index.stats, match_all=match_all,
+                        boosts=boosts))
+    assert a == w and a
+    # boosting must actually change something vs unboosted
+    base = _rows(bm25_topk(tiny_index, q, k=10, match_all=match_all))
+    assert a != base
+    with pytest.raises(ValueError, match="positive"):
+        wand_topk(segments, tiny_index.terms, q, k=10,
+                  stats=tiny_index.stats, boosts={"w00001": -1.0})
+
+
 def test_mini_ql_boost_routes_to_scorer(tiny_index):
     """search('a b^2') == bm25_topk(boosts={b:2}) — the mini-QL suffix
     is pure syntax over the same scoring path, match set unchanged."""
