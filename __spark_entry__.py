@@ -979,6 +979,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _index_for(spark, sf), "filter join", {"join": ["merge"]}, k=10
         ).select("doc_id", "score")
 
+    def q_count_hits(spark, sf):
+        # the "N results" pagination figure: arity-filtered doc count,
+        # no scoring, one IN-pruned scan
+        from search_engine_spark.operators.query import count_hits
+
+        return count_hits(_index_for(spark, sf), Q_MAIN)
+
+    def q_explain_score(spark, sf):
+        # Lucene-explain analog: per-term tf/dl/df/idf/weight breakdown
+        # for the TOP doc of Q_MAIN (sum(weight) == its score_raw);
+        # the doc is derived by rank in both engines
+        from search_engine_spark.operators.query import explain_score
+
+        ix = _index_for(spark, sf)
+        top = bm25_topk(ix, Q_MAIN, k=1).head()
+        return explain_score(ix, Q_MAIN, int(top["doc_id"]))
+
+    def q_search_relaxed(spark, sf):
+        # relaxation cascade on an AND-empty query (one absent term):
+        # strict AND -> disjunctive OR fallback, stage labeled
+        from search_engine_spark.operators.query import search_relaxed
+
+        return search_relaxed(
+            _index_for(spark, sf), "query zzznotaword", k=10
+        ).select("doc_id", "score", "stage")
+
     def q_search_boosted(spark, sf):
         # mini-QL term^N boost (Lucene syntax): 'join^3' triples that
         # lemma's per-doc BM25 contribution before the sum — match set
@@ -1300,6 +1326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_scoped_field": q_search_scoped_field,
         "search_boosted": q_search_boosted,
         "synonym_search": q_synonym_search,
+        "count_hits": q_count_hits,
+        "explain_score": q_explain_score,
+        "search_relaxed": q_search_relaxed,
         "bm25_topk_wand_boosted": q_bm25_wand_boosted,
         "prefix_search": q_prefix_search,
         "fuzzy_search": q_fuzzy_search,
@@ -2025,6 +2054,8 @@ def oracle_sql() -> dict[str, str]:
     """
     and_lemmas = parse_query(Q_AND)
     and_in = "(" + ", ".join(f"'{l}'" for l in and_lemmas) + ")"
+    main_lemmas = parse_query(Q_MAIN)
+    main_in = "(" + ", ".join(f"'{l}'" for l in main_lemmas) + ")"
 
     # phrase oracle: same candidate prune + double-space lemma stream +
     # shared phrase_tf_sql counting expression as the engine
@@ -2791,6 +2822,46 @@ def oracle_sql() -> dict[str, str]:
         "search_scoped_field": scoped_field_oracle,
         # term^N boost: Q_MAIN's AND match set, 'join' weight tripled
         "search_boosted": _bm25_sql(Q_MAIN, boosts={"join": 3.0}),
+        "count_hits": f"""
+            WITH {_POSTINGS}
+            SELECT CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT doc_id FROM postings WHERE lemma IN {main_in}
+                GROUP BY doc_id HAVING count(*) = {len(main_lemmas)}
+            )
+        """,
+        # explain: per-term weight rows for the rank-1 doc of Q_MAIN —
+        # the doc is derived by the same pinned top-1 in both engines;
+        # sum(weight) reproduces its score
+        "explain_score": f"""
+            WITH {_POSTINGS},
+            top1 AS ({_bm25_sql(Q_MAIN, 1)})
+            SELECT p.lemma, CAST(p.tf AS BIGINT) AS tf,
+                   CAST(d.dl AS BIGINT) AS dl, CAST(t.df AS BIGINT) AS df,
+                   round(ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5)), 6)
+                       AS idf,
+                   round(
+                     ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+                     * (p.tf * {BM25_K1 + 1.0!r})
+                     / (p.tf + {BM25_K1!r} * ({1.0 - BM25_B!r}
+                        + {BM25_B!r} * d.dl / s.avgdl)), 6) AS weight
+            FROM postings p
+            JOIN top1 ON p.doc_id = top1.doc_id
+            JOIN doclen d ON d.doc_id = p.doc_id
+            JOIN terms t USING (lemma)
+            CROSS JOIN stats s
+            WHERE p.lemma IN {main_in}
+            ORDER BY p.lemma
+        """,
+        # relaxation cascade: AND page if any, else the OR page —
+        # the same branch the Spark cascade takes, decided in SQL
+        "search_relaxed": f"""
+            WITH a AS ({_bm25_sql("query zzznotaword", 10)}),
+            o AS ({_bm25_sql("query zzznotaword", 10, match_all=False)})
+            SELECT doc_id, score, 'and' AS stage FROM a
+            UNION ALL
+            SELECT doc_id, score, 'or' AS stage FROM o
+            WHERE NOT EXISTS (SELECT 1 FROM a)
+        """,
         # boosted WAND shares the boosted-BM25 oracle (engine identity)
         "bm25_topk_wand_boosted": _bm25_sql(Q_MAIN, boosts={"join": 3.0}),
         # SynonymQuery: {join,merge} is ONE pseudo-term — tf member-sum

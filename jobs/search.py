@@ -61,6 +61,16 @@ def main() -> None:
                    help="additional shard index dirs: score every shard "
                         "with GLOBAL idf and merge the top-k "
                         "(serving.federated_bm25_topk); df engine only")
+    p.add_argument("--count", action="store_true",
+                   help="print the total matching-doc count (the "
+                        "pagination 'N results' figure) instead of hits")
+    p.add_argument("--explain", type=int, default=None, metavar="DOC_ID",
+                   help="per-term BM25 breakdown (tf/dl/df/idf/weight) "
+                        "of the query against one doc — Lucene explain")
+    p.add_argument("--relax", action="store_true",
+                   help="relaxation cascade: strict AND, zero hits -> "
+                        "OR, still zero -> fuzzy; rows carry a 'stage' "
+                        "column (df engine)")
     p.add_argument("--synonyms", metavar="T=S1|S2;U=V", default=None,
                    help="synonym groups for the df engine (Lucene "
                         "SynonymQuery semantics: each group scores as "
@@ -143,6 +153,32 @@ def main() -> None:
         for r in res.collect()[args.offset:args.offset + args.k]:
             print(json.dumps({"shard": r["shard"], "doc_id": r["doc_id"],
                               "score": r["score"]}), flush=True)
+        spark.stop()
+        return
+
+    if args.count and args.query is not None:
+        from search_engine_spark.operators.query import count_hits
+
+        n = count_hits(ix, args.query,
+                       match_all=not args.match_any).head()["n"]
+        print(json.dumps({"n": int(n)}), flush=True)
+        spark.stop()
+        return
+
+    if args.explain is not None and args.query is not None:
+        from search_engine_spark.operators.query import explain_score
+
+        for r in explain_score(ix, args.query, args.explain).collect():
+            print(json.dumps(r.asDict()), flush=True)
+        spark.stop()
+        return
+
+    if args.relax and args.query is not None:
+        from search_engine_spark.operators.query import search_relaxed
+
+        for r in search_relaxed(ix, args.query, k=args.k).collect():
+            print(json.dumps({"doc_id": r["doc_id"], "score": r["score"],
+                              "stage": r["stage"]}), flush=True)
         spark.stop()
         return
 

@@ -582,6 +582,111 @@ def bm25_topk_synonyms(
     )
 
 
+def count_hits(
+    index: InvertedIndex, query: str, match_all: bool = True
+) -> DataFrame:
+    """Total matching-doc count — the result-page "N hits" figure
+    (reference UI pagination footer) without ranking anything: AND =
+    arity-filtered doc count, OR = distinct docs across the query
+    terms' postings. One IN-pruned scan + one partial-aggregated
+    count; never touches scores, doclen, or the dictionary."""
+    lemmas = parse_query(query)
+    spark = index.postings.sparkSession
+    if not lemmas:
+        return spark.createDataFrame([(0,)], "n long")
+    if match_all:
+        matched = docs_with_all_lemmas(index.postings, lemmas)
+    else:
+        matched = (
+            index.postings.filter(F.col("lemma").isin(lemmas))
+            .select("doc_id").distinct()
+        )
+    return matched.agg(F.count("*").cast("long").alias("n"))
+
+
+def explain_score(
+    index: InvertedIndex,
+    query: str,
+    doc_id: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Per-term BM25 breakdown for ONE document — the Lucene
+    ``explain`` analog a relevance engineer reaches for when asking
+    "why does this doc rank here": for each query lemma present in the
+    doc, its tf, dl, df, idf and the resulting weight (exactly the
+    per-posting term the scorer sums; ``sum(weight)`` over the rows ==
+    the doc's ``score_raw``). A point lookup: the postings scan is
+    pruned by BOTH the lemma IN-list and the doc_id predicate (v4
+    bucket partitioning makes the doc_id a partition prune), so the
+    plan touches one bucket's few rows, never the corpus."""
+    lemmas = parse_query(query)
+    spark = index.postings.sparkSession
+    if not lemmas:
+        return spark.createDataFrame(
+            [], "lemma string, tf long, dl long, df long, idf double,"
+                " weight double"
+        )
+    stats = index.stats
+    return (
+        index.postings
+        .filter(F.col("doc_id") == int(doc_id))
+        .filter(F.col("lemma").isin(lemmas))
+        .join(F.broadcast(index.terms.filter(F.col("lemma").isin(lemmas))
+                          .select("lemma", "df")), "lemma")
+        .withColumn("_idf", idf_col(F.col("df").cast("double"), stats.n_docs))
+        .select(
+            "lemma",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("dl").cast("long").alias("dl"),
+            F.col("df").cast("long").alias("df"),
+            F.round("_idf", SCORE_DECIMALS).alias("idf"),
+            F.round(
+                bm25_weight_col(
+                    F.col("tf").cast("double"), F.col("dl").cast("double"),
+                    F.col("_idf"), stats.avgdl, k1, b,
+                ),
+                SCORE_DECIMALS,
+            ).alias("weight"),
+        )
+        .orderBy("lemma")
+    )
+
+
+def search_relaxed(
+    index: InvertedIndex,
+    query: str,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Relaxation cascade — never strand the user on an empty page:
+    strict AND first; zero hits → disjunctive OR (partial matches);
+    still zero (every term out-of-vocabulary) → Levenshtein-fuzzy
+    expansion (:func:`fuzzy_search`). Each stage is the existing
+    engine; the cascade adds only an any-rows probe (``head(1)``)
+    between stages — two driver round-trips in the worst case, on
+    plans whose scans are already IN-pruned to the query terms. The
+    stage used is returned in a ``stage`` column ('and' | 'or' |
+    'fuzzy') so callers can label the relaxation."""
+    res = bm25_topk(index, query, k=k, k1=k1, b=b)
+    if res.head(1):
+        return res.withColumn("stage", F.lit("and"))
+    res = bm25_topk(index, query, k=k, k1=k1, b=b, match_all=False)
+    if res.head(1):
+        return res.withColumn("stage", F.lit("or"))
+    # every term OOV: pool the per-term fuzzy expansions (each lemma's
+    # df-capped edit-distance-1 dictionary neighbors), score
+    # disjunctively over the pool
+    pool: dict[str, None] = {}
+    for lem in parse_query(query):
+        for exp in expand_fuzzy(index.terms, lem):
+            pool.setdefault(exp)
+    return bm25_topk_lemmas(
+        index, list(pool), k=k, k1=k1, b=b, match_all=False
+    ).withColumn("stage", F.lit("fuzzy"))
+
+
 def enrich_results(results: DataFrame, docs: DataFrame) -> DataFrame:
     """Join top-k back to the doc store for display columns (reference
     ApiService.java:202-224: page point-read + site join). The top-k side

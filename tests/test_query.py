@@ -195,6 +195,55 @@ def test_synonym_singletons_equal_plain_bm25(tiny_index):
                            {"w00159": ["w00268"]})
 
 
+def test_count_hits_matches_scorer_cardinality(tiny_index):
+    from search_engine_spark.operators.query import count_hits
+
+    q = "w00159 w00268"
+    n_and = count_hits(tiny_index, q).head()["n"]
+    n_or = count_hits(tiny_index, q, match_all=False).head()["n"]
+    assert n_and == bm25_topk(tiny_index, q, k=10**5).count()
+    assert n_or == bm25_topk(tiny_index, q, k=10**5, match_all=False).count()
+    assert 0 < n_and <= n_or
+    assert count_hits(tiny_index, "the and of").head()["n"] == 0
+
+
+def test_explain_score_rows_sum_to_score(tiny_index):
+    """Lucene-explain analog: per-term weights of the top doc sum to
+    its score_raw; idf/df come from the same dictionary rows."""
+    from search_engine_spark.operators.query import explain_score
+
+    q = "w00159 w00268"
+    top = bm25_topk(tiny_index, q, k=1).head()
+    rows = explain_score(tiny_index, q, int(top["doc_id"])).collect()
+    assert sorted(r["lemma"] for r in rows) == ["w00159", "w00268"]
+    assert math.isclose(sum(r["weight"] for r in rows),
+                        top["score_raw"], abs_tol=2e-6)
+    for r in rows:
+        assert r["tf"] >= 1 and r["df"] >= 1 and r["idf"] > 0
+
+
+def test_search_relaxed_cascade_stages(tiny_index):
+    from search_engine_spark.operators.query import search_relaxed
+
+    strict = search_relaxed(tiny_index, "w00159 w00268", k=10).collect()
+    assert strict and all(r["stage"] == "and" for r in strict)
+    assert [(r["doc_id"], r["score"]) for r in strict] == _rows(
+        bm25_topk(tiny_index, "w00159 w00268", k=10)
+    )
+
+    relaxed = search_relaxed(tiny_index, "w00159 zzznotaword", k=10).collect()
+    assert relaxed and all(r["stage"] == "or" for r in relaxed)
+    assert [(r["doc_id"], r["score"]) for r in relaxed] == _rows(
+        bm25_topk(tiny_index, "w00159 zzznotaword", k=10, match_all=False)
+    )
+
+    # every term OOV -> fuzzy expansion finds the 1-edit neighbor
+    fz = search_relaxed(tiny_index, "needlealphaz", k=10).collect()
+    assert fz and all(r["stage"] == "fuzzy" for r in fz)
+    needle = _rows(bm25_topk(tiny_index, "needlealpha", k=10))
+    assert {r["doc_id"] for r in fz} == {d for d, _ in needle}
+
+
 def test_extract_boosts():
     from search_engine_spark.operators.query import extract_boosts
 
