@@ -204,6 +204,15 @@ SAMPLE_DEFAULT_FRACTION = 0.1
 JACCARD_THRESHOLD = 0.7
 JACCARD_MAX_DF = 128  # shingle-df cap for candidate generation (skew guard)
 COSINE_NEARDUP_THRESHOLD = 0.42  # top-tail of the synthetic embedding table
+# recency/date fixtures: documents.parquet carries no timestamp, so the
+# recency/date rows derive a deterministic doc-keyed one (the operators
+# take any (doc_id, ts) table; search.py --recency/--since use the real
+# transcript ts). ts_epoch(doc) = EPOCH0 + (doc_id * 7919) % SPAN.
+RECENCY_EPOCH0 = 1704067200          # 2024-01-01T00:00:00Z
+RECENCY_SPAN_S = 31536000            # 365 days of derived timestamps
+RECENCY_ANCHOR = float(RECENCY_EPOCH0 + RECENCY_SPAN_S)  # decay "now"
+RECENCY_HALF_LIFE_DAYS = 45.0
+DATED_UNTIL = RECENCY_EPOCH0 + RECENCY_SPAN_S // 2  # [EPOCH0, mid-year)
 IVF_CLUSTERS = 16
 IVF_NPROBE = 4
 
@@ -1005,6 +1014,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _index_for(spark, sf), "query zzznotaword", k=10
         ).select("doc_id", "score", "stage")
 
+    def _derived_doc_ts(docs):
+        # deterministic doc-keyed timestamp (see RECENCY_EPOCH0 note)
+        return docs.select(
+            "doc_id",
+            F.timestamp_seconds(
+                F.lit(RECENCY_EPOCH0)
+                + (F.col("doc_id") * 7919) % RECENCY_SPAN_S
+            ).alias("ts"),
+        )
+
+    def q_bm25_recency(spark, sf):
+        # function_score date decay: raw BM25 sum x 2^(-age/half_life),
+        # one multiply between the sum and the round
+        from search_engine_spark.operators.query import bm25_topk_recency
+
+        ix = _index_for(spark, sf)
+        return bm25_topk_recency(
+            ix, Q_MAIN, _derived_doc_ts(ix.docs), RECENCY_ANCHOR,
+            half_life_days=RECENCY_HALF_LIFE_DAYS, k=10,
+        ).select("doc_id", "score")
+
+    def q_bm25_dated(spark, sf):
+        # date-range-restricted search: docs_in_time_range feeds the
+        # scorers' doc_filter semi-join (first half of the derived year)
+        from search_engine_spark.operators.query import docs_in_time_range
+
+        ix = _index_for(spark, sf)
+        flt = docs_in_time_range(
+            _derived_doc_ts(ix.docs),
+            since_epoch_s=RECENCY_EPOCH0, until_epoch_s=DATED_UNTIL,
+        )
+        return bm25_topk(ix, Q_MAIN, k=10, doc_filter=flt).select(
+            "doc_id", "score"
+        )
+
     def q_search_boosted(spark, sf):
         # mini-QL term^N boost (Lucene syntax): 'join^3' triples that
         # lemma's per-doc BM25 contribution before the sum — match set
@@ -1329,6 +1373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_hits": q_count_hits,
         "explain_score": q_explain_score,
         "search_relaxed": q_search_relaxed,
+        "bm25_topk_recency": q_bm25_recency,
+        "bm25_topk_dated": q_bm25_dated,
         "bm25_topk_wand_boosted": q_bm25_wand_boosted,
         "prefix_search": q_prefix_search,
         "fuzzy_search": q_fuzzy_search,
@@ -1388,7 +1434,14 @@ _POSTINGS_SCOPED = (
 
 def _bm25_sql(query: str, k: int = 10, cte: str = _POSTINGS,
               match_all: bool = True,
-              boosts: dict[str, float] | None = None) -> str:
+              boosts: dict[str, float] | None = None,
+              decay_expr: str | None = None,
+              doc_pred: str | None = None) -> str:
+    """``decay_expr``: SQL multiplier over the per-doc raw sum (may
+    reference ``doc_id``) — mirrors bm25_topk_recency's one multiply
+    between the sum and the round. ``doc_pred``: per-doc predicate on
+    ``doc_id`` applied to candidates AND scored rows — mirrors the
+    ``doc_filter`` semi-join (docs_in_time_range)."""
     lemmas = parse_query(query)
     in_list = "(" + ", ".join(f"'{l}'" for l in lemmas) + ")"
     if boosts:  # per-lemma multiplier — same CASE the Spark scorer runs
@@ -1399,6 +1452,7 @@ def _bm25_sql(query: str, k: int = 10, cte: str = _POSTINGS,
         boost = f" * (CASE {arms} ELSE 1.0 END)"
     else:
         boost = ""
+    pred = f" AND ({doc_pred})" if doc_pred else ""
     if match_all:
         cand_cte = f"""
     cand AS (
@@ -1409,6 +1463,7 @@ def _bm25_sql(query: str, k: int = 10, cte: str = _POSTINGS,
     else:  # disjunctive OR: any matching lemma contributes
         cand_cte = ""
         cand_join = ""
+    raw_out = f"raw * ({decay_expr})" if decay_expr else "raw"
     return f"""
     WITH {cte},{cand_cte}
     scored AS (
@@ -1424,10 +1479,10 @@ def _bm25_sql(query: str, k: int = 10, cte: str = _POSTINGS,
         JOIN doclen d USING (doc_id)
         JOIN terms t USING (lemma)
         CROSS JOIN stats s
-        WHERE p.lemma IN {in_list}
+        WHERE p.lemma IN {in_list}{pred}
         GROUP BY p.doc_id
     )
-    SELECT doc_id, round(raw, 6) AS score FROM scored
+    SELECT doc_id, round({raw_out}, 6) AS score FROM scored
     ORDER BY score DESC, doc_id ASC LIMIT {k}
     """
 
@@ -2862,6 +2917,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, score, 'or' AS stage FROM o
             WHERE NOT EXISTS (SELECT 1 FROM a)
         """,
+        # recency decay: same scored CTE, one decay multiply over the
+        # derived doc-keyed epoch before the round (engine float order)
+        "bm25_topk_recency": _bm25_sql(
+            Q_MAIN,
+            decay_expr=(
+                f"pow(0.5, ((({RECENCY_ANCHOR!r})"
+                f" - (1704067200 + (doc_id * 7919) % 31536000))"
+                f" / 86400.0) / {RECENCY_HALF_LIFE_DAYS!r})"
+            ),
+        ),
+        # date-range scope: per-doc predicate on the derived epoch —
+        # the doc_filter semi-join as SQL
+        "bm25_topk_dated": _bm25_sql(
+            Q_MAIN,
+            doc_pred=(
+                f"(1704067200 + (doc_id * 7919) % 31536000)"
+                f" >= {RECENCY_EPOCH0} AND"
+                f" (1704067200 + (doc_id * 7919) % 31536000)"
+                f" < {DATED_UNTIL}"
+            ),
+        ),
         # boosted WAND shares the boosted-BM25 oracle (engine identity)
         "bm25_topk_wand_boosted": _bm25_sql(Q_MAIN, boosts={"join": 3.0}),
         # SynonymQuery: {join,merge} is ONE pseudo-term — tf member-sum

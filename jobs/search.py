@@ -71,6 +71,16 @@ def main() -> None:
                    help="relaxation cascade: strict AND, zero hits -> "
                         "OR, still zero -> fuzzy; rows carry a 'stage' "
                         "column (df engine)")
+    p.add_argument("--recency", type=float, default=None,
+                   metavar="HALF_LIFE_DAYS",
+                   help="recency-decayed ranking: BM25 x 2^(-age/half_"
+                        "life), age from the turn ts against the "
+                        "newest turn in the index (df engine)")
+    p.add_argument("--since", default=None, metavar="ISO_DATETIME",
+                   help="restrict hits to turns with ts >= this "
+                        "(e.g. 2024-03-01 or 2024-03-01T12:00:00)")
+    p.add_argument("--until", default=None, metavar="ISO_DATETIME",
+                   help="restrict hits to turns with ts < this")
     p.add_argument("--synonyms", metavar="T=S1|S2;U=V", default=None,
                    help="synonym groups for the df engine (Lucene "
                         "SynonymQuery semantics: each group scores as "
@@ -182,6 +192,31 @@ def main() -> None:
         spark.stop()
         return
 
+    time_filter = None
+    if args.since or args.until:
+        # ts bounds parse as UTC (the session timezone is pinned UTC)
+        from datetime import datetime, timezone
+
+        from search_engine_spark.operators.query import docs_in_time_range
+
+        def _epoch(s: str) -> float:
+            return (datetime.fromisoformat(s)
+                    .replace(tzinfo=timezone.utc).timestamp())
+
+        time_filter = docs_in_time_range(
+            ix.docs,
+            since_epoch_s=_epoch(args.since) if args.since else None,
+            until_epoch_s=_epoch(args.until) if args.until else None,
+        )
+
+    if time_filter is not None and (
+        args.engine != "df" or args.more_like is not None
+    ):
+        print("--since/--until supported on the df engine only",
+              file=sys.stderr)
+        spark.stop()
+        sys.exit(2)
+
     if args.more_like is not None:
         from search_engine_spark.operators.query import more_like_this
 
@@ -221,12 +256,30 @@ def main() -> None:
                 syn[term.strip()] = [m for m in mems.split("|") if m.strip()]
             res = bm25_topk_synonyms(ix, args.query, syn, k=k,
                                      match_all=not args.match_any)
+        elif args.recency is not None:
+            from pyspark.sql import functions as F
+
+            from search_engine_spark.operators.query import (
+                bm25_topk_recency,
+            )
+
+            # anchor = newest turn in the index (explicit, reproducible
+            # "now" — never wall-clock)
+            anchor = ix.docs.agg(
+                F.max(F.unix_timestamp("ts"))
+            ).head()[0]
+            res = bm25_topk_recency(
+                ix, args.query, ix.docs.select("doc_id", "ts"),
+                float(anchor), half_life_days=args.recency, k=k,
+                match_all=not args.match_any, doc_filter=time_filter,
+            )
         else:
             from search_engine_spark.operators.query import extract_boosts
 
             q, boosts = extract_boosts(args.query)
             res = bm25_topk(ix, q, k=k, match_all=not args.match_any,
-                            boosts=boosts or None)
+                            boosts=boosts or None,
+                            doc_filter=time_filter)
     elif args.engine == "wand":
         if args.nrt:
             from search_engine_spark.operators.serving import nrt_wand_topk

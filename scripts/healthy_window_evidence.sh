@@ -44,9 +44,16 @@ while :; do
   fi
 
   stamp=$(date +%H%M%S)
-  echo "=== healthy window open ($ratio) at $stamp: running bench ==="
   # Signal dev work to pause (the session watches for this sentinel).
   touch /tmp/healthy_window_capturing
+  if [ "${SKIP_BENCH:-0}" = "1" ]; then
+    # bench already promoted this round: spend the whole healthy
+    # window on the scaling legs instead of re-benching first
+    echo "=== healthy window open ($ratio) at $stamp: straight to scaling (SKIP_BENCH=1) ==="
+    mid="$ratio"
+    midok=1
+  else
+  echo "=== healthy window open ($ratio) at $stamp: running bench ==="
   BENCH_MIN_HEALTH="$MIN_RATIO" BENCH_HEALTH_TIMEOUT_SEC=30 \
     python bench.py 2>"bench_${stamp}.log" | tail -1 > "BENCH_cap_${stamp}.json"
   post=$(probe)
@@ -72,6 +79,7 @@ EOF
   mid=$(probe)
   echo "mid-control before scaling: $mid"
   midok=$(python -c "print(1 if float('$mid') >= float('$MIN_RATIO') else 0)")
+  fi
   if [ "$midok" = "1" ]; then
     echo "=== running scaling legs (taskset-pinned, current code) ==="
     python jobs/scaling_bench.py --n-conv 100000 --base-cpus 2 --repeats 2 \

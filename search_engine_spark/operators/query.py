@@ -492,6 +492,90 @@ def bm25_topk_after(
     )
 
 
+def bm25_topk_recency(
+    index: InvertedIndex,
+    query: str,
+    doc_ts: DataFrame,
+    anchor_epoch_s: float,
+    half_life_days: float = 30.0,
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    match_all: bool = True,
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
+    """Recency-decayed ranking — the Elasticsearch ``function_score``
+    date-decay shape over transcript turns: each matched doc's BM25 sum
+    is multiplied by ``2^(-age_days / half_life_days)`` (exponential
+    half-life decay; a turn ``half_life_days`` older than the anchor
+    ranks at half its text relevance, one of the same age at full), so
+    fresh conversation turns outrank stale near-duplicates without
+    changing match semantics.
+
+    ``doc_ts`` is any ``(doc_id, ts:timestamp)`` DataFrame (the index
+    docs table carries the transcript ``ts`` — pass
+    ``index.docs.select("doc_id", "ts")``). ``anchor_epoch_s`` is the
+    "now" of the decay in epoch seconds, passed explicitly (never
+    wall-clock) so runs are reproducible and the oracle can replay the
+    exact arithmetic.
+
+    Plan shape: the decay joins ONLY the already-matched scored docs
+    (query-bounded) against a column-pruned (doc_id, ts) scan — the
+    same join shape as :func:`enrich_results` — then one multiply
+    inside codegen before the TakeOrderedAndProject. Float order is
+    pinned: raw BM25 sum first, one decay multiply, one round — the
+    DuckDB twin computes the identical expression. The WAND engine
+    does not take this path: a per-doc multiplier invalidates the
+    per-block max-score bounds (a correct bound would need per-block
+    max decay, i.e. an index-time ts column in the segment metadata) —
+    documented engine limitation, df engine only."""
+    lemmas = parse_query(query)
+    if not lemmas:
+        return index.postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double, score_raw double"
+        )
+    scored = _bm25_scored(
+        index, lemmas, k1=k1, b=b, match_all=match_all,
+        doc_filter=doc_filter,
+    )
+    age_days = (
+        F.lit(float(anchor_epoch_s)) - F.unix_timestamp(F.col("ts"))
+    ) / F.lit(86400.0)
+    decayed = (
+        scored.join(doc_ts.select("doc_id", "ts"), "doc_id")
+        .withColumn(
+            "score_raw",
+            F.col("score_raw")
+            * F.pow(F.lit(0.5), age_days / F.lit(float(half_life_days))),
+        )
+        .withColumn("score", F.round(F.col("score_raw"), SCORE_DECIMALS))
+    )
+    return (
+        decayed.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .select("doc_id", "score", "score_raw")
+        .limit(k)
+    )
+
+
+def docs_in_time_range(
+    docs: DataFrame,
+    since_epoch_s: float | None = None,
+    until_epoch_s: float | None = None,
+) -> DataFrame:
+    """doc_id set whose transcript ``ts`` falls in [since, until) —
+    fed to the scorers' ``doc_filter`` hook (semi-join before the
+    aggregate) for date-range-restricted search. Bounds in epoch
+    seconds; either side open. The scan is pruned to (doc_id, ts) and
+    the predicate pushes to parquet row-group min/max stats, so a
+    narrow window reads a sliver of a time-partitioned doc store."""
+    out = docs.select("doc_id", "ts")
+    if since_epoch_s is not None:
+        out = out.filter(F.unix_timestamp("ts") >= float(since_epoch_s))
+    if until_epoch_s is not None:
+        out = out.filter(F.unix_timestamp("ts") < float(until_epoch_s))
+    return out.select("doc_id")
+
+
 def bm25_topk_synonyms(
     index: InvertedIndex,
     query: str,

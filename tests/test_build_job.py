@@ -183,6 +183,30 @@ def test_search_cli_engines_agree(tmp_path):
     assert {f["facet"] for f in frows} <= {"user", "assistant", "tool"}
     assert sum(f["n_docs"] for f in frows) >= len(hrows)
 
+    # --recency: with a huge half-life the decay is ~1 — ranking equals
+    # plain df BM25; with a tiny one it still returns the same match
+    # set count (ranking-only change)
+    rec = hits(_search("--index", out, "--query", "w00000 w00001",
+                       "--recency", "1e9"))
+    assert rec == df
+    rec_fast = hits(_search("--index", out, "--query", "w00000 w00001",
+                            "--recency", "0.001", "--k", "10"))
+    assert rec_fast and {h["doc_id"] for h in rec_fast} <= {
+        h["doc_id"] for h in hits(_search(
+            "--index", out, "--query", "w00000 w00001", "--k", "100000"))}
+
+    # --since/--until: an all-covering window equals plain; a window
+    # before the corpus returns nothing; non-df engines refuse
+    win = hits(_search("--index", out, "--query", "w00000 w00001",
+                       "--since", "1990-01-01"))
+    assert win == df
+    none = _search("--index", out, "--query", "w00000 w00001",
+                   "--until", "1990-01-01")
+    assert none.returncode == 0 and not none.stdout.strip()
+    refuse = _search("--index", out, "--query", "w00000",
+                     "--since", "1990-01-01", "--engine", "wand")
+    assert refuse.returncode == 2
+
 
 def test_prepare_dataset_cli(tmp_path):
     """jobs/prepare_dataset.py: the training-pipeline CLI writes split

@@ -244,6 +244,83 @@ def test_search_relaxed_cascade_stages(tiny_index):
     assert {r["doc_id"] for r in fz} == {d for d, _ in needle}
 
 
+def test_recency_decay_zero_age_is_plain_bm25(tiny_index):
+    """All docs stamped at the anchor -> pow(0.5, 0) = 1 exactly: the
+    decayed ranking must equal plain BM25 bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.query import bm25_topk_recency
+
+    q = "w00159 w00268"
+    anchor = float(
+        tiny_index.docs.agg(F.max(F.unix_timestamp("ts"))).head()[0]
+    )
+    const_ts = tiny_index.docs.select(
+        "doc_id", F.timestamp_seconds(F.lit(int(anchor))).alias("ts")
+    )
+    got = bm25_topk_recency(tiny_index, q, const_ts, anchor, k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == _rows(
+        bm25_topk(tiny_index, q, k=10)
+    )
+
+
+def test_recency_decay_reorders_by_age(tiny_index):
+    """ts = anchor - doc_id days: expected order recomputed in python
+    from the plain raw scores and the same decay formula."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.query import bm25_topk_recency
+
+    q = "w00159"  # single common term: enough matches to reorder
+    hl = 2.0
+    anchor = 1_700_000_000.0
+    aged_ts = tiny_index.docs.select(
+        "doc_id",
+        F.timestamp_seconds(
+            F.lit(int(anchor)) - F.col("doc_id") * 86400
+        ).alias("ts"),
+    )
+    plain = bm25_topk(tiny_index, q, k=10**5).collect()
+    expect = sorted(
+        (
+            (r["doc_id"],
+             round(r["score_raw"] * 0.5 ** ((r["doc_id"] * 86400 / 86400.0) / hl), 6))
+            for r in plain
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    got = bm25_topk_recency(
+        tiny_index, q, aged_ts, anchor, half_life_days=hl, k=10
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == expect
+    # the decay actually changed the order vs plain BM25
+    assert [d for d, _ in expect] != [r["doc_id"] for r in plain[:10]]
+
+
+def test_docs_in_time_range_filters_hits(tiny_index):
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.query import docs_in_time_range
+
+    q = "w00159"
+    lo = tiny_index.docs.agg(F.min(F.unix_timestamp("ts"))).head()[0]
+    hi = tiny_index.docs.agg(F.max(F.unix_timestamp("ts"))).head()[0]
+    mid = (lo + hi) / 2.0
+    flt = docs_in_time_range(tiny_index.docs, until_epoch_s=mid)
+    res = bm25_topk(tiny_index, q, k=10**5, doc_filter=flt).collect()
+    assert res
+    allowed = {
+        r["doc_id"]
+        for r in tiny_index.docs.filter(F.unix_timestamp("ts") < mid)
+        .select("doc_id").collect()
+    }
+    assert all(r["doc_id"] in allowed for r in res)
+    plain = _rows(bm25_topk(tiny_index, q, k=10**5))
+    assert [(r["doc_id"], r["score"]) for r in res] == [
+        t for t in plain if t[0] in allowed
+    ]
+
+
 def test_extract_boosts():
     from search_engine_spark.operators.query import extract_boosts
 
