@@ -166,56 +166,97 @@ def main() -> None:
         spark.stop()
         return
 
-    if args.count and args.query is not None:
-        from search_engine_spark.operators.query import count_hits
-
-        n = count_hits(ix, args.query,
-                       match_all=not args.match_any).head()["n"]
-        print(json.dumps({"n": int(n)}), flush=True)
+    def _die(msg: str) -> None:
+        print(msg, file=sys.stderr)
         spark.stop()
-        return
+        sys.exit(2)
 
-    if args.explain is not None and args.query is not None:
-        from search_engine_spark.operators.query import explain_score
+    def _require_valid_query() -> None:
+        # keep the documented 'exit 2 on an invalid query' contract on
+        # the early-return modes too
+        from search_engine_spark.operators.query import parse_query
 
-        for r in explain_score(ix, args.query, args.explain).collect():
-            print(json.dumps(r.asDict()), flush=True)
-        spark.stop()
-        return
+        if not parse_query(args.query):
+            _die("invalid query: no indexable terms")
 
-    if args.relax and args.query is not None:
-        from search_engine_spark.operators.query import search_relaxed
-
-        for r in search_relaxed(ix, args.query, k=args.k).collect():
-            print(json.dumps({"doc_id": r["doc_id"], "score": r["score"],
-                              "stage": r["stage"]}), flush=True)
-        spark.stop()
-        return
-
+    # ---- date window: plain df ranking, --recency, --count, --relax
     time_filter = None
     if args.since or args.until:
-        # ts bounds parse as UTC (the session timezone is pinned UTC)
         from datetime import datetime, timezone
 
         from search_engine_spark.operators.query import docs_in_time_range
 
         def _epoch(s: str) -> float:
-            return (datetime.fromisoformat(s)
-                    .replace(tzinfo=timezone.utc).timestamp())
+            dt = datetime.fromisoformat(s)
+            if dt.tzinfo is None:  # naive -> UTC (session tz is UTC)
+                dt = dt.replace(tzinfo=timezone.utc)
+            return dt.timestamp()
 
+        if (args.engine != "df" or args.more_like is not None
+                or args.prf or args.after is not None
+                or args.synonyms is not None or args.explain is not None):
+            _die("--since/--until compose with the plain df engine, "
+                 "--recency, --count and --relax only")
         time_filter = docs_in_time_range(
             ix.docs,
             since_epoch_s=_epoch(args.since) if args.since else None,
             until_epoch_s=_epoch(args.until) if args.until else None,
         )
 
-    if time_filter is not None and (
-        args.engine != "df" or args.more_like is not None
+    if args.recency is not None and (
+        args.engine != "df" or args.more_like is not None or args.prf
+        or args.after is not None or args.synonyms is not None
+        or args.count or args.relax or args.explain is not None
     ):
-        print("--since/--until supported on the df engine only",
-              file=sys.stderr)
+        _die("--recency is a plain-df-engine ranking mode (no --prf/"
+             "--after/--synonyms/--count/--relax/--explain)")
+
+    if args.count and args.query is not None:
+        from search_engine_spark.operators.query import (
+            count_hits,
+            extract_boosts,
+        )
+
+        _require_valid_query()
+        q, _ = extract_boosts(args.query)  # boosts never change a match set
+        n = count_hits(ix, q, match_all=not args.match_any,
+                       doc_filter=time_filter).head()["n"]
+        print(json.dumps({"n": int(n)}), flush=True)
         spark.stop()
-        sys.exit(2)
+        return
+
+    if args.explain is not None and args.query is not None:
+        from search_engine_spark.operators.query import (
+            explain_score,
+            extract_boosts,
+        )
+
+        _require_valid_query()
+        q, _ = extract_boosts(args.query)
+        for r in explain_score(ix, q, args.explain).collect():
+            print(json.dumps(r.asDict()), flush=True)
+        spark.stop()
+        return
+
+    if args.relax and args.query is not None:
+        from search_engine_spark.operators.query import (
+            extract_boosts,
+            search_relaxed,
+        )
+
+        if args.match_any:
+            _die("--relax defines its own AND->OR->fuzzy cascade; "
+                 "--or does not compose")
+        _require_valid_query()
+        q, _ = extract_boosts(args.query)
+        rows = search_relaxed(
+            ix, q, k=args.offset + args.k, doc_filter=time_filter
+        ).collect()[args.offset:args.offset + args.k]
+        for r in rows:
+            print(json.dumps({"doc_id": r["doc_id"], "score": r["score"],
+                              "stage": r["stage"]}), flush=True)
+        spark.stop()
+        return
 
     if args.more_like is not None:
         from search_engine_spark.operators.query import more_like_this
@@ -261,6 +302,7 @@ def main() -> None:
 
             from search_engine_spark.operators.query import (
                 bm25_topk_recency,
+                extract_boosts,
             )
 
             # anchor = newest turn in the index (explicit, reproducible
@@ -268,10 +310,14 @@ def main() -> None:
             anchor = ix.docs.agg(
                 F.max(F.unix_timestamp("ts"))
             ).head()[0]
+            if anchor is None:
+                _die("--recency needs at least one indexed turn with ts")
+            q, boosts = extract_boosts(args.query)
             res = bm25_topk_recency(
-                ix, args.query, ix.docs.select("doc_id", "ts"),
+                ix, q, ix.docs.select("doc_id", "ts"),
                 float(anchor), half_life_days=args.recency, k=k,
                 match_all=not args.match_any, doc_filter=time_filter,
+                boosts=boosts or None,
             )
         else:
             from search_engine_spark.operators.query import extract_boosts

@@ -503,6 +503,7 @@ def bm25_topk_recency(
     b: float = BM25_B,
     match_all: bool = True,
     doc_filter: DataFrame | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Recency-decayed ranking — the Elasticsearch ``function_score``
     date-decay shape over transcript turns: each matched doc's BM25 sum
@@ -536,7 +537,7 @@ def bm25_topk_recency(
         )
     scored = _bm25_scored(
         index, lemmas, k1=k1, b=b, match_all=match_all,
-        doc_filter=doc_filter,
+        doc_filter=doc_filter, boosts=boosts,
     )
     age_days = (
         F.lit(float(anchor_epoch_s)) - F.unix_timestamp(F.col("ts"))
@@ -569,10 +570,17 @@ def docs_in_time_range(
     the predicate pushes to parquet row-group min/max stats, so a
     narrow window reads a sliver of a time-partitioned doc store."""
     out = docs.select("doc_id", "ts")
+    # compare the BARE ts column against timestamp literals — a
+    # unix_timestamp(ts) wrapper would make the predicate non-sargable
+    # (no parquet row-group min/max pruning on a computed column)
     if since_epoch_s is not None:
-        out = out.filter(F.unix_timestamp("ts") >= float(since_epoch_s))
+        out = out.filter(
+            F.col("ts") >= F.timestamp_seconds(F.lit(float(since_epoch_s)))
+        )
     if until_epoch_s is not None:
-        out = out.filter(F.unix_timestamp("ts") < float(until_epoch_s))
+        out = out.filter(
+            F.col("ts") < F.timestamp_seconds(F.lit(float(until_epoch_s)))
+        )
     return out.select("doc_id")
 
 
@@ -667,22 +675,32 @@ def bm25_topk_synonyms(
 
 
 def count_hits(
-    index: InvertedIndex, query: str, match_all: bool = True
+    index: InvertedIndex,
+    query: str,
+    match_all: bool = True,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Total matching-doc count — the result-page "N hits" figure
     (reference UI pagination footer) without ranking anything: AND =
     arity-filtered doc count, OR = distinct docs across the query
     terms' postings. One IN-pruned scan + one partial-aggregated
-    count; never touches scores, doclen, or the dictionary."""
+    count; never touches scores, doclen, or the dictionary.
+    ``doc_filter`` (doc_id DataFrame) restricts the count via a
+    semi-join — so the figure agrees with a date-scoped search."""
     lemmas = parse_query(query)
     spark = index.postings.sparkSession
     if not lemmas:
         return spark.createDataFrame([(0,)], "n long")
+    postings = index.postings
+    if doc_filter is not None:
+        postings = postings.join(
+            doc_filter.select("doc_id"), "doc_id", "left_semi"
+        )
     if match_all:
-        matched = docs_with_all_lemmas(index.postings, lemmas)
+        matched = docs_with_all_lemmas(postings, lemmas)
     else:
         matched = (
-            index.postings.filter(F.col("lemma").isin(lemmas))
+            postings.filter(F.col("lemma").isin(lemmas))
             .select("doc_id").distinct()
         )
     return matched.agg(F.count("*").cast("long").alias("n"))
@@ -743,6 +761,7 @@ def search_relaxed(
     k: int = DEFAULT_TOP_K,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Relaxation cascade — never strand the user on an empty page:
     strict AND first; zero hits → disjunctive OR (partial matches);
@@ -753,10 +772,11 @@ def search_relaxed(
     plans whose scans are already IN-pruned to the query terms. The
     stage used is returned in a ``stage`` column ('and' | 'or' |
     'fuzzy') so callers can label the relaxation."""
-    res = bm25_topk(index, query, k=k, k1=k1, b=b)
+    res = bm25_topk(index, query, k=k, k1=k1, b=b, doc_filter=doc_filter)
     if res.head(1):
         return res.withColumn("stage", F.lit("and"))
-    res = bm25_topk(index, query, k=k, k1=k1, b=b, match_all=False)
+    res = bm25_topk(index, query, k=k, k1=k1, b=b, match_all=False,
+                    doc_filter=doc_filter)
     if res.head(1):
         return res.withColumn("stage", F.lit("or"))
     # every term OOV: pool the per-term fuzzy expansions (each lemma's
@@ -767,7 +787,8 @@ def search_relaxed(
         for exp in expand_fuzzy(index.terms, lem):
             pool.setdefault(exp)
     return bm25_topk_lemmas(
-        index, list(pool), k=k, k1=k1, b=b, match_all=False
+        index, list(pool), k=k, k1=k1, b=b, match_all=False,
+        doc_filter=doc_filter,
     ).withColumn("stage", F.lit("fuzzy"))
 
 

@@ -207,6 +207,26 @@ def test_search_cli_engines_agree(tmp_path):
                      "--since", "1990-01-01", "--engine", "wand")
     assert refuse.returncode == 2
 
+    # --count composes with the window and keeps the invalid-query
+    # exit-2 contract; boost syntax is stripped, not lemmatized
+    cnone = _search("--index", out, "--query", "w00000 w00001",
+                    "--count", "--until", "1990-01-01")
+    assert cnone.returncode == 0
+    assert json.loads(cnone.stdout.strip()) == {"n": 0}
+    cboost = _search("--index", out, "--query", "w00000^2 w00001",
+                     "--count")
+    cplain = _search("--index", out, "--query", "w00000 w00001",
+                     "--count")
+    assert (json.loads(cboost.stdout.strip())
+            == json.loads(cplain.stdout.strip()))
+    assert json.loads(cplain.stdout.strip())["n"] >= len(df)
+    assert _search("--index", out, "--query", "the and of",
+                   "--count").returncode == 2
+    # --recency on a non-plain-df mode refuses instead of silently
+    # ranking undecayed
+    assert _search("--index", out, "--query", "w00000",
+                   "--recency", "7", "--engine", "wand").returncode == 2
+
 
 def test_prepare_dataset_cli(tmp_path):
     """jobs/prepare_dataset.py: the training-pipeline CLI writes split
