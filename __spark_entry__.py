@@ -1024,6 +1024,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("ts"),
         )
 
+    def q_ir_metrics(spark, sf):
+        # offline ranking-quality eval: batch-replay the 4 headline
+        # queries, judge against deterministic graded qrels (AND-match
+        # set graded by doc_id % 4), one runs x qrels join
+        from functools import reduce
+
+        from search_engine_spark.operators.evaluation import ir_metrics
+        from search_engine_spark.operators.query import (
+            docs_with_all_lemmas,
+        )
+
+        ix = _index_for(spark, sf)
+        qs = {0: Q_MAIN, 1: Q_RARE, 2: Q_AND, 3: Q_REL}
+        runs = bm25_topk_batch(ix, qs, k=10).select(
+            "query_id", "doc_id", "rnk"
+        )
+        parts = [
+            docs_with_all_lemmas(ix.postings, parse_query(q))
+            .select(F.lit(qid).cast("long").alias("query_id"), "doc_id")
+            for qid, q in qs.items()
+        ]
+        qrels = reduce(lambda a, b: a.unionByName(b), parts).withColumn(
+            "rel", (F.col("doc_id") % 4).cast("double")
+        )
+        return ir_metrics(runs, qrels, k=10)
+
     def q_bm25_recency(spark, sf):
         # function_score date decay: raw BM25 sum x 2^(-age/half_life),
         # one multiply between the sum and the round
@@ -1375,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_relaxed": q_search_relaxed,
         "bm25_topk_recency": q_bm25_recency,
         "bm25_topk_dated": q_bm25_dated,
+        "ir_metrics": q_ir_metrics,
         "bm25_topk_wand_boosted": q_bm25_wand_boosted,
         "prefix_search": q_prefix_search,
         "fuzzy_search": q_fuzzy_search,
@@ -1500,6 +1527,62 @@ def _bm25_batch_sql(queries: dict[int, str], k: int = 10) -> str:
                 AS INTEGER) AS rnk
     FROM ({_bm25_sql(queries[qid], k=k)})""")
     return " UNION ALL ".join(parts)
+
+
+def _ir_metrics_sql(queries: dict[int, str], k: int = 10) -> str:
+    """DuckDB twin of evaluation.ir_metrics over the bm25_topk_batch
+    run list and the deterministic doc_id%4-graded qrels: identical
+    gain expression (rel / log2(rank+1)), identical coalesce-to-zero
+    edges, rounded at 6 like every cross-engine score."""
+    cand_parts = []
+    for qid in sorted(queries):
+        lemmas = parse_query(queries[qid])
+        in_list = "(" + ", ".join(f"'{l}'" for l in lemmas) + ")"
+        cand_parts.append(f"""
+        SELECT CAST({qid} AS BIGINT) AS query_id, doc_id
+        FROM postings WHERE lemma IN {in_list}
+        GROUP BY doc_id HAVING count(*) = {len(lemmas)}""")
+    cands = " UNION ALL ".join(cand_parts)
+    return f"""
+    WITH {_POSTINGS},
+    runs AS ({_bm25_batch_sql(queries, k=k)}),
+    qrels AS (
+        SELECT query_id, doc_id, CAST(doc_id % 4 AS DOUBLE) AS rel
+        FROM ({cands})
+    ),
+    topk AS (
+        SELECT r.query_id, CAST(r.rnk AS DOUBLE) AS rnk,
+               coalesce(q.rel, 0.0) AS rel
+        FROM runs r LEFT JOIN qrels q USING (query_id, doc_id)
+        WHERE r.rnk <= {k}
+    ),
+    per AS (
+        SELECT query_id,
+               sum(rel / log2(rnk + 1.0)) AS dcg,
+               max(CASE WHEN rel > 0 THEN 1.0 / rnk END) AS mrr0,
+               sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits
+        FROM topk GROUP BY query_id
+    ),
+    ideal AS (
+        SELECT query_id,
+               sum(CASE WHEN irnk <= {k} THEN rel / log2(irnk + 1.0) END)
+                   AS idcg,
+               count(*) AS n_rel
+        FROM (
+            SELECT query_id, doc_id, rel,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY rel DESC, doc_id ASC
+                   ) AS DOUBLE) AS irnk
+            FROM qrels WHERE rel > 0
+        ) GROUP BY query_id
+    )
+    SELECT p.query_id,
+           round(coalesce(p.dcg / i.idcg, 0.0), 6) AS ndcg,
+           round(coalesce(p.mrr0, 0.0), 6) AS mrr,
+           round(p.hits / {float(k)!r}, 6) AS "precision",
+           round(coalesce(p.hits / i.n_rel, 0.0), 6) AS recall
+    FROM per p LEFT JOIN ideal i USING (query_id)
+    """
 
 
 def _bm25_grouped_sql(query: str, n_per_scope: int = 3) -> str:
@@ -2937,6 +3020,10 @@ def oracle_sql() -> dict[str, str]:
                 f" (1704067200 + (doc_id * 7919) % 31536000)"
                 f" < {DATED_UNTIL}"
             ),
+        ),
+        # offline eval: nDCG/MRR/P/R per query over the batch replay
+        "ir_metrics": _ir_metrics_sql(
+            {0: Q_MAIN, 1: Q_RARE, 2: Q_AND, 3: Q_REL}, k=10
         ),
         # boosted WAND shares the boosted-BM25 oracle (engine identity)
         "bm25_topk_wand_boosted": _bm25_sql(Q_MAIN, boosts={"join": 3.0}),
