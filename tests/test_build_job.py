@@ -228,6 +228,58 @@ def test_search_cli_engines_agree(tmp_path):
                    "--recency", "7", "--engine", "wand").returncode == 2
 
 
+def test_eval_cli(tmp_path):
+    """jobs/eval.py: query-log replay + qrels scoring end-to-end —
+    per-query metric lines, zero-result queries kept in the macro
+    denominator, unparseable queries skipped."""
+    out = str(tmp_path / "idx")
+    r = _run("--n-synthetic-convs", "30", "--output", out,
+             "--bucket-width", "1024")
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # fetch real top doc_ids to judge against
+    top = _search("--index", out, "--query", "w00000 w00001", "--k", "3")
+    hits = [json.loads(l) for l in top.stdout.strip().splitlines() if l]
+    assert len(hits) == 3
+
+    qfile = tmp_path / "queries.tsv"
+    qfile.write_text(
+        "1\tw00000 w00001\n"
+        "2\tzzznotaword qqqnotaword\n"   # parses, retrieves nothing
+        "3\tthe and of\n"                 # no indexable terms
+    )
+    qrels = tmp_path / "qrels.tsv"
+    qrels.write_text(
+        f"1 0 {hits[0]['doc_id']} 2\n"    # 4-col TREC form
+        f"1 0 {hits[2]['doc_id']} 1\n"
+        f"1 0 999999999 3\n"              # judged, never retrievable
+        f"2 0 {hits[0]['doc_id']} 1\n"
+    )
+    env = dict(os.environ, PYTHONPATH=REPO)
+    ev = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "eval.py"),
+         "--local-cpus", "4", "--index", out, "--queries", str(qfile),
+         "--qrels", str(qrels), "--k", "3"],
+        capture_output=True, text=True, cwd=REPO, timeout=300, env=env,
+    )
+    assert ev.returncode == 0, ev.stderr[-2000:]
+    lines = [json.loads(l) for l in ev.stdout.strip().splitlines() if l]
+    by_id = {l["query_id"]: l for l in lines}
+    assert by_id[3] == {"query_id": 3, "skipped": True}
+    q1 = by_id[1]
+    assert q1["mrr"] == 1.0                      # top hit judged rel 2
+    assert q1["precision"] == round(2 / 3, 6)
+    assert q1["recall"] == round(2 / 3, 6)       # 999999999 unreachable
+    assert 0 < q1["ndcg"] < 1                    # ideal has rel-3 first
+    q2 = by_id[2]
+    assert (q2["ndcg"], q2["mrr"], q2["precision"], q2["recall"]) == (
+        0.0, 0.0, 0.0, 0.0)
+    macro = by_id["macro"]
+    assert macro["n_queries"] == 2               # q3 skipped, q2 counted
+    for m in ("ndcg", "mrr", "precision", "recall"):
+        assert macro[m] == round((q1[m] + q2[m]) / 2, 6)
+
+
 def test_prepare_dataset_cli(tmp_path):
     """jobs/prepare_dataset.py: the training-pipeline CLI writes split
     docs + a pack map and reports consistent stage counts."""
