@@ -1027,26 +1027,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ir_metrics(spark, sf):
         # offline ranking-quality eval: batch-replay the 4 headline
         # queries, judge against deterministic graded qrels (AND-match
-        # set graded by doc_id % 4), one runs x qrels join
-        from functools import reduce
-
+        # set graded by doc_id % 4). The qrels candidates come from ONE
+        # postings pass (broadcast (query_id, lemma) fan-out + arity
+        # filter — the bm25_topk_batch shape), not a per-query union.
         from search_engine_spark.operators.evaluation import ir_metrics
-        from search_engine_spark.operators.query import (
-            docs_with_all_lemmas,
-        )
 
         ix = _index_for(spark, sf)
         qs = {0: Q_MAIN, 1: Q_RARE, 2: Q_AND, 3: Q_REL}
         runs = bm25_topk_batch(ix, qs, k=10).select(
             "query_id", "doc_id", "rnk"
         )
-        parts = [
-            docs_with_all_lemmas(ix.postings, parse_query(q))
-            .select(F.lit(qid).cast("long").alias("query_id"), "doc_id")
-            for qid, q in qs.items()
+        pairs = [
+            (qid, lem) for qid, q in qs.items() for lem in parse_query(q)
         ]
-        qrels = reduce(lambda a, b: a.unionByName(b), parts).withColumn(
-            "rel", (F.col("doc_id") % 4).cast("double")
+        ql = spark.createDataFrame(pairs, "query_id long, lemma string")
+        arity = spark.createDataFrame(
+            [(qid, len(parse_query(q))) for qid, q in qs.items()],
+            "query_id long, n_lemmas int",
+        )
+        union_lemmas = sorted({lem for _, lem in pairs})
+        qrels = (
+            ix.postings.filter(F.col("lemma").isin(union_lemmas))
+            .join(F.broadcast(ql), "lemma")
+            .groupBy("query_id", "doc_id")
+            .agg(F.count("*").alias("_nt"))
+            .join(F.broadcast(arity), "query_id")
+            .filter(F.col("_nt") == F.col("n_lemmas"))
+            .select(
+                "query_id", "doc_id",
+                (F.col("doc_id") % 4).cast("double").alias("rel"),
+            )
         )
         return ir_metrics(runs, qrels, k=10)
 

@@ -76,6 +76,13 @@ SHUFFLE_BUDGET = {
     # OR-group union of two retrieval branches + phrase verify + NOT
     # anti-join on top of the base composed search
     "search_composed_or": 11,
+    # eval composite: batch retrieval (scan+agg+window) + one-pass
+    # qrels arity aggregate + runs x qrels join + metric aggregate +
+    # ideal-DCG window/aggregate + final per-query join — every
+    # Exchange is a named stage, all partitioned on query_id (measured
+    # 12-13: whether the shared index lineage is already materialized
+    # when the audit reaches this query moves the count by one)
+    "ir_metrics": 13,
 }
 
 
