@@ -1060,6 +1060,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return ir_metrics(runs, qrels, k=10)
 
+    def q_complete_prefix(spark, sf):
+        # search-as-you-type: top completions under Q_PREFIX by
+        # popularity (cf desc, lemma asc — a total order)
+        from search_engine_spark.operators.query import complete_prefix
+
+        return complete_prefix(
+            _index_for(spark, sf).terms, Q_PREFIX, n=MAX_EXPANSIONS
+        )
+
+    def q_bm25_msm(spark, sf):
+        # minimum_should_match: >= 2 of Q_MAIN's 3 lemmas — the middle
+        # ground between AND and OR, same single-aggregate plan
+        return bm25_topk(
+            _index_for(spark, sf), Q_MAIN, k=10, min_match=2
+        ).select("doc_id", "score")
+
+    def q_percolate(spark, sf):
+        # reverse search: the 4 headline queries as STORED queries,
+        # matched against every doc in one postings pass (frac 0.6 ->
+        # per-query minimum_should_match of ceil(0.6 * n_lemmas))
+        from search_engine_spark.operators.query import percolate
+
+        return percolate(
+            _index_for(spark, sf).postings,
+            {0: Q_MAIN, 1: Q_RARE, 2: Q_AND, 3: Q_REL},
+            min_match_frac=0.6,
+        )
+
     def q_bm25_recency(spark, sf):
         # function_score date decay: raw BM25 sum x 2^(-age/half_life),
         # one multiply between the sum and the round
@@ -1412,6 +1440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_recency": q_bm25_recency,
         "bm25_topk_dated": q_bm25_dated,
         "ir_metrics": q_ir_metrics,
+        "bm25_topk_msm": q_bm25_msm,
+        "percolate": q_percolate,
+        "complete_prefix": q_complete_prefix,
         "bm25_topk_wand_boosted": q_bm25_wand_boosted,
         "prefix_search": q_prefix_search,
         "fuzzy_search": q_fuzzy_search,
@@ -1473,7 +1504,8 @@ def _bm25_sql(query: str, k: int = 10, cte: str = _POSTINGS,
               match_all: bool = True,
               boosts: dict[str, float] | None = None,
               decay_expr: str | None = None,
-              doc_pred: str | None = None) -> str:
+              doc_pred: str | None = None,
+              min_match: int | None = None) -> str:
     """``decay_expr``: SQL multiplier over the per-doc raw sum (may
     reference ``doc_id``) — mirrors bm25_topk_recency's one multiply
     between the sum and the round. ``doc_pred``: per-doc predicate on
@@ -1490,11 +1522,13 @@ def _bm25_sql(query: str, k: int = 10, cte: str = _POSTINGS,
     else:
         boost = ""
     pred = f" AND ({doc_pred})" if doc_pred else ""
-    if match_all:
+    if min_match is not None or match_all:
+        arity = (f">= {int(min_match)}" if min_match is not None
+                 else f"= {len(lemmas)}")
         cand_cte = f"""
     cand AS (
         SELECT doc_id FROM postings WHERE lemma IN {in_list}
-        GROUP BY doc_id HAVING count(*) = {len(lemmas)}
+        GROUP BY doc_id HAVING count(*) {arity}
     ),"""
         cand_join = "JOIN cand USING (doc_id)"
     else:  # disjunctive OR: any matching lemma contributes
@@ -2204,6 +2238,24 @@ def oracle_sql() -> dict[str, str]:
     and_in = "(" + ", ".join(f"'{l}'" for l in and_lemmas) + ")"
     main_lemmas = parse_query(Q_MAIN)
     main_in = "(" + ", ".join(f"'{l}'" for l in main_lemmas) + ")"
+
+    # percolate twin: per stored query, its own arity-thresholded scan
+    # (oracle clarity; the engine does all queries in one pass)
+    import math as _math
+
+    _perc_parts = []
+    for _qid, _q in {0: Q_MAIN, 1: Q_RARE, 2: Q_AND, 3: Q_REL}.items():
+        _lems = parse_query(_q)
+        _m = max(1, _math.ceil(0.6 * len(_lems)))
+        _in = "(" + ", ".join(f"'{l}'" for l in _lems) + ")"
+        _perc_parts.append(f"""
+        SELECT CAST({_qid} AS BIGINT) AS query_id, doc_id,
+               CAST(count(*) AS BIGINT) AS n_matched
+        FROM postings WHERE lemma IN {_in}
+        GROUP BY doc_id HAVING count(*) >= {_m}""")
+    percolate_sql = (
+        f"WITH {_POSTINGS} " + " UNION ALL ".join(_perc_parts)
+    )
 
     # phrase oracle: same candidate prune + double-space lemma stream +
     # shared phrase_tf_sql counting expression as the engine
@@ -3031,6 +3083,17 @@ def oracle_sql() -> dict[str, str]:
                 f" < {DATED_UNTIL}"
             ),
         ),
+        # minimum_should_match: same scored CTE, arity HAVING >= 2
+        "bm25_topk_msm": _bm25_sql(Q_MAIN, min_match=2),
+        # autocomplete: dictionary-only popularity page, total order
+        "complete_prefix": f"""
+            WITH {_POSTINGS}
+            SELECT lemma, cf, CAST(df AS BIGINT) AS df FROM terms
+            WHERE lemma LIKE '{Q_PREFIX}%'
+            ORDER BY cf DESC, lemma ASC LIMIT {MAX_EXPANSIONS}
+        """,
+        # reverse search: stored queries vs all docs, arity-thresholded
+        "percolate": percolate_sql,
         # offline eval: nDCG/MRR/P/R per query over the batch replay
         "ir_metrics": _ir_metrics_sql(
             {0: Q_MAIN, 1: Q_RARE, 2: Q_AND, 3: Q_REL}, k=10

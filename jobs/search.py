@@ -81,6 +81,19 @@ def main() -> None:
                         "(e.g. 2024-03-01 or 2024-03-01T12:00:00)")
     p.add_argument("--until", default=None, metavar="ISO_DATETIME",
                    help="restrict hits to turns with ts < this")
+    p.add_argument("--complete", metavar="PREFIX", default=None,
+                   help="search-as-you-type: top dictionary "
+                        "completions under PREFIX by popularity")
+    p.add_argument("--min-match", type=int, default=None, metavar="M",
+                   help="minimum_should_match: docs need >= M of the "
+                        "query's lemmas (between AND and OR; df engine)")
+    p.add_argument("--percolate", metavar="QUERIES_TSV", default=None,
+                   help="reverse search: match every stored query in "
+                        "the TSV (<id><TAB><query>) against all docs; "
+                        "prints (query_id, doc_id, n_matched) lines")
+    p.add_argument("--percolate-frac", type=float, default=1.0,
+                   help="per-query minimum_should_match fraction for "
+                        "--percolate (1.0 = strict AND)")
     p.add_argument("--synonyms", metavar="T=S1|S2;U=V", default=None,
                    help="synonym groups for the df engine (Lucene "
                         "SynonymQuery semantics: each group scores as "
@@ -122,7 +135,9 @@ def main() -> None:
     else:
         spark = SparkSession.builder.appName("search").getOrCreate()
 
-    if (args.query is None) == (args.more_like is None):
+    if args.percolate is None and args.complete is None and (
+        (args.query is None) == (args.more_like is None)
+    ):
         print("exactly one of --query / --more-like is required",
               file=sys.stderr)
         sys.exit(2)
@@ -134,6 +149,38 @@ def main() -> None:
         sys.exit(2)
     ix = disk.as_inverted_index(nrt=args.nrt)
     k = args.offset + args.k  # fetch offset+limit, slice below (O2)
+
+    if args.complete is not None:
+        from search_engine_spark.operators.query import complete_prefix
+
+        for r in complete_prefix(ix.terms, args.complete,
+                                 n=args.k).collect():
+            print(json.dumps({"lemma": r["lemma"], "cf": r["cf"],
+                              "df": r["df"]}), flush=True)
+        spark.stop()
+        return
+
+    if args.percolate is not None:
+        from search_engine_spark.operators.query import percolate
+
+        stored: dict[int, str] = {}
+        with open(args.percolate) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                qid, _, text = line.partition("\t")
+                if not text:
+                    qid, _, text = line.partition(" ")
+                stored[int(qid)] = text.strip()
+        res = percolate(ix.postings, stored,
+                        min_match_frac=args.percolate_frac)
+        for r in res.orderBy("query_id", "doc_id").collect():
+            print(json.dumps({"query_id": r["query_id"],
+                              "doc_id": r["doc_id"],
+                              "n_matched": r["n_matched"]}), flush=True)
+        spark.stop()
+        return
 
     if args.federate:
         from search_engine_spark.operators.serving import federated_bm25_topk
@@ -210,6 +257,14 @@ def main() -> None:
     ):
         _die("--recency is a plain-df-engine ranking mode (no --prf/"
              "--after/--synonyms/--count/--relax/--explain)")
+
+    if args.min_match is not None and (
+        args.engine != "df" or args.more_like is not None or args.prf
+        or args.after is not None or args.synonyms is not None
+        or args.count or args.relax or args.explain is not None
+        or args.recency is not None or args.match_any
+    ):
+        _die("--min-match applies to the plain df engine only")
 
     if args.count and args.query is not None:
         from search_engine_spark.operators.query import (
@@ -325,7 +380,8 @@ def main() -> None:
             q, boosts = extract_boosts(args.query)
             res = bm25_topk(ix, q, k=k, match_all=not args.match_any,
                             boosts=boosts or None,
-                            doc_filter=time_filter)
+                            doc_filter=time_filter,
+                            min_match=args.min_match)
     elif args.engine == "wand":
         if args.nrt:
             from search_engine_spark.operators.serving import nrt_wand_topk

@@ -82,8 +82,15 @@ def bm25_topk(
     doc_filter: DataFrame | None = None,
     doc_exclude: DataFrame | None = None,
     boosts: dict[str, float] | None = None,
+    min_match: int | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) by BM25 over the DataFrame index.
+
+    ``min_match`` is Lucene/Elasticsearch ``minimum_should_match``: a
+    doc qualifies when it contains at least that many distinct query
+    lemmas — the middle ground between AND (``len(lemmas)``) and OR
+    (1). When set it overrides ``match_all``; same single-aggregate
+    plan, the arity filter just compares with >=.
 
     ``boosts`` maps LEMMAS to per-term weight multipliers (Lucene
     ``term^2`` semantics): a boosted term's BM25 contribution is
@@ -109,7 +116,7 @@ def bm25_topk(
     return bm25_topk_lemmas(
         index, parse_query(query), k=k, k1=k1, b=b,
         match_all=match_all, doc_filter=doc_filter, doc_exclude=doc_exclude,
-        boosts=boosts,
+        boosts=boosts, min_match=min_match,
     )
 
 
@@ -123,6 +130,7 @@ def bm25_topk_lemmas(
     doc_filter: DataFrame | None = None,
     doc_exclude: DataFrame | None = None,
     boosts: dict[str, float] | None = None,
+    min_match: int | None = None,
 ) -> DataFrame:
     """:func:`bm25_topk` over an explicit (already-lemmatized) lemma
     list — the internal scorer shared with :func:`prefix_search` /
@@ -135,6 +143,7 @@ def bm25_topk_lemmas(
     scored = _bm25_scored(
         index, lemmas, k1=k1, b=b, match_all=match_all,
         doc_filter=doc_filter, doc_exclude=doc_exclude, boosts=boosts,
+        min_match=min_match,
     )
     return (
         scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -152,6 +161,7 @@ def _bm25_scored(
     doc_filter: DataFrame | None = None,
     doc_exclude: DataFrame | None = None,
     boosts: dict[str, float] | None = None,
+    min_match: int | None = None,
 ) -> DataFrame:
     """The shared pre-top-k scoring plan: every matching doc's rounded
     BM25 score (doc_id, score, score_raw, _nt). :func:`bm25_topk_lemmas`
@@ -186,8 +196,10 @@ def _bm25_scored(
         .groupBy("doc_id")
         .agg(F.count("*").alias("_nt"), F.sum("_w").alias("score_raw"))
         .filter(
-            (F.col("_nt") == len(lemmas)) if match_all else F.lit(True)
-        )  # AND semantics (default) vs disjunctive OR
+            (F.col("_nt") >= int(min_match)) if min_match is not None
+            else (F.col("_nt") == len(lemmas)) if match_all
+            else F.lit(True)
+        )  # minimum_should_match >= m / AND (default) / disjunctive OR
         .withColumn("score", F.round(F.col("score_raw"), SCORE_DECIMALS))
     )
     return scored
@@ -792,6 +804,67 @@ def search_relaxed(
     ).withColumn("stage", F.lit("fuzzy"))
 
 
+def percolate(
+    postings: DataFrame,
+    stored: dict[int, str],
+    min_match_frac: float = 1.0,
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
+    """Reverse search — the Elasticsearch percolator shape: instead of
+    one query against all docs, ALL stored queries against docs — the
+    engine behind saved-search alerting ("tell me when a turn matching
+    my query arrives"). Returns (query_id, doc_id, n_matched) pairs
+    where the doc contains at least ``ceil(min_match_frac * n_lemmas)``
+    of the stored query's distinct lemmas (frac 1.0 = strict AND, the
+    fraction is per-query ``minimum_should_match``).
+
+    Plan: ONE postings scan IN-pruned to the union of all stored
+    queries' lemmas, fanned out through a broadcast (query_id, lemma)
+    table, one groupBy(query_id, doc_id) arity aggregate, broadcast
+    per-query threshold join — the :func:`bm25_topk_batch` candidate
+    shape, so cost is one shuffle regardless of how many stored
+    queries ride along. For streaming alerts pass ``doc_filter`` =
+    the freshly indexed doc_ids (the refresher's per-epoch delta) and
+    only the new turns are percolated — cost O(new docs), never the
+    corpus. Queries that parse to no lemmas are skipped (reference
+    'empty request' guard, ApiService.java:49-69)."""
+    import math
+
+    spark = postings.sparkSession
+    pairs: list[tuple[int, str]] = []
+    thresholds: list[tuple[int, int]] = []
+    for qid, q in stored.items():
+        lemmas = parse_query(q)
+        if not lemmas:
+            continue
+        thresholds.append(
+            (qid, max(1, math.ceil(min_match_frac * len(lemmas))))
+        )
+        pairs.extend((qid, lem) for lem in lemmas)
+    if not pairs:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, n_matched long"
+        )
+    ql = spark.createDataFrame(pairs, "query_id long, lemma string")
+    th = spark.createDataFrame(thresholds, "query_id long, m int")
+    hits = postings.filter(
+        F.col("lemma").isin(sorted({lem for _, lem in pairs}))
+    )
+    if doc_filter is not None:
+        hits = hits.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+    return (
+        hits.join(F.broadcast(ql), "lemma")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("n_matched"))
+        .join(F.broadcast(th), "query_id")
+        .filter(F.col("n_matched") >= F.col("m"))
+        .select(
+            "query_id", "doc_id",
+            F.col("n_matched").cast("long").alias("n_matched"),
+        )
+    )
+
+
 def enrich_results(results: DataFrame, docs: DataFrame) -> DataFrame:
     """Join top-k back to the doc store for display columns (reference
     ApiService.java:202-224: page point-read + site join). The top-k side
@@ -916,6 +989,27 @@ def expand_prefix(
         .collect()
     )
     return [r["lemma"] for r in rows]
+
+
+def complete_prefix(
+    terms: DataFrame, prefix: str, n: int = 8
+) -> DataFrame:
+    """Search-as-you-type completion: top-``n`` dictionary lemmas under
+    the prefix ranked by collection frequency (popularity), tie-broken
+    lexically — the suggest-box surface beside
+    :func:`suggest_spelling`'s did-you-mean. Dictionary-only (never
+    touches postings); the order (cf desc, lemma asc) is total because
+    lemmas are unique, so the page is deterministic cross-engine."""
+    return (
+        terms.filter(F.col("lemma").startswith(prefix.lower()))
+        .orderBy(F.col("cf").desc(), F.col("lemma").asc())
+        .select(
+            "lemma",
+            F.col("cf").cast("long").alias("cf"),
+            F.col("df").cast("long").alias("df"),
+        )
+        .limit(int(n))
+    )
 
 
 def expand_fuzzy(

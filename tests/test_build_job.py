@@ -227,6 +227,23 @@ def test_search_cli_engines_agree(tmp_path):
     assert _search("--index", out, "--query", "w00000",
                    "--recency", "7", "--engine", "wand").returncode == 2
 
+    # --min-match 1 == OR retrieval; --percolate matches the stored
+    # query's AND set (reverse search)
+    full_and = hits(_search("--index", out, "--query", "w00000 w00001",
+                            "--k", "100000"))
+    msm = hits(_search("--index", out, "--query", "w00000 w00001",
+                       "--min-match", "1", "--k", "100000"))
+    or_all = hits(_search("--index", out, "--query", "w00000 w00001",
+                          "--or", "--k", "100000"))
+    assert msm == or_all
+    sq = tmp_path / "stored.tsv"
+    sq.write_text("5\tw00000 w00001\n")
+    perc = _search("--index", out, "--percolate", str(sq))
+    assert perc.returncode == 0
+    prows = [json.loads(l) for l in perc.stdout.strip().splitlines() if l]
+    assert prows and all(r["query_id"] == 5 for r in prows)
+    assert {r["doc_id"] for r in prows} == {h["doc_id"] for h in full_and}
+
 
 def test_eval_cli(tmp_path):
     """jobs/eval.py: query-log replay + qrels scoring end-to-end —

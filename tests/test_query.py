@@ -321,6 +321,75 @@ def test_docs_in_time_range_filters_hits(tiny_index):
     ]
 
 
+def test_min_match_brackets_and_and_or(tiny_index):
+    """min_match=1 == OR, min_match=n == AND, 2 sits between — scores
+    for any shared doc are identical (the sum never depended on the
+    arity filter)."""
+    q = "w00159 w00268"
+    or_rows = _rows(bm25_topk(tiny_index, q, k=10**5, match_all=False))
+    and_rows = _rows(bm25_topk(tiny_index, q, k=10**5))
+    m1 = _rows(bm25_topk(tiny_index, q, k=10**5, min_match=1))
+    m2 = _rows(bm25_topk(tiny_index, q, k=10**5, min_match=2))
+    assert m1 == or_rows
+    assert m2 == and_rows  # 2 lemmas: >=2 is AND
+    three = "w00159 w00268 w00100"
+    mm = {d for d, _ in _rows(bm25_topk(tiny_index, three, k=10**5,
+                                        min_match=2))}
+    allm = {d for d, _ in _rows(bm25_topk(tiny_index, three, k=10**5,
+                                          match_all=False))}
+    andm = {d for d, _ in _rows(bm25_topk(tiny_index, three, k=10**5))}
+    assert andm <= mm <= allm
+
+
+def test_percolate_matches_stored_queries(tiny_index):
+    from search_engine_spark.operators.query import percolate
+
+    stored = {0: "w00159 w00268", 1: "w00100", 2: "the and of"}
+    got = percolate(tiny_index.postings, stored).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    # strict AND (frac 1.0) == each stored query's AND match set
+    assert by_q.get(0, set()) == {
+        d for d, _ in _rows(bm25_topk(tiny_index, "w00159 w00268", k=10**5))
+    }
+    assert by_q.get(1, set()) == {
+        d for d, _ in _rows(bm25_topk(tiny_index, "w00100", k=10**5))
+    }
+    assert 2 not in by_q  # unparseable stored query skipped
+    assert all(r["n_matched"] >= 1 for r in got)
+
+    # frac 0.5 on a 2-lemma query -> >= 1 lemma == the OR match set
+    loose = percolate(
+        tiny_index.postings, {0: "w00159 w00268"}, min_match_frac=0.5
+    ).collect()
+    assert {r["doc_id"] for r in loose} == {
+        d for d, _ in _rows(
+            bm25_topk(tiny_index, "w00159 w00268", k=10**5, match_all=False)
+        )
+    }
+
+    # doc_filter: percolate only a doc subset (the streaming-alert path)
+    sub = tiny_index.docs.select("doc_id").limit(50)
+    flt = percolate(tiny_index.postings, stored, doc_filter=sub).collect()
+    allowed = {r["doc_id"] for r in sub.collect()}
+    assert {r["doc_id"] for r in flt} <= allowed
+
+
+def test_complete_prefix_popularity_order(tiny_index):
+    from search_engine_spark.operators.query import complete_prefix
+
+    rows = complete_prefix(tiny_index.terms, "w0", n=5).collect()
+    assert 0 < len(rows) <= 5
+    assert all(r["lemma"].startswith("w0") for r in rows)
+    cfs = [r["cf"] for r in rows]
+    assert cfs == sorted(cfs, reverse=True)
+    # case-normalized prefix; no-match prefix returns empty, no error
+    assert ([r["lemma"] for r in complete_prefix(tiny_index.terms, "W0", 5)
+             .collect()] == [r["lemma"] for r in rows])
+    assert complete_prefix(tiny_index.terms, "zzzz", 5).count() == 0
+
+
 def test_extract_boosts():
     from search_engine_spark.operators.query import extract_boosts
 
