@@ -230,15 +230,20 @@ def nrt_wand_topk(
     base = wand_topk(disk.segments, terms, query, k=k, stats=stats,
                      match_all=match_all)
     ps = os.path.join(disk.index_dir, "postings_stream")
-    if not os.path.isdir(ps):
+    dls = os.path.join(disk.index_dir, "doclen_stream")
+    dcs = os.path.join(disk.index_dir, "docs_stream")
+    # gate on ALL three stream dirs: the refresher writes docs ->
+    # postings -> doclen per epoch, so a query landing between the
+    # first epoch's postings append and its doclen append must serve
+    # base-only instead of crashing on the missing dir (review r3)
+    if not (os.path.isdir(ps) and os.path.isdir(dls)
+            and os.path.isdir(dcs)):
         return base
     spark = disk.spark
     mini = InvertedIndex(
-        docs=spark.read.parquet(os.path.join(disk.index_dir, "docs_stream")),
+        docs=spark.read.parquet(dcs),
         postings=spark.read.parquet(ps),
-        doclen=spark.read.parquet(
-            os.path.join(disk.index_dir, "doclen_stream")
-        ),
+        doclen=spark.read.parquet(dls),
         terms=terms,
         stats=stats,
     )
@@ -286,7 +291,7 @@ def lemma_frequency(terms: DataFrame, limit: int | None = None) -> DataFrame:
     SearchComponent.java:638-644; SQL `order by frequency`,
     SearchService.java:289-296)."""
     out = terms.select("lemma", "df").orderBy(F.col("df").asc(), F.col("lemma").asc())
-    return out.limit(limit) if limit else out
+    return out.limit(limit) if limit is not None else out
 
 
 def related_terms(

@@ -158,8 +158,21 @@ def mmr_rerank(
     argmax sequence is engine-exact, not merely close. ``rel`` is
     consumed as given (already rounded by every scorer in this repo).
 
+    Contract notes (review r3): ids must be integral (the selection
+    arrays and the output schema are int64; a string-id table raises
+    here instead of crashing in createDataFrame), and a candidate with
+    no row in ``embeddings`` is NOT diversifiable — the join drops it
+    and the page may come back shorter than k; callers re-ranking over
+    a mutable vector store should treat a short page as "vectors were
+    deleted since scoring", not as exhausted results.
+
     Returns (rank 1..k, id, mmr) in selection order."""
     spark = candidates.sparkSession
+    id_type = candidates.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            f"mmr_rerank needs an integral {id_col} column, got {id_type}"
+        )
     cand = candidates.select(
         F.col(id_col).alias("_id"), F.col(rel_col).cast("double").alias("_rel")
     )
@@ -586,6 +599,14 @@ def _swap_partition_dirs(
     if sort_col is not None:
         w = w.sortWithinPartitions(sort_col)
     w.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+    # a previous delete-all left a flat empty placeholder (see below):
+    # clear it before partition dirs return, or partition discovery
+    # sees conflicting structures
+    for f in os.listdir(index_dir):
+        fp = os.path.join(index_dir, f)
+        if os.path.isfile(fp) and (f.endswith(".parquet")
+                                   or f == "_SUCCESS"):
+            os.remove(fp)
     for values in affected:
         rel = os.path.join(
             *(f"{c}={v}" for c, v in zip(partition_cols, values))
@@ -601,6 +622,22 @@ def _swap_partition_dirs(
             os.replace(src, dst)
         shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
+    if not any(
+        "=" in d and os.path.isdir(os.path.join(index_dir, d))
+        for d in os.listdir(index_dir)
+    ):
+        # the mutation emptied EVERY partition (delete of the whole
+        # index): leave one flat empty parquet carrying the full schema
+        # (partition cols as regular columns) so root reads keep
+        # resolving — the placeholder is cleared by the next mutation
+        # before partition dirs reappear (review r3)
+        flat = tmp + "_flat"
+        combined.limit(0).coalesce(1).write.mode("overwrite").parquet(flat)
+        for f in os.listdir(flat):
+            if f.endswith(".parquet") or f == "_SUCCESS":
+                os.replace(os.path.join(flat, f),
+                           os.path.join(index_dir, f))
+        shutil.rmtree(flat, ignore_errors=True)
 
 
 def _reject_duplicate_ids(

@@ -426,7 +426,30 @@ def _write_segment_buckets(
 ) -> dict:
     """Encode + append the given segment buckets and commit one manifest
     per bucket. Shared by write_index (fresh/resumed builds) and
-    rebuild_segments (format migration)."""
+    rebuild_segments (format migration).
+
+    Crash-residue guard (review r3): the parquet append can commit and
+    the process die BEFORE the bucket's manifest lands — the bucket
+    then stays in ``todo`` on resume and a blind re-append would
+    duplicate every block (duplicate doc_ids in WAND top-k). Each todo
+    bucket's full block set is recomputed here, so the manifestless
+    residue dir is simply deleted before the write — per-bucket
+    idempotence restored, completed (manifested) buckets untouched."""
+    import shutil
+
+    removed = False
+    for b in todo:
+        residue = os.path.join(index_dir, "segments", f"bucket={int(b)}")
+        if os.path.isdir(residue):
+            shutil.rmtree(residue)
+            removed = True
+    if removed:
+        # the files vanished behind Spark's back: drop the session's
+        # cached file listing or a same-session read serves the stale
+        # list beside the re-appended blocks
+        index.postings.sparkSession.catalog.refreshByPath(
+            os.path.join(index_dir, "segments")
+        )
     seg = build_segments(index, bucket_width).filter(
         F.col("bucket").isin([int(b) for b in todo])
     )
@@ -560,12 +583,16 @@ def compact_index(
     stats = load_stats(index_dir)
     if stats is None:
         raise ValueError(f"no index at {index_dir} (stats.json missing)")
-    if snapshot:
-        create_snapshot(index_dir, note="pre compact_index")
     stream_docs_path = os.path.join(index_dir, "docs_stream")
     delta_path = os.path.join(index_dir, "terms_delta")
     if not os.path.isdir(stream_docs_path) and not os.path.isdir(delta_path):
+        # no-op check BEFORE the snapshot: a periodic refresh loop with
+        # nothing pending must not accumulate a hardlink tree per cycle
+        # and push real pre-mutation snapshots out of the GC keep
+        # window (review r3)
         return {"compacted": False, "reason": "no streamed deltas"}
+    if snapshot:
+        create_snapshot(index_dir, note="pre compact_index")
     disk = DiskIndex(spark, index_dir)
 
     # docs with explicit ids, materialized locally if mapped (_mid /
@@ -827,7 +854,11 @@ def _swap_buckets(
     readers keep resolving the schema."""
     import shutil
 
-    tmp = path + ".tmp_swap"  # sibling of the TABLE dir — not discoverable
+    # DOT-prefixed sibling of the TABLE dir: crash residue must be
+    # invisible to create_snapshot's tree walk too (a visible
+    # postings.tmp_swap would be hardlinked into every later snapshot
+    # forever — review r3)
+    tmp = _swap_sibling(path, "tmp_swap")
     shutil.rmtree(tmp, ignore_errors=True)
     out.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     for b in buckets:
@@ -1177,6 +1208,15 @@ def reindex_turn(
         _swap_write_bucketed(new_postings, postings_path, bucket_width)
     doclen_path = os.path.join(index_dir, "doclen")
     new_dl = new_post.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    if not new_dl.head(1):
+        # new_text lemmatizes to NOTHING (empty/stopword-only): the doc
+        # keeps its dense id with dl=0 — dropping its doclen row would
+        # desync stats.n_docs from the dense doc_id space (merge offset
+        # collisions) and NULL avgdl on a single-doc index (review r3)
+        new_dl = spark.range(1).select(
+            F.lit(int(d)).cast("long").alias("doc_id"),
+            F.lit(0).cast("long").alias("dl"),
+        )
     if _is_bucketed(doclen_path):
         bdir = os.path.join(doclen_path, f"bucket={bucket}")
         doclen_b = spark.read.parquet(bdir)
@@ -1227,7 +1267,10 @@ def reindex_turn(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
     stats = load_stats(index_dir) or {}
-    stats["n_docs"], stats["avgdl"] = int(dstats["n"]), float(dstats["avgdl"])
+    stats["n_docs"] = int(dstats["n"])
+    stats["avgdl"] = (
+        0.0 if dstats["avgdl"] is None else float(dstats["avgdl"])
+    )
     if docs_materialized:
         # docs were materialized locally with explicit ids above
         stats["docs_source"] = None

@@ -326,6 +326,35 @@ def test_delete_partition_bounded_ivf(spark, emb, tmp_path):
     assert delete_from_ann_index(spark, out, [10**9]) == []
 
 
+def test_delete_all_leaves_readable_empty_index(spark, emb, tmp_path):
+    """Deleting EVERY id must not brick the dir: a flat empty parquet
+    keeps root reads resolving (zero rows), and a later append brings
+    partition dirs back cleanly (review r3)."""
+    from search_engine_spark.operators.similarity import (
+        append_ivf_index,
+        delete_from_ann_index,
+        hash_centroids,
+        write_ivf_index,
+    )
+
+    cent = hash_centroids(DIM, 8)
+    out = str(tmp_path / "ivf_all")
+    small = emb.filter(F.col("vec_id") < 20)
+    write_ivf_index(small, out, dim=DIM, centroids=cent)
+    delete_from_ann_index(spark, out, list(range(20)))
+    # readable, empty, schema intact
+    left = spark.read.parquet(out)
+    assert left.count() == 0
+    assert {"vec_id", "cluster"} <= set(left.columns)
+    # append after total deletion works and the placeholder is cleared
+    append_ivf_index(
+        emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 30)), out
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 10
+    assert {r["vec_id"] for r in back.collect()} == set(range(20, 30))
+
+
 def test_delete_srp_cleans_all_tables(spark, emb, tmp_path):
     """An SRP id lives in n_tables partitions — delete removes every
     copy and probes stop returning it."""

@@ -103,6 +103,27 @@ def test_compacted_equals_fresh_build(spark, compacted):
         assert seg == ref, q
 
 
+def test_noop_compaction_takes_no_snapshot(spark, tmp_path):
+    """compact_index with nothing pending must not accumulate a
+    hardlink-tree snapshot per refresh cycle (review r3)."""
+    from search_engine_spark.sources.index_store import compact_index
+
+    full = synthesize_transcripts(spark, 10, partitions=2)
+    index_dir = str(tmp_path / "idx")
+    write_index(build_index(full, use_arrow_udf=False), index_dir,
+                input_desc="b", bucket_width=512)
+    snap_dir = os.path.join(index_dir, "_snapshots")
+
+    def n_snaps():
+        return len(os.listdir(snap_dir)) if os.path.isdir(snap_dir) else 0
+
+    before = n_snaps()
+    for _ in range(3):
+        info = compact_index(spark, index_dir, bucket_width=512)
+        assert info == {"compacted": False, "reason": "no streamed deltas"}
+    assert n_snaps() == before
+
+
 def test_compaction_drops_redelivered_and_duplicate_keys(spark, tmp_path):
     full = synthesize_transcripts(spark, 30, partitions=2).cache()
     batch = full.filter(F.col("conv_id") < "conv-00000020")

@@ -154,6 +154,36 @@ def test_search_cli_nrt_flag(nrt_index):
     assert len(df) == 1 and df == wand
 
 
+def test_nrt_wand_mid_epoch_window_serves_base_only(
+    spark, tmp_path
+):
+    """A query landing between the refresher's postings_stream append
+    and its doclen_stream append must serve base-only instead of
+    crashing on the missing dir (review r3)."""
+    import shutil
+
+    from search_engine_spark.operators.serving import nrt_wand_topk
+    from search_engine_spark.operators.wand import wand_topk
+
+    full = synthesize_transcripts(spark, 20, partitions=2)
+    index_dir = str(tmp_path / "idx")
+    write_index(build_index(full, use_arrow_udf=False, weighted=True),
+                index_dir, input_desc="b", bucket_width=512)
+    # simulate the mid-epoch window: postings_stream exists, doclen/docs
+    # streams not yet written
+    DiskIndex(spark, index_dir).as_inverted_index().postings.limit(
+        3
+    ).write.parquet(os.path.join(index_dir, "postings_stream"))
+    disk = DiskIndex(spark, index_dir)
+    got = nrt_wand_topk(disk, "w00001s", k=5).collect()
+    base = wand_topk(disk.segments, disk.nrt_terms(), "w00001s", k=5,
+                     stats=disk.nrt_stats()).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in base
+    ]
+    shutil.rmtree(os.path.join(index_dir, "postings_stream"))
+
+
 def test_nrt_view_collapses_to_base_after_compaction(spark, nrt_index):
     index_dir, merged = nrt_index
     # run LAST in the module: compaction consumes the deltas

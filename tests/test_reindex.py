@@ -93,6 +93,32 @@ def test_reindex_turn_equals_fresh_build(spark, tiny_transcripts, tmp_path):
         assert w == f, q
 
 
+def test_reindex_to_empty_text_keeps_dense_space(
+    spark, tiny_transcripts, tmp_path
+):
+    """new_text that lemmatizes to NOTHING must not drop the doc's
+    doclen row: n_docs stays aligned with the dense id space (merge
+    offsets depend on it) and queries keep working (review r3)."""
+    idx_dir = str(tmp_path / "idx")
+    ix = build_index(tiny_transcripts, use_arrow_udf=True, weighted=True)
+    write_index(ix, idx_dir, input_desc="tiny", bucket_width=512)
+    n_before = DiskIndex(spark, idx_dir).stats.n_docs
+
+    row = tiny_transcripts.orderBy("conv_id", "turn_idx").limit(1).collect()[0]
+    info = reindex_turn(spark, idx_dir, row["conv_id"], row["turn_idx"],
+                        "the and of", bucket_width=512)  # all stopwords
+    disk = DiskIndex(spark, idx_dir)
+    assert disk.stats.n_docs == n_before
+    d = info["doc_id"]
+    got = disk.as_inverted_index()
+    dl_row = got.doclen.filter(F.col("doc_id") == d).collect()
+    assert len(dl_row) == 1 and dl_row[0]["dl"] == 0
+    assert got.postings.filter(F.col("doc_id") == d).count() == 0
+    # the emptied doc never matches; other docs still rank
+    hits = bm25_topk(got, "w00000", k=5).collect()
+    assert hits and all(r["doc_id"] != d for r in hits)
+
+
 def test_reindex_unknown_turn_raises(spark, tiny_transcripts, tmp_path):
     import pytest
 

@@ -75,6 +75,27 @@ def test_resume_rebuilds_only_missing_bucket(spark, built, tiny_index):
     assert _segment_content(spark, d) == before
 
 
+def test_resume_after_append_committed_but_manifest_lost(
+    spark, built, tiny_index
+):
+    """Crash window between the segment parquet append committing and
+    the bucket manifest landing: the bucket stays in todo, and the
+    resume must NOT append a second copy of its blocks (duplicate
+    doc_ids in WAND top-k). The rebuild deletes the manifestless
+    residue dir first (review r3)."""
+    d, _ = built
+    before = _segment_content(spark, d)
+    n_before = DiskIndex(spark, d).segments.count()
+    # simulate: manifest lost, but the bucket's segment dir survived
+    os.remove(os.path.join(d, "manifests", "bucket=0.json"))
+    metrics = write_index(tiny_index, d, input_desc="tiny", bucket_width=512)
+    assert metrics["buckets_built"] == 1
+    assert _segment_content(spark, d) == before  # set: content identical
+    # count: no second copy appended (block_id is per-encode-partition,
+    # NOT unique — duplication shows as row count, not key clashes)
+    assert DiskIndex(spark, d).segments.count() == n_before
+
+
 def test_disk_roundtrip_serves_queries(spark, built, tiny_index):
     from search_engine_spark.operators.query import bm25_topk
     from search_engine_spark.operators.wand import wand_topk

@@ -62,6 +62,9 @@ def test_lemma_frequency_order(spark):
     )
     rows = lemma_frequency(terms).collect()
     assert [(r["lemma"], r["df"]) for r in rows] == [("z", 1), ("a", 5), ("b", 5)]
+    # limit=0 means zero rows, not "no limit" (review r3)
+    assert lemma_frequency(terms, limit=0).count() == 0
+    assert lemma_frequency(terms, limit=2).count() == 2
 
 
 def test_extract_title(spark):

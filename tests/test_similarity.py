@@ -43,6 +43,23 @@ def test_brute_force_matches_numpy(emb):
         assert abs(r["cosine"] - round(cos[r["vec_id"]], 6)) < 1e-6
 
 
+def test_mmr_rerank_rejects_string_ids(spark):
+    """Integral-id contract: a string id table raises a clear TypeError
+    instead of crashing in createDataFrame (review r3)."""
+    import pytest
+
+    from search_engine_spark.operators.similarity import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [("a", 0.9)], "vec_id string, cosine double"
+    )
+    emb_s = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        mmr_rerank(cand, emb_s, k=1)
+
+
 def test_mmr_rerank_diversifies_and_degenerates(emb, spark):
     """MMR: (a) lam=1.0 degenerates to pure relevance order; (b) with
     the planted near-dup pair (0,1) at the top of the pool, a
