@@ -158,6 +158,7 @@ from search_engine_spark.operators.wand import wand_topk, wand_topk_tree
 # Fixed query strings (lemmas all live in the testdata documents vocab).
 Q_MAIN = "query filter join"      # three hot terms
 Q_RARE = "dup key"                # rare term ('dup' marks planted near-dups)
+QLD_MU = 2000.0                   # Dirichlet pseudo-count prior (qld_topk)
 Q_AND = "fast key merge"
 Q_REL = "slow window"
 Q_PHRASE = "table hash"           # adjacent-lemma phrase (~10% doc df)
@@ -277,6 +278,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_bm25_rare(spark, sf):
         return bm25_topk(_index_for(spark, sf), Q_RARE, k=10).select("doc_id", "score")
+
+    def q_qld_topk(spark, sf):
+        # query-likelihood with Dirichlet smoothing (Zhai & Lafferty
+        # 2001 / Lucene LMDirichletSimilarity) — the second classic
+        # ranking model over the same index, same single-aggregate plan
+        from search_engine_spark.operators.query import qld_topk
+
+        return qld_topk(_index_for(spark, sf), Q_MAIN, k=10, mu=QLD_MU).select(
+            "doc_id", "score"
+        )
 
     def q_bm25_or(spark, sf):
         # disjunctive retrieval: partial matches rank by summed weight
@@ -1356,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25,
         "bm25_topk_batch": q_bm25_batch,
         "bm25_topk_rare": q_bm25_rare,
+        "qld_topk": q_qld_topk,
         "bm25_topk_or": q_bm25_or,
         "bm25_topk_or_wand": q_bm25_or_wand,
         "bm25_topk_wand": q_bm25_wand,
@@ -1554,6 +1566,40 @@ def _bm25_sql(query: str, k: int = 10, cte: str = _POSTINGS,
         GROUP BY p.doc_id
     )
     SELECT doc_id, round({raw_out}, 6) AS score FROM scored
+    ORDER BY score DESC, doc_id ASC LIMIT {k}
+    """
+
+
+def _qld_sql(query: str, k: int = 10, mu: float = None) -> str:
+    """DuckDB twin of query.qld_topk (LM-Dirichlet query likelihood):
+    per matched posting ln(1 + tf/(mu*(cf/C))) + ln(mu/(dl+mu)), C the
+    exact BIGINT token total (sum of doclen) cast to double exactly as
+    the Spark literal is, summed per doc under the AND arity filter."""
+    mu = QLD_MU if mu is None else mu
+    lemmas = parse_query(query)
+    in_list = "(" + ", ".join(f"'{l}'" for l in lemmas) + ")"
+    return f"""
+    WITH {_POSTINGS},
+    ctoks AS (SELECT CAST(sum(dl) AS DOUBLE) AS c FROM doclen),
+    cand AS (
+        SELECT doc_id FROM postings WHERE lemma IN {in_list}
+        GROUP BY doc_id HAVING count(*) = {len(lemmas)}
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               sum(
+                 ln(1.0 + p.tf / ({float(mu)!r} * (t.cf / ct.c)))
+                 + ln({float(mu)!r} / (d.dl + {float(mu)!r}))
+               ) AS raw
+        FROM postings p
+        JOIN cand USING (doc_id)
+        JOIN doclen d USING (doc_id)
+        JOIN terms t USING (lemma)
+        CROSS JOIN ctoks ct
+        WHERE p.lemma IN {in_list}
+        GROUP BY p.doc_id
+    )
+    SELECT doc_id, round(raw, 6) AS score FROM scored
     ORDER BY score DESC, doc_id ASC LIMIT {k}
     """
 
@@ -2743,6 +2789,11 @@ def oracle_sql() -> dict[str, str]:
             {0: Q_MAIN, 1: Q_RARE, 2: Q_AND, 3: Q_REL}, k=10
         ),
         "bm25_topk_rare": _bm25_sql(Q_RARE),
+        # LM-Dirichlet query likelihood: identical per-posting
+        # expression to operators/query.qld_topk — ln(1 + tf/(mu*(cf/C)))
+        # + ln(mu/(dl+mu)), C the exact long token total — summed per
+        # doc under the same AND-arity filter, rounded at 6
+        "qld_topk": _qld_sql(Q_MAIN),
         "bm25_topk_or": _bm25_sql(Q_AND, match_all=False),
         "bm25_topk_or_wand": _bm25_sql(Q_AND, match_all=False),
         "bm25_topk_wand": _bm25_sql(Q_MAIN),

@@ -596,6 +596,89 @@ def docs_in_time_range(
     return out.select("doc_id")
 
 
+def collection_tokens(index: InvertedIndex) -> int:
+    """Exact total token count C = Σ dl over the doclen table — the
+    collection-model denominator for :func:`qld_topk`. One metadata-ish
+    aggregate (long sum over a two-column table), collected once per
+    query like :func:`corpus_stats`; at scale this is a stats.json
+    field written at build time, not a per-query scan."""
+    row = index.doclen.agg(F.sum("dl").alias("c")).collect()[0]
+    return int(row["c"])
+
+
+def qld_topk(
+    index: InvertedIndex,
+    query: str,
+    k: int = DEFAULT_TOP_K,
+    mu: float = 2000.0,
+    match_all: bool = True,
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k by query-likelihood with Dirichlet smoothing — the second
+    classic probabilistic ranking model beside BM25 (Zhai & Lafferty,
+    SIGIR 2001; Lucene ``LMDirichletSimilarity``). Per matched
+    (doc, term) posting:
+
+        w = ln(1 + tf / (mu * (cf/C))) + ln(mu / (dl + mu))
+
+    summed per doc — exactly Lucene's decomposition of
+    ln P(q|d) over matched terms (the unmatched-term mass cancels in
+    ranking, which is what lets an inverted index evaluate it without
+    touching absent terms). ``cf/C`` is the collection language model
+    (collection frequency over total tokens, both exact longs from the
+    build); ``mu`` is the Dirichlet pseudo-count prior.
+
+    Same single-aggregate plan as :func:`_bm25_scored` — IN-pruned
+    postings scan, tiny broadcast of the query rows of ``terms`` for
+    ``cf``, one groupBy(doc) producing arity + score — so the engine's
+    plan-level guarantees (pushdown, broadcast, no second shuffle)
+    carry over unchanged. Float order is pinned term-by-term (tf, cf,
+    dl cast to double; ln from the JVM) and the DuckDB twin computes
+    the identical expression, so rounded scores hash-match
+    cross-engine. Tie-break: score desc, doc_id asc. Note QLD scores
+    can be negative (the dl-penalty term is a log of a ratio < 1) —
+    ranking is relative, unlike BM25's always-positive sums."""
+    lemmas = parse_query(query)
+    if not lemmas:
+        return index.postings.sparkSession.createDataFrame(
+            [], "doc_id long, score double, score_raw double"
+        )
+    c_total = float(collection_tokens(index))
+    hits = index.postings.filter(F.col("lemma").isin(lemmas))
+    if doc_filter is not None:
+        hits = hits.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+    mu_l = F.lit(float(mu))
+    scored = (
+        hits.join(
+            F.broadcast(
+                index.terms.filter(F.col("lemma").isin(lemmas))
+                .select("lemma", "cf")
+            ),
+            "lemma",
+        )
+        .withColumn(
+            "_w",
+            F.log(
+                F.lit(1.0)
+                + F.col("tf").cast("double")
+                / (mu_l * (F.col("cf").cast("double") / F.lit(c_total)))
+            )
+            + F.log(mu_l / (F.col("dl").cast("double") + mu_l)),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_nt"), F.sum("_w").alias("score_raw"))
+        .filter(
+            (F.col("_nt") == len(lemmas)) if match_all else F.lit(True)
+        )
+        .withColumn("score", F.round(F.col("score_raw"), SCORE_DECIMALS))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .select("doc_id", "score", "score_raw")
+        .limit(k)
+    )
+
+
 def bm25_topk_synonyms(
     index: InvertedIndex,
     query: str,

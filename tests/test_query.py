@@ -1086,3 +1086,63 @@ def test_batch_topk_or_mode_and_empty_log(tiny_index):
     empty = bm25_topk_batch(tiny_index, {1: "the and of"}, k=5)
     assert empty.count() == 0
     assert empty.columns == ["query_id", "doc_id", "score", "rnk"]
+
+
+def test_qld_topk_matches_python_golden(tiny_index):
+    """LM-Dirichlet query likelihood vs an independent single-node
+    recomputation from the collected postings: same matched-term
+    decomposition ln(1 + tf/(mu*(cf/C))) + ln(mu/(dl+mu)), AND arity,
+    (score desc, doc_id asc) tie-break."""
+    from search_engine_spark.operators.query import (
+        collection_tokens,
+        parse_query,
+        qld_topk,
+    )
+
+    mu = 500.0
+    query = "w00000s w00001"
+    lemmas = parse_query(query)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in qld_topk(tiny_index, query, k=10, mu=mu).collect()
+    ]
+
+    c_total = float(collection_tokens(tiny_index))
+    cf = {
+        r["lemma"]: int(r["cf"])
+        for r in tiny_index.terms.filter(F.col("lemma").isin(lemmas)).collect()
+    }
+    posts = tiny_index.postings.filter(F.col("lemma").isin(lemmas)).collect()
+    per_doc: dict[int, list[float]] = {}
+    arity: dict[int, int] = {}
+    for r in posts:
+        w = math.log(
+            1.0 + float(r["tf"]) / (mu * (float(cf[r["lemma"]]) / c_total))
+        ) + math.log(mu / (float(r["dl"]) + mu))
+        per_doc.setdefault(int(r["doc_id"]), []).append(w)
+        arity[int(r["doc_id"])] = arity.get(int(r["doc_id"]), 0) + 1
+    scored = [
+        (d, round(math.fsum(ws), 6))
+        for d, ws in per_doc.items()
+        if arity[d] == len(lemmas)
+    ]
+    want = sorted(scored, key=lambda t: (-t[1], t[0]))[:10]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) <= 1e-6
+
+    # dl-penalty sanity: identical tf/cf but longer doc scores lower
+    assert all(s == sorted((s for _, s in got), reverse=True)[i]
+               for i, (_, s) in enumerate(got))
+
+
+def test_qld_topk_empty_and_or_mode(tiny_index):
+    from search_engine_spark.operators.query import qld_topk
+
+    assert qld_topk(tiny_index, "the and of", k=5).count() == 0
+    got_or = qld_topk(
+        tiny_index, "w00000 zzznotaword", k=5, match_all=False
+    )
+    got_and = qld_topk(tiny_index, "w00000 zzznotaword", k=5)
+    assert got_and.count() == 0          # AND: missing term kills all
+    assert got_or.count() == 5           # OR: surviving term matches
