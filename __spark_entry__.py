@@ -188,6 +188,7 @@ CHUNK_TOKENS = 32  # RAG chunk window (tokens)
 CHUNK_STRIDE = 24  # chunk stride (overlap = chunk - stride)
 RRF_K0 = 60        # reciprocal-rank-fusion damping constant
 RRF_POOL = 20      # per-list candidate pool fed into the fusion
+HYBRID_ALPHA = 0.6  # lexical weight in the min-max linear fusion
 PRF_FB_DOCS = 5    # pseudo-relevance feedback: assumed-relevant pool
 PRF_FB_TERMS = 6   # expansion lemmas taken from the feedback pool
 TRENDING_TOP = 3  # per-window risers kept by trending_events
@@ -1359,6 +1360,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return rrf_fuse(lex, vec, k0=RRF_K0, k=10)
 
+    def q_hybrid_linear(spark, sf):
+        # score-based hybrid fusion: min-max normalize each pool to
+        # [0,1], weighted linear blend (the other standard beside RRF)
+        from search_engine_spark.operators.hybrid import linear_fuse
+
+        lex = bm25_topk(_index_for(spark, sf), Q_MAIN, k=RRF_POOL).select(
+            "doc_id", "score"
+        )
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+        vec = brute_force_topk(emb, [float(x) for x in qvec], k=RRF_POOL).select(
+            "vec_id", "cosine"
+        )
+        return linear_fuse(lex, vec, alpha=HYBRID_ALPHA, k=10)
+
     return {
         "postings": q_postings,
         "terms": q_terms,
@@ -1394,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "quality_resample": q_quality_resample,
         "hybrid_rrf": q_hybrid_rrf,
+        "hybrid_linear": q_hybrid_linear,
         "prf_search": q_prf_search,
         "ngram_jaccard_pairs": q_jaccard,
         "minhash_lsh_pairs": q_minhash,
@@ -3383,6 +3400,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(vec_rank, 0) AS BIGINT) AS vec_rank
             FROM lex FULL OUTER JOIN vec USING (doc_id)
             ORDER BY rrf DESC, doc_id ASC LIMIT 10
+        """,
+        # hybrid linear: min-max normalize each pool over its k-row
+        # frame ((s-min)/(max-min) in doubles, single-score pool → 1.0),
+        # one two-term weighted add (lexical first), round 6 — the
+        # fused value uses UNROUNDED norms, the norm display columns
+        # round at output, exactly like the Spark operator
+        "hybrid_linear": f"""
+            WITH lex AS (
+                SELECT doc_id,
+                       CASE WHEN max(score) OVER () = min(score) OVER ()
+                            THEN 1.0
+                            ELSE (score - min(score) OVER ())
+                                 / (max(score) OVER () - min(score) OVER ())
+                       END AS lex_norm
+                FROM ({_bm25_sql(Q_MAIN, k=RRF_POOL)})
+            ),
+            vec AS (
+                SELECT vec_id AS doc_id,
+                       CASE WHEN max(cosine) OVER () = min(cosine) OVER ()
+                            THEN 1.0
+                            ELSE (cosine - min(cosine) OVER ())
+                                 / (max(cosine) OVER () - min(cosine) OVER ())
+                       END AS vec_norm
+                FROM ({_embedding_topk_sql(RRF_POOL)})
+            )
+            SELECT doc_id,
+                   round({HYBRID_ALPHA!r} * COALESCE(lex_norm, 0.0)
+                         + (1.0 - {HYBRID_ALPHA!r}) * COALESCE(vec_norm, 0.0),
+                         6) AS fused,
+                   round(COALESCE(lex_norm, 0.0), 6) AS lex_norm,
+                   round(COALESCE(vec_norm, 0.0), 6) AS vec_norm
+            FROM lex FULL OUTER JOIN vec USING (doc_id)
+            ORDER BY fused DESC, doc_id ASC LIMIT 10
         """,
         "token_counts": f"""
             SELECT doc_id, len({_TOKS}) AS n_tokens,

@@ -79,3 +79,75 @@ def rrf_fuse(
         .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def linear_fuse(
+    lexical: DataFrame,
+    vector: DataFrame,
+    alpha: float = 0.5,
+    id_lex: str = "doc_id",
+    score_lex: str = "score",
+    id_vec: str = "vec_id",
+    score_vec: str = "cosine",
+    k: int = 10,
+) -> DataFrame:
+    """Score-based hybrid fusion — the other standard beside RRF
+    (Elasticsearch/Vespa "normalized linear combination"): each pool's
+    scores are min-max normalized WITHIN the pool to [0, 1], then
+
+        fused(d) = alpha * lex_norm(d) + (1 - alpha) * vec_norm(d)
+
+    with a missing list contributing 0. Min-max (not z-score) because
+    it is closed-form replayable cross-engine and monotone — each
+    pool's internal order is preserved, only the scales become
+    comparable. A single-score pool (max == min) normalizes to 1.0 for
+    its one doc (it IS that pool's best hit).
+
+    Same scale shape as :func:`rrf_fuse`: both inputs are top-k-bounded
+    retrieval outputs, so the two min/max window aggregates and the
+    full-outer fusion join run over k-sized frames — no corpus-sized
+    stage. Float order pinned: normalize each side as (s - min)/(max -
+    min) in doubles, one two-term weighted add (lexical first), one
+    6-decimal round — the DuckDB twin computes the identical
+    expression. Tie-break: fused desc, doc_id asc."""
+    w_all = Window.partitionBy()  # k-row frame: global min/max per pool
+    a = lexical.select(
+        F.col(id_lex).cast("long").alias("doc_id"),
+        F.col(score_lex).cast("double").alias("_s"),
+    ).withColumn(
+        "lex_norm",
+        F.when(
+            F.max("_s").over(w_all) == F.min("_s").over(w_all), F.lit(1.0)
+        ).otherwise(
+            (F.col("_s") - F.min("_s").over(w_all))
+            / (F.max("_s").over(w_all) - F.min("_s").over(w_all))
+        ),
+    ).drop("_s")
+    b = vector.select(
+        F.col(id_vec).cast("long").alias("doc_id"),
+        F.col(score_vec).cast("double").alias("_s"),
+    ).withColumn(
+        "vec_norm",
+        F.when(
+            F.max("_s").over(w_all) == F.min("_s").over(w_all), F.lit(1.0)
+        ).otherwise(
+            (F.col("_s") - F.min("_s").over(w_all))
+            / (F.max("_s").over(w_all) - F.min("_s").over(w_all))
+        ),
+    ).drop("_s")
+    al = F.lit(float(alpha))
+    return (
+        a.join(b, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                al * F.coalesce(F.col("lex_norm"), F.lit(0.0))
+                + (F.lit(1.0) - al) * F.coalesce(F.col("vec_norm"), F.lit(0.0)),
+                6,
+            ).alias("fused"),
+            F.round(F.coalesce(F.col("lex_norm"), F.lit(0.0)), 6).alias("lex_norm"),
+            F.round(F.coalesce(F.col("vec_norm"), F.lit(0.0)), 6).alias("vec_norm"),
+        )
+        .orderBy(F.col("fused").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
