@@ -183,6 +183,8 @@ SUGGEST_MAX_DIST = 2
 
 JACCARD_N = 3
 REPETITION_N = 2  # bigram repetition signals (Gopher A1.3 gram size)
+COLLOC_MIN_COUNT = 5   # collocation pair-count floor (PMI explosion guard)
+COLLOC_TOP = 20        # collocations returned
 SPAN_N = 8        # duplicate-span window (Lee et al. substring-dedup unit)
 CHUNK_TOKENS = 32  # RAG chunk window (tokens)
 CHUNK_STRIDE = 24  # chunk stride (overlap = chunk - stride)
@@ -876,6 +878,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # aggregates; top gram via struct-min argmax, no window)
         return repetition_signals(_documents(spark, sf), n=REPETITION_N)
 
+    def q_collocations(spark, sf):
+        # corpus-wide collocation mining: top adjacent-bigram PMI with
+        # a min-count floor (one tokenize, one combined explode, counts
+        # vocabulary-bounded after the first aggregate)
+        from search_engine_spark.operators.collocations import collocations
+
+        return collocations(
+            _documents(spark, sf), min_count=COLLOC_MIN_COUNT,
+            top_n=COLLOC_TOP,
+        )
+
     def q_quality(spark, sf):
         d = _documents(spark, sf).select("doc_id", *quality_features("text"))
         return d.select(
@@ -1440,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample_topk": q_dsir_resample,
         "quality_scores": q_quality,
         "repetition_signals": q_repetition,
+        "collocations": q_collocations,
         "langid": q_langid,
         "result_merge": q_result_merge,
         "statistics": q_statistics,
@@ -3507,6 +3521,39 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - CAST(p.n_distinct AS DOUBLE) / p.n_grams,
                          6) AS dup_gram_frac
             FROM perdoc p JOIN ranked r ON p.doc_id = r.doc_id AND r.rn = 1
+        """,
+        # corpus collocations: identical PMI expression to
+        # operators/collocations.py — (c_ab/B) / ((c_a/T)*(c_b/T)), ln,
+        # round 6; DuckDB's empty generate_series handles 1-token docs
+        # the way the Spark side's explicit empty-array guard does
+        "collocations": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+            uni AS (SELECT unnest(tok) AS gram FROM toks),
+            big AS (
+                SELECT unnest([array_to_string(tok[i : i + 1], ' ')
+                               for i in generate_series(1, len(tok) - 1)])
+                    AS gram
+                FROM toks
+            ),
+            uc AS (SELECT gram, count(*) AS c FROM uni GROUP BY gram),
+            bc AS (SELECT gram, count(*) AS c FROM big GROUP BY gram),
+            tot AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uc) AS t_total,
+                           (SELECT CAST(sum(c) AS DOUBLE) FROM bc) AS b_total),
+            pairs AS (
+                SELECT split_part(gram, ' ', 1) AS w1,
+                       split_part(gram, ' ', 2) AS w2,
+                       c AS pair_count
+                FROM bc WHERE c >= {COLLOC_MIN_COUNT}
+            )
+            SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
+                   round(ln((pair_count / t.b_total)
+                            / ((u1.c / t.t_total) * (u2.c / t.t_total))),
+                         6) AS pmi
+            FROM pairs
+            JOIN uc u1 ON u1.gram = pairs.w1
+            JOIN uc u2 ON u2.gram = pairs.w2
+            CROSS JOIN tot t
+            ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT {COLLOC_TOP}
         """,
         "result_merge": f"""
             WITH a AS ({_bm25_sql(Q_MAIN, 20)}),

@@ -1,0 +1,113 @@
+"""Corpus-wide collocation mining: top adjacent-bigram PMI.
+
+The corpus-analysis dual of :func:`serving.related_terms` (which is
+seeded by ONE lemma and linear in its df): this ranks EVERY adjacent
+word pair in the corpus by pointwise mutual information —
+
+    pmi(a, b) = ln( (c_ab / B) / ((c_a / T) * (c_b / T)) )
+
+with c_ab the corpus bigram count, c_a/c_b corpus token counts, B/T
+the bigram/token totals — the classic collocation statistic (Church &
+Hanks 1990), the standard first pass for phrase vocabulary induction
+in tokenizer/embedding pipelines ("new york"-style units). A
+``min_count`` floor removes the low-frequency PMI explosion (a pair
+seen once between two rare words maxes the statistic).
+
+Plan shape (100 TB): tokens are projected ONCE per doc (Catalyst does
+not CSE repeated tokenizes — project first), then unigram and bigram
+streams ride ONE explode of a combined struct array (kind tag), so
+the corpus is scanned and tokenized exactly once. Counts reduce in one
+map-side-combinable groupBy(kind, gram); everything after operates on
+the VOCABULARY-BOUNDED counts table (persisted — it feeds the totals
+aggregate and both sides of the pair join), with unigram lookups as
+aggregate-to-aggregate equi-joins (AQE broadcasts them when the vocab
+fits) and the final top-n a TakeOrderedAndProject.
+Float order pinned ((c_ab/B) / ((c_a/T) * (c_b/T)), ln from the JVM,
+round 6) so the DuckDB twin hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.text import tokenize_expr
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_n: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_n`` adjacent-token collocations by PMI.
+
+    Returns (w1, w2, pair_count, pmi) ordered by (pmi desc, w1 asc,
+    w2 asc); only pairs with ``pair_count >= min_count`` qualify."""
+    toks = docs.select(tokenize_expr(F.col(text_col)).alias("_toks")).filter(
+        F.size("_toks") >= 1
+    )
+    # one explode carrying both streams: (kind=0, token) for every
+    # token, (kind=1, "a b") for every adjacent pair
+    grams = toks.select(
+        F.explode(
+            F.concat(
+                F.expr("transform(_toks, t -> struct(0 AS kind, t AS gram))"),
+                # guard: sequence(0, -1) would run DESCENDING for a
+                # 1-token doc (Spark picks step -1), so short docs get
+                # an explicit empty bigram stream
+                F.expr(
+                    "IF(size(_toks) < 2, "
+                    "CAST(array() AS array<struct<kind:int,gram:string>>), "
+                    "transform(sequence(0, size(_toks) - 2), "
+                    "i -> struct(1 AS kind, "
+                    "array_join(slice(_toks, i + 1, 2), ' ') AS gram)))"
+                ),
+            )
+        ).alias("g")
+    ).select(F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram"))
+    counts = grams.groupBy("kind", "gram").agg(F.count("*").alias("cnt"))
+    counts = counts.persist()  # vocabulary-bounded; feeds totals + joins
+    totals = counts.groupBy().pivot("kind", [0, 1]).sum("cnt").select(
+        F.col("0").cast("double").alias("t_total"),
+        F.col("1").cast("double").alias("b_total"),
+    )
+    uni = counts.filter(F.col("kind") == 0).select(
+        F.col("gram").alias("w"), F.col("cnt").alias("c_uni")
+    )
+    pairs = (
+        counts.filter((F.col("kind") == 1) & (F.col("cnt") >= int(min_count)))
+        .select(
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
+            F.col("cnt").alias("pair_count"),
+        )
+    )
+    return (
+        # unigram lookups: plain equi-joins between two
+        # vocabulary-bounded aggregates — AQE broadcasts when the vocab
+        # fits, shuffles when a 100 TB junk-heavy vocab doesn't (a
+        # forced broadcast would be the scale risk here)
+        pairs.join(uni.withColumnRenamed("w", "w1")
+                   .withColumnRenamed("c_uni", "_c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2")
+              .withColumnRenamed("c_uni", "_c2"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("pair_count").cast("long").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("pair_count").cast("double") / F.col("b_total"))
+                    / (
+                        (F.col("_c1").cast("double") / F.col("t_total"))
+                        * (F.col("_c2").cast("double") / F.col("t_total"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(int(top_n))
+    )
