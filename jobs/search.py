@@ -6,7 +6,7 @@ code.
 
 Usage:
     spark-submit [--master ...] --py-files engine.zip jobs/search.py \
-        --index <index_dir> --query '...' [--engine df|wand|sql|mini] \
+        --index <index_dir> --query '...' [--engine df|wand|sql|mini|qld] \
         [--or] [--prf] [--k 10] [--offset 0] [--window W] \
         [--snippets] [--facets col,col] | --more-like DOC_ID
 
@@ -43,7 +43,10 @@ def main() -> None:
     p.add_argument("--facets", default=None, metavar="COL[,COL...]",
                    help="also print per-column facet counts over the "
                         "AND-matching docs (one JSON line per facet value)")
-    p.add_argument("--engine", choices=["df", "wand", "sql", "mini"], default="df")
+    p.add_argument("--engine", choices=["df", "wand", "sql", "mini", "qld"],
+                   default="df",
+                   help="retrieval engine; qld = LM-Dirichlet query "
+                        "likelihood ranking (composes with --or)")
     p.add_argument("--or", dest="match_any", action="store_true",
                    help="disjunctive (OR) semantics (df/wand engines)")
     p.add_argument("--prf", action="store_true",
@@ -397,6 +400,10 @@ def main() -> None:
                             boosts=boosts or None)
     elif args.engine == "sql":
         res = bm25_topk_sql(ix, args.query, k=k)
+    elif args.engine == "qld":
+        from search_engine_spark.operators.query import qld_topk
+
+        res = qld_topk(ix, args.query, k=k, match_all=not args.match_any)
     else:  # mini language (phrases / -not / free terms)
         res = search(ix, ix.docs, args.query, k=k)
 

@@ -98,6 +98,17 @@ def test_search_cli_engines_agree(tmp_path):
     # docs holding both terms are excluded by -w00001
     assert mini and not ({h["doc_id"] for h in mini} & banned)
 
+    # qld engine: same AND candidate set as BM25 (match semantics are
+    # shared; only the ranking model differs), scores present
+    qld = hits(_search("--index", out, "--query", "w00000 w00001",
+                       "--engine", "qld", "--k", "100000"))
+    assert {h["doc_id"] for h in qld} == {
+        h["doc_id"]
+        for h in hits(_search("--index", out, "--query", "w00000 w00001",
+                              "--engine", "df", "--k", "100000"))
+    }
+    assert all(isinstance(h["score"], float) for h in qld)
+
     page = hits(_search("--index", out, "--query", "w00000 w00001",
                         "--offset", "3", "--k", "4"))
     full = hits(_search("--index", out, "--query", "w00000 w00001", "--k", "10"))
