@@ -165,6 +165,7 @@ Q_PHRASE = "table hash"           # adjacent-lemma phrase (~10% doc df)
 NEAR_WINDOW = 8                   # proximity window (lemmas) for near_search
 RELATED_SEED = "merge"            # seed lemma for related_terms (mid df)
 MLT_SEED_DOC = 7                  # seed document for more_like_this
+FILTER_LABEL = 3                  # filtered-kNN label predicate value
 MLT_MAX_TERMS = 8                 # tf-idf term budget for the MLT query
 FACET_COL = "source"              # facet dimension for query facet counts
 Q_COMPOSED = '"table hash" join'  # mini-language: phrase constraint + term
@@ -174,6 +175,7 @@ Q_COMPOSED_NOT = '"table hash" join -slow'  # + boolean NOT exclusion
 Q_COMPOSED_OR = '"table hash" join | merge key -slow'
 Q_SCOPED_TERMS = "query filter"  # terms for the field:value scoped search
 Q_PREFIX = "s"                    # wildcard s* (6 dictionary expansions)
+Q_REGEX = "s(can|ort|low)"        # ES regexp query pattern (whole-term)
 Q_FUZZY = "quer"                  # typo one edit away from 'query'
 MAX_EXPANSIONS = 16
 Q_WILDCARD = "s* join"            # mini-QL wildcard + exact term
@@ -217,6 +219,7 @@ RECENCY_SPAN_S = 31536000            # 365 days of derived timestamps
 RECENCY_ANCHOR = float(RECENCY_EPOCH0 + RECENCY_SPAN_S)  # decay "now"
 RECENCY_HALF_LIFE_DAYS = 45.0
 DATED_UNTIL = RECENCY_EPOCH0 + RECENCY_SPAN_S // 2  # [EPOCH0, mid-year)
+HISTO_INTERVAL_S = 7 * 86400  # date_histogram bucket width (one week)
 IVF_CLUSTERS = 16
 IVF_NPROBE = 4
 
@@ -848,6 +851,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "scope", "doc_id", "score", F.col("rnk").cast("long").alias("rnk")
         )
 
+    def q_bm25_collapsed(spark, sf):
+        # Elasticsearch field collapsing: global top-k where each group
+        # (source) is represented by its single best-scoring doc
+        from search_engine_spark.operators.query import collapse_topk
+
+        return collapse_topk(
+            _index_for(spark, sf), _documents(spark, sf), Q_MAIN,
+            collapse_col="source", k=10,
+        )
+
     def q_bpe_merges(spark, sf):
         from search_engine_spark.operators.bpe import train_bpe
 
@@ -1136,6 +1149,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return bm25_topk(ix, Q_MAIN, k=10, doc_filter=flt).select(
             "doc_id", "score"
+        )
+
+    def q_date_histogram(spark, sf):
+        # ES date_histogram: matching-doc counts per week over the
+        # deterministic derived ts (pure integer bucketing)
+        from search_engine_spark.operators.serving import date_histogram
+
+        ix = _index_for(spark, sf)
+        return date_histogram(
+            ix.postings, _derived_doc_ts(ix.docs),
+            parse_query(Q_MAIN), interval_s=HISTO_INTERVAL_S,
+        )
+
+    def q_significant_terms(spark, sf):
+        # ES significant_terms (JLH): vocabulary over-represented in
+        # the query's match set vs the whole corpus
+        from search_engine_spark.operators.serving import significant_terms
+
+        ix = _index_for(spark, sf)
+        return significant_terms(
+            ix.postings, ix.terms, ix.stats.n_docs, parse_query(Q_MAIN),
+            min_fg_df=2, top=20,
+        )
+
+    def q_regexp_search(spark, sf):
+        # ES regexp query: whole-term regex dictionary expansion
+        # (df-capped) feeding the shared disjunctive scorer
+        from search_engine_spark.operators.query import regexp_search
+
+        return regexp_search(
+            _index_for(spark, sf), Q_REGEX, k=10
+        ).select("doc_id", "score")
+
+    def q_latest_hits(spark, sf):
+        # match-then-sort-by-time: the k newest docs containing all
+        # query lemmas (no scoring stage), over the derived ts
+        from search_engine_spark.operators.query import latest_hits
+
+        ix = _index_for(spark, sf)
+        return latest_hits(ix, _derived_doc_ts(ix.docs), Q_MAIN, k=10).select(
+            "doc_id",
+            # epoch long, not timestamp: DuckDB's to_timestamp is
+            # TIMESTAMPTZ and the tz-awareness mismatch breaks the
+            # value-hash even when the instants are identical
+            F.unix_timestamp("ts").cast("long").alias("ts_epoch"),
+        )
+
+    def q_doc_term_vector(spark, sf):
+        # ES _termvectors: one doc's lemmas with tf/rank + corpus df/cf
+        # (bucket-pruned point lookup + dictionary join)
+        from search_engine_spark.operators.serving import doc_term_vector
+
+        ix = _index_for(spark, sf)
+        return doc_term_vector(ix.postings, ix.terms, MLT_SEED_DOC)
+
+    def q_embed_topk_filtered(spark, sf):
+        # filtered kNN (pre-filter semantics): exact cosine top-k among
+        # label==FILTER_LABEL rows only; predicate pushed to the scan
+        from search_engine_spark.operators.similarity import filtered_topk
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+        return filtered_topk(
+            emb, [float(x) for x in qvec],
+            F.col("label") == FILTER_LABEL, k=10,
         )
 
     def q_search_boosted(spark, sf):
@@ -1448,6 +1526,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_doc_perplexity": q_lm_doc_perplexity,
         "lm_ppl_buckets": q_ppl_buckets,
         "bm25_topk_grouped": q_bm25_grouped,
+        "bm25_topk_collapsed": q_bm25_collapsed,
+        "date_histogram": q_date_histogram,
+        "significant_terms": q_significant_terms,
+        "doc_term_vector": q_doc_term_vector,
+        "regexp_search": q_regexp_search,
+        "latest_hits": q_latest_hits,
+        "embedding_topk_filtered": q_embed_topk_filtered,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
         "dsir_resample_topk": q_dsir_resample,
@@ -1746,6 +1831,46 @@ def _bm25_grouped_sql(query: str, n_per_scope: int = 3) -> str:
     """
 
 
+def _collapse_sql(query: str, k: int = 10, group_col: str = "source") -> str:
+    """DuckDB twin of query.collapse_topk: per-group best hit (rounded
+    score desc, doc_id asc) then the global top-k over the group
+    representatives."""
+    lemmas = parse_query(query)
+    in_list = "(" + ", ".join(f"'{l}'" for l in lemmas) + ")"
+    return f"""
+    WITH {_POSTINGS},
+    cand AS (
+        SELECT doc_id FROM postings WHERE lemma IN {in_list}
+        GROUP BY doc_id HAVING count(*) = {len(lemmas)}
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               sum(
+                 ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+                 * (p.tf * {BM25_K1 + 1.0!r})
+                 / (p.tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * d.dl / s.avgdl))
+               ) AS raw
+        FROM postings p
+        JOIN cand USING (doc_id)
+        JOIN doclen d USING (doc_id)
+        JOIN terms t USING (lemma)
+        CROSS JOIN stats s
+        WHERE p.lemma IN {in_list}
+        GROUP BY p.doc_id
+    ),
+    ranked AS (
+        SELECT CAST(dd.{group_col} AS VARCHAR) AS "group", sc.doc_id,
+               round(sc.raw, 6) AS score,
+               row_number() OVER (
+                   PARTITION BY dd.{group_col}
+                   ORDER BY round(sc.raw, 6) DESC, sc.doc_id ASC) AS rn
+        FROM scored sc JOIN documents dd ON dd.doc_id = sc.doc_id
+    )
+    SELECT "group", doc_id, score FROM ranked WHERE rn = 1
+    ORDER BY score DESC, doc_id ASC LIMIT {k}
+    """
+
+
 def _bpe_sql(what: str, k: int = 8) -> str:
     """Exact DuckDB twin of the BPE trainer (operators/bpe.py): the
     data-dependent merge loop unrolled as k CTE rounds — pair counts
@@ -1819,9 +1944,11 @@ def _bpe_sql(what: str, k: int = 8) -> str:
     """
 
 
-def _embedding_topk_sql(k: int = 10) -> str:
+def _embedding_topk_sql(k: int = 10, pred: str = "") -> str:
     """Exact-cosine top-k DuckDB twin (query vector = vec_id 0), reused
-    by embedding_topk and as the vector pool inside hybrid_rrf."""
+    by embedding_topk and as the vector pool inside hybrid_rrf/linear.
+    ``pred``: extra row predicate (filtered-kNN pre-filter twin)."""
+    extra = f" AND ({pred})" if pred else ""
     return f"""
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
@@ -1830,7 +1957,7 @@ def _embedding_topk_sql(k: int = 10) -> str:
                  / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
                     * sqrt(list_dot_product(qv, qv))), 6) AS cosine
         FROM embeddings CROSS JOIN q
-        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0{extra}
         ORDER BY cosine DESC, vec_id ASC LIMIT {k}
     """
 
@@ -2388,6 +2515,13 @@ def oracle_sql() -> dict[str, str]:
 
     prefix_oracle = _expansion_bm25(
         f"SELECT lemma FROM terms WHERE lemma LIKE '{Q_PREFIX}%' "
+        f"ORDER BY df DESC, lemma ASC LIMIT {MAX_EXPANSIONS}"
+    )
+    # ES regexp query: whole-term-anchored regex expansion, same
+    # df-capped rewrite + disjunctive scoring as the prefix family
+    regexp_oracle = _expansion_bm25(
+        f"SELECT lemma FROM terms "
+        f"WHERE regexp_full_match(lemma, '(?:{Q_REGEX})') "
         f"ORDER BY df DESC, lemma ASC LIMIT {MAX_EXPANSIONS}"
     )
     fuzzy_oracle = _expansion_bm25(
@@ -3165,6 +3299,53 @@ def oracle_sql() -> dict[str, str]:
                 f" < {DATED_UNTIL}"
             ),
         ),
+        # date histogram: AND candidates bucketed by the derived epoch
+        # with pure integer arithmetic (epoch - epoch % interval)
+        "date_histogram": f"""
+            WITH {_POSTINGS},
+            cand AS (
+                SELECT doc_id FROM postings
+                WHERE lemma IN ({", ".join(f"'{l}'" for l in parse_query(Q_MAIN))})
+                GROUP BY doc_id HAVING count(*) = {len(parse_query(Q_MAIN))}
+            ),
+            stamped AS (
+                SELECT doc_id,
+                       (1704067200 + (doc_id * 7919) % 31536000) AS epoch
+                FROM cand
+            )
+            SELECT CAST(epoch - (epoch % {HISTO_INTERVAL_S}) AS BIGINT)
+                       AS bucket_start,
+                   count(*) AS n_docs
+            FROM stamped GROUP BY 1 ORDER BY bucket_start ASC
+        """,
+        # significant terms: JLH = (fg_pct - bg_pct) * (fg_pct/bg_pct)
+        # with fg from the AND-match set, bg from the dictionary df;
+        # query lemmas excluded, fg_df >= 2 floor — identical float
+        # order to serving.significant_terms
+        "significant_terms": f"""
+            WITH {_POSTINGS},
+            cand AS (
+                SELECT doc_id FROM postings
+                WHERE lemma IN ({", ".join(f"'{l}'" for l in parse_query(Q_MAIN))})
+                GROUP BY doc_id HAVING count(*) = {len(parse_query(Q_MAIN))}
+            ),
+            fgn AS (SELECT CAST(count(*) AS DOUBLE) AS fg_n FROM cand),
+            fg AS (
+                SELECT p.lemma, count(*) AS fg_df
+                FROM postings p JOIN cand USING (doc_id)
+                WHERE p.lemma NOT IN (
+                    {", ".join(f"'{l}'" for l in parse_query(Q_MAIN))})
+                GROUP BY p.lemma HAVING count(*) >= 2
+            )
+            SELECT fg.lemma, CAST(fg.fg_df AS BIGINT) AS fg_df,
+                   CAST(t.df AS BIGINT) AS df,
+                   round((fg.fg_df / n.fg_n - t.df / CAST(s.n_docs AS DOUBLE))
+                         * ((fg.fg_df / n.fg_n)
+                            / (t.df / CAST(s.n_docs AS DOUBLE))), 6) AS jlh
+            FROM fg JOIN terms t USING (lemma)
+            CROSS JOIN fgn n CROSS JOIN stats s
+            ORDER BY jlh DESC, lemma ASC LIMIT 20
+        """,
         # minimum_should_match: same scored CTE, arity HAVING >= 2
         "bm25_topk_msm": _bm25_sql(Q_MAIN, min_match=2),
         # autocomplete: dictionary-only popularity page, total order
@@ -3213,6 +3394,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "prefix_search": prefix_oracle,
+        "regexp_search": regexp_oracle,
+        # latest hits: AND candidates ordered by the derived ts desc —
+        # no scoring stage; epoch → TIMESTAMP via to_timestamp (UTC,
+        # matching the session tz)
+        "latest_hits": f"""
+            WITH {_POSTINGS},
+            cand AS (
+                SELECT doc_id FROM postings
+                WHERE lemma IN ({", ".join(f"'{l}'" for l in parse_query(Q_MAIN))})
+                GROUP BY doc_id HAVING count(*) = {len(parse_query(Q_MAIN))}
+            )
+            SELECT doc_id,
+                   CAST(1704067200 + (doc_id * 7919) % 31536000 AS BIGINT)
+                       AS ts_epoch
+            FROM cand
+            ORDER BY ts_epoch DESC, doc_id ASC LIMIT 10
+        """,
         "fuzzy_search": fuzzy_oracle,
         "search_wildcard": wildcard_oracle,
         "suggest_spelling": suggest_oracle,
@@ -3304,6 +3502,22 @@ def oracle_sql() -> dict[str, str]:
             dim=64
         ),
         "embedding_topk": _embedding_topk_sql(10),
+        # filtered kNN pre-filter twin: same exact-cosine scan, row
+        # predicate applied BEFORE ranking
+        "embedding_topk_filtered": _embedding_topk_sql(
+            10, pred=f"label = {FILTER_LABEL}"
+        ),
+        # _termvectors point lookup: one doc's postings + dictionary
+        # stats; unweighted build → rank = tf as double
+        "doc_term_vector": f"""
+            WITH {_POSTINGS}
+            SELECT p.lemma, CAST(p.tf AS BIGINT) AS tf,
+                   CAST(p.tf AS DOUBLE) AS rank,
+                   CAST(t.df AS BIGINT) AS df, CAST(t.cf AS BIGINT) AS cf
+            FROM postings p JOIN terms t USING (lemma)
+            WHERE p.doc_id = {MLT_SEED_DOC}
+            ORDER BY tf DESC, lemma ASC
+        """,
         "mmr_rerank": _mmr_sql(n=20, k=5, lam=0.7),
         # per-group twin: same rounded cosine, rank-over-window per label
         "embedding_topk_per_label": """
@@ -3467,6 +3681,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_doc_perplexity": _lm_sql("perplexity"),
         "lm_ppl_buckets": _lm_sql("buckets"),
         "bm25_topk_grouped": _bm25_grouped_sql(Q_MAIN, 3),
+        "bm25_topk_collapsed": _collapse_sql(Q_MAIN, 10),
         "bpe_merges": _bpe_sql("merges"),
         "bpe_token_counts": _bpe_sql("counts"),
         "dsir_resample_topk": _lm_sql("dsir", k=50, seed="dsir0"),

@@ -301,6 +301,9 @@ def main() -> None:
         "suggest_spelling", "training_prepare", "trending_events",
         "lm_ppl_buckets", "bm25_topk_grouped",
         "bpe_merges", "bpe_token_counts",
+        "qld_topk", "hybrid_linear", "collocations", "bm25_topk_collapsed",
+        "date_histogram", "significant_terms", "doc_term_vector",
+        "embedding_topk_filtered", "regexp_search", "latest_hits",
     ]
     qs = entrymod.queries()
     # the disk-ANN queries lazily build their persistent index on first

@@ -43,6 +43,10 @@ def main() -> None:
                    metavar="KEEP",
                    help="after the run, keep only the newest KEEP "
                         "snapshots (index_store.expire_snapshots)")
+    p.add_argument("--restore", type=int, default=None, metavar="VERSION",
+                   help="roll the live index back to this snapshot "
+                        "version before anything else runs (the "
+                        "current state is auto-snapshotted first)")
     p.add_argument("--local-cpus", type=int, default=None)
     args = p.parse_args()
 
@@ -66,8 +70,15 @@ def main() -> None:
         sys.exit(2)
 
     out: dict = {"drained": False, "compacted": False}
-    if not args.input and not args.merge_from:
-        print("nothing to do: pass --input and/or --merge-from",
+    # restore FIRST: a rollback defines the state every later stage
+    # (merge/drain/compact) operates on
+    if args.restore is not None:
+        from search_engine_spark.sources.index_store import restore_snapshot
+
+        out["restore"] = restore_snapshot(args.index, args.restore)
+        spark.catalog.clearCache()
+    if not args.input and not args.merge_from and args.restore is None:
+        print("nothing to do: pass --input, --merge-from and/or --restore",
               file=sys.stderr)
         spark.stop()
         sys.exit(2)

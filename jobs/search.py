@@ -40,6 +40,12 @@ def main() -> None:
     p.add_argument("--more-like", type=int, default=None, metavar="DOC_ID",
                    help="rank documents similar to DOC_ID instead of "
                         "searching by --query (reference related-pages)")
+    p.add_argument("--significant", action="store_true",
+                   help="print significant terms (ES significant_terms, "
+                        "JLH) of the query's match set beside the hits")
+    p.add_argument("--histogram", type=int, default=None, metavar="SECONDS",
+                   help="print a matching-docs date histogram over the "
+                        "transcript ts at the given bucket width")
     p.add_argument("--facets", default=None, metavar="COL[,COL...]",
                    help="also print per-column facet counts over the "
                         "AND-matching docs (one JSON line per facet value)")
@@ -102,6 +108,9 @@ def main() -> None:
                         "SynonymQuery semantics: each group scores as "
                         "one pseudo-term — tf member-sum, union df): "
                         "'join=merge;fast=quick|rapid'")
+    p.add_argument("--collapse", metavar="COL", default=None,
+                   help="field collapsing (df engine): one best hit "
+                        "per value of the doc column (e.g. conv_id)")
     p.add_argument("--after", metavar="SCORE:DOC_ID", default=None,
                    help="cursor deep paging (df engine): return the k "
                         "results strictly after the (score, doc_id) "
@@ -377,6 +386,20 @@ def main() -> None:
                 match_all=not args.match_any, doc_filter=time_filter,
                 boosts=boosts or None,
             )
+        elif args.collapse is not None:
+            from search_engine_spark.operators.query import collapse_topk
+
+            if args.collapse not in ix.docs.columns:
+                _die(f"--collapse: no doc column {args.collapse!r}")
+            res = collapse_topk(ix, ix.docs, args.query,
+                                collapse_col=args.collapse, k=k,
+                                match_all=not args.match_any)
+            for r in res.collect()[args.offset:args.offset + args.k]:
+                print(json.dumps({"group": r["group"],
+                                  "doc_id": r["doc_id"],
+                                  "score": r["score"]}), flush=True)
+            spark.stop()
+            return
         else:
             from search_engine_spark.operators.query import extract_boosts
 
@@ -438,6 +461,25 @@ def main() -> None:
             for r in facets(ix.postings, ix.docs, lemmas, col.strip()).collect():
                 print(json.dumps({"facet_col": col.strip(), **r.asDict()}),
                       flush=True)
+
+    if args.significant and args.query is not None:
+        from search_engine_spark.operators.query import parse_query
+        from search_engine_spark.operators.serving import significant_terms
+
+        for r in significant_terms(
+            ix.postings, ix.terms, ix.stats.n_docs, parse_query(args.query),
+        ).collect():
+            print(json.dumps(r.asDict()), flush=True)
+
+    if args.histogram and args.query is not None:
+        from search_engine_spark.operators.query import parse_query
+        from search_engine_spark.operators.serving import date_histogram
+
+        for r in date_histogram(
+            ix.postings, ix.docs.select("doc_id", "ts"),
+            parse_query(args.query), interval_s=args.histogram,
+        ).collect():
+            print(json.dumps(r.asDict()), flush=True)
 
     if args.snippets and args.query is not None and rows:
         # enrich_results broadcasts the tiny top-k and orders in Spark

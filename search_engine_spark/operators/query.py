@@ -264,6 +264,59 @@ def bm25_topk_per_scope(
     )
 
 
+def collapse_topk(
+    index: InvertedIndex,
+    docs: DataFrame,
+    query: str,
+    collapse_col: str = "conv_id",
+    k: int = DEFAULT_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    match_all: bool = True,
+) -> DataFrame:
+    """Global top-k with FIELD COLLAPSING (Elasticsearch ``collapse``):
+    each group (conversation/source/domain) is represented by its
+    single best-scoring doc, then the best-per-group hits compete for
+    the global k — "best turn per conversation" result lists where an
+    on-topic conversation would otherwise flood the page with its
+    every turn. The complement of :func:`bm25_topk_per_scope` (which
+    returns n hits for EVERY scope): collapse returns ONE hit per
+    group, k groups total.
+
+    Plan: the shared single-aggregate scorer, one join to the doc
+    store for the group column (matching docs only — selectivity-
+    bounded, never the corpus), a per-group best-hit window (rounded
+    score desc, doc_id asc — the pinned tie-break, so group
+    representatives are engine/oracle-identical), then the global
+    TakeOrderedAndProject. Groups rank by their representative's
+    (score desc, doc_id asc).
+
+    Returns (group, doc_id, score)."""
+    from pyspark.sql import Window
+
+    lemmas = parse_query(query)
+    if not lemmas:
+        return index.postings.sparkSession.createDataFrame(
+            [], "group string, doc_id long, score double"
+        )
+    scored = _bm25_scored(index, lemmas, k1=k1, b=b, match_all=match_all)
+    w = Window.partitionBy("group").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.join(
+            docs.select("doc_id", F.col(collapse_col).cast("string")
+                        .alias("group")),
+            "doc_id",
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("group", "doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def bm25_topk_batch(
     index: InvertedIndex,
     queries: dict[int, str] | list[tuple[int, str]],
@@ -1137,6 +1190,67 @@ def prefix_search(
     sums their weights (Lucene multi-term rewrite semantics)."""
     lemmas = expand_prefix(index.terms, prefix, max_expansions)
     return bm25_topk_lemmas(index, lemmas, k=k, match_all=False)
+
+
+def expand_regex(
+    terms: DataFrame, pattern: str, max_expansions: int = DEFAULT_EXPANSIONS
+) -> list[str]:
+    """Dictionary lemmas fully matching ``pattern`` (Lucene/ES regexp
+    query semantics: the regex is implicitly anchored to the WHOLE
+    term), most-frequent first (df desc, lemma asc), capped at
+    ``max_expansions`` — same O(vocab) dictionary-scan contract and
+    rewrite cap as :func:`expand_prefix`/:func:`expand_fuzzy`. Keep
+    patterns inside the Java-regex ∩ RE2 common subset when an oracle
+    twin must replay them (same rule as the PII scrubber)."""
+    rows = (
+        terms.filter(F.col("lemma").rlike(f"^(?:{pattern})$"))
+        .orderBy(F.col("df").desc(), F.col("lemma").asc())
+        .limit(max_expansions)
+        .select("lemma")
+        .collect()
+    )
+    return [r["lemma"] for r in rows]
+
+
+def regexp_search(
+    index: InvertedIndex,
+    pattern: str,
+    k: int = DEFAULT_TOP_K,
+    max_expansions: int = DEFAULT_EXPANSIONS,
+) -> DataFrame:
+    """ES ``regexp`` query: whole-term regex expansion against the
+    dictionary (df-capped, :func:`expand_regex`), then disjunctive BM25
+    over the expanded lemmas — identical multi-term-rewrite scoring to
+    :func:`prefix_search`/:func:`fuzzy_search`, third member of the
+    family."""
+    lemmas = expand_regex(index.terms, pattern, max_expansions)
+    return bm25_topk_lemmas(index, lemmas, k=k, match_all=False)
+
+
+def latest_hits(
+    index: InvertedIndex,
+    doc_ts: DataFrame,
+    query: str,
+    k: int = DEFAULT_TOP_K,
+) -> DataFrame:
+    """Match-then-sort-by-time (the ES ``sort: [{ts: desc}]`` shape):
+    the k NEWEST documents containing ALL query lemmas, relevance
+    ignored — "latest mentions of X" feeds and monitors. No scoring
+    stage at all: the shared AND-candidate aggregate semi-prunes a
+    column-pruned (doc_id, ts) scan, then TakeOrderedAndProject on
+    (ts desc, doc_id asc). Returns (doc_id, ts)."""
+    lemmas = parse_query(query)
+    if not lemmas:
+        return index.postings.sparkSession.createDataFrame(
+            [], "doc_id long, ts timestamp"
+        )
+    cand = docs_with_all_lemmas(index.postings, lemmas).select("doc_id")
+    return (
+        doc_ts.select("doc_id", "ts")
+        .join(cand, "doc_id", "left_semi")
+        .orderBy(F.col("ts").desc(), F.col("doc_id").asc())
+        .limit(int(k))
+    )
 
 
 def fuzzy_search(

@@ -388,6 +388,135 @@ def facets(
     )
 
 
+def date_histogram(
+    postings: DataFrame,
+    doc_ts: DataFrame,
+    lemmas: list[str],
+    interval_s: int = 86400,
+) -> DataFrame:
+    """Query-conditional time histogram (Elasticsearch
+    ``date_histogram`` aggregation): how many documents matching ALL
+    the query lemmas fall into each fixed time bucket — the
+    results-over-time sparkline beside a search page, and the
+    time-facet dual of :func:`facets`.
+
+    ``doc_ts`` is any (doc_id, ts:timestamp) DataFrame (pass
+    ``index.docs.select("doc_id", "ts")``). Buckets are half-open
+    ``[k·interval, (k+1)·interval)`` epochs — pure integer floor
+    division, engine-identical (no timezone/calendar arithmetic; a
+    calendar-aligned variant is date_trunc on the same plan).
+
+    Plan: the shared AND-candidate aggregate (lemma-IN-pruned scan),
+    one doc_id-keyed join to the column-pruned (doc_id, ts) scan —
+    candidates only, never the corpus — then ONE bucket-cardinality
+    aggregate, map-side combinable. Returns (bucket_start, n_docs)
+    ordered bucket_start asc."""
+    from search_engine_spark.operators.query import docs_with_all_lemmas
+
+    cand = docs_with_all_lemmas(postings, lemmas).select("doc_id")
+    iv = F.lit(int(interval_s))
+    return (
+        doc_ts.select("doc_id", F.unix_timestamp("ts").alias("_epoch"))
+        .join(cand, "doc_id")
+        # all-integer bucketing: epoch - (epoch mod interval) — no
+        # float division anywhere, bit-identical in every engine
+        .groupBy(
+            (F.col("_epoch") - F.pmod(F.col("_epoch"), iv))
+            .alias("bucket_start")
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("bucket_start").asc())
+    )
+
+
+def significant_terms(
+    postings: DataFrame,
+    terms: DataFrame,
+    n_docs: int,
+    lemmas: list[str],
+    min_fg_df: int = 2,
+    top: int = 20,
+) -> DataFrame:
+    """Query-correlated vocabulary (Elasticsearch ``significant_terms``
+    aggregation, JLH scoring): terms over-represented in the documents
+    MATCHING the query relative to the whole corpus — "what words go
+    with this query" analytics (the generalization of
+    :func:`related_terms` from one seed lemma to a full query's match
+    set). Per candidate lemma with foreground doc count ``fg_df`` over
+    ``fg_n`` matching docs and background ``df`` over ``n_docs``:
+
+        fg_pct = fg_df / fg_n ;  bg_pct = df / n_docs
+        jlh    = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+
+    — ES's default significance heuristic (absolute lift × relative
+    lift). The query's own lemmas are excluded (they are trivially
+    significant); ``min_fg_df`` floors out one-off noise.
+
+    Plan: the shared AND-candidate aggregate, ONE semi-joined postings
+    pass over the matching docs (selectivity-bounded — the corpus is
+    never rescanned), one vocabulary-bounded groupBy, an equi-join to
+    the dictionary for background df (AQE picks broadcast when it
+    fits), and the fg_n total rides a broadcast 1-row cross join so
+    the whole thing stays one lineage (no driver collect). Float order
+    pinned, round 6. Returns (lemma, fg_df, df, jlh) ordered
+    (jlh desc, lemma asc), top-``top``."""
+    from search_engine_spark.operators.query import docs_with_all_lemmas
+
+    cand = docs_with_all_lemmas(postings, lemmas).select("doc_id")
+    fg_n = cand.agg(F.count("*").alias("fg_n"))
+    fg = (
+        postings.join(cand, "doc_id", "left_semi")
+        .filter(~F.col("lemma").isin(lemmas))
+        .groupBy("lemma")
+        .agg(F.count("*").alias("fg_df"))  # postings unique per (doc,lemma)
+        .filter(F.col("fg_df") >= int(min_fg_df))
+    )
+    fg_pct = F.col("fg_df").cast("double") / F.col("fg_n").cast("double")
+    bg_pct = F.col("df").cast("double") / F.lit(float(n_docs))
+    return (
+        fg.join(terms.select("lemma", "df"), "lemma")
+        .crossJoin(F.broadcast(fg_n))
+        .select(
+            "lemma",
+            F.col("fg_df").cast("long").alias("fg_df"),
+            F.col("df").cast("long").alias("df"),
+            F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6).alias("jlh"),
+        )
+        .orderBy(F.col("jlh").desc(), F.col("lemma").asc())
+        .limit(int(top))
+    )
+
+
+def doc_term_vector(
+    postings: DataFrame,
+    terms: DataFrame,
+    doc_id: int,
+) -> DataFrame:
+    """Per-document term vector (the Elasticsearch ``_termvectors``
+    endpoint / Lucene term-vector read): every lemma of ONE document
+    with its within-doc tf and weighted rank plus the corpus-wide
+    df/cf — the raw material of "why does this doc match" debugging
+    and per-doc keyword extraction (its tf·idf ordering is exactly
+    :func:`~search_engine_spark.operators.query.select_seed_terms`).
+
+    Plan: a doc_id point predicate on the postings scan — partition-
+    pruned to one bucket dir in the v4 layout, row-group-pruned by the
+    doc_id min/max within it — then a dictionary equi-join over the
+    doc's ≤|unique lemmas| rows. Returns (lemma, tf, rank, df, cf)
+    ordered tf desc, lemma asc."""
+    mine = postings.filter(F.col("doc_id") == int(doc_id)).select(
+        "lemma", F.col("tf").cast("long").alias("tf"),
+        F.col("rank").cast("double").alias("rank"),
+    )
+    return (
+        mine.join(terms.select("lemma", "df", "cf"), "lemma")
+        .select("lemma", "tf", "rank",
+                F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+        .orderBy(F.col("tf").desc(), F.col("lemma").asc())
+    )
+
+
 def field_subtraction(
     docs: DataFrame,
     field_col: str,

@@ -126,6 +126,34 @@ def brute_force_topk(
     )
 
 
+def filtered_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    predicate,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PRE-FILTERED exact kNN (the Elasticsearch/vector-DB "filtered
+    kNN" semantics): cosine top-k among only the rows satisfying
+    ``predicate`` (a Column, e.g. ``F.col("label") == 3``).
+
+    Pre-filter (filter THEN rank) is the correct semantics — it always
+    returns k qualifying neighbors when k exist. The tempting
+    post-filter (rank globally, then drop non-matching) silently
+    under-returns when the filter is selective. Plan: the predicate is
+    applied before the distance computation, so Catalyst pushes it to
+    the parquet scan (PushedFilters — a selective label reads a sliver
+    of a label-partitioned store) and the exact scan cost is
+    proportional to the FILTERED set, not the corpus. For bucketed ANN
+    the same pre-filter composes with the probe's candidate read
+    (filter the candidate frame before ranking)."""
+    return brute_force_topk(
+        embeddings.filter(predicate), query_vec, k=k,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
 def mmr_rerank(
     candidates: DataFrame,
     embeddings: DataFrame,

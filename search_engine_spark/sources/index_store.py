@@ -231,6 +231,69 @@ def snapshot_path(index_dir: str, version: int) -> str:
     return p
 
 
+def restore_snapshot(
+    index_dir: str, version: int, snapshot: bool = True
+) -> dict:
+    """Roll the LIVE index back to snapshot ``version`` (Iceberg's
+    ``rollback_to_snapshot`` — the missing verb beside
+    create/list/expire/``as_of`` time travel): every live table is
+    replaced with a hardlink tree of the frozen version, and live
+    entries that did not exist at freeze time (e.g. stream-delta dirs
+    appended since) are removed. O(#files) metadata and ZERO data
+    bytes, for the same reason snapshots are cheap: published parquet
+    files are immutable.
+
+    The current live state is auto-snapshotted first (note
+    ``pre-restore``, ``snapshot=False`` opts out), so a restore is
+    itself undoable by another restore. Crash safety: the new state is
+    fully staged as hidden ``.restore_tmp`` links before ANY live
+    entry moves, and the pre-restore snapshot exists before that — a
+    crash mid-swap loses no data and is repaired by re-running the
+    restore (every step is idempotent)."""
+    import shutil
+
+    src = snapshot_path(index_dir, version)
+    pre = create_snapshot(index_dir, note=f"pre-restore(v{version})") \
+        if snapshot else None
+    stage = os.path.join(index_dir, ".restore_tmp")
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    for name in sorted(os.listdir(src)):
+        s, d = os.path.join(src, name), os.path.join(stage, name)
+        if os.path.isdir(s):
+            _link_tree(s, d)
+        else:
+            try:
+                os.link(s, d)
+            except OSError:  # pragma: no cover - cross-device fallback
+                shutil.copy2(s, d)
+    restored, removed = [], []
+    # remove live entries first (snapshot-absent ones permanently)
+    for name in sorted(os.listdir(index_dir)):
+        if name == SNAPSHOT_DIR or name.startswith("."):
+            continue
+        live = os.path.join(index_dir, name)
+        if os.path.isdir(live):
+            shutil.rmtree(live)
+        else:
+            os.remove(live)
+        (restored if os.path.exists(os.path.join(stage, name))
+         else removed).append(name)
+    for name in sorted(os.listdir(stage)):
+        os.replace(os.path.join(stage, name), os.path.join(index_dir, name))
+        if name not in restored:
+            restored.append(name)
+    shutil.rmtree(stage, ignore_errors=True)
+    return {
+        "restored_version": int(version),
+        "pre_restore_snapshot": pre,
+        "entries_restored": sorted(set(restored)),
+        "entries_removed": sorted(
+            n for n in removed if n not in set(restored)
+        ),
+    }
+
+
 def _bucket_col(bucket_width: int) -> F.Column:
     """Doc-range bucket of a doc_id — the storage partition key shared
     by the per-doc tables and the segment encoder."""

@@ -109,6 +109,13 @@ def test_search_cli_engines_agree(tmp_path):
     }
     assert all(isinstance(h["score"], float) for h in qld)
 
+    # --collapse: one best hit per conversation, no group repeated
+    col = hits(_search("--index", out, "--query", "w00000 w00001",
+                       "--collapse", "conv_id", "--k", "10"))
+    assert col and len({h["group"] for h in col}) == len(col)
+    top_scores = [h["score"] for h in df]
+    assert col[0]["score"] == top_scores[0]  # global best survives collapse
+
     page = hits(_search("--index", out, "--query", "w00000 w00001",
                         "--offset", "3", "--k", "4"))
     full = hits(_search("--index", out, "--query", "w00000 w00001", "--k", "10"))
@@ -193,6 +200,27 @@ def test_search_cli_engines_agree(tmp_path):
     assert len(hrows) == 3 and frows
     assert {f["facet"] for f in frows} <= {"user", "assistant", "tool"}
     assert sum(f["n_docs"] for f in frows) >= len(hrows)
+
+    # --significant: query-correlated vocabulary beside the hits;
+    # query lemmas never self-report
+    sig = _search("--index", out, "--query", "w00000 w00001",
+                  "--significant", "--k", "3")
+    assert sig.returncode == 0
+    srows = [json.loads(l) for l in sig.stdout.strip().splitlines()
+             if l and "jlh" in l]
+    assert srows and not ({s["lemma"] for s in srows} & {"w00000", "w00001"})
+
+    # --histogram: matching-doc counts per time bucket over the real
+    # transcript ts; bucket starts aligned to the interval, total
+    # count covers >= the emitted hits
+    hist = _search("--index", out, "--query", "w00000 w00001",
+                   "--histogram", "86400", "--k", "3")
+    assert hist.returncode == 0
+    hlines = [json.loads(l) for l in hist.stdout.strip().splitlines() if l]
+    brows = [l for l in hlines if "bucket_start" in l]
+    assert brows and all(b["bucket_start"] % 86400 == 0 for b in brows)
+    assert sum(b["n_docs"] for b in brows) >= len(
+        [l for l in hlines if "score" in l])
 
     # --recency: with a huge half-life the decay is ~1 — ranking equals
     # plain df BM25; with a tiny one it still returns the same match

@@ -1146,3 +1146,108 @@ def test_qld_topk_empty_and_or_mode(tiny_index):
     got_and = qld_topk(tiny_index, "w00000 zzznotaword", k=5)
     assert got_and.count() == 0          # AND: missing term kills all
     assert got_or.count() == 5           # OR: surviving term matches
+
+
+def test_collapse_topk_best_per_group(tiny_index):
+    """Field collapsing: one representative per group (the group's
+    best (score desc, doc_id asc) hit), groups competing globally —
+    recomputed from the full scored list + a doc->group map."""
+    from search_engine_spark.operators.query import collapse_topk
+
+    query = "w00000s w00001"
+    all_hits = _rows(bm25_topk(tiny_index, query, k=100000))
+    groups = {
+        int(r["doc_id"]): r["conv_id"]
+        for r in tiny_index.docs.select("doc_id", "conv_id").collect()
+    }
+    best: dict[str, tuple] = {}
+    for d, s in all_hits:  # already (score desc, doc_id asc) ordered
+        g = groups[d]
+        if g not in best:
+            best[g] = (d, s)
+    want = sorted(
+        ((g, d, s) for g, (d, s) in best.items()),
+        key=lambda t: (-t[2], t[1]),
+    )[:10]
+    got = [
+        (r["group"], r["doc_id"], r["score"])
+        for r in collapse_topk(
+            tiny_index, tiny_index.docs, query, collapse_col="conv_id", k=10
+        ).collect()
+    ]
+    assert got == want
+    # collapsing really deduped: no group twice, and fewer-or-equal
+    # rows than plain top-k over the same matches
+    assert len({g for g, _, _ in got}) == len(got)
+
+
+def test_collapse_topk_empty_query(tiny_index):
+    from search_engine_spark.operators.query import collapse_topk
+
+    out = collapse_topk(tiny_index, tiny_index.docs, "the and of", k=5)
+    assert out.count() == 0
+    assert out.columns == ["group", "doc_id", "score"]
+
+
+def test_regexp_search_expansion_and_scoring(tiny_index):
+    """Whole-term-anchored regex expansion == manual dictionary filter;
+    scoring equals disjunctive BM25 over the expanded lemmas."""
+    from search_engine_spark.operators.query import (
+        bm25_topk_lemmas,
+        expand_regex,
+        regexp_search,
+    )
+
+    pat = "w0000[0-2]"
+    lemmas = expand_regex(tiny_index.terms, pat, max_expansions=16)
+    vocab = [r["lemma"] for r in tiny_index.terms.collect()]
+    import re
+
+    want_set = {v for v in vocab if re.fullmatch(pat, v)}
+    assert set(lemmas) == want_set and want_set
+    # partial matches (suffixed forms like w00000s) are NOT whole-term
+    # matches — the anchoring contract
+    assert not any(l.endswith("s") and len(l) > 6 for l in lemmas)
+
+    got = regexp_search(tiny_index, pat, k=10).collect()
+    want = bm25_topk_lemmas(tiny_index, lemmas, k=10, match_all=False).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_latest_hits_newest_matching_docs(tiny_index):
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.query import (
+        docs_with_all_lemmas,
+        latest_hits,
+        parse_query,
+    )
+
+    query = "w00000s w00001"
+    doc_ts = tiny_index.docs.select(
+        "doc_id",
+        F.timestamp_seconds(
+            F.lit(1000000) + (F.col("doc_id") * 101) % 99991
+        ).alias("ts"),
+    )
+    got = [
+        (r["doc_id"], r["ts"])
+        for r in latest_hits(tiny_index, doc_ts, query, k=5).collect()
+    ]
+    cand = [
+        int(r["doc_id"])
+        for r in docs_with_all_lemmas(
+            tiny_index.postings, parse_query(query)
+        ).collect()
+    ]
+    want_ids = sorted(
+        cand, key=lambda d: (-(1000000 + (d * 101) % 99991), d)
+    )[:5]
+    assert [d for d, _ in got] == want_ids
+    # ordered newest-first
+    ts_list = [t for _, t in got]
+    assert ts_list == sorted(ts_list, reverse=True)
+
+    assert latest_hits(tiny_index, doc_ts, "the and of", k=5).count() == 0

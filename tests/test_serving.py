@@ -321,3 +321,101 @@ def test_corpus_profile_exact_quantiles(spark):
         for p in (0.5, 0.9, 0.99):
             want = s[math.ceil(p * len(s)) - 1]
             assert r[f"p{int(p*100)}_tokens"] == want, (src, p)
+
+
+def test_date_histogram_hand_computed(tiny_index):
+    """Bucket counts recomputed from the matching set + integer
+    arithmetic; buckets are half-open [k*iv, (k+1)*iv)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.query import parse_query
+    from search_engine_spark.operators.serving import date_histogram
+
+    lemmas = parse_query("w00000s w00001")
+    iv = 3600
+    doc_ts = tiny_index.docs.select(
+        "doc_id",
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("doc_id") * 37) % 100000
+        ).alias("ts"),
+    )
+    got = [
+        (r["bucket_start"], r["n_docs"])
+        for r in date_histogram(
+            tiny_index.postings, doc_ts, lemmas, interval_s=iv
+        ).collect()
+    ]
+
+    from search_engine_spark.operators.query import docs_with_all_lemmas
+
+    cand = [
+        int(r["doc_id"])
+        for r in docs_with_all_lemmas(tiny_index.postings, lemmas).collect()
+    ]
+    assert cand, "fixture query must match"
+    want: dict[int, int] = {}
+    for d in cand:
+        e = 1704067200 + (d * 37) % 100000
+        b = e - (e % iv)
+        want[b] = want.get(b, 0) + 1
+    assert got == sorted(want.items())
+    assert sum(n for _, n in got) == len(cand)
+
+
+def test_significant_terms_hand_computed(tiny_index):
+    """JLH recomputed from collected postings: fg from the AND-match
+    set, bg from the dictionary, query lemmas excluded."""
+    from search_engine_spark.operators.query import (
+        docs_with_all_lemmas,
+        parse_query,
+    )
+    from search_engine_spark.operators.serving import significant_terms
+
+    lemmas = parse_query("w00000s w00001")
+    got = [
+        (r["lemma"], r["fg_df"], r["df"], r["jlh"])
+        for r in significant_terms(
+            tiny_index.postings, tiny_index.terms, tiny_index.stats.n_docs,
+            lemmas, min_fg_df=2, top=15,
+        ).collect()
+    ]
+    assert got, "fixture query must match docs"
+
+    cand = {
+        int(r["doc_id"])
+        for r in docs_with_all_lemmas(tiny_index.postings, lemmas).collect()
+    }
+    fg: dict[str, int] = {}
+    for r in tiny_index.postings.select("doc_id", "lemma").collect():
+        if int(r["doc_id"]) in cand and r["lemma"] not in lemmas:
+            fg[r["lemma"]] = fg.get(r["lemma"], 0) + 1
+    df = {r["lemma"]: int(r["df"]) for r in tiny_index.terms.collect()}
+    n, fg_n = tiny_index.stats.n_docs, len(cand)
+    scored = []
+    for lem, f in fg.items():
+        if f < 2:
+            continue
+        fp, bp = f / float(fg_n), df[lem] / float(n)
+        scored.append((lem, f, df[lem], round((fp - bp) * (fp / bp), 6)))
+    want = sorted(scored, key=lambda t: (-t[3], t[0]))[:15]
+    assert got == want
+    # query's own lemmas never appear
+    assert not ({g[0] for g in got} & set(lemmas))
+
+
+def test_doc_term_vector_point_lookup(tiny_index):
+    """One doc's term vector: tf values sum to the doc's dl, df/cf come
+    from the dictionary, ordering tf desc / lemma asc."""
+    from search_engine_spark.operators.serving import doc_term_vector
+
+    doc = int(tiny_index.doclen.limit(1).collect()[0]["doc_id"])
+    rows = doc_term_vector(tiny_index.postings, tiny_index.terms, doc).collect()
+    assert rows
+    dl = int(tiny_index.doclen.filter(F.col("doc_id") == doc)
+             .collect()[0]["dl"])
+    assert sum(r["tf"] for r in rows) == dl
+    terms = {r["lemma"]: (int(r["df"]), int(r["cf"]))
+             for r in tiny_index.terms.collect()}
+    for r in rows:
+        assert (r["df"], r["cf"]) == terms[r["lemma"]]
+    assert rows == sorted(rows, key=lambda r: (-r["tf"], r["lemma"]))

@@ -853,3 +853,38 @@ def test_brute_force_topk_per_group(emb, spark):
             ).collect()
         ]
         assert hits == want, lab
+
+
+def test_filtered_topk_pre_filter_semantics(spark):
+    """Filtered kNN: results all satisfy the predicate and equal the
+    exact top-k over the filtered subset (pre-filter, never
+    post-filter under-return)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.similarity import (
+        brute_force_topk,
+        filtered_topk,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    q = rows[0][1]
+    got = filtered_topk(emb, q, F.col("label") == 1, k=5).collect()
+    assert len(got) == 5
+    labels = {r[0]: r[2] for r in rows}
+    assert all(labels[r["vec_id"]] == 1 for r in got)
+    want = brute_force_topk(emb.filter(F.col("label") == 1), q, k=5).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in want
+    ]
+    # a selective filter still returns k when k qualify — the
+    # post-filter failure mode this operator exists to avoid
+    assert len(filtered_topk(emb, q, F.col("label") == 2, k=20).collect()) == 20

@@ -133,3 +133,40 @@ def test_snapshot_is_isolated_from_live_writes(spark, tiny_transcripts,
     snap_stats = os.path.join(idx_dir, "_snapshots", f"v{v}", "stats.json")
     live_stats = os.path.join(idx_dir, "stats.json")
     assert os.stat(snap_stats).st_ino != os.stat(live_stats).st_ino
+
+
+def test_restore_snapshot_rolls_back_live(spark, tiny_transcripts, tmp_path):
+    """restore_snapshot: the live index returns byte-for-byte to the
+    frozen version's query results, the pre-restore state is itself
+    snapshotted (undoable), and re-restoring forward works."""
+    from search_engine_spark.sources.index_store import restore_snapshot
+
+    idx_dir = str(tmp_path / "idx")
+    ix = build_index(tiny_transcripts, use_arrow_udf=False, weighted=True)
+    write_index(ix, idx_dir, input_desc="tiny", bucket_width=512)
+    before = _topk(spark, idx_dir)
+
+    row = tiny_transcripts.orderBy("conv_id", "turn_idx").limit(1).collect()[0]
+    reindex_turn(spark, idx_dir, row["conv_id"], row["turn_idx"], NEW_TEXT,
+                 bucket_width=512)
+    after = _topk(spark, idx_dir)
+    assert after != before
+    assert [s["version"] for s in list_snapshots(idx_dir)] == [1]
+
+    out = restore_snapshot(idx_dir, 1)
+    spark.catalog.clearCache()
+    assert out["restored_version"] == 1
+    assert out["pre_restore_snapshot"] == 2
+    assert "postings" in out["entries_restored"]
+    assert _topk(spark, idx_dir) == before            # rolled back
+    # both versions still frozen: v1 (pre-mutation) and v2 (pre-restore)
+    assert [s["version"] for s in list_snapshots(idx_dir)] == [1, 2]
+    assert _topk(spark, idx_dir, as_of=2) == after
+
+    # restore FORWARD to the pre-restore state — rollback is symmetric
+    restore_snapshot(idx_dir, 2, snapshot=False)
+    spark.catalog.clearCache()
+    assert _topk(spark, idx_dir) == after
+
+    with pytest.raises(ValueError):
+        restore_snapshot(idx_dir, 99)
