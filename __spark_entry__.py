@@ -1196,6 +1196,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.unix_timestamp("ts").cast("long").alias("ts_epoch"),
         )
 
+    def q_conversation_context(spark, sf):
+        # transcript context windows: top-5 hits ± 1 neighboring turn
+        # under a deterministic derived conversation structure
+        # (conv = doc_id div 4, turn = doc_id mod 4 — the documents
+        # table has no conv columns; the real-transcript path is
+        # exercised in pytest over the synthesized corpus)
+        from search_engine_spark.operators.serving import (
+            conversation_context,
+        )
+
+        ix = _index_for(spark, sf)
+        docs = _documents(spark, sf).select(
+            "doc_id",
+            F.concat(F.lit("c"), F.expr("doc_id div 4").cast("string"))
+            .alias("conv_id"),
+            (F.col("doc_id") % 4).cast("int").alias("turn_idx"),
+            F.col("source").alias("role"),
+            "text",
+        )
+        hits = bm25_topk(ix, Q_MAIN, k=5).select("doc_id")
+        return conversation_context(docs, hits, before=1, after=1)
+
     def q_doc_term_vector(spark, sf):
         # ES _termvectors: one doc's lemmas with tf/rank + corpus df/cf
         # (bucket-pruned point lookup + dictionary join)
@@ -1532,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_term_vector": q_doc_term_vector,
         "regexp_search": q_regexp_search,
         "latest_hits": q_latest_hits,
+        "conversation_context": q_conversation_context,
         "embedding_topk_filtered": q_embed_topk_filtered,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
@@ -3395,6 +3418,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "prefix_search": prefix_oracle,
         "regexp_search": regexp_oracle,
+        # context windows: hits ± 1 turn under the derived conv
+        # structure (conv = doc_id div 4, turn = doc_id mod 4)
+        "conversation_context": f"""
+            WITH {_POSTINGS},
+            topk AS (SELECT doc_id FROM ({_bm25_sql(Q_MAIN, k=5)})),
+            dd AS (
+                SELECT doc_id,
+                       'c' || CAST(doc_id // 4 AS VARCHAR) AS conv_id,
+                       CAST(doc_id % 4 AS INTEGER) AS turn_idx,
+                       source AS role, text
+                FROM documents
+            ),
+            anchors AS (
+                SELECT t.doc_id AS hit_doc, d.conv_id,
+                       d.turn_idx AS hit_turn
+                FROM topk t JOIN dd d ON d.doc_id = t.doc_id
+            ),
+            wanted AS (
+                SELECT a.hit_doc, a.conv_id,
+                       CAST(o.off AS INTEGER) AS "offset",
+                       a.hit_turn + o.off AS turn_idx
+                FROM anchors a
+                CROSS JOIN (SELECT unnest([-1, 0, 1]) AS off) o
+            )
+            SELECT w.hit_doc, w."offset", d.doc_id, d.conv_id,
+                   d.turn_idx, d.role, d.text
+            FROM wanted w
+            JOIN dd d ON d.conv_id = w.conv_id AND d.turn_idx = w.turn_idx
+            ORDER BY w.hit_doc, w."offset"
+        """,
         # latest hits: AND candidates ordered by the derived ts desc —
         # no scoring stage; epoch → TIMESTAMP via to_timestamp (UTC,
         # matching the session tz)

@@ -40,6 +40,9 @@ def main() -> None:
     p.add_argument("--more-like", type=int, default=None, metavar="DOC_ID",
                    help="rank documents similar to DOC_ID instead of "
                         "searching by --query (reference related-pages)")
+    p.add_argument("--context", type=int, default=None, metavar="N",
+                   help="print each hit with its +-N surrounding "
+                        "conversation turns")
     p.add_argument("--significant", action="store_true",
                    help="print significant terms (ES significant_terms, "
                         "JLH) of the query's match set beside the hits")
@@ -461,6 +464,23 @@ def main() -> None:
             for r in facets(ix.postings, ix.docs, lemmas, col.strip()).collect():
                 print(json.dumps({"facet_col": col.strip(), **r.asDict()}),
                       flush=True)
+
+    if args.context is not None and rows:
+        from search_engine_spark.operators.serving import (
+            conversation_context,
+        )
+
+        ctx = conversation_context(
+            ix.docs, spark.createDataFrame(rows).select("doc_id"),
+            before=args.context, after=args.context,
+        )
+        for r in ctx.collect():
+            print(json.dumps({
+                "hit_doc": r["hit_doc"], "offset": r["offset"],
+                "doc_id": r["doc_id"], "conv_id": r["conv_id"],
+                "turn_idx": r["turn_idx"], "role": r["role"],
+                "text": r["text"][:200],
+            }), flush=True)
 
     if args.significant and args.query is not None:
         from search_engine_spark.operators.query import parse_query

@@ -487,6 +487,55 @@ def significant_terms(
     )
 
 
+def conversation_context(
+    docs: DataFrame,
+    hits: DataFrame,
+    before: int = 1,
+    after: int = 1,
+) -> DataFrame:
+    """Hit turns WITH their surrounding conversation turns — the
+    transcript-native result view (a search hit mid-conversation is
+    near-useless without the turns around it; chat UIs render exactly
+    this window). For each hit doc, returns every doc of the same
+    conversation whose turn_idx lies in [hit_turn − before,
+    hit_turn + after], tagged with the hit it contextualizes and its
+    signed offset.
+
+    Plan: the k-row hit frame joins ``docs`` once for its own
+    (conv_id, turn_idx), explodes the fixed offset range (k·(before+
+    after+1) rows — still broadcast-sized), then ONE broadcast equi-
+    join on (conv_id, turn_idx) back to the doc store: the corpus is
+    scanned once, no shuffle of the big side, and conversation-
+    partitioned doc stores prune to the hit conversations. Missing
+    neighbors (window past either end of the conversation) simply
+    don't join — no NULL rows. Output: (hit_doc, offset, doc_id,
+    conv_id, turn_idx, role, text) ordered (hit_doc, offset)."""
+    anchors = hits.select(F.col("doc_id").alias("hit_doc")).join(
+        docs.select(F.col("doc_id").alias("hit_doc"), "conv_id",
+                    F.col("turn_idx").alias("_hit_turn")),
+        "hit_doc",
+    )
+    wanted = anchors.select(
+        "hit_doc",
+        "conv_id",
+        F.explode(
+            F.sequence(F.lit(-int(before)), F.lit(int(after)))
+        ).alias("offset"),
+        F.col("_hit_turn"),
+    ).select(
+        "hit_doc", "conv_id", "offset",
+        (F.col("_hit_turn") + F.col("offset")).alias("turn_idx"),
+    )
+    return (
+        F.broadcast(wanted)
+        .join(docs.select("doc_id", "conv_id", "turn_idx", "role", "text"),
+              ["conv_id", "turn_idx"])
+        .select("hit_doc", "offset", "doc_id", "conv_id", "turn_idx",
+                "role", "text")
+        .orderBy("hit_doc", "offset")
+    )
+
+
 def doc_term_vector(
     postings: DataFrame,
     terms: DataFrame,

@@ -201,6 +201,18 @@ def test_search_cli_engines_agree(tmp_path):
     assert {f["facet"] for f in frows} <= {"user", "assistant", "tool"}
     assert sum(f["n_docs"] for f in frows) >= len(hrows)
 
+    # --context: every hit appears with its offset-0 row; all rows
+    # stay inside the hit's conversation window
+    ctx = _search("--index", out, "--query", "w00000 w00001",
+                  "--context", "1", "--k", "3")
+    assert ctx.returncode == 0
+    clines = [json.loads(l) for l in ctx.stdout.strip().splitlines()
+              if l and "hit_doc" in l]
+    chits = {c["hit_doc"] for c in clines}
+    assert clines and all(-1 <= c["offset"] <= 1 for c in clines)
+    assert all(any(c["offset"] == 0 and c["hit_doc"] == h for c in clines)
+               for h in chits)
+
     # --significant: query-correlated vocabulary beside the hits;
     # query lemmas never self-report
     sig = _search("--index", out, "--query", "w00000 w00001",

@@ -419,3 +419,46 @@ def test_doc_term_vector_point_lookup(tiny_index):
     for r in rows:
         assert (r["df"], r["cf"]) == terms[r["lemma"]]
     assert rows == sorted(rows, key=lambda r: (-r["tf"], r["lemma"]))
+
+
+def test_conversation_context_windows(tiny_index):
+    """Hit turns ± neighbors over the REAL transcript structure:
+    every returned row is in the same conversation within the offset
+    window; hits at conversation edges return truncated windows."""
+    from search_engine_spark.operators.serving import conversation_context
+
+    hits = bm25_topk(tiny_index, "w00000s w00001", k=5).select("doc_id")
+    rows = conversation_context(
+        tiny_index.docs, hits, before=1, after=2
+    ).collect()
+    assert rows
+
+    meta = {
+        int(r["doc_id"]): (r["conv_id"], int(r["turn_idx"]))
+        for r in tiny_index.docs.select("doc_id", "conv_id", "turn_idx")
+        .collect()
+    }
+    hit_ids = {int(r["doc_id"]) for r in hits.collect()}
+    by_hit: dict[int, list] = {}
+    for r in rows:
+        h = int(r["hit_doc"])
+        assert h in hit_ids
+        hc, ht = meta[h]
+        assert r["conv_id"] == hc                      # same conversation
+        assert r["turn_idx"] == ht + r["offset"]       # exact offset
+        assert -1 <= r["offset"] <= 2
+        by_hit.setdefault(h, []).append(r["offset"])
+    # every hit contextualizes itself (offset 0 always joins)
+    assert set(by_hit) == hit_ids
+    for offs in by_hit.values():
+        assert 0 in offs
+    # full recomputation: expected rows = every (hit, offset) whose
+    # target turn exists
+    turns = {(c, t) for c, t in meta.values()}
+    want = sum(
+        1
+        for h in hit_ids
+        for off in (-1, 0, 1, 2)
+        if (meta[h][0], meta[h][1] + off) in turns
+    )
+    assert len(rows) == want
