@@ -43,6 +43,11 @@ def main() -> None:
                    metavar="KEEP",
                    help="after the run, keep only the newest KEEP "
                         "snapshots (index_store.expire_snapshots)")
+    p.add_argument("--delete-where", default=None, metavar="SQL_PRED",
+                   help="delete-by-query over the doc-store columns "
+                        "(e.g. \"ts < timestamp '2026-01-01'\" for "
+                        "retention, \"role = 'tool'\"); runs before "
+                        "drain/compact, auto-snapshots first")
     p.add_argument("--restore", type=int, default=None, metavar="VERSION",
                    help="roll the live index back to this snapshot "
                         "version before anything else runs (the "
@@ -77,9 +82,15 @@ def main() -> None:
 
         out["restore"] = restore_snapshot(args.index, args.restore)
         spark.catalog.clearCache()
-    if not args.input and not args.merge_from and args.restore is None:
-        print("nothing to do: pass --input, --merge-from and/or --restore",
-              file=sys.stderr)
+    if args.delete_where:
+        from search_engine_spark.sources.index_store import delete_where
+
+        out["delete"] = delete_where(spark, args.index, args.delete_where)
+        spark.catalog.clearCache()
+    if (not args.input and not args.merge_from and args.restore is None
+            and not args.delete_where):
+        print("nothing to do: pass --input, --merge-from, --restore "
+              "and/or --delete-where", file=sys.stderr)
         spark.stop()
         sys.exit(2)
     # merge FIRST: merge_indexes refuses undrained stream deltas, and a

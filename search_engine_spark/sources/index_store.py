@@ -985,11 +985,43 @@ def delete_scope(
     (ADVICE r2: a replay that only re-ran the re-encode left a crash
     between the first swap and the stats rebuild permanently
     inconsistent)."""
+    esc = str(scope_value).replace("'", "''")
+    return delete_where(
+        spark, index_dir, f"{scope_col} = '{esc}'",
+        bucket_width=bucket_width, snapshot=snapshot,
+        _note=f"delete_scope {scope_col}={scope_value}",
+    )
+
+
+def delete_where(
+    spark: SparkSession,
+    index_dir: str,
+    pred_sql: str,
+    bucket_width: int = DOC_BUCKET_WIDTH,
+    snapshot: bool = True,
+    _note: str | None = None,
+) -> dict:
+    """Delete-by-query (the Elasticsearch ``_delete_by_query`` / SQL
+    ``DELETE WHERE`` primitive): remove every document whose doc-store
+    row satisfies ``pred_sql`` — an arbitrary SQL predicate over the
+    transcript columns (``role = 'tool'``, ``ts < timestamp
+    '2026-01-01'``, ``conv_id LIKE 'batch7%'`` …). Time-based
+    RETENTION is exactly a ts predicate here
+    (``refresh_index.py --delete-where``). :func:`delete_scope` is the
+    single-equality wrapper.
+
+    Same machinery and guarantees as delete_scope (it is the
+    generalization): bucket-bounded anti-join rewrites, exact
+    dictionary/stats rebuild, surgical segment re-encode, pre-delete
+    auto-snapshot, and the whole-delete crash journal — the PREDICATE
+    STRING is what's journaled, so replay-after-crash re-derives the
+    doomed set from whatever table state the crash left (idempotent:
+    already-deleted docs no longer match)."""
     stats = load_stats(index_dir)
     if stats is None:
         raise ValueError(f"no index at {index_dir} (stats.json missing)")
 
-    # fold pending streamed deltas first: scope deletion must see the
+    # fold pending streamed deltas first: the deletion must see the
     # streamed turns, and the delta log must not survive the exact
     # dictionary rebuild below (it would double-count df/cf)
     if os.path.isdir(os.path.join(index_dir, "docs_stream")) or os.path.isdir(
@@ -1004,24 +1036,29 @@ def delete_scope(
         # journaled delete (idempotent) before doing new work
         with open(pending_path) as fh:
             pending = json.load(fh)
+        # legacy journals recorded ["scope_col", "scope_value"]
+        old_pred = pending.get("pred") or (
+            "{} = '{}'".format(
+                pending["scope"][0],
+                str(pending["scope"][1]).replace("'", "''"),
+            )
+        )
         _run_scope_delete(
-            spark, index_dir, pending["scope"][0], pending["scope"][1],
+            spark, index_dir, old_pred,
             pending["buckets"], int(pending["bucket_width"]),
         )
 
     if snapshot:
         # freeze the (now-consistent: deltas folded, crashes replayed)
         # pre-delete state — time-travel readable via DiskIndex(as_of=v)
-        create_snapshot(
-            index_dir, note=f"pre delete_scope {scope_col}={scope_value}"
-        )
+        create_snapshot(index_dir, note=f"pre {_note or f'delete_where {pred_sql}'}")
 
     disk = DiskIndex(spark, index_dir)
     # _base_docs resolves every layout (local parquet, by-reference
     # docs_source, spilled _mid + docid_adjust) to explicit doc_ids
     docs_raw = disk._base_docs
     doomed = (
-        docs_raw.filter(F.col(scope_col) == F.lit(scope_value))
+        docs_raw.filter(F.expr(pred_sql))
         .select("doc_id")
         .persist()
     )
@@ -1035,14 +1072,14 @@ def delete_scope(
             (F.col("doc_id") / bucket_width).cast("long")
         ).distinct().collect()
     )
-    # journal scope + buckets BEFORE any table swap (crash repair point)
+    # journal predicate + buckets BEFORE any table swap (crash repair)
     tmp = pending_path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump({"buckets": buckets, "bucket_width": bucket_width,
-                   "scope": [scope_col, scope_value]}, fh)
+                   "pred": pred_sql}, fh)
     os.replace(tmp, pending_path)
     _run_scope_delete(
-        spark, index_dir, scope_col, scope_value, buckets, bucket_width,
+        spark, index_dir, pred_sql, buckets, bucket_width,
         doomed=doomed,
     )
     doomed.unpersist()
@@ -1082,18 +1119,17 @@ def _anti_delete_table(
 def _run_scope_delete(
     spark: SparkSession,
     index_dir: str,
-    scope_col: str,
-    scope_value: str,
+    pred_sql: str,
     buckets: list[int],
     bucket_width: int,
     doomed: DataFrame | None = None,
 ) -> None:
-    """The journaled (replayable) body of :func:`delete_scope`: bucket
+    """The journaled (replayable) body of :func:`delete_where`: bucket
     anti-join rewrites → dictionary/stats rebuild → segment re-encode →
     journal removal. Every step is idempotent, so a crash anywhere in
-    here is repaired by running it again with the journaled args (the
-    doomed set is recomputed from the CURRENT docs table — empty if the
-    docs swap already happened, making the rewrites no-ops)."""
+    here is repaired by running it again with the journaled predicate
+    (the doomed set is recomputed from the CURRENT docs table — empty
+    if the docs swap already happened, making the rewrites no-ops)."""
     import shutil
 
     stats = load_stats(index_dir) or {}
@@ -1103,7 +1139,7 @@ def _run_scope_delete(
     doomed_local = doomed is None
     if doomed is None:
         doomed = (
-            docs_raw.filter(F.col(scope_col) == F.lit(scope_value))
+            docs_raw.filter(F.expr(pred_sql))
             .select("doc_id")
             .persist()
         )
@@ -1139,7 +1175,7 @@ def _run_scope_delete(
         )
     _write_segment_buckets(
         ix, index_dir, todo=list(buckets), bucket_width=bucket_width,
-        input_desc=f"delete_scope:{scope_col}={scope_value}",
+        input_desc=f"delete_where:{pred_sql}",
     )
     os.remove(pending_path)
 

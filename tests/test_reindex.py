@@ -296,3 +296,61 @@ def test_delete_scope_folds_streamed_deltas_first(spark, tmp_path):
     b = sorted(tuple(r) for r in fresh.terms.select("lemma", "df", "cf").collect())
     assert a == b
     assert got.stats.n_docs == fresh.stats.n_docs
+
+
+def test_delete_where_predicate_equals_fresh_build(spark, tiny_transcripts,
+                                                   tmp_path):
+    """delete_where (ES _delete_by_query): a ROLE predicate — deleting
+    every tool turn — leaves tables keyed-equal to a fresh build over
+    the surviving corpus; the journal records the predicate."""
+    from search_engine_spark.operators.query import bm25_topk
+    from search_engine_spark.sources.index_store import delete_where
+
+    idx_dir = str(tmp_path / "idx")
+    ix = build_index(tiny_transcripts, use_arrow_udf=False, weighted=True)
+    write_index(ix, idx_dir, input_desc="tiny", bucket_width=512)
+
+    n_tool = tiny_transcripts.filter(F.col("role") == "tool").count()
+    assert n_tool > 0, "fixture needs tool turns"
+    info = delete_where(spark, idx_dir, "role = 'tool'", bucket_width=512)
+    assert info["deleted"] == n_tool
+
+    remaining = tiny_transcripts.filter(F.col("role") != "tool")
+    fresh = build_index(remaining, use_arrow_udf=False, weighted=True)
+    got = DiskIndex(spark, idx_dir).as_inverted_index()
+
+    def keyed(index, df, cols):
+        keys = index.docs.select("doc_id", "conv_id", "turn_idx")
+        return sorted(
+            tuple(r)
+            for r in df.join(keys, "doc_id")
+            .select("conv_id", "turn_idx", *cols)
+            .collect()
+        )
+
+    assert keyed(got, got.postings, ["lemma", "tf"]) == keyed(
+        fresh, fresh.postings, ["lemma", "tf"]
+    )
+    assert got.stats.n_docs == fresh.stats.n_docs
+    assert got.docs.filter(F.col("role") == "tool").count() == 0
+
+    # scores over the mutated index == fresh build (keyed)
+    q = "w00000s w00001"
+    keys = {
+        (r["conv_id"], r["turn_idx"]): r["score"]
+        for r in bm25_topk(got, q, k=10)
+        .join(got.docs.select("doc_id", "conv_id", "turn_idx"), "doc_id")
+        .collect()
+    }
+    fresh_keys = {
+        (r["conv_id"], r["turn_idx"]): r["score"]
+        for r in bm25_topk(fresh, q, k=10)
+        .join(fresh.docs.select("doc_id", "conv_id", "turn_idx"), "doc_id")
+        .collect()
+    }
+    assert keys == fresh_keys
+
+    # no-match predicate is a clean no-op
+    info2 = delete_where(spark, idx_dir, "role = 'nonexistent'",
+                         bucket_width=512)
+    assert info2 == {"deleted": 0, "buckets_reencoded": []}
