@@ -43,6 +43,14 @@ def main() -> None:
                    metavar="KEEP",
                    help="after the run, keep only the newest KEEP "
                         "snapshots (index_store.expire_snapshots)")
+    p.add_argument("--alert-queries", default=None, metavar="QUERIES_TSV",
+                   help="after the drain, percolate the SAME new turns "
+                        "against these stored queries (qid<TAB>query "
+                        "per line) and append hits to <index>/alerts "
+                        "(exactly-once per input file)")
+    p.add_argument("--alert-frac", type=float, default=1.0,
+                   help="per-query minimum_should_match fraction for "
+                        "--alert-queries (1.0 = strict AND)")
     p.add_argument("--delete-where", default=None, metavar="SQL_PRED",
                    help="delete-by-query over the doc-store columns "
                         "(e.g. \"ts < timestamp '2026-01-01'\" for "
@@ -102,6 +110,22 @@ def main() -> None:
     if args.input:
         incremental_index_refresh(spark, args.input, args.index)
         out["drained"] = True
+    if args.alert_queries:
+        if not args.input:
+            print("--alert-queries needs --input (the turn feed)",
+                  file=sys.stderr)
+            spark.stop()
+            sys.exit(2)
+        from search_engine_spark.streaming.alerts import (
+            load_stored_queries,
+            streaming_percolate_alerts,
+        )
+
+        out["alerts_appended"] = streaming_percolate_alerts(
+            spark, args.input, args.index,
+            load_stored_queries(args.alert_queries),
+            min_match_frac=args.alert_frac,
+        )
     if args.compact:
         out["compaction"] = compact_index(spark, args.index)
         out["compacted"] = True

@@ -177,17 +177,9 @@ def main() -> None:
 
     if args.percolate is not None:
         from search_engine_spark.operators.query import percolate
+        from search_engine_spark.streaming.alerts import load_stored_queries
 
-        stored: dict[int, str] = {}
-        with open(args.percolate) as fh:
-            for line in fh:
-                line = line.strip()
-                if not line or line.startswith("#"):
-                    continue
-                qid, _, text = line.partition("\t")
-                if not text:
-                    qid, _, text = line.partition(" ")
-                stored[int(qid)] = text.strip()
+        stored = load_stored_queries(args.percolate)
         res = percolate(ix.postings, stored,
                         min_match_frac=args.percolate_frac)
         for r in res.orderBy("query_id", "doc_id").collect():
