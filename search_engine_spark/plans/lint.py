@@ -51,6 +51,8 @@ BNLJ_ALLOWED = {
     "dsir_resample_topk",  # perplexity scorer above, same scalar splice
     "related_terms",  # x 1-row seed-term df (serving.py related_terms)
     "suggest_spelling",  # terms x broadcast query words (query.py)
+    "collocations",  # x 1-row (T, B) totals frame (collocations.py)
+    "significant_terms",  # x 1-row fg_n frame (serving.py)
 }
 
 # Measured at sf0.001 (scripts/plan_audit.py, 2026-08-19): 84 of the
@@ -76,6 +78,10 @@ SHUFFLE_BUDGET = {
     # OR-group union of two retrieval branches + phrase verify + NOT
     # anti-join on top of the base composed search
     "search_composed_or": 11,
+    # AND-candidate agg + fg postings agg + dictionary join + fg_n
+    # scalar agg + final top-n: each exchange is a named stage of the
+    # JLH composition (serving.significant_terms)
+    "significant_terms": 10,
     # eval composite: batch retrieval (scan+agg+window) + one-pass
     # qrels arity aggregate + runs x qrels join + metric aggregate +
     # ideal-DCG window/aggregate + final per-query join — every
