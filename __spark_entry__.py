@@ -159,6 +159,8 @@ from search_engine_spark.operators.wand import wand_topk, wand_topk_tree
 Q_MAIN = "query filter join"      # three hot terms
 Q_RARE = "dup key"                # rare term ('dup' marks planted near-dups)
 QLD_MU = 2000.0                   # Dirichlet pseudo-count prior (qld_topk)
+# BM25 grid for the one-pass parameter sweep (k1, b)
+SWEEP_CONFIGS = [(1.2, 0.75), (0.8, 0.3), (1.6, 0.9), (1.2, 0.0)]
 Q_AND = "fast key merge"
 Q_REL = "slow window"
 Q_PHRASE = "table hash"           # adjacent-lemma phrase (~10% doc df)
@@ -1098,6 +1100,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return ir_metrics(runs, qrels, k=10)
 
+    def q_param_sweep(spark, sf):
+        # one-pass BM25 (k1, b) grid tuning: every config's weight
+        # rides the same postings scan, configs stacked into rows, one
+        # aggregate + one rank window -> nDCG per config vs the
+        # deterministic doc_id%4 qrels (the ir_metrics fixture)
+        from search_engine_spark.operators.evaluation import (
+            bm25_param_sweep,
+        )
+
+        ix = _index_for(spark, sf)
+        qs = {0: Q_MAIN, 1: Q_RARE, 2: Q_AND, 3: Q_REL}
+        pairs = [
+            (qid, lem) for qid, q in qs.items() for lem in parse_query(q)
+        ]
+        ql = spark.createDataFrame(pairs, "query_id long, lemma string")
+        arity = spark.createDataFrame(
+            [(qid, len(parse_query(q))) for qid, q in qs.items()],
+            "query_id long, n_lemmas int",
+        )
+        union_lemmas = sorted({lem for _, lem in pairs})
+        qrels = (
+            ix.postings.filter(F.col("lemma").isin(union_lemmas))
+            .join(F.broadcast(ql), "lemma")
+            .groupBy("query_id", "doc_id")
+            .agg(F.count("*").alias("_nt"))
+            .join(F.broadcast(arity), "query_id")
+            .filter(F.col("_nt") == F.col("n_lemmas"))
+            .select(
+                "query_id", "doc_id",
+                (F.col("doc_id") % 4).cast("double").alias("rel"),
+            )
+        )
+        return bm25_param_sweep(ix, qs, qrels, SWEEP_CONFIGS, k=10)
+
     def q_complete_prefix(spark, sf):
         # search-as-you-type: top completions under Q_PREFIX by
         # popularity (cf desc, lemma asc — a total order)
@@ -1591,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_recency": q_bm25_recency,
         "bm25_topk_dated": q_bm25_dated,
         "ir_metrics": q_ir_metrics,
+        "bm25_param_sweep": q_param_sweep,
         "bm25_topk_msm": q_bm25_msm,
         "percolate": q_percolate,
         "complete_prefix": q_complete_prefix,
@@ -1811,6 +1848,97 @@ def _ir_metrics_sql(queries: dict[int, str], k: int = 10) -> str:
            round(p.hits / {float(k)!r}, 6) AS "precision",
            round(coalesce(p.hits / i.n_rel, 0.0), 6) AS recall
     FROM per p LEFT JOIN ideal i USING (query_id)
+    """
+
+
+def _param_sweep_sql(queries: dict[int, str],
+                     configs: list[tuple[float, float]], k: int = 10) -> str:
+    """DuckDB twin of evaluation.bm25_param_sweep: per (config, query)
+    the batch-scored top-k with THAT config's (k1, b) constants, the
+    ir_metrics gain expression, and an exact decimal macro mean."""
+    runs_parts = []
+    for ci, (k1, b) in enumerate(configs):
+        for qid in sorted(queries):
+            lemmas = parse_query(queries[qid])
+            in_list = "(" + ", ".join(f"'{l}'" for l in lemmas) + ")"
+            runs_parts.append(f"""
+    SELECT CAST({ci} AS BIGINT) AS config_id,
+           CAST({qid} AS BIGINT) AS query_id, doc_id, rnk
+    FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY round(raw, 6) DESC, doc_id ASC
+               ) AS DOUBLE) AS rnk
+        FROM (
+            SELECT p.doc_id,
+                   sum(
+                     ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+                     * (p.tf * {float(k1) + 1.0!r})
+                     / (p.tf + {float(k1)!r} * ({1.0 - float(b)!r} + {float(b)!r} * d.dl / s.avgdl))
+                   ) AS raw
+            FROM postings p
+            JOIN (SELECT doc_id FROM postings WHERE lemma IN {in_list}
+                  GROUP BY doc_id HAVING count(*) = {len(lemmas)})
+                USING (doc_id)
+            JOIN doclen d USING (doc_id)
+            JOIN terms t USING (lemma)
+            CROSS JOIN stats s
+            WHERE p.lemma IN {in_list}
+            GROUP BY p.doc_id
+        )
+    ) WHERE rnk <= {k}""")
+    runs = " UNION ALL ".join(runs_parts)
+    cand_parts = []
+    for qid in sorted(queries):
+        lemmas = parse_query(queries[qid])
+        in_list = "(" + ", ".join(f"'{l}'" for l in lemmas) + ")"
+        cand_parts.append(f"""
+        SELECT CAST({qid} AS BIGINT) AS query_id, doc_id
+        FROM postings WHERE lemma IN {in_list}
+        GROUP BY doc_id HAVING count(*) = {len(lemmas)}""")
+    cands = " UNION ALL ".join(cand_parts)
+    cfg_rows = ", ".join(
+        f"({i}, {float(k1)!r}, {float(b)!r})"
+        for i, (k1, b) in enumerate(configs)
+    )
+    return f"""
+    WITH {_POSTINGS},
+    runs AS ({runs}),
+    qrels AS (
+        SELECT query_id, doc_id, CAST(doc_id % 4 AS DOUBLE) AS rel
+        FROM ({cands})
+    ),
+    dcg AS (
+        SELECT r.config_id, r.query_id,
+               sum(coalesce(q.rel, 0.0) / log2(r.rnk + 1.0)) AS dcg
+        FROM runs r LEFT JOIN qrels q USING (query_id, doc_id)
+        GROUP BY r.config_id, r.query_id
+    ),
+    ideal AS (
+        SELECT query_id,
+               sum(CASE WHEN irnk <= {k} THEN rel / log2(irnk + 1.0) END)
+                   AS idcg
+        FROM (
+            SELECT query_id, doc_id, rel,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY rel DESC, doc_id ASC
+                   ) AS DOUBLE) AS irnk
+            FROM qrels WHERE rel > 0
+        ) GROUP BY query_id
+    ),
+    per_q AS (
+        SELECT d.config_id, d.query_id,
+               round(coalesce(d.dcg / i.idcg, 0.0), 6) AS ndcg
+        FROM dcg d LEFT JOIN ideal i USING (query_id)
+    ),
+    cfg AS (SELECT * FROM (VALUES {cfg_rows}) AS t(config_id, k1, b))
+    SELECT p.config_id, c.k1, c.b,
+           round(CAST(sum(CAST(p.ndcg AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_ndcg,
+           count(*) AS n_queries
+    FROM per_q p JOIN cfg c ON c.config_id = p.config_id
+    GROUP BY p.config_id, c.k1, c.b
+    ORDER BY mean_ndcg DESC, p.config_id ASC
     """
 
 
@@ -3383,6 +3511,9 @@ def oracle_sql() -> dict[str, str]:
         # offline eval: nDCG/MRR/P/R per query over the batch replay
         "ir_metrics": _ir_metrics_sql(
             {0: Q_MAIN, 1: Q_RARE, 2: Q_AND, 3: Q_REL}, k=10
+        ),
+        "bm25_param_sweep": _param_sweep_sql(
+            {0: Q_MAIN, 1: Q_RARE, 2: Q_AND, 3: Q_REL}, SWEEP_CONFIGS, k=10
         ),
         # boosted WAND shares the boosted-BM25 oracle (engine identity)
         "bm25_topk_wand_boosted": _bm25_sql(Q_MAIN, boosts={"join": 3.0}),

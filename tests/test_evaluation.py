@@ -53,3 +53,59 @@ def test_ir_metrics_k_truncates(spark):
     # perfect ranking of the only relevant doc would put it at rank 1:
     # ndcg = (3/log2(4)) / (3/log2(2)) = 0.5
     assert math.isclose(r3["ndcg"], 0.5, abs_tol=1e-9)
+
+
+def test_param_sweep_matches_per_config_reruns(tiny_index, spark):
+    """The one-pass sweep must equal M independent ir_metrics runs:
+    for each (k1, b) config, rerun bm25_topk_batch with those params,
+    score with ir_metrics, macro-average identically."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.evaluation import (
+        bm25_param_sweep,
+        ir_metrics,
+    )
+    from search_engine_spark.operators.query import bm25_topk_batch
+
+    qs = {0: "w00000s w00001", 1: "w00159 w00268", 2: "needlealpha"}
+    configs = [(1.2, 0.75), (0.8, 0.2), (2.0, 1.0)]
+    # deterministic graded qrels over each query's AND-match set
+    parts = []
+    for qid, q in qs.items():
+        from search_engine_spark.operators.query import (
+            docs_with_all_lemmas,
+            parse_query,
+        )
+
+        cand = docs_with_all_lemmas(
+            tiny_index.postings, parse_query(q)
+        ).select(
+            F.lit(qid).cast("long").alias("query_id"),
+            "doc_id",
+            (F.col("doc_id") % 3).cast("double").alias("rel"),
+        )
+        parts.append(cand)
+    qrels = parts[0].unionByName(parts[1]).unionByName(parts[2]).cache()
+
+    got = {
+        int(r["config_id"]): (r["k1"], r["b"], r["mean_ndcg"], r["n_queries"])
+        for r in bm25_param_sweep(
+            tiny_index, qs, qrels, configs, k=10
+        ).collect()
+    }
+    assert set(got) == {0, 1, 2}
+
+    for ci, (k1, b) in enumerate(configs):
+        runs = bm25_topk_batch(tiny_index, qs, k=10, k1=k1, b=b).select(
+            "query_id", "doc_id", "rnk"
+        )
+        per_q = ir_metrics(runs, qrels, k=10).collect()
+        mean = float(
+            sum(Decimal(str(r["ndcg"])) for r in per_q) / len(per_q)
+        )
+        gk1, gb, gmean, gn = got[ci]
+        assert (gk1, gb) == (k1, b)
+        assert gn == len(per_q)
+        assert abs(gmean - round(mean, 6)) <= 1e-9, (ci, gmean, mean)
