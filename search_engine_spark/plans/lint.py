@@ -82,6 +82,11 @@ SHUFFLE_BUDGET = {
     # scalar agg + final top-n: each exchange is a named stage of the
     # JLH composition (serving.significant_terms)
     "significant_terms": 10,
+    # eval composite like dsir: multi-config scored agg + rank window
+    # + dcg agg + ideal window/agg + the qrels fixture's own postings
+    # agg + macro agg + final sort — one postings SCAN, many named
+    # aggregate stages (evaluation.bm25_param_sweep)
+    "bm25_param_sweep": 14,
     # eval composite: batch retrieval (scan+agg+window) + one-pass
     # qrels arity aggregate + runs x qrels join + metric aggregate +
     # ideal-DCG window/aggregate + final per-query join — every
