@@ -164,6 +164,7 @@ SWEEP_CONFIGS = [(1.2, 0.75), (0.8, 0.3), (1.6, 0.9), (1.2, 0.0)]
 Q_AND = "fast key merge"
 Q_REL = "slow window"
 Q_PHRASE = "table hash"           # adjacent-lemma phrase (~10% doc df)
+SPAN_SLOP = 3                     # ordered-span proximity slop
 NEAR_WINDOW = 8                   # proximity window (lemmas) for near_search
 RELATED_SEED = "merge"            # seed lemma for related_terms (mid df)
 MLT_SEED_DOC = 7                  # seed document for more_like_this
@@ -1100,6 +1101,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return ir_metrics(runs, qrels, k=10)
 
+    def q_span_near(spark, sf):
+        # ordered proximity (Lucene SpanNear inOrder, 2-term): first
+        # lemma followed by the second within SPAN_SLOP positions
+        from search_engine_spark.operators.positional import (
+            span_near_search_positional,
+        )
+
+        return span_near_search_positional(
+            _positional(spark, sf), Q_PHRASE, slop=SPAN_SLOP, k=10
+        )
+
     def q_param_sweep(spark, sf):
         # one-pass BM25 (k1, b) grid tuning: every config's weight
         # rides the same postings scan, configs stacked into rows, one
@@ -1610,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "field_subtraction": q_field_subtraction,
         "phrase_search": q_phrase_search,
         "phrase_search_positional": q_phrase_search_positional,
+        "span_near_search": q_span_near,
         "near_search": q_near_search,
         "near_search_positional": q_near_search_positional,
         "related_terms": q_related_terms,
@@ -3378,6 +3391,42 @@ def oracle_sql() -> dict[str, str]:
         # the positional engine's greedy non-overlap count == str.count
         # over the double-space stream — same equality oracle
         "phrase_search_positional": phrase_oracle,
+        # ordered span proximity: 1-based stream positions rebuilt in
+        # DuckDB via index lambdas over the SAME stop-filtered lemma
+        # stream (list_transform (l, i) index is 1-based, matching the
+        # positional index), count = qualifying FIRST-lemma positions
+        "span_near_search": f"""
+            WITH lems AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform({_TOKS},
+                               t -> {LEMMA_CASE_SQL.format(tok='t')}),
+                           l -> l NOT IN {_STOPS}
+                       ) AS ls
+                FROM documents
+            ),
+            spans AS (
+                SELECT doc_id,
+                       len(list_filter(
+                           list_filter(
+                               list_transform(ls, (l, i) ->
+                                   CASE WHEN l = '{parse_query(Q_PHRASE)[0]}'
+                                        THEN i END),
+                               x -> x IS NOT NULL),
+                           p -> len(list_filter(
+                               list_filter(
+                                   list_transform(ls, (l2, i2) ->
+                                       CASE WHEN l2 = '{parse_query(Q_PHRASE)[1]}'
+                                            THEN i2 END),
+                                   y -> y IS NOT NULL),
+                               q -> q > p AND q - p <= {SPAN_SLOP + 1})) > 0
+                       )) AS n_spans
+                FROM lems
+            )
+            SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans
+            FROM spans WHERE n_spans > 0
+            ORDER BY n_spans DESC, doc_id ASC LIMIT 10
+        """,
         "near_search": near_oracle,
         "near_search_positional": near_oracle,
         "related_terms": related_oracle,

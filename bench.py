@@ -304,7 +304,7 @@ def main() -> None:
         "qld_topk", "hybrid_linear", "collocations", "bm25_topk_collapsed",
         "date_histogram", "significant_terms", "doc_term_vector",
         "embedding_topk_filtered", "regexp_search", "latest_hits",
-        "conversation_context", "bm25_param_sweep",
+        "conversation_context", "bm25_param_sweep", "span_near_search",
     ]
     qs = entrymod.queries()
     # the disk-ANN queries lazily build their persistent index on first

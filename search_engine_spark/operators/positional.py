@@ -163,3 +163,50 @@ def near_search_positional(
         .select("doc_id", "n_windows")
         .limit(k)
     )
+
+
+def span_near_search_positional(
+    pos_postings: DataFrame,
+    query: str,
+    slop: int = 2,
+    k: int = DEFAULT_TOP_K,
+) -> DataFrame:
+    """ORDERED proximity over the positional index — Lucene
+    ``SpanNearQuery(inOrder=true)`` for the two-term case, the missing
+    middle between exact phrase (adjacent, ordered) and NEAR/W
+    (windowed, unordered): doc matches where the FIRST lemma occurs at
+    position p and the SECOND occurs after it within ``slop``
+    intervening positions (p < q <= p + slop + 1 — slop 0 is the exact
+    bigram). ``n_spans`` counts the qualifying FIRST-lemma positions,
+    so overlapping right-ends never double-count; ordering
+    (n_spans desc, doc_id asc).
+
+    The query must lemmatize to exactly two distinct lemmas (order
+    preserved); longer ordered chains compose by intersecting pairwise
+    spans, which over-approximates Lucene's n-ary slop accounting —
+    documented limitation, the pair is the overwhelmingly common case.
+
+    Plan: identical to the other positional verifies — the two lemmas'
+    position arrays meet in ONE map-building aggregate
+    (:func:`_lemma_maps`, arity-filtered), the span count is a pure
+    higher-order-function fold over the two integer arrays (codegen,
+    no text, no shuffle beyond the aggregate)."""
+    spark = pos_postings.sparkSession
+    seq = [l for l in lemmatize_text_py(query)]
+    distinct = list(dict.fromkeys(seq))
+    if len(distinct) != 2:
+        return spark.createDataFrame([], "doc_id long, n_spans long")
+    a, b = distinct
+    cand = _lemma_maps(pos_postings, [a, b])
+    reach = int(slop) + 1
+    nspans = (
+        f"CAST(size(filter(pm['{a}'], p -> "
+        f"exists(pm['{b}'], q -> q > p AND q - p <= {reach}))) AS BIGINT)"
+    )
+    return (
+        cand.withColumn("n_spans", F.expr(nspans))
+        .filter(F.col("n_spans") > 0)
+        .orderBy(F.col("n_spans").desc(), F.col("doc_id").asc())
+        .select("doc_id", "n_spans")
+        .limit(k)
+    )

@@ -98,3 +98,67 @@ def test_positional_verify_never_reads_text(spark, tiny_transcripts, tmp_path):
             assert "text" not in line, line
     assert "EvalPython" not in plan and "ArrowEval" not in plan, plan
     assert docs_path not in plan  # only the positional table is scanned
+
+
+def test_span_near_matches_python_recomputation(spark, tiny_index):
+    """Ordered span proximity vs a per-doc python recount over the
+    same lemma stream; slop 0 equals the exact bigram phrase count."""
+    from search_engine_spark.functions.text import lemmatize_text_py
+    from search_engine_spark.operators.positional import (
+        span_near_search_positional,
+    )
+
+    pos = build_positional_postings(tiny_index.docs).cache()
+    query, slop = "w00000 w00001", 3
+    got = {
+        r["doc_id"]: r["n_spans"]
+        for r in span_near_search_positional(
+            pos, query, slop=slop, k=100000
+        ).collect()
+    }
+    assert got
+
+    a, b = "w00000", "w00001"
+    want: dict[int, int] = {}
+    for r in tiny_index.docs.select("doc_id", "text").collect():
+        stream = lemmatize_text_py(r["text"])
+        pa = [i + 1 for i, l in enumerate(stream) if l == a]
+        pb = [i + 1 for i, l in enumerate(stream) if l == b]
+        n = sum(1 for p in pa if any(p < q <= p + slop + 1 for q in pb))
+        if n:
+            want[int(r["doc_id"])] = n
+    assert got == want
+
+    # slop 0 == adjacent ordered bigram; compare against a direct
+    # bigram recount over the stream (NOT greedy phrase_tf — spans
+    # count every qualifying start, e.g. 'a a b' yields 1 span but
+    # greedy phrase_tf also 1; 'a b a b' gives 2 both ways)
+    got0 = {
+        r["doc_id"]: r["n_spans"]
+        for r in span_near_search_positional(pos, query, slop=0,
+                                             k=100000).collect()
+    }
+    want0: dict[int, int] = {}
+    for r in tiny_index.docs.select("doc_id", "text").collect():
+        stream = lemmatize_text_py(r["text"])
+        n = sum(
+            1 for i in range(len(stream) - 1)
+            if stream[i] == a and stream[i + 1] == b
+        )
+        if n:
+            want0[int(r["doc_id"])] = n
+    assert got0 == want0
+
+    # order matters: reversed query scans different spans
+    rev = {
+        r["doc_id"]: r["n_spans"]
+        for r in span_near_search_positional(
+            pos, "w00001 w00000", slop=slop, k=100000
+        ).collect()
+    }
+    assert rev != got
+
+    # degenerate queries return the empty frame
+    assert span_near_search_positional(pos, "w00000", slop=slop).count() == 0
+    assert span_near_search_positional(pos, "the and", slop=slop).count() == 0
+    pos.unpersist()
