@@ -31,6 +31,9 @@ def main() -> None:
     p.add_argument("--n-synthetic-convs", type=int, default=None)
     p.add_argument("--bucket-width", type=int, default=1 << 16)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--positional", action="store_true",
+                   help="also persist the positional postings table "
+                        "(span/phrase/NEAR without re-tokenizing)")
     p.add_argument("--local-cpus", type=int, default=None,
                    help="build a local[N] session instead of spark-submit's")
     args = p.parse_args()
@@ -129,6 +132,25 @@ def main() -> None:
     metrics = write_index(ix, args.output, input_desc=desc,
                           bucket_width=args.bucket_width,
                           resume=resume)
+    if args.positional:
+        # persist the positional acceleration table beside the index
+        # (span/phrase/NEAR positional queries without re-tokenizing;
+        # derived — corpus mutations invalidate it)
+        import time as _time
+
+        from search_engine_spark.operators.positional import (
+            build_positional_postings,
+        )
+        from search_engine_spark.sources.index_store import (
+            write_positional_index,
+        )
+
+        t0 = _time.monotonic()
+        write_positional_index(
+            build_positional_postings(ix.docs, use_arrow_udf=True),
+            args.output, bucket_width=args.bucket_width,
+        )
+        metrics["positional_sec"] = round(_time.monotonic() - t0, 3)
     metrics["n_docs"] = ix.stats.n_docs
     metrics["n_dead_lettered"] = n_dead
     metrics["docid_path"] = docid_path

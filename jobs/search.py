@@ -40,6 +40,15 @@ def main() -> None:
     p.add_argument("--more-like", type=int, default=None, metavar="DOC_ID",
                    help="rank documents similar to DOC_ID instead of "
                         "searching by --query (reference related-pages)")
+    p.add_argument("--span", metavar="'W1 W2'", default=None,
+                   help="ordered span proximity (SpanNear inOrder): "
+                        "first word followed by the second within "
+                        "--slop positions; uses the persisted "
+                        "positional table when the index has one "
+                        "(build_index --positional), else derives "
+                        "positions from the doc store")
+    p.add_argument("--slop", type=int, default=2,
+                   help="max intervening positions for --span")
     p.add_argument("--context", type=int, default=None, metavar="N",
                    help="print each hit with its +-N surrounding "
                         "conversation turns")
@@ -151,6 +160,8 @@ def main() -> None:
         spark = SparkSession.builder.appName("search").getOrCreate()
 
     if args.percolate is None and args.complete is None and (
+        args.span is None
+    ) and (
         (args.query is None) == (args.more_like is None)
     ):
         print("exactly one of --query / --more-like is required",
@@ -172,6 +183,26 @@ def main() -> None:
                                  n=args.k).collect():
             print(json.dumps({"lemma": r["lemma"], "cf": r["cf"],
                               "df": r["df"]}), flush=True)
+        spark.stop()
+        return
+
+    if args.span is not None:
+        from search_engine_spark.operators.positional import (
+            build_positional_postings,
+            span_near_search_positional,
+        )
+
+        pos = disk.positional
+        src = "disk"
+        if pos is None:
+            pos = build_positional_postings(ix.docs)
+            src = "derived"
+        res = span_near_search_positional(pos, args.span, slop=args.slop,
+                                          k=args.k)
+        for r in res.collect():
+            print(json.dumps({"doc_id": r["doc_id"],
+                              "n_spans": r["n_spans"],
+                              "positional": src}), flush=True)
         spark.stop()
         return
 

@@ -162,3 +162,52 @@ def test_span_near_matches_python_recomputation(spark, tiny_index):
     assert span_near_search_positional(pos, "w00000", slop=slop).count() == 0
     assert span_near_search_positional(pos, "the and", slop=slop).count() == 0
     pos.unpersist()
+
+
+def test_persisted_positional_index_and_invalidation(spark, tiny_transcripts,
+                                                     tmp_path):
+    """write_positional_index round-trips (disk table == freshly built
+    one), and every corpus mutation drops the derived table."""
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.positional import (
+        span_near_search_positional,
+    )
+    from search_engine_spark.sources.index_store import (
+        DiskIndex,
+        reindex_turn,
+        write_index,
+        write_positional_index,
+    )
+
+    idx_dir = str(tmp_path / "idx")
+    ix = build_index(tiny_transcripts, use_arrow_udf=False, weighted=True)
+    write_index(ix, idx_dir, input_desc="tiny", bucket_width=512)
+    disk = DiskIndex(spark, idx_dir)
+    assert disk.positional is None  # optional table, not built yet
+
+    fresh = build_positional_postings(disk.as_inverted_index().docs)
+    write_positional_index(fresh, idx_dir, bucket_width=512)
+    ondisk = DiskIndex(spark, idx_dir).positional
+    assert ondisk is not None
+    assert "bucket" not in ondisk.columns  # storage col stripped
+
+    q = "w00000 w00001"
+    a = sorted(
+        (r["doc_id"], r["n_spans"])
+        for r in span_near_search_positional(ondisk, q, slop=3,
+                                             k=100000).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["n_spans"])
+        for r in span_near_search_positional(fresh, q, slop=3,
+                                             k=100000).collect()
+    )
+    assert a == b and a
+
+    # a single-turn reindex invalidates the derived table
+    row = tiny_transcripts.orderBy("conv_id", "turn_idx").limit(1).collect()[0]
+    reindex_turn(spark, idx_dir, row["conv_id"], row["turn_idx"],
+                 "w00000 w00009 w00001", bucket_width=512)
+    assert DiskIndex(spark, idx_dir).positional is None
+    # ...but the pre-mutation snapshot still serves it (as_of)
+    assert DiskIndex(spark, idx_dir, as_of=1).positional is not None
