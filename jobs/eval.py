@@ -73,6 +73,11 @@ def main() -> None:
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--or", dest="match_any", action="store_true",
                    help="disjunctive retrieval (default: AND)")
+    p.add_argument("--sweep", metavar="K1:B[,K1:B...]", default=None,
+                   help="instead of a single eval, grid-tune BM25 over "
+                        "these (k1, b) configs in ONE postings pass "
+                        "(evaluation.bm25_param_sweep) and print one "
+                        "line per config, best mean nDCG first")
     p.add_argument("--local-cpus", type=int, default=None,
                    help="build a local[N] session (omit under spark-submit)")
     args = p.parse_args()
@@ -102,6 +107,29 @@ def main() -> None:
     runnable = {qid: q for qid, q in queries.items() if qid not in skipped}
 
     ix = DiskIndex(spark, args.index).as_inverted_index()
+
+    if args.sweep:
+        from search_engine_spark.operators.evaluation import (
+            bm25_param_sweep,
+        )
+
+        try:
+            configs = [
+                (float(part.split(":")[0]), float(part.split(":")[1]))
+                for part in args.sweep.split(",") if part.strip()
+            ]
+        except (ValueError, IndexError):
+            raise SystemExit("--sweep expects K1:B[,K1:B...]")
+        qrels = spark.createDataFrame(
+            qrels_rows, "query_id long, doc_id long, rel double"
+        )
+        for r in bm25_param_sweep(
+            ix, runnable, qrels, configs, k=args.k
+        ).collect():
+            print(json.dumps(r.asDict()), flush=True)
+        spark.stop()
+        return
+
     runs = bm25_topk_batch(
         ix, runnable, k=args.k, match_all=not args.match_any
     ).select("query_id", "doc_id", "rnk")

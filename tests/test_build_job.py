@@ -347,6 +347,24 @@ def test_eval_cli(tmp_path):
     for m in ("ndcg", "mrr", "precision", "recall"):
         assert macro[m] == round((q1[m] + q2[m]) / 2, 6)
 
+    # --sweep: one line per (k1, b) config, best mean nDCG first;
+    # the default config's mean must equal the single-eval macro nDCG
+    sw = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "eval.py"),
+         "--local-cpus", "4", "--index", out, "--queries", str(qfile),
+         "--qrels", str(qrels), "--k", "3", "--sweep", "1.2:0.75,0.6:0.2"],
+        capture_output=True, text=True, cwd=REPO, timeout=300, env=env,
+    )
+    assert sw.returncode == 0, sw.stderr[-2000:]
+    srows = [json.loads(l) for l in sw.stdout.strip().splitlines() if l]
+    assert len(srows) == 2
+    assert srows[0]["mean_ndcg"] >= srows[1]["mean_ndcg"]
+    default = next(r for r in srows if (r["k1"], r["b"]) == (1.2, 0.75))
+    # sweep averages over queries WITH runs (q2 retrieves nothing ->
+    # not in the sweep denominator); q1 is the only scoring query
+    assert default["n_queries"] == 1
+    assert default["mean_ndcg"] == q1["ndcg"]
+
 
 def test_prepare_dataset_cli(tmp_path):
     """jobs/prepare_dataset.py: the training-pipeline CLI writes split
