@@ -161,6 +161,7 @@ Q_RARE = "dup key"                # rare term ('dup' marks planted near-dups)
 QLD_MU = 2000.0                   # Dirichlet pseudo-count prior (qld_topk)
 # BM25 grid for the one-pass parameter sweep (k1, b)
 SWEEP_CONFIGS = [(1.2, 0.75), (0.8, 0.3), (1.6, 0.9), (1.2, 0.0)]
+EXACT_SAMPLE_N = 50               # budget-exact deterministic sample size
 Q_AND = "fast key merge"
 Q_REL = "slow window"
 Q_PHRASE = "table hash"           # adjacent-lemma phrase (~10% doc df)
@@ -1487,6 +1488,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _documents(spark, sf), chunk=CHUNK_TOKENS, stride=CHUNK_STRIDE
         )
 
+    def q_exact_n_sample(spark, sf):
+        # budget-exact deterministic sample: first N rows by the
+        # portable md5 bucket (prefix-stable, engine-independent)
+        from search_engine_spark.operators.sampling import exact_n_sample
+
+        return exact_n_sample(
+            _documents(spark, sf), n=EXACT_SAMPLE_N
+        ).select("doc_id", "_rank")
+
     def q_quality_resample(spark, sf):
         # DSIR-style importance resampling: keep-probability = quality
         # score, membership by deterministic portable hash (no RNG)
@@ -1570,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "chunk_documents": q_chunk_documents,
         "quality_resample": q_quality_resample,
+        "exact_n_sample": q_exact_n_sample,
         "hybrid_rrf": q_hybrid_rrf,
         "hybrid_linear": q_hybrid_linear,
         "prf_search": q_prf_search,
@@ -3272,6 +3283,16 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE CAST({split_bucket_sql_duckdb("doc_id", "resample0")} AS DOUBLE)
                   < quality_score * {float(SPLIT_BUCKETS)!r}
+        """,
+        # exact-N sample: first N by (portable md5 bucket, doc_id) —
+        # the same total order the Spark TakeOrderedAndProject uses
+        "exact_n_sample": f"""
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY {split_bucket_sql_duckdb("doc_id", "sample0")}
+                                ASC, doc_id ASC) AS BIGINT) AS _rank
+            FROM documents
+            ORDER BY _rank ASC LIMIT {EXACT_SAMPLE_N}
         """,
         "corpus_profile": corpus_profile_sql_duckdb(),
         "hll_registers": hll_registers_sql_duckdb("text", p=HLL_P),

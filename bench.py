@@ -286,6 +286,7 @@ def main() -> None:
         "field_subtraction", "event_windows", "top_users_per_event",
         "dataset_split", "contamination", "pii_scrub",
         "duplicate_spans", "chunk_documents", "quality_resample",
+        "exact_n_sample",
         "hybrid_rrf", "prf_search", "contamination_bloom", "bloom_bits",
         "semdedup_pairs", "semdedup_keepers",
         "lm_doc_perplexity", "dsir_resample_topk",

@@ -142,6 +142,40 @@ def stratified_sample_sql_duckdb(
     )
 
 
+def exact_n_sample(
+    docs: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    seed: str = "sample0",
+) -> DataFrame:
+    """Deterministic EXACT-N sample — the budget-exact complement to
+    the fraction samplers ("give me exactly 10k eval docs", where a
+    fraction over an unknown count over- or under-shoots): rank every
+    row by the same portable md5 bucket the split/sample family uses
+    (ties by id — a total order) and keep the first ``n``. Same
+    stability contract: under one seed the N-sample is a PREFIX of the
+    (N+k)-sample, and membership is engine/cluster-size independent.
+
+    Plan: TakeOrderedAndProject over (bucket, id) — one scan, a top-N
+    merge, no full sort and no count pass. Returns the sampled rows
+    with their ``_rank`` (1-based) kept for audit."""
+    from pyspark.sql import Window
+
+    b = split_bucket_col(id_col, seed)
+    w = Window.orderBy(b.asc(), F.col(id_col).asc())
+    # row_number over an un-partitioned window would single-task the
+    # corpus; orderBy().limit() compiles to TakeOrderedAndProject
+    # (per-partition heaps + driver merge), so rank is re-derived on
+    # the n-row result instead
+    top = docs.withColumn("_b", b).orderBy(
+        F.col("_b").asc(), F.col(id_col).asc()
+    ).limit(int(n))
+    wr = Window.orderBy(F.col("_b").asc(), F.col(id_col).asc())
+    return top.withColumn("_rank", F.row_number().over(wr).cast("long")).drop(
+        "_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Eval decontamination (n-gram overlap against a held-out set)
 # ---------------------------------------------------------------------------

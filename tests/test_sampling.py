@@ -349,3 +349,35 @@ def test_contamination_bloom_prefilter_identical_and_codegen(spark):
     assert fast == plain
     assert any(d == 100 for d, _ in fast)  # the planted leak is caught
     assert "EvalPython" not in physical_plan(fast_df)
+
+
+def test_exact_n_sample_prefix_stability(spark):
+    """Exact-N: returns exactly n rows; the N-sample is a PREFIX of
+    the (N+k)-sample under one seed; membership engine-independent
+    (recomputed from hashlib)."""
+    import hashlib
+
+    from search_engine_spark.operators.sampling import exact_n_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    small = exact_n_sample(docs, 20)
+    big = exact_n_sample(docs, 50)
+    s_ids = [r["doc_id"] for r in small.orderBy("_rank").collect()]
+    b_ids = [r["doc_id"] for r in big.orderBy("_rank").collect()]
+    assert len(s_ids) == 20 and len(b_ids) == 50
+    assert b_ids[:20] == s_ids                  # prefix-nested
+
+    def bucket(i):
+        return int(
+            hashlib.md5(f"{i}:sample0".encode()).hexdigest()[:15], 16
+        ) % 1_000_000
+    want = sorted(range(200), key=lambda i: (bucket(i), i))[:50]
+    assert b_ids == want                        # portable-hash order
+
+    # a different seed reshuffles
+    other = [r["doc_id"] for r in
+             exact_n_sample(docs, 50, seed="sample1").orderBy("_rank")
+             .collect()]
+    assert other != b_ids
