@@ -59,6 +59,103 @@ def _manifest_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "manifests")
 
 
+class IndexWriteLockError(RuntimeError):
+    """Another process holds the index's single-writer lock."""
+
+
+class index_write_lock:
+    """Single-writer guard for index mutations (context manager).
+
+    Every mutation (reindex_turn / delete_where / compact_index /
+    merge_indexes / restore_snapshot) assumes it is the only writer —
+    two concurrent mutations would interleave table swaps and corrupt
+    the journal contract. This is the fail-fast guard: an exclusive
+    ``flock`` on ``<index>/.write_lock``, non-blocking with a bounded
+    retry (``timeout_s``), raising :class:`IndexWriteLockError` with
+    the holder's pid/op instead of deadlocking or silently racing.
+    flock releases automatically when the holder dies, so a crashed
+    mutation never wedges the index (its journal replay does the
+    repair). READERS take no lock — serving stays lock-free (swaps
+    are atomic renames).
+
+    On an object store with no flock the same contract is a
+    conditional-put lease object; this is the filesystem stand-in."""
+
+    # paths this PROCESS already holds — composed mutations
+    # (delete_where -> compact_index) re-enter without self-deadlock
+    # (flock conflicts across fds even within one process)
+    _held: set = set()
+
+    def __init__(self, index_dir: str, op: str = "mutation",
+                 timeout_s: float = 10.0):
+        self.path = os.path.abspath(os.path.join(index_dir, ".write_lock"))
+        self.op = op
+        self.timeout_s = timeout_s
+        self._fh = None
+        self._reentrant = False
+
+    def __enter__(self):
+        import fcntl
+
+        if self.path in index_write_lock._held:
+            self._reentrant = True
+            return self
+        self._fh = open(self.path, "a+")
+        deadline = time.monotonic() + self.timeout_s
+        while True:
+            try:
+                fcntl.flock(self._fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                if time.monotonic() >= deadline:
+                    self._fh.seek(0)
+                    holder = self._fh.read(200).strip() or "unknown"
+                    self._fh.close()
+                    self._fh = None
+                    raise IndexWriteLockError(
+                        f"index write lock held by {holder}; refusing to "
+                        f"run {self.op!r} concurrently"
+                    ) from None
+                time.sleep(0.2)
+        self._fh.truncate(0)
+        self._fh.write(f"pid={os.getpid()} op={self.op}")
+        self._fh.flush()
+        index_write_lock._held.add(self.path)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        if self._reentrant:
+            return False
+        if self._fh is not None:
+            index_write_lock._held.discard(self.path)
+            fcntl.flock(self._fh, fcntl.LOCK_UN)
+            self._fh.close()
+            self._fh = None
+        return False
+
+
+def _single_writer(op: str, dir_arg: str):
+    """Decorator: run the mutation under the index's single-writer
+    lock (``dir_arg`` names the function's index-dir parameter)."""
+    import functools
+    import inspect
+
+    def deco(fn):
+        sig = inspect.signature(fn)
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            ba = sig.bind(*args, **kwargs)
+            with index_write_lock(ba.arguments[dir_arg], op=op):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
 def load_stats(index_dir: str) -> dict | None:
     """stats.json payload, or None if absent (no/partial index)."""
     path = os.path.join(index_dir, "stats.json")
@@ -231,6 +328,7 @@ def snapshot_path(index_dir: str, version: int) -> str:
     return p
 
 
+@_single_writer("restore_snapshot", "index_dir")
 def restore_snapshot(
     index_dir: str, version: int, snapshot: bool = True
 ) -> dict:
@@ -605,6 +703,7 @@ def rebuild_segments(
     return metrics
 
 
+@_single_writer("compact_index", "index_dir")
 def compact_index(
     spark: SparkSession,
     index_dir: str,
@@ -1035,6 +1134,7 @@ def delete_scope(
     )
 
 
+@_single_writer("delete_where", "index_dir")
 def delete_where(
     spark: SparkSession,
     index_dir: str,
@@ -1224,6 +1324,7 @@ def _run_scope_delete(
     os.remove(pending_path)
 
 
+@_single_writer("reindex_turn", "index_dir")
 def reindex_turn(
     spark: SparkSession,
     index_dir: str,
@@ -1496,6 +1597,7 @@ def materialize_docs(
     return True
 
 
+@_single_writer("merge_indexes", "dst_dir")
 def merge_indexes(
     spark: SparkSession,
     dst_dir: str,
