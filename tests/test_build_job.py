@@ -500,3 +500,57 @@ def test_prepare_dataset_resume_from_staging(tmp_path, spark):
     assert m2["packed_docs"] == m1["packed_docs"]
     assert m2["n_sequences"] == m1["n_sequences"]
     assert not os.path.exists(os.path.join(out, "_staging_split"))
+
+
+def test_export_cli_roundtrip(tmp_path):
+    """jobs/export.py: the match-set JSONL dump — exported row count
+    equals --count's figure, whole-corpus export equals n_docs, and
+    the output re-ingests cleanly (export -> ingest round-trip)."""
+    out = str(tmp_path / "idx")
+    r = _run("--n-synthetic-convs", "25", "--output", out,
+             "--bucket-width", "1024")
+    assert r.returncode == 0, r.stderr[-2000:]
+    env = dict(os.environ, PYTHONPATH=REPO)
+
+    cnt = _search("--index", out, "--query", "w00000 w00001", "--count")
+    n_match = next(
+        json.loads(l)["n"] for l in cnt.stdout.splitlines()
+        if l.startswith("{") and '"n"' in l
+    )
+    assert n_match > 0
+
+    exp_dir = str(tmp_path / "export")
+    ex = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "export.py"),
+         "--local-cpus", "2", "--index", out, "--output", exp_dir,
+         "--query", "w00000 w00001"],
+        capture_output=True, text=True, cwd=REPO, timeout=300, env=env,
+    )
+    assert ex.returncode == 0, ex.stderr[-2000:]
+    audit = json.loads([l for l in ex.stdout.splitlines()
+                        if l.startswith("{")][-1])
+    assert audit["rows_exported"] == n_match
+
+    # whole-corpus dump re-ingests as a valid corpus dir
+    full_dir = str(tmp_path / "full")
+    full = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "export.py"),
+         "--local-cpus", "2", "--index", out, "--output", full_dir,
+         "--columns", "conv_id,turn_idx,role,text,tool,ts"],
+        capture_output=True, text=True, cwd=REPO, timeout=300, env=env,
+    )
+    assert full.returncode == 0, full.stderr[-2000:]
+    corpus2 = str(tmp_path / "corpus2")
+    ing = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "ingest.py"),
+         "--local-cpus", "2", "--input", f"{full_dir}/*.json",
+         "--format", "jsonl", "--output", corpus2],
+        capture_output=True, text=True, cwd=REPO, timeout=300, env=env,
+    )
+    assert ing.returncode == 0, ing.stderr[-2000:]
+    ing_audit = json.loads([l for l in ing.stdout.splitlines()
+                            if l.startswith("{")][-1])
+    full_audit = json.loads([l for l in full.stdout.splitlines()
+                             if l.startswith("{")][-1])
+    assert ing_audit["rows_out"] == full_audit["rows_exported"]
+    assert ing_audit["dead_malformed"] == 0
