@@ -1067,7 +1067,11 @@ def write_positional_index(
     streamed turns) INVALIDATE it by dropping the dir — always
     correct, never stale; rebuild with ``build_index --positional``
     or this function. (A future increment can rewrite affected
-    buckets instead, exactly like the per-doc tables.)"""
+    buckets instead, exactly like the per-doc tables.) Coverage
+    contract: the table describes the BASE docs only — streamed turns
+    pending compaction are not in it (same base/stream split as the
+    segments; compaction's invalidation forces the rebuild that folds
+    them in)."""
     _swap_write_bucketed(
         pos_postings, os.path.join(index_dir, POSITIONAL_DIR), bucket_width
     )
