@@ -1547,6 +1547,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return linear_fuse(lex, vec, alpha=HYBRID_ALPHA, k=10)
 
     return {
+        "semdedup_pairs": q_semdedup_pairs,
+        "semdedup_keepers": q_semdedup_keepers,
+        "lm_bigram_model": q_lm_bigram_model,
+        "lm_doc_perplexity": q_lm_doc_perplexity,
+        "lm_ppl_buckets": q_ppl_buckets,
+        "bm25_topk_grouped": q_bm25_grouped,
+        "bm25_topk_collapsed": q_bm25_collapsed,
+        "date_histogram": q_date_histogram,
+        "significant_terms": q_significant_terms,
+        "doc_term_vector": q_doc_term_vector,
+        "regexp_search": q_regexp_search,
+        "latest_hits": q_latest_hits,
+        "conversation_context": q_conversation_context,
+        "embedding_topk_filtered": q_embed_topk_filtered,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
+        "dsir_resample_topk": q_dsir_resample,
+        "repetition_signals": q_repetition,
+        "collocations": q_collocations,
+        "phrase_search_positional": q_phrase_search_positional,
+        "span_near_search": q_span_near,
+        "near_search_positional": q_near_search_positional,
+        "more_like_this": q_more_like_this,
+        "facets": q_facets,
+        "search_composed_or": q_search_composed_or,
+        "percolate": q_percolate,
+        "bm25_param_sweep": q_param_sweep,
+        "bm25_topk_msm": q_bm25_msm,
+        "bm25_topk_recency": q_bm25_recency,
+        "bm25_topk_wand_boosted": q_bm25_wand_boosted,
+        "search_scoped_field": q_search_scoped_field,
+        "search_boosted": q_search_boosted,
+        "synonym_search": q_synonym_search,
+        "count_hits": q_count_hits,
+        "explain_score": q_explain_score,
+        "search_relaxed": q_search_relaxed,
+        "bm25_topk_dated": q_bm25_dated,
+        "ir_metrics": q_ir_metrics,
+        "complete_prefix": q_complete_prefix,
+        "search_wildcard": q_search_wildcard,
+        "suggest_spelling": q_suggest_spelling,
+        "bm25_search_after": q_search_after,
+        "trending_events": q_trending_events,
+        "embedding_neardup_pairs": q_cosine_neardup,
+        "srp_neardup_pairs": q_srp_neardup,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "quality_scores": q_quality,
+        "langid": q_langid,
+        "result_merge": q_result_merge,
+        "statistics": q_statistics,
+        "lemma_frequency_top10": q_lemma_freq,
+        "bm25_topk_scoped": q_scoped_bm25,
+        "titles": q_titles,
+        "snippets": q_snippets,
+        "multimodal_features": q_multimodal_features,
+        "dead_letters": q_dead_letters,
+        "field_subtraction": q_field_subtraction,
+        "phrase_search": q_phrase_search,
+        "near_search": q_near_search,
+        "related_terms": q_related_terms,
+        "search_composed": q_search_composed,
+        "search_composed_not": q_search_composed_not,
+        "prefix_search": q_prefix_search,
+        "fuzzy_search": q_fuzzy_search,
+        "bm25_paginated": q_paginated,
+        "event_windows": q_event_windows,
+        "top_users_per_event": q_top_users,
         "postings": q_postings,
         "terms": q_terms,
         "terms_df_salted": q_terms_salted,
@@ -1597,74 +1665,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk_disk": q_ivf_ann_disk,
         "ivf_ann_mutated_index": q_ivf_ann_mutate,
         "bm25_topk_wand_tree": q_wand_tree,
-        "embedding_neardup_pairs": q_cosine_neardup,
-        "srp_neardup_pairs": q_srp_neardup,
-        "semdedup_pairs": q_semdedup_pairs,
-        "semdedup_keepers": q_semdedup_keepers,
-        "token_counts": q_token_counts,
-        "fingerprints": q_fingerprints,
-        "lm_bigram_model": q_lm_bigram_model,
-        "lm_doc_perplexity": q_lm_doc_perplexity,
-        "lm_ppl_buckets": q_ppl_buckets,
-        "bm25_topk_grouped": q_bm25_grouped,
-        "bm25_topk_collapsed": q_bm25_collapsed,
-        "date_histogram": q_date_histogram,
-        "significant_terms": q_significant_terms,
-        "doc_term_vector": q_doc_term_vector,
-        "regexp_search": q_regexp_search,
-        "latest_hits": q_latest_hits,
-        "conversation_context": q_conversation_context,
-        "embedding_topk_filtered": q_embed_topk_filtered,
-        "bpe_merges": q_bpe_merges,
-        "bpe_token_counts": q_bpe_token_counts,
-        "dsir_resample_topk": q_dsir_resample,
-        "quality_scores": q_quality,
-        "repetition_signals": q_repetition,
-        "collocations": q_collocations,
-        "langid": q_langid,
-        "result_merge": q_result_merge,
-        "statistics": q_statistics,
-        "lemma_frequency_top10": q_lemma_freq,
-        "bm25_topk_scoped": q_scoped_bm25,
-        "titles": q_titles,
-        "snippets": q_snippets,
-        "multimodal_features": q_multimodal_features,
-        "dead_letters": q_dead_letters,
-        "field_subtraction": q_field_subtraction,
-        "phrase_search": q_phrase_search,
-        "phrase_search_positional": q_phrase_search_positional,
-        "span_near_search": q_span_near,
-        "near_search": q_near_search,
-        "near_search_positional": q_near_search_positional,
-        "related_terms": q_related_terms,
-        "more_like_this": q_more_like_this,
-        "facets": q_facets,
-        "search_composed": q_search_composed,
-        "search_composed_not": q_search_composed_not,
-        "search_composed_or": q_search_composed_or,
-        "search_scoped_field": q_search_scoped_field,
-        "search_boosted": q_search_boosted,
-        "synonym_search": q_synonym_search,
-        "count_hits": q_count_hits,
-        "explain_score": q_explain_score,
-        "search_relaxed": q_search_relaxed,
-        "bm25_topk_recency": q_bm25_recency,
-        "bm25_topk_dated": q_bm25_dated,
-        "ir_metrics": q_ir_metrics,
-        "bm25_param_sweep": q_param_sweep,
-        "bm25_topk_msm": q_bm25_msm,
-        "percolate": q_percolate,
-        "complete_prefix": q_complete_prefix,
-        "bm25_topk_wand_boosted": q_bm25_wand_boosted,
-        "prefix_search": q_prefix_search,
-        "fuzzy_search": q_fuzzy_search,
-        "search_wildcard": q_search_wildcard,
-        "suggest_spelling": q_suggest_spelling,
-        "bm25_paginated": q_paginated,
-        "bm25_search_after": q_search_after,
-        "event_windows": q_event_windows,
-        "top_users_per_event": q_top_users,
-        "trending_events": q_trending_events,
     }
 
 

@@ -10,8 +10,8 @@
 # checks. Run with NOTHING else on the machine.
 #
 # Captures go to timestamped files (never clobber a committed
-# artifact); a capture is PROMOTED to BENCH_r3_healthy.json /
-# SCALING_r3.json only when its own recorded controls are healthy —
+# artifact); a capture is PROMOTED to BENCH_r4_healthy.json /
+# SCALING_r4.json only when its own recorded controls are healthy —
 # for the bench that means pre-control >= MIN_RATIO (the in-run
 # host_control_pre), since windows can close mid-run; the post probe
 # is recorded beside it for honesty. Loops forever: each healthy
@@ -70,8 +70,8 @@ pre = d.get("host_control_pre", {}).get("concurrency_ratio", 0.0)
 d["host_control_post_script"] = post
 json.dump(d, open(path, "w"))
 if pre >= need:
-    shutil.copy(path, "BENCH_r3_healthy.json")
-    print(f"PROMOTED (pre={pre}, post={post}) -> BENCH_r3_healthy.json")
+    shutil.copy(path, "BENCH_r4_healthy.json")
+    print(f"PROMOTED (pre={pre}, post={post}) -> BENCH_r4_healthy.json")
 else:
     print(f"not promoted: in-run pre-control {pre} < {need} (window closed before bench start)")
 EOF
@@ -95,8 +95,8 @@ except Exception as e:
 legs = d.get("runs", [])
 ratios = [l.get("host_control", {}).get("concurrency_ratio", 0.0) for l in legs]
 if ratios and all(r >= need for r in ratios):
-    shutil.copy(path, "SCALING_r3.json")
-    print(f"PROMOTED (leg controls {ratios}) -> SCALING_r3.json")
+    shutil.copy(path, "SCALING_r4.json")
+    print(f"PROMOTED (leg controls {ratios}) -> SCALING_r4.json")
 else:
     print(f"not promoted: leg controls {ratios} not all >= {need}")
 EOF
