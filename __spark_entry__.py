@@ -847,6 +847,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("bucket").cast("long").alias("bucket"), "label",
         )
 
+    def q_ppl_buckets_approx(spark, sf):
+        # the 100 TB plan: percentile_approx cutoffs + comparison
+        # filter — no window, no global sort (VERDICT r3 "what's
+        # wrong #2"); at sf oracle sizes (< accuracy) the cutoffs are
+        # exact, so the twin can pin values, not just shape
+        docs = _documents(spark, sf)
+        return perplexity_buckets(
+            cross_entropy(docs, train_bigram_lm(docs)), method="approx"
+        ).select(
+            "doc_id", "perplexity",
+            F.col("bucket").cast("long").alias("bucket"), "label",
+        )
+
     def q_bm25_grouped(spark, sf):
         return bm25_topk_per_scope(
             _index_for(spark, sf), _documents(spark, sf), Q_MAIN,
@@ -1552,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_model": q_lm_bigram_model,
         "lm_doc_perplexity": q_lm_doc_perplexity,
         "lm_ppl_buckets": q_ppl_buckets,
+        "lm_ppl_buckets_approx": q_ppl_buckets_approx,
         "bm25_topk_grouped": q_bm25_grouped,
         "bm25_topk_collapsed": q_bm25_collapsed,
         "date_histogram": q_date_histogram,
@@ -2539,6 +2553,38 @@ def _lm_sql(what: str, alpha: float = 0.5, k: int = 50,
            CASE ((rn - 1) * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
                 ELSE 'tail' END AS label
     FROM ranked
+    """
+    if what == "buckets_approx":
+        # twin of the comparison-filter plan: cutoffs are the values
+        # at ranks ceil(n/3) and ceil(2n/3) — exactly what Spark's
+        # percentile_approx returns at accuracy ≥ n — and a doc EQUAL
+        # to a cutoff ties DOWN (strict > in the bucket count)
+        return f"""
+    WITH {base},{model('bi', '')},{ce('')},
+    ppl AS (
+        SELECT doc_id, round(exp(cross_entropy), 6) AS perplexity FROM ce
+    ),
+    ranked AS (
+        SELECT doc_id, perplexity,
+               row_number() OVER (ORDER BY perplexity, doc_id) AS rn,
+               count(*) OVER () AS n
+        FROM ppl
+    ),
+    cuts AS (
+        SELECT
+            max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT)
+                THEN perplexity END) AS c1,
+            max(CASE WHEN rn = CAST(ceil(2 * n / 3.0) AS BIGINT)
+                THEN perplexity END) AS c2
+        FROM ranked
+    )
+    SELECT doc_id, perplexity,
+           CAST(CAST(perplexity > c1 AS INT)
+                + CAST(perplexity > c2 AS INT) AS BIGINT) AS bucket,
+           CASE CAST(perplexity > c1 AS INT) + CAST(perplexity > c2 AS INT)
+                WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                ELSE 'tail' END AS label
+    FROM ppl CROSS JOIN cuts
     """
     # DSIR: raw model over all docs, target model over lang='en' docs,
     # Gumbel top-k by the portable md5 hash
@@ -3934,6 +3980,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_bigram_model": _lm_sql("model"),
         "lm_doc_perplexity": _lm_sql("perplexity"),
         "lm_ppl_buckets": _lm_sql("buckets"),
+        "lm_ppl_buckets_approx": _lm_sql("buckets_approx"),
         "bm25_topk_grouped": _bm25_grouped_sql(Q_MAIN, 3),
         "bm25_topk_collapsed": _collapse_sql(Q_MAIN, 10),
         "bpe_merges": _bpe_sql("merges"),

@@ -86,8 +86,14 @@ def main() -> None:
             sys.exit(2)
         docs = docs.select(*cols)
 
+    # count from the same materialization that gets written (persist →
+    # count → write): a zero-match query must still produce the empty
+    # output dir AND the audit line — reading the dir back would crash
+    # schema inference on an empty JSON directory
+    docs = docs.persist()
+    n_matched = docs.count()
     docs.write.mode("overwrite").json(args.output)
-    n_matched = spark.read.json(args.output).count()
+    docs.unpersist()
     print(json.dumps({
         "index": args.index, "query": args.query,
         "match_any": bool(args.match_any), "rows_exported": n_matched,

@@ -83,7 +83,7 @@ def collocations(
             F.col("cnt").alias("pair_count"),
         )
     )
-    return (
+    ranked = (
         # unigram lookups: plain equi-joins between two
         # vocabulary-bounded aggregates — AQE broadcasts when the vocab
         # fits, shuffles when a 100 TB junk-heavy vocab doesn't (a
@@ -111,3 +111,10 @@ def collocations(
         .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(int(top_n))
     )
+    # materialize the top_n-bounded result eagerly so the persisted
+    # counts table can be released HERE — returning a lazy frame over
+    # a persist the caller can't unpersist leaks a cached dataset per
+    # call for the life of the session
+    rows = ranked.collect()
+    counts.unpersist()
+    return docs.sparkSession.createDataFrame(rows, schema=ranked.schema)

@@ -188,27 +188,65 @@ def cross_entropy(
 def perplexity_buckets(
     ce: DataFrame, n_buckets: int = 3,
     labels: tuple[str, ...] = ("head", "middle", "tail"),
+    method: str = "exact",
+    accuracy: int = 10000,
 ) -> DataFrame:
     """CCNet-style quality tiers: rank docs by perplexity ascending and
     cut into ``n_buckets`` equal slices — bucket 0 ("head") is the
     lowest-perplexity (most in-domain) third, the slice CCNet keeps.
 
-    bucket = ((rank − 1) · n_buckets) div n — pure INTEGER arithmetic
-    over a dense rank, so membership is engine-identical (ntile() is
-    avoided on purpose: its remainder distribution is
-    implementation-defined). Ties broken by doc_id, as everywhere.
+    Two selectable plans:
 
-    Plan: one global sort window over the (small) per-doc perplexity
-    frame. This is the exact audit path; at 100 TB compute the two
-    cutoffs once with approx_percentile and assign buckets with a pure
-    comparison filter instead of ranking every doc.
+    - ``method="exact"`` — bucket = ((rank − 1) · n_buckets) div n,
+      pure INTEGER arithmetic over a dense rank, so membership is
+      engine-identical (ntile() is avoided on purpose: its remainder
+      distribution is implementation-defined; ties broken by doc_id as
+      everywhere). ONE global un-partitioned sort window — every doc
+      through a single task. This is the small-frame audit path only.
+    - ``method="approx"`` — THE 100 TB plan: compute the n_buckets−1
+      cutoff values once with ``percentile_approx`` (one partial-agg
+      pass, no sort, no window), broadcast the tiny cutoff array, and
+      assign buckets with a pure comparison filter
+      (bucket = #cutoffs strictly below the doc's perplexity) — fully
+      parallel, scan-shaped, no shuffle of the doc frame at all.
+
+    Boundary semantics of the approx path: cutoffs are actual data
+    values (percentile_approx is value-returning); a doc EQUAL to a
+    cutoff lands in the LOWER bucket. With ``accuracy`` ≥ the frame
+    size the cutoff for q = b/n_buckets is the value at rank
+    ceil(q·n) — exactly the exact rule's last rank of bucket b−1 —
+    so on DISTINCT perplexities the two methods agree for every n
+    (differential-tested across n % n_buckets ∈ {0,1,2}). They diverge
+    only when docs TIE on a cutoff value: the exact path splits the
+    tie group across the boundary by doc_id, the approx path collapses
+    the whole tie group into the lower bucket (test-pinned). At lower
+    ``accuracy`` the cutoff is approximate within percentile_approx's
+    published rank-error bound and bucket sizes drift accordingly.
 
     Returns (doc_id, perplexity, bucket, label).
     """
-    from pyspark.sql import Window
-
     if len(labels) != n_buckets:
         raise ValueError("labels must have n_buckets entries")
+    if method not in ("exact", "approx"):
+        raise ValueError("method must be 'exact' or 'approx'")
+    lab = F.array(*[F.lit(s) for s in labels])
+    if method == "approx":
+        qs = [b / n_buckets for b in range(1, n_buckets)]
+        cuts = ce.agg(
+            F.percentile_approx(
+                "perplexity", qs, int(accuracy)
+            ).alias("_cuts")
+        )
+        bucket = F.expr(
+            "CAST(aggregate(_cuts, 0, "
+            "(acc, c) -> acc + IF(perplexity > c, 1, 0)) AS INT)"
+        )
+        return ce.crossJoin(F.broadcast(cuts)).select(
+            "doc_id", "perplexity", bucket.alias("bucket"),
+            F.element_at(lab, bucket + F.lit(1)).alias("label"),
+        )
+    from pyspark.sql import Window
+
     w = Window.orderBy(F.col("perplexity").asc(), F.col("doc_id").asc())
     ranked = ce.select(
         "doc_id",
@@ -217,11 +255,9 @@ def perplexity_buckets(
         F.count("*").over(Window.partitionBy()).alias("_n"),
     )
     bucket = F.expr(f"CAST(((_rn - 1) * {n_buckets}) div _n AS INT)")
-    label = F.element_at(
-        F.array(*[F.lit(s) for s in labels]), bucket + F.lit(1)
-    )
     return ranked.select(
-        "doc_id", "perplexity", bucket.alias("bucket"), label.alias("label")
+        "doc_id", "perplexity", bucket.alias("bucket"),
+        F.element_at(lab, bucket + F.lit(1)).alias("label"),
     )
 
 

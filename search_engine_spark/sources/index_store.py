@@ -81,9 +81,13 @@ class index_write_lock:
     On an object store with no flock the same contract is a
     conditional-put lease object; this is the filesystem stand-in."""
 
-    # paths this PROCESS already holds — composed mutations
+    # (path, thread_ident) pairs already held — composed mutations
     # (delete_where -> compact_index) re-enter without self-deadlock
-    # (flock conflicts across fds even within one process)
+    # (flock conflicts across fds even within one process). Keyed on
+    # the OWNING THREAD, not just the path: a second mutation started
+    # from another thread of the same process must NOT be treated as
+    # re-entrant — it falls through to the flock, conflicts, and gets
+    # the fail-fast IndexWriteLockError like any other writer.
     _held: set = set()
 
     def __init__(self, index_dir: str, op: str = "mutation",
@@ -94,10 +98,16 @@ class index_write_lock:
         self._fh = None
         self._reentrant = False
 
+    @property
+    def _key(self):
+        import threading
+
+        return (self.path, threading.get_ident())
+
     def __enter__(self):
         import fcntl
 
-        if self.path in index_write_lock._held:
+        if self._key in index_write_lock._held:
             self._reentrant = True
             return self
         self._fh = open(self.path, "a+")
@@ -120,7 +130,7 @@ class index_write_lock:
         self._fh.truncate(0)
         self._fh.write(f"pid={os.getpid()} op={self.op}")
         self._fh.flush()
-        index_write_lock._held.add(self.path)
+        index_write_lock._held.add(self._key)
         return self
 
     def __exit__(self, *exc):
@@ -129,7 +139,7 @@ class index_write_lock:
         if self._reentrant:
             return False
         if self._fh is not None:
-            index_write_lock._held.discard(self.path)
+            index_write_lock._held.discard(self._key)
             fcntl.flock(self._fh, fcntl.LOCK_UN)
             self._fh.close()
             self._fh = None
@@ -191,6 +201,15 @@ def _write_manifest(index_dir: str, bucket: int, payload: dict) -> None:
 # mutation machinery below)
 # ---------------------------------------------------------------------------
 SNAPSHOT_DIR = "_snapshots"
+
+
+def _is_side_state(name: str) -> bool:
+    """Non-derived operational state living inside an index dir: the
+    percolator alert log and Structured-Streaming checkpoints. Excluded
+    from snapshot capture AND from restore_snapshot's removal loop —
+    rolling an index back must not rewind alert history or a streaming
+    checkpoint (re-delivering every already-drained turn)."""
+    return name == "alerts" or name.endswith("_checkpoint")
 
 
 def _snap_root(index_dir: str) -> str:
@@ -265,7 +284,8 @@ def create_snapshot(index_dir: str, note: str = "") -> int:
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     for name in os.listdir(index_dir):
-        if name == SNAPSHOT_DIR or name.startswith("."):
+        if name == SNAPSHOT_DIR or name.startswith(".") \
+                or _is_side_state(name):
             continue
         src = os.path.join(index_dir, name)
         dst = os.path.join(tmp, name)
@@ -366,9 +386,14 @@ def restore_snapshot(
             except OSError:  # pragma: no cover - cross-device fallback
                 shutil.copy2(s, d)
     restored, removed = [], []
-    # remove live entries first (snapshot-absent ones permanently)
+    # remove live entries first (snapshot-absent ones permanently) —
+    # EXCEPT non-derived side-state (alerts log, streaming
+    # checkpoints): it belongs to the operational timeline, not the
+    # index version being rolled back, and deleting a streaming
+    # checkpoint would re-alert every already-drained turn
     for name in sorted(os.listdir(index_dir)):
-        if name == SNAPSHOT_DIR or name.startswith("."):
+        if name == SNAPSHOT_DIR or name.startswith(".") \
+                or _is_side_state(name):
             continue
         live = os.path.join(index_dir, name)
         if os.path.isdir(live):

@@ -81,8 +81,12 @@ def streaming_percolate_alerts(
     (Trigger.AvailableNow — run it from cron/the refresher loop; a
     continuous trigger is the same code) and append percolator matches
     to ``<alert_root>/alerts``. The streaming checkpoint makes the
-    drain exactly-once per input file, so re-runs never re-alert old
-    turns. Returns the number of alert rows appended this run."""
+    drain exactly-once per input file; the sink partitions by
+    ``epoch`` with dynamic partition overwrite so a crash between the
+    write and the checkpoint commit replays the SAME epoch onto the
+    SAME partition instead of appending duplicates — the output is
+    idempotent per epoch, i.e. effectively exactly-once end to end.
+    Returns the number of alert rows written this run."""
     checkpoint_dir = checkpoint_dir or os.path.join(
         alert_root, "_alerts_checkpoint"
     )
@@ -95,11 +99,13 @@ def streaming_percolate_alerts(
         alerts = percolate_batch(
             batch_df, stored, min_match_frac=min_match_frac
         ).withColumn("epoch", F.lit(int(epoch_id)))
-        # count while writing once: append, then count the written
-        # epoch slice (alert volume is tiny — it's the MATCHES, not
-        # the turns)
+        # idempotent sink: dynamic partition overwrite touches ONLY
+        # this epoch's partition, so a post-write pre-commit crash
+        # replays onto the same partition instead of duplicating rows
         alerts = alerts.persist()
-        alerts.write.mode("append").parquet(out_dir)
+        (alerts.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch").parquet(out_dir))
         appended["n"] += alerts.count()
         alerts.unpersist()
 

@@ -111,3 +111,40 @@ def test_refresh_cli_alert_queries(tmp_path):
     audit = _json.loads(line)
     assert audit["drained"] is True and audit["alerts_appended"] == 1
     assert os.path.isdir(os.path.join(idx, "alerts"))
+
+
+def test_alert_sink_idempotent_on_epoch_replay(spark, tmp_path):
+    """A crash between the sink write and the checkpoint commit makes
+    Structured Streaming replay the SAME epoch on restart. The
+    epoch-partitioned dynamic-overwrite sink must absorb the replay
+    without duplicating alert rows (ADVICE r3: the old blind append
+    was at-least-once)."""
+    feed = str(tmp_path / "feed")
+    root = str(tmp_path / "alerts_root")
+    os.makedirs(feed)
+
+    _turns(spark, [("c1", 0, "alpha beta x")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    assert streaming_percolate_alerts(spark, feed, root, STORED) == 1
+
+    # simulate the crash: the sink write happened but the commit for
+    # the last batch is lost -> restart replays that epoch
+    commits = os.path.join(root, "_alerts_checkpoint", "commits")
+    newest = max(
+        (f for f in os.listdir(commits) if not f.startswith(".")),
+        key=int,
+    )
+    os.remove(os.path.join(commits, newest))
+    # also drop the local-FS checksum twin, as a real crash would: a
+    # stale .crc makes the re-commit look like a concurrent writer
+    crc = os.path.join(commits, f".{newest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    replayed = streaming_percolate_alerts(spark, feed, root, STORED)
+    assert replayed == 1  # the epoch ran again…
+    log = spark.read.parquet(os.path.join(root, "alerts"))
+    assert log.count() == 1  # …but the log holds exactly one row
+    row = log.collect()[0]
+    assert (row["query_id"], row["conv_id"]) == (1, "c1")

@@ -172,3 +172,64 @@ def test_perplexity_buckets_integer_cut(docs):
     want = {d: ((i * 3) // n, labels[(i * 3) // n]) for i, (_p, d) in enumerate(rows)}
     assert got == want
     assert n == 5 and set(got) == {0, 1, 2, 3, 4}
+
+
+def test_perplexity_buckets_approx_matches_exact(spark):
+    """The 100 TB plan (percentile_approx cutoffs + comparison filter)
+    must agree with the exact rank path on distinct-valued frames —
+    pinned across remainder cases (n % n_buckets in {0,1,2})."""
+    import random
+
+    from search_engine_spark.operators.lm import perplexity_buckets
+
+    rng = random.Random(7)
+    for n in (9, 10, 11, 30, 100):
+        vals = rng.sample(range(1, 100000), n)
+        ce = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)],
+            "doc_id long, perplexity double",
+        )
+        exact = {(r["doc_id"], r["bucket"], r["label"])
+                 for r in perplexity_buckets(ce).collect()}
+        approx = {(r["doc_id"], r["bucket"], r["label"])
+                  for r in perplexity_buckets(ce, method="approx").collect()}
+        assert exact == approx, f"n={n}"
+
+
+def test_perplexity_buckets_approx_plan_has_no_window(spark):
+    """The approx path must be scan-shaped: no Window operator, no
+    global sort of the doc frame — the whole point of the method."""
+    from search_engine_spark.operators.lm import perplexity_buckets
+
+    ce = spark.createDataFrame(
+        [(i, float(i * 7 % 23)) for i in range(40)],
+        "doc_id long, perplexity double",
+    )
+    plan = perplexity_buckets(ce, method="approx")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Window" not in plan
+    exact_plan = perplexity_buckets(ce)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Window" in exact_plan  # the audit path is the windowed one
+
+
+def test_perplexity_buckets_tie_on_cutoff_goes_low(spark):
+    """Boundary semantics: a doc EQUAL to a cutoff value lands in the
+    LOWER bucket (ties collapse down instead of splitting by doc_id)."""
+    from search_engine_spark.operators.lm import perplexity_buckets
+
+    # n=6, n_buckets=3 -> cutoffs = values at ranks ceil(n/3)=2 and
+    # ceil(2n/3)=4, i.e. [2.0, 2.0]: the tie group spans both cutoffs
+    ce = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 2.0), (3, 2.0), (4, 5.0), (5, 6.0)],
+        "doc_id long, perplexity double",
+    )
+    got = {r["doc_id"]: r["bucket"]
+           for r in perplexity_buckets(ce, method="approx").collect()}
+    # every 2.0 ties DOWN into bucket 0 (bucket 1 ends up empty);
+    # the exact path would instead split docs 1-3 across buckets 0/1
+    # by doc_id — this is the documented divergence under ties
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 2, 5: 2}
+    exact = {r["doc_id"]: r["bucket"]
+             for r in perplexity_buckets(ce).collect()}
+    assert exact == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2}

@@ -170,3 +170,44 @@ def test_restore_snapshot_rolls_back_live(spark, tiny_transcripts, tmp_path):
 
     with pytest.raises(ValueError):
         restore_snapshot(idx_dir, 99)
+
+
+def test_restore_preserves_side_state(spark, tiny_transcripts, tmp_path):
+    """Rolling an index back must NOT rewind operational side-state:
+    the percolator alert log and streaming checkpoints live on the
+    operational timeline, and deleting a checkpoint would re-alert
+    every already-drained turn (ADVICE r3)."""
+    from search_engine_spark.sources.index_store import restore_snapshot
+
+    idx_dir = str(tmp_path / "idx")
+    ix = build_index(tiny_transcripts, use_arrow_udf=False, weighted=True)
+    write_index(ix, idx_dir, input_desc="tiny", bucket_width=512)
+
+    row = tiny_transcripts.orderBy("conv_id", "turn_idx").limit(1).collect()[0]
+    reindex_turn(spark, idx_dir, row["conv_id"], row["turn_idx"], NEW_TEXT,
+                 bucket_width=512)  # -> snapshot v1 of the pre-state
+
+    # side-state arrives AFTER the frozen version
+    alerts_dir = os.path.join(idx_dir, "alerts")
+    ckpt_dir = os.path.join(idx_dir, "_alerts_checkpoint")
+    os.makedirs(alerts_dir)
+    os.makedirs(ckpt_dir)
+    with open(os.path.join(alerts_dir, "part-0.json"), "w") as fh:
+        fh.write('{"query_id": 1}')
+    with open(os.path.join(ckpt_dir, "offsets"), "w") as fh:
+        fh.write("epoch 3")
+
+    out = restore_snapshot(idx_dir, 1)
+    spark.catalog.clearCache()
+    # the index itself rolled back…
+    assert out["restored_version"] == 1
+    # …but side-state survived untouched, and was not listed as removed
+    assert os.path.exists(os.path.join(alerts_dir, "part-0.json"))
+    assert os.path.exists(os.path.join(ckpt_dir, "offsets"))
+    assert "alerts" not in out["entries_removed"]
+    assert "_alerts_checkpoint" not in out["entries_removed"]
+    # and new snapshots never capture side-state (it is not index data)
+    from search_engine_spark.sources.index_store import snapshot_path
+    v2 = out["pre_restore_snapshot"]
+    assert not os.path.exists(os.path.join(snapshot_path(idx_dir, v2),
+                                           "alerts"))

@@ -22,10 +22,43 @@ def test_lock_reentrant_within_process(tmp_path):
         with index_write_lock(d, op="inner", timeout_s=1):
             pass
         # still held by the outer frame after the inner exit
-        assert os.path.abspath(os.path.join(d, ".write_lock")) in (
-            index_write_lock._held
+        # (re-entrancy key is per (path, owning thread))
+        import threading
+
+        key = (
+            os.path.abspath(os.path.join(d, ".write_lock")),
+            threading.get_ident(),
         )
+        assert key in index_write_lock._held
     assert not index_write_lock._held
+
+
+def test_lock_blocks_other_thread(tmp_path):
+    """Re-entrancy is per-THREAD: a mutation started from another
+    thread of the same process is a genuine second writer and must get
+    the fail-fast IndexWriteLockError, not a silent re-entrant pass."""
+    import threading
+
+    d = str(tmp_path)
+    result: dict = {}
+
+    def attacker():
+        try:
+            with index_write_lock(d, op="thread2", timeout_s=0.5):
+                result["outcome"] = "acquired"
+        except IndexWriteLockError as e:
+            result["outcome"] = f"blocked: {e}"
+
+    with index_write_lock(d, op="holder", timeout_s=1):
+        t = threading.Thread(target=attacker)
+        t.start()
+        t.join(timeout=30)
+    assert result["outcome"].startswith("blocked"), result
+    # and after release the other thread acquires cleanly
+    t2 = threading.Thread(target=attacker)
+    t2.start()
+    t2.join(timeout=30)
+    assert result["outcome"] == "acquired", result
 
 
 def test_lock_blocks_other_process(tmp_path):
