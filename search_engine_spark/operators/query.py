@@ -1494,6 +1494,139 @@ def split_or_branches(query: str) -> list[str]:
     return out
 
 
+def flatten_grouped_query(query: str) -> str:
+    """Compile a mini-language query with NESTED BOOLEAN GROUPS into
+    the flat OR-of-conjunctions form the rest of the engine executes
+    (VERDICT r3 missing #5): ``(a OR b) -c`` → ``a -c OR b -c``.
+
+    Grammar (Lucene-style precedence: parens > NOT > implicit AND >
+    OR):
+
+        expr   := and ( ('OR' | '|') and )*
+        and    := unit+
+        unit   := '-' '(' expr ')' | '(' expr ')' | LITERAL
+
+    where LITERAL is any flat-language token — word, ``-word``,
+    quoted phrase (optionally ``-``-negated), ``field:value`` scope,
+    ``pre*`` wildcard, ``term^N`` boost. The AST is distributed into
+    disjunctive normal form (AND over OR cross-product), group
+    negation applies De Morgan — ``-(a OR b)`` ≡ ``-a -b`` — and the
+    DNF renders back to branch strings for :func:`split_or_branches`.
+    Compilation is pure string→string, so every downstream behavior
+    (constraint machinery, scoring pool, boosts) is EXACTLY the flat
+    language's; :func:`search` auto-detects parens and flattens.
+
+    Limits, by construction of the flat language: NOT over a
+    conjunctive group (``-(a b)``) has no flat form — ValueError; a
+    negated scope/wildcard inside a negated group likewise. Unbalanced
+    parens degrade leniently (stray parens are dropped), mirroring the
+    unbalanced-quote rule. DNF can square the branch count per nesting
+    level; fine at human query sizes (the cross-product is over the
+    QUERY, never data)."""
+    import re as _re
+
+    # alternation order matters: fused tokens (-word, field:value,
+    # pre*, term^N) must win over the single-char '-' of '-(...'
+    toks = _re.findall(r'-?"[^"]*"|[^\s()|]+|[()|]', query)
+    # lenient unbalanced-paren handling: drop stray parens up front
+    depth, bad = 0, False
+    for t in toks:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth < 0:
+                bad = True
+                break
+    if bad or depth != 0:
+        toks = [t for t in toks if t not in "()"]
+
+    pos = 0
+
+    def _peek() -> str | None:
+        return toks[pos] if pos < len(toks) else None
+
+    def _or_expr():
+        nonlocal pos
+        branches = [_and_expr()]
+        while _peek() in ("OR", "|"):
+            pos += 1
+            branches.append(_and_expr())
+        return ("OR", branches)
+
+    def _and_expr():
+        units = []
+        while _peek() not in (None, ")", "OR", "|"):
+            u = _unit()
+            if u is not None:
+                units.append(u)
+        return ("AND", units)
+
+    def _unit():
+        nonlocal pos
+        t = _peek()
+        if t == "-":
+            pos += 1
+            if _peek() == "(":
+                return ("NOT", _unit())
+            return None  # stray standalone '-': dropped, as in the flat parser
+        if t == "(":
+            pos += 1
+            e = _or_expr()
+            if _peek() == ")":
+                pos += 1
+            return e
+        pos += 1
+        return ("LIT", t)
+
+    def _negate(lit: str) -> str:
+        if lit.startswith("-"):
+            return lit[1:]  # double negation
+        if _re.fullmatch(r"[A-Za-z_]\w*:[^\s\"]+", lit):
+            raise ValueError(
+                f"cannot negate scope filter {lit!r} inside a negated group"
+            )
+        if lit.endswith("*"):
+            raise ValueError(
+                f"cannot negate wildcard {lit!r} inside a negated group"
+            )
+        return "-" + lit
+
+    def _dnf(node) -> list[list[str]]:
+        typ, val = node
+        if typ == "LIT":
+            return [[val]]
+        if typ == "OR":
+            return [b for child in val for b in _dnf(child)]
+        if typ == "AND":
+            out: list[list[str]] = [[]]
+            for child in val:
+                out = [b1 + b2 for b1 in out for b2 in _dnf(child)]
+            return out
+        # NOT: De Morgan over the inner DNF — expressible only when
+        # every inner branch is a single literal
+        inner = _dnf(val)
+        lits = []
+        for br in inner:
+            if len(br) != 1:
+                raise ValueError(
+                    "NOT over a conjunctive group has no flat form: "
+                    "-(a b) would need per-doc NOT(a AND b)"
+                )
+            lits.append(_negate(br[0]))
+        return [lits]
+
+    branches = _dnf(_or_expr())
+    return " OR ".join(" ".join(br) for br in branches if br)
+
+
+def _has_group(query: str) -> bool:
+    """True when the query holds parens OUTSIDE quoted phrases."""
+    import re as _re
+
+    return bool(_re.search(r"[()]", _re.sub(r'"[^"]*"', " ", query)))
+
+
 def parse_search_query(
     query: str,
 ) -> tuple[list[str], str, str, list[str], list[tuple[str, str]], list[str]]:
@@ -1700,6 +1833,11 @@ def search(
             [], "doc_id long, score double, score_raw double"
         )
 
+    if _has_group(query):
+        # nested boolean groups compile to the flat OR-of-conjunctions
+        # form (Lucene precedence, De Morgan on -(...)); everything
+        # below sees only the flat language
+        query = flatten_grouped_query(query)
     query, boosts = extract_boosts(query)
     branches = split_or_branches(query)
     if len(branches) > 1:

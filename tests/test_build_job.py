@@ -155,6 +155,17 @@ def test_search_cli_engines_agree(tmp_path):
     assert got_ids & {h["doc_id"] for h in only3}
     assert got_ids & {h["doc_id"] for h in only4}
 
+    # mini-language grouping: '(a | b) -c' distributes the NOT over
+    # both branches — identical hits to the hand-flattened form
+    gq = hits(_search("--index", out, "--query", "(w00003 | w00004) -w00000",
+                      "--engine", "mini", "--k", "50"))
+    fq = hits(_search("--index", out, "--query",
+                      "w00003 -w00000 | w00004 -w00000",
+                      "--engine", "mini", "--k", "50"))
+    assert gq and [(h["doc_id"], h["score"]) for h in gq] == [
+        (h["doc_id"], h["score"]) for h in fq
+    ]
+
     # mini-language role: scope — every scoped hit must be a user turn
     scoped = hits(_search("--index", out, "--query", "role:user w00000",
                           "--engine", "mini", "--k", "20", "--snippets"))

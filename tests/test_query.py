@@ -1251,3 +1251,51 @@ def test_latest_hits_newest_matching_docs(tiny_index):
     assert ts_list == sorted(ts_list, reverse=True)
 
     assert latest_hits(tiny_index, doc_ts, "the and of", k=5).count() == 0
+
+
+def test_flatten_grouped_query_dnf():
+    """Grouped mini-QL compiles to the flat OR-of-conjunctions form:
+    Lucene precedence (parens > NOT > AND > OR), De Morgan on -(...),
+    lenient stray parens, hard errors where no flat form exists."""
+    from search_engine_spark.operators.query import flatten_grouped_query
+
+    assert flatten_grouped_query("(a OR b) -c") == "a -c OR b -c"
+    assert flatten_grouped_query('x (y OR "z w")') == 'x y OR x "z w"'
+    assert flatten_grouped_query("-(a OR b) c") == "-a -b c"
+    assert flatten_grouped_query("(a OR b) (c OR d)") == (
+        "a c OR a d OR b c OR b d"
+    )
+    assert flatten_grouped_query("-(-a OR b)") == "a -b"
+    assert flatten_grouped_query("((a))") == "a"
+    # flat queries pass through token-identical
+    assert flatten_grouped_query(
+        'plain -neg "ph r" role:user pre* t^2'
+    ) == 'plain -neg "ph r" role:user pre* t^2'
+    # unbalanced parens degrade leniently, like unbalanced quotes
+    assert flatten_grouped_query("(a") == "a"
+    assert flatten_grouped_query("a ) b") == "a b"
+    with pytest.raises(ValueError, match="conjunctive group"):
+        flatten_grouped_query("-(a b)")
+    with pytest.raises(ValueError, match="scope"):
+        flatten_grouped_query("-(role:user OR a)")
+    with pytest.raises(ValueError, match="wildcard"):
+        flatten_grouped_query("-(w00000* OR a)")
+
+
+def test_search_grouped_equals_flat_or(tiny_index):
+    """search() on a grouped query must rank identically to search()
+    on its hand-flattened form — grouping is pure compilation, zero new
+    execution machinery."""
+    from search_engine_spark.operators.query import search
+
+    grouped = search(
+        tiny_index, tiny_index.docs, "(w00000s OR w00159) w00268 -w00001",
+        k=10,
+    )
+    flat = search(
+        tiny_index, tiny_index.docs,
+        "w00000s w00268 -w00001 OR w00159 w00268 -w00001", k=10,
+    )
+    g, f = _rows(grouped), _rows(flat)
+    assert g == f
+    assert g  # the fixture corpus must actually produce hits
