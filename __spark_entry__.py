@@ -685,6 +685,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mins, invs = sq8_params(emb, dim=len(qvec))
         return sq8_topk(emb, qvec, mins, invs, k=10)
 
+    def q_pq_topk(spark, sf):
+        # product-quantization ADC top-k (FAISS IndexPQ): per-subspace
+        # codes + m integer table lookups per row — the 32x-memory-cut
+        # ANN scan beside SQ8's 4x; deterministic hash codebooks give
+        # it a hard equality oracle (k-means codebooks = same
+        # machinery, better recall — documented trade)
+        from search_engine_spark.operators.similarity import (
+            pq_codebooks,
+            pq_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qvec = [float(x) for x in
+                emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+        return pq_topk(emb, qvec, pq_codebooks(len(qvec), 8, 16), k=10)
+
     def q_srp_ann(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
@@ -1582,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_ppl_buckets": q_ppl_buckets,
         "lm_ppl_buckets_approx": q_ppl_buckets_approx,
         "search_grouped": q_search_grouped,
+        "pq_topk": q_pq_topk,
         "bm25_topk_grouped": q_bm25_grouped,
         "bm25_topk_collapsed": q_bm25_collapsed,
         "date_histogram": q_date_histogram,
@@ -2337,6 +2354,66 @@ def _ivf_mutate_sql(n_clusters: int = 16, dim: int = 64,
     FROM (SELECT vec_id, {dots} AS dots FROM e)
     WHERE vec_id % {delete_mod} <> 0
     ORDER BY vec_id
+    """
+
+
+def _pq_ann_sql(dim: int = 64, m: int = 8, ks: int = 16,
+                k: int = 10) -> str:
+    """Exact DuckDB twin of pq_encode + pq_topk (PQ ADC): per-subspace
+    codes are first-position-of-max over the codeword dots on the
+    list_slice (same fold as Spark's batch loop), the ADC tables are
+    floor(q_sub·c · 2⁴⁰ + .5) BIGINTs recomputed in SQL from the same
+    double literals, and the score is the order-independent integer
+    sum of m table lookups — hash-exact by construction."""
+    from search_engine_spark.operators.similarity import (
+        SQ8_W_SCALE,
+        pq_codebooks,
+    )
+
+    cb = pq_codebooks(dim, m, ks)
+    dsub = dim // m
+
+    def cw_lit(s: int, j: int) -> str:
+        return "[" + ", ".join(
+            repr(float(x)) for x in cb[s, j]
+        ) + "]::DOUBLE[]"
+
+    dot_exprs = []
+    code_exprs = []
+    tb_exprs = []
+    for s in range(m):
+        a, b = s * dsub + 1, (s + 1) * dsub
+        dots = "[" + ", ".join(
+            f"list_dot_product(list_slice(v, {a}, {b}), {cw_lit(s, j)})"
+            for j in range(ks)
+        ) + "]"
+        dot_exprs.append(f"{dots} AS d{s}")
+        code_exprs.append(
+            f"(list_position(d{s}, list_max(d{s})) - 1) AS c{s}"
+        )
+        tb = "[" + ", ".join(
+            f"CAST(floor(list_dot_product(list_slice(qv, {a}, {b}), "
+            f"{cw_lit(s, j)}) * {SQ8_W_SCALE!r} + 0.5) AS BIGINT)"
+            for j in range(ks)
+        ) + "]"
+        tb_exprs.append(f"{tb} AS tb{s}")
+    score = " + ".join(
+        f"list_extract(tb{s}, c{s} + 1)" for s in range(m)
+    )
+    return f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = 0),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE list_dot_product(embedding::DOUBLE[],
+                                 embedding::DOUBLE[]) > 0),
+    enc AS (
+        SELECT vec_id, {", ".join(code_exprs)}
+        FROM (SELECT vec_id, {", ".join(dot_exprs)} FROM e)
+    ),
+    tabs AS (SELECT {", ".join(tb_exprs)} FROM q)
+    SELECT vec_id, {score} AS qdot
+    FROM enc CROSS JOIN tabs
+    ORDER BY qdot DESC, vec_id ASC LIMIT {k}
     """
 
 
@@ -3519,6 +3596,7 @@ def oracle_sql() -> dict[str, str]:
         "search_composed_not": composed_not_oracle,
         "search_composed_or": composed_or_oracle,
         "search_grouped": _composed_or_oracle(flatten_grouped_query(Q_GROUPED)),
+        "pq_topk": _pq_ann_sql(dim=64, m=8, ks=16, k=10),
         "search_scoped_field": scoped_field_oracle,
         # term^N boost: Q_MAIN's AND match set, 'join' weight tripled
         "search_boosted": _bm25_sql(Q_MAIN, boosts={"join": 3.0}),

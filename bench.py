@@ -92,8 +92,15 @@ def _ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 15) -> dict:
     # probe coverage; what must show is the recall LEVER rising with
     # multiprobe/n_probe at proportional probe cost. SQ8 scans
     # everything (approximation is quantization only) — expect ~1.0.
+    from search_engine_spark.operators.similarity import (
+        pq_codebooks,
+        pq_topk,
+    )
+
+    pq_cb = pq_codebooks(dim, 8, 16)
     hits: dict[str, list[float]] = {
-        "srp_mp1": [], "srp_mp2": [], "ivf_p4": [], "ivf_p8": [], "sq8": []
+        "srp_mp1": [], "srp_mp2": [], "ivf_p4": [], "ivf_p8": [],
+        "sq8": [], "pq": [],
     }
     for vid, vec in queries:
         for name, mp in (("srp_mp1", 1), ("srp_mp2", 2)):
@@ -109,6 +116,9 @@ def _ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 15) -> dict:
         got = {r["vec_id"] for r in
                sq8_topk(emb, vec, mins, invs, k=k).collect()}
         hits["sq8"].append(len(got & truth[vid]) / k)
+        got = {r["vec_id"] for r in
+               pq_topk(emb, vec, pq_cb, k=k).collect()}
+        hits["pq"].append(len(got & truth[vid]) / k)
     srp.unpersist()
     ivf_idx.unpersist()
     emb.unpersist()
@@ -292,7 +302,8 @@ def main() -> None:
         "token_counts", "quality_scores", "fingerprints",
         "phrase_search", "phrase_search_positional", "near_search",
         "near_search_positional", "search_composed",
-        "search_composed_not", "search_composed_or", "search_scoped_field",
+        "search_composed_not", "search_composed_or", "search_grouped",
+        "search_scoped_field",
         "prefix_search", "fuzzy_search",
         "related_terms", "more_like_this", "facets",
         "bm25_topk_or", "bm25_topk_or_wand",
@@ -312,7 +323,8 @@ def main() -> None:
         "corpus_profile", "dedup_exact", "hll_registers", "langid",
         "lemma_frequency_top10", "lm_bigram_model", "reference_relevance",
         "repetition_signals", "result_merge", "search_wildcard",
-        "sequence_pack", "sq8_topk", "statistics", "stratified_sample",
+        "sequence_pack", "sq8_topk", "pq_topk", "statistics",
+        "stratified_sample",
         "suggest_spelling", "training_prepare", "trending_events",
         "lm_ppl_buckets", "lm_ppl_buckets_approx", "bm25_topk_grouped",
         "bpe_merges", "bpe_token_counts",

@@ -1528,3 +1528,144 @@ def semdedup_keepers(
         )
         .withColumn("is_keeper", F.col("vec_id") == F.col("keeper_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ADC scan — FAISS IndexPQ analog
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(
+    dim: int, m: int = 8, ks: int = 16, table: int = 202
+) -> np.ndarray:
+    """Deterministic per-subspace codebooks, shape (m, ks, dim/m).
+
+    The vector is split into ``m`` contiguous subspaces; each gets
+    ``ks`` unit codewords from the splitmix64 generator (one table id
+    per subspace). Data-independent like :func:`hash_centroids`, and
+    for the same reason: both the query side and the DuckDB
+    differential oracle replay the exact assignment arithmetic from
+    literals, so the PQ MACHINERY (encode → ADC lookup ranking) gets a
+    hard equality oracle. At 100 TB you would train k-means codebooks
+    per subspace for recall — identical machinery, better centroids
+    (the IVF path makes the same trade, documented at
+    hash_centroids)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    dsub = dim // m
+    return np.stack([hash_centroids(dsub, ks, table + s) for s in range(m)])
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — one vectorized Arrow pass, no shuffle.
+
+    Unit codewords make nearest-by-L2 equal argmax-dot (‖c‖² is
+    constant), so each subspace's code is FIRST-position-of-max over
+    the per-codeword dots, accumulated in the shared batch left-fold
+    order (bit-identical to the DuckDB twin's list_dot_product over
+    the list_slice — same reasoning as ivf_assign). Zero-norm vectors
+    are excluded, mirroring every cosine path. At scale the codes
+    column is persisted once (m bytes per vector at ks ≤ 256 — 32×
+    smaller than float32 at m=8, dim=64) and scans read only it."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ks, dsub = cb.shape
+    dim = m * dsub
+    embeddings = with_norm(embeddings, vec_col, dim).filter(F.col("_norm") > 0)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        n = len(vecs)
+        if n == 0:
+            return pd.Series([], dtype="object")
+        mat = _stack(vecs)
+        codes = np.empty((n, m), dtype=np.int32)
+        for s in range(m):
+            off = s * dsub
+            dots = np.empty((ks, n), dtype=np.float64)
+            for j in range(ks):
+                acc = np.zeros(n, dtype=np.float64)
+                cw = cb[s, j]
+                for i in range(dsub):
+                    acc = acc + mat[:, off + i] * cw[i]
+                dots[j] = acc
+            codes[:, s] = np.argmax(dots, axis=0).astype(np.int32)
+        return pd.Series(list(codes))
+
+    return embeddings.select(
+        F.col(id_col), encode(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_adc_tables_py(
+    query_vec: list[float], codebooks: np.ndarray
+) -> list[list[int]]:
+    """Integer ADC lookup tables T[s][j] = floor(q_sub·c_sj · 2⁴⁰ + .5).
+
+    Same integer-exactness contract as sq8_adc_weights_py: the scale is
+    a power of two, floor(x+0.5) is the one half-rounding Python /
+    Spark / DuckDB express identically, and the summed score stays an
+    order-independent int64 (|T|·m ≪ 2⁶³), so the oracle hash-matches
+    bit-for-bit. The per-table dot is a sequential Python fold — it
+    only needs to agree with ITSELF, since both engines receive T as
+    literals."""
+    import math
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ks, dsub = cb.shape
+    out = []
+    for s in range(m):
+        sub = [float(x) for x in query_vec[s * dsub:(s + 1) * dsub]]
+        row = []
+        for j in range(ks):
+            acc = 0.0
+            for i in range(dsub):
+                acc += sub[i] * float(cb[s, j, i])
+            row.append(int(math.floor(acc * SQ8_W_SCALE + 0.5)))
+        out.append(row)
+    return out
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance computation (ADC) —
+    the classic memory-bound ANN scan (Jégou et al. 2011; FAISS
+    IndexPQ): the FLOAT query builds one m×ks lookup table, and every
+    vector is scored by m integer table lookups on its codes — no
+    float math per row at all, 32× less memory than float32 at the
+    default geometry.
+
+    score = Σ_s T[s][code_s] ≈ dot(q, reconstruct(v))·2⁴⁰ — exact
+    integer, so ranking is deterministic and the DuckDB twin (codebook
+    + table literals) hash-matches. Plan: ONE scan (codes computed
+    in-flight here to stay self-contained; persist pq_encode's output
+    at scale and scan m bytes/vector), per-row O(m) integer adds,
+    TakeOrderedAndProject — no shuffle beyond the k-row merge.
+
+    Returns (id_col, qdot) ordered qdot desc, id asc."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ks, dsub = cb.shape
+    tables = pq_adc_tables_py(query_vec, cb)
+    coded = pq_encode(embeddings, cb, id_col=id_col, vec_col=vec_col)
+    score = " + ".join(
+        "element_at(array({lits}), element_at(codes, {s1}) + 1)".format(
+            lits=", ".join(f"cast({t} as bigint)" for t in tables[s]),
+            s1=s + 1,
+        )
+        for s in range(m)
+    )
+    return (
+        coded.withColumn("qdot", F.expr(score))
+        .select(F.col(id_col), "qdot")
+        .orderBy(F.col("qdot").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -888,3 +888,102 @@ def test_filtered_topk_pre_filter_semantics(spark):
     # a selective filter still returns k when k qualify — the
     # post-filter failure mode this operator exists to avoid
     assert len(filtered_topk(emb, q, F.col("label") == 2, k=20).collect()) == 20
+
+
+def test_pq_encode_matches_numpy_argmax(emb):
+    """pq_encode's per-subspace code == numpy argmax over codeword dots
+    computed independently (matrix math, not the fold loop) — the two
+    only agree when the Spark batch fold is computing the right thing."""
+    from search_engine_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    v = _vecs()
+    cb = pq_codebooks(DIM, 8, 16)
+    dsub = DIM // 8
+    got = {r["vec_id"]: list(r["codes"])
+           for r in pq_encode(emb, cb).collect()}
+    for i in range(N):
+        if np.linalg.norm(v[i]) == 0:
+            assert i not in got
+            continue
+        want = [
+            int(np.argmax(cb[s] @ v[i][s * dsub:(s + 1) * dsub]))
+            for s in range(8)
+        ]
+        assert got[i] == want, i
+
+
+def test_pq_topk_scores_are_exact_table_sums(emb):
+    """pq_topk's qdot == Σ_s T[s][code_s] recomputed in Python — exact
+    integers, deterministic ranking (the oracle-hash contract)."""
+    from search_engine_spark.operators.similarity import (
+        pq_adc_tables_py,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    v = _vecs()
+    q = [float(x) for x in v[7]]
+    cb = pq_codebooks(DIM, 8, 16)
+    tabs = pq_adc_tables_py(q, cb)
+    codes = {r["vec_id"]: list(r["codes"])
+             for r in pq_encode(emb, cb).collect()}
+    want_scores = {
+        i: sum(tabs[s][c] for s, c in enumerate(cs))
+        for i, cs in codes.items()
+    }
+    got = pq_topk(emb, q, cb, k=10).collect()
+    order = sorted(want_scores, key=lambda i: (-want_scores[i], i))[:10]
+    assert [r["vec_id"] for r in got] == order
+    for r in got:
+        assert r["qdot"] == want_scores[r["vec_id"]]
+
+
+def test_pq_adc_recall_on_clustered_vectors(spark):
+    """PQ ADC recall on cluster-structured embeddings: with 8×16
+    hash codebooks the lookup ranking must beat chance by a wide
+    margin (k-means codebooks would push this toward sq8's ≥0.8 — the
+    documented codebook-quality trade; the machinery is what's
+    pinned)."""
+    import numpy as np
+
+    from search_engine_spark.operators.similarity import (
+        brute_force_topk,
+        pq_codebooks,
+        pq_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    cents = rng.randn(20, DIM)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    vecs = []
+    for i in range(400):
+        x = cents[i % 20] + 0.15 * rng.randn(DIM)
+        vecs.append(x / np.linalg.norm(x))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    cb = pq_codebooks(DIM, 8, 16)
+    rec = []
+    for qi in range(0, 30, 3):
+        q = [float(x) for x in vecs[qi]]
+        truth = {r["vec_id"] for r in brute_force_topk(df, q, k=10).collect()}
+        got = {r["vec_id"] for r in pq_topk(df, q, cb, k=10).collect()}
+        rec.append(len(got & truth) / 10)
+    df.unpersist()
+    assert sum(rec) / len(rec) >= 0.3, rec  # chance is 10/400 = 0.025
+
+
+def test_pq_codebooks_shape_and_dim_guard():
+    from search_engine_spark.operators.similarity import pq_codebooks
+
+    cb = pq_codebooks(64, 8, 16)
+    assert cb.shape == (8, 16, 8)
+    norms = np.linalg.norm(cb, axis=2)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-12)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_codebooks(60, 8, 16)
