@@ -701,6 +701,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
         return pq_topk(emb, qvec, pq_codebooks(len(qvec), 8, 16), k=10)
 
+    def q_ivfpq_topk(spark, sf):
+        # IVF-PQ (FAISS IndexIVFPQ, IP metric): coarse hash centroids +
+        # PQ residual codes; probe-bounded AND memory-bound — the
+        # composition a billion-vector deployment actually runs; same
+        # literal-replay oracle contract as ivf_ann/pq
+        from search_engine_spark.operators.similarity import (
+            hash_centroids,
+            ivfpq_topk,
+            pq_codebooks,
+        )
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qvec = [float(x) for x in
+                emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+        dim = len(qvec)
+        return ivfpq_topk(
+            emb, qvec, hash_centroids(dim, IVF_CLUSTERS),
+            pq_codebooks(dim, 8, 16), k=10, n_probe=IVF_NPROBE,
+        )
+
     def q_srp_ann(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
@@ -1599,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_ppl_buckets_approx": q_ppl_buckets_approx,
         "search_grouped": q_search_grouped,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "bm25_topk_grouped": q_bm25_grouped,
         "bm25_topk_collapsed": q_bm25_collapsed,
         "date_histogram": q_date_histogram,
@@ -2412,6 +2433,115 @@ def _pq_ann_sql(dim: int = 64, m: int = 8, ks: int = 16,
     ),
     tabs AS (SELECT {", ".join(tb_exprs)} FROM q)
     SELECT vec_id, {score} AS qdot
+    FROM enc CROSS JOIN tabs
+    ORDER BY qdot DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _ivfpq_sql(n_clusters: int = 16, n_probe: int = 4, dim: int = 64,
+               m: int = 8, ks: int = 16, k: int = 10) -> str:
+    """Exact DuckDB twin of ivfpq_encode + ivfpq_topk: coarse
+    assignment on centroid literals (first-position-of-max), residual
+    v − c via list_zip subtract, per-subspace DIRECTION code (argmax
+    residual dot on unit codebook literals) + NORM-LEVEL code (argmin
+    |‖r_sub‖ − v_l| on the geometric ladder), probe set by the same
+    fold dot, and the score as the 2⁴⁰-scaled coarse Q plus Σ exact
+    int64 products of the 2²⁰-scaled direction-dot and level tables —
+    hash-exact by construction."""
+    from search_engine_spark.operators.similarity import (
+        PQ_LVL_SCALE,
+        SQ8_W_SCALE,
+        hash_centroids,
+        pq_codebooks,
+        pq_norm_levels,
+    )
+
+    cent = hash_centroids(dim, n_clusters)
+    cb = pq_codebooks(dim, m, ks)
+    lv = pq_norm_levels()
+    dsub = dim // m
+
+    def vec_lit(row) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in row) + "]::DOUBLE[]"
+
+    coarse_dots = "[" + ", ".join(
+        f"list_dot_product(v, {vec_lit(cent[c])})" for c in range(n_clusters)
+    ) + "]"
+    cent_rows = ", ".join(
+        f"({c}, {vec_lit(cent[c])})" for c in range(n_clusters)
+    )
+    nv_lit = "[" + ", ".join(
+        f"CAST(floor({float(v)!r} * {PQ_LVL_SCALE!r} + 0.5) AS BIGINT)"
+        for v in lv
+    ) + "]"
+    dot_exprs = []
+    code_exprs = []
+    tb_exprs = []
+    for s in range(m):
+        a, b = s * dsub + 1, (s + 1) * dsub
+        dots = "[" + ", ".join(
+            f"list_dot_product(list_slice(rv, {a}, {b}), "
+            f"{vec_lit(cb[s, j])})" for j in range(ks)
+        ) + "]"
+        dot_exprs.append(f"{dots} AS d{s}")
+        dot_exprs.append(
+            f"sqrt(list_dot_product(list_slice(rv, {a}, {b}), "
+            f"list_slice(rv, {a}, {b}))) AS nrm{s}"
+        )
+        lvl_dists = "[" + ", ".join(
+            f"abs(nrm{s} - {float(v)!r})" for v in lv
+        ) + "]"
+        code_exprs.append(
+            f"(list_position(d{s}, list_max(d{s})) - 1) AS c{s}"
+        )
+        code_exprs.append(
+            f"(list_position({lvl_dists}, list_min({lvl_dists})) - 1)"
+            f" AS l{s}"
+        )
+        tb = "[" + ", ".join(
+            f"CAST(floor(list_dot_product(list_slice(qv, {a}, {b}), "
+            f"{vec_lit(cb[s, j])}) * {PQ_LVL_SCALE!r} + 0.5) AS BIGINT)"
+            for j in range(ks)
+        ) + "]"
+        tb_exprs.append(f"{tb} AS tb{s}")
+    score = " + ".join(
+        f"list_extract(tb{s}, c{s} + 1) * list_extract(nv, l{s} + 1)"
+        for s in range(m)
+    )
+    return f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = 0),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE list_dot_product(embedding::DOUBLE[],
+                                 embedding::DOUBLE[]) > 0),
+    cent(cluster_id, cv) AS (VALUES {cent_rows}),
+    assign AS (
+        SELECT vec_id, v,
+               CAST(list_position(dots, list_max(dots)) - 1 AS INTEGER)
+                   AS cluster
+        FROM (SELECT vec_id, v, {coarse_dots} AS dots FROM e)
+    ),
+    probe AS (
+        SELECT cluster_id,
+               CAST(floor(list_dot_product(cv, qv) * {SQ8_W_SCALE!r}
+                          + 0.5) AS BIGINT) AS qterm
+        FROM cent CROSS JOIN q
+        ORDER BY list_dot_product(cv, qv) DESC, cluster_id ASC
+        LIMIT {n_probe}
+    ),
+    res AS (
+        SELECT a.vec_id, p.qterm,
+               list_transform(list_zip(a.v, c.cv), s -> s[1] - s[2]) AS rv
+        FROM assign a
+        JOIN probe p ON p.cluster_id = a.cluster
+        JOIN cent c ON c.cluster_id = a.cluster
+    ),
+    enc AS (
+        SELECT vec_id, qterm, {", ".join(code_exprs)}
+        FROM (SELECT vec_id, qterm, {", ".join(dot_exprs)} FROM res)
+    ),
+    tabs AS (SELECT {nv_lit} AS nv, {", ".join(tb_exprs)} FROM q)
+    SELECT vec_id, qterm + {score} AS qdot
     FROM enc CROSS JOIN tabs
     ORDER BY qdot DESC, vec_id ASC LIMIT {k}
     """
@@ -3597,6 +3727,7 @@ def oracle_sql() -> dict[str, str]:
         "search_composed_or": composed_or_oracle,
         "search_grouped": _composed_or_oracle(flatten_grouped_query(Q_GROUPED)),
         "pq_topk": _pq_ann_sql(dim=64, m=8, ks=16, k=10),
+        "ivfpq_topk": _ivfpq_sql(n_clusters=IVF_CLUSTERS, n_probe=IVF_NPROBE, dim=64, m=8, ks=16, k=10),
         "search_scoped_field": scoped_field_oracle,
         # term^N boost: Q_MAIN's AND match set, 'join' weight tripled
         "search_boosted": _bm25_sql(Q_MAIN, boosts={"join": 3.0}),

@@ -93,14 +93,17 @@ def _ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 15) -> dict:
     # multiprobe/n_probe at proportional probe cost. SQ8 scans
     # everything (approximation is quantization only) — expect ~1.0.
     from search_engine_spark.operators.similarity import (
+        hash_centroids,
+        ivfpq_topk,
         pq_codebooks,
         pq_topk,
     )
 
     pq_cb = pq_codebooks(dim, 8, 16)
+    coarse_cents = hash_centroids(dim, 16)
     hits: dict[str, list[float]] = {
         "srp_mp1": [], "srp_mp2": [], "ivf_p4": [], "ivf_p8": [],
-        "sq8": [], "pq": [],
+        "sq8": [], "pq": [], "ivfpq_p4": [], "ivfpq_p8": [],
     }
     for vid, vec in queries:
         for name, mp in (("srp_mp1", 1), ("srp_mp2", 2)):
@@ -119,6 +122,11 @@ def _ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 15) -> dict:
         got = {r["vec_id"] for r in
                pq_topk(emb, vec, pq_cb, k=k).collect()}
         hits["pq"].append(len(got & truth[vid]) / k)
+        for name, np2 in (("ivfpq_p4", 4), ("ivfpq_p8", 8)):
+            got = {r["vec_id"] for r in
+                   ivfpq_topk(emb, vec, coarse_cents, pq_cb, k=k,
+                              n_probe=np2).collect()}
+            hits[name].append(len(got & truth[vid]) / k)
     srp.unpersist()
     ivf_idx.unpersist()
     emb.unpersist()
@@ -323,7 +331,7 @@ def main() -> None:
         "corpus_profile", "dedup_exact", "hll_registers", "langid",
         "lemma_frequency_top10", "lm_bigram_model", "reference_relevance",
         "repetition_signals", "result_merge", "search_wildcard",
-        "sequence_pack", "sq8_topk", "pq_topk", "statistics",
+        "sequence_pack", "sq8_topk", "pq_topk", "ivfpq_topk", "statistics",
         "stratified_sample",
         "suggest_spelling", "training_prepare", "trending_events",
         "lm_ppl_buckets", "lm_ppl_buckets_approx", "bm25_topk_grouped",

@@ -1669,3 +1669,192 @@ def pq_topk(
         .orderBy(F.col("qdot").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — coarse quantizer + direction/norm residual codes
+# ---------------------------------------------------------------------------
+# FAISS IndexIVFPQ analog under the engine's data-independent-codebook
+# contract. A naive port (unit codewords on residuals) FAILS: residual
+# subvector norms are ~0.05 while unit codewords pretend 1.0, so the
+# overscaled ADC term swamps the correctly-scaled coarse term and
+# recall lands BELOW raw PQ (measured 0.49 vs 0.71). K-means codebooks
+# fix this by learning magnitudes; the deterministic equivalent here is
+# DIRECTION × NORM product coding (the ScaNN/"PQ with norms" shape):
+# each subspace stores a unit DIRECTION code (argmax residual dot, the
+# scale-invariant assignment) plus a NORM-LEVEL code on a geometric
+# ladder, and the ADC contribution is dot(q_sub, ĉ_dir)·level — an
+# exact integer product of two 2²⁰-scaled int64s, so the oracle-hash
+# contract survives intact.
+
+PQ_LVL_SCALE = float(1 << 20)  # power of two: both factor scalings exact
+PQ_N_LEVELS = 16
+
+
+def pq_norm_levels(
+    n_levels: int = PQ_N_LEVELS, lmax: float = 1.0, lmin: float = 0.005
+) -> list[float]:
+    """Geometric norm ladder, largest first: v_l = lmax·(lmin/lmax)^
+    (l/(n−1)). Deterministic from the parameters alone — both engines
+    receive the same double literals."""
+    r = lmin / lmax
+    return [
+        float(lmax * r ** (l / (n_levels - 1))) for l in range(n_levels)
+    ]
+
+
+def ivfpq_encode(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: list[float] | None = None,
+) -> DataFrame:
+    """(id, cluster, codes): coarse-assign each vector, then code its
+    RESIDUAL v − centroid[cluster] per subspace as (direction, norm
+    level). ``codes`` has 2m entries: m direction codes then m level
+    codes — 2 bytes/subspace at the defaults, still 16× under float32.
+
+    One vectorized Arrow pass, no shuffle; at scale persist
+    partitionBy(cluster) for partition-pruned probes. Direction =
+    first-position-of-max over unit-codeword dots on the residual
+    (scale-invariant); level = first-position-of-min |‖r_sub‖ − v_l|.
+    Every fold (coarse dots, residual dots, the norm's self-dot)
+    accumulates in the DuckDB twin's list_dot_product order."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    n_clusters, dim = cent.shape
+    m, ks, dsub = cb.shape
+    if m * dsub != dim:
+        raise ValueError("codebook geometry does not cover dim")
+    lv = np.asarray(levels if levels is not None else pq_norm_levels(),
+                    dtype=np.float64)
+    n_lv = len(lv)
+    embeddings = with_norm(embeddings, vec_col, dim).filter(F.col("_norm") > 0)
+
+    out_t = T.StructType([
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+    ])
+
+    @F.pandas_udf(out_t)
+    def encode(vecs: pd.Series) -> pd.DataFrame:
+        n = len(vecs)
+        if n == 0:
+            return pd.DataFrame({"cluster": [], "codes": []})
+        mat = _stack(vecs)
+        dots = np.empty((n_clusters, n), dtype=np.float64)
+        for c in range(n_clusters):
+            acc = np.zeros(n, dtype=np.float64)
+            row = cent[c]
+            for i in range(dim):
+                acc = acc + mat[:, i] * row[i]
+            dots[c] = acc
+        cl = np.argmax(dots, axis=0)
+        res = mat - cent[cl]  # one IEEE subtract per element, both sides
+        dirs = np.empty((n, m), dtype=np.int32)
+        lvls = np.empty((n, m), dtype=np.int32)
+        for s in range(m):
+            off = s * dsub
+            sdots = np.empty((ks, n), dtype=np.float64)
+            for j in range(ks):
+                acc = np.zeros(n, dtype=np.float64)
+                cw = cb[s, j]
+                for i in range(dsub):
+                    acc = acc + res[:, off + i] * cw[i]
+                sdots[j] = acc
+            dirs[:, s] = np.argmax(sdots, axis=0).astype(np.int32)
+            nacc = np.zeros(n, dtype=np.float64)
+            for i in range(dsub):
+                nacc = nacc + res[:, off + i] * res[:, off + i]
+            norm_s = np.sqrt(nacc)
+            dists = np.abs(norm_s[None, :] - lv[:, None])
+            lvls[:, s] = np.argmin(dists, axis=0).astype(np.int32)
+        return pd.DataFrame({
+            "cluster": cl.astype(np.int32),
+            "codes": list(np.concatenate([dirs, lvls], axis=1)),
+        })
+
+    enc = embeddings.select(
+        F.col(id_col), encode(F.col(vec_col)).alias("_e")
+    )
+    return enc.select(
+        id_col, F.col("_e.cluster").alias("cluster"),
+        F.col("_e.codes").alias("codes"),
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: list[float] | None = None,
+) -> DataFrame:
+    """Probe-bounded residual-PQ scan (inner-product metric):
+    dot(q, v) = dot(q, cᵢ) + dot(q, v − cᵢ) ≈ Q[cluster] + Σ_s
+    dot(q_sub, ĉ_dir)·level — scored as Q (2⁴⁰-scaled int) plus m
+    exact int64 PRODUCTS of the 2²⁰-scaled direction-dot and
+    norm-level tables, so ranking is deterministic and the DuckDB twin
+    hash-matches. The probe set is the top-n_probe clusters by the
+    same sequential-fold dot both engines compute.
+
+    Plan: one scan with a cluster-IN filter (partition pruning when
+    codes are persisted partitionBy(cluster)), O(m) integer
+    multiply-adds per surviving row, TakeOrderedAndProject."""
+    import math
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    n_clusters, dim = cent.shape
+    m, ks, dsub = cb.shape
+    lv = levels if levels is not None else pq_norm_levels()
+
+    qdots = []
+    for c in range(n_clusters):
+        acc = 0.0
+        for i in range(dim):
+            acc += float(query_vec[i]) * float(cent[c, i])
+        qdots.append(acc)
+    probe = sorted(range(n_clusters), key=lambda c: (-qdots[c], c))[:n_probe]
+    qterm = [int(math.floor(d * SQ8_W_SCALE + 0.5)) for d in qdots]
+    # 2^20-scaled direction-dot tables (NOT the 2^40 pq_adc tables:
+    # the level factor contributes the other 2^20)
+    tdir: list[list[int]] = []
+    for s in range(m):
+        row = []
+        for j in range(ks):
+            acc = 0.0
+            for i in range(dsub):
+                acc += float(query_vec[s * dsub + i]) * float(cb[s, j, i])
+            row.append(int(math.floor(acc * PQ_LVL_SCALE + 0.5)))
+        tdir.append(row)
+    nv = [int(math.floor(float(v) * PQ_LVL_SCALE + 0.5)) for v in lv]
+
+    enc = ivfpq_encode(embeddings, cent, cb, id_col=id_col,
+                       vec_col=vec_col, levels=levels)
+    qlit = ", ".join(f"cast({t} as bigint)" for t in qterm)
+    nvlit = ", ".join(f"cast({t} as bigint)" for t in nv)
+    score = f"element_at(array({qlit}), cluster + 1) + " + " + ".join(
+        "element_at(array({lits}), element_at(codes, {s1}) + 1)"
+        " * element_at(array({nvl}), element_at(codes, {l1}) + 1)".format(
+            lits=", ".join(f"cast({t} as bigint)" for t in tdir[s]),
+            nvl=nvlit,
+            s1=s + 1,
+            l1=m + s + 1,
+        )
+        for s in range(m)
+    )
+    return (
+        enc.filter(F.col("cluster").isin([int(c) for c in probe]))
+        .withColumn("qdot", F.expr(score))
+        .select(F.col(id_col), "qdot")
+        .orderBy(F.col("qdot").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

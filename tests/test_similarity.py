@@ -987,3 +987,136 @@ def test_pq_codebooks_shape_and_dim_guard():
     np.testing.assert_allclose(norms, 1.0, rtol=1e-12)
     with pytest.raises(ValueError, match="divisible"):
         pq_codebooks(60, 8, 16)
+
+def test_ivfpq_encode_matches_numpy(emb):
+    """ivfpq_encode: cluster == ivf_assign's coarse assignment; the 2m
+    codes == numpy replay of residual direction argmax + norm-level
+    argmin — independent matrix math, not the batch fold."""
+    from search_engine_spark.operators.similarity import (
+        hash_centroids,
+        ivf_assign,
+        ivfpq_encode,
+        pq_codebooks,
+        pq_norm_levels,
+    )
+
+    v = _vecs()
+    cent = hash_centroids(DIM, 16)
+    cb = pq_codebooks(DIM, 8, 16)
+    lv = np.array(pq_norm_levels())
+    dsub = DIM // 8
+    got = {r["vec_id"]: (r["cluster"], list(r["codes"]))
+           for r in ivfpq_encode(emb, cent, cb).collect()}
+    coarse = {r["vec_id"]: r["cluster"]
+              for r in ivf_assign(emb, cent).collect()}
+    for i, (cl, codes) in got.items():
+        assert cl == coarse[i]
+        assert len(codes) == 16
+        res = v[i] - cent[cl]
+        for s in range(8):
+            sub = res[s * dsub:(s + 1) * dsub]
+            assert codes[s] == int(np.argmax(cb[s] @ sub)), (i, s)
+            assert codes[8 + s] == int(
+                np.argmin(np.abs(np.linalg.norm(sub) - lv))
+            ), (i, s)
+
+
+def test_ivfpq_topk_scores_and_probe_bound(emb):
+    """qdot == Q[cluster] + Σ_s Tdir[s][dir_s]·NV[lvl_s] replayed in
+    Python (exact int64 products); every result row's cluster is inside
+    the probe set."""
+    import math
+
+    from search_engine_spark.operators.similarity import (
+        PQ_LVL_SCALE,
+        SQ8_W_SCALE,
+        hash_centroids,
+        ivfpq_encode,
+        ivfpq_topk,
+        pq_codebooks,
+        pq_norm_levels,
+    )
+
+    v = _vecs()
+    q = [float(x) for x in v[7]]
+    cent = hash_centroids(DIM, 16)
+    cb = pq_codebooks(DIM, 8, 16)
+    lv = pq_norm_levels()
+    dsub = DIM // 8
+    qdots = []
+    for c in range(16):
+        acc = 0.0
+        for i in range(DIM):
+            acc += q[i] * float(cent[c, i])
+        qdots.append(acc)
+    probe = set(sorted(range(16), key=lambda c: (-qdots[c], c))[:4])
+    qterm = [int(math.floor(d * SQ8_W_SCALE + 0.5)) for d in qdots]
+    tdir = []
+    for s in range(8):
+        row = []
+        for j in range(16):
+            acc = 0.0
+            for i in range(dsub):
+                acc += q[s * dsub + i] * float(cb[s, j, i])
+            row.append(int(math.floor(acc * PQ_LVL_SCALE + 0.5)))
+        tdir.append(row)
+    nv = [int(math.floor(float(x) * PQ_LVL_SCALE + 0.5)) for x in lv]
+    enc = {r["vec_id"]: (r["cluster"], list(r["codes"]))
+           for r in ivfpq_encode(emb, cent, cb).collect()}
+    want = {
+        i: qterm[cl] + sum(
+            tdir[s][cs[s]] * nv[cs[8 + s]] for s in range(8)
+        )
+        for i, (cl, cs) in enc.items() if cl in probe
+    }
+    got = ivfpq_topk(emb, q, cent, cb, k=10, n_probe=4).collect()
+    order = sorted(want, key=lambda i: (-want[i], i))[:10]
+    assert [r["vec_id"] for r in got] == order
+    for r in got:
+        assert r["qdot"] == want[r["vec_id"]]
+        assert enc[r["vec_id"]][0] in probe
+
+
+def test_ivfpq_residual_codes_beat_raw_pq_with_adapted_centroids(spark):
+    """The reason IVFPQ exists: residual codes recover rank better
+    than raw-vector codes ONCE the coarse quantizer is data-adapted so
+    residuals are genuinely small. Pinned with the true cluster
+    directions as centroids (a k-means stand-in; full probe isolates
+    code quality). With data-INDEPENDENT hash centroids residuals stay
+    ~norm-1 and residual coding buys nothing — measured and documented
+    in the module header — which is exactly why FAISS trains the
+    coarse quantizer."""
+    import numpy as np
+
+    from search_engine_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+        pq_codebooks,
+        pq_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    cents = rng.randn(20, DIM)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    vecs = []
+    for i in range(400):
+        x = cents[i % 20] + 0.15 * rng.randn(DIM)
+        vecs.append(x / np.linalg.norm(x))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    cb = pq_codebooks(DIM, 8, 16)
+    coarse = cents[:16]
+    pq_rec, ivfpq_rec = [], []
+    for qi in range(0, 30, 3):
+        q = [float(x) for x in vecs[qi]]
+        truth = {r["vec_id"] for r in brute_force_topk(df, q, k=10).collect()}
+        got_pq = {r["vec_id"] for r in pq_topk(df, q, cb, k=10).collect()}
+        got_ivfpq = {r["vec_id"] for r in
+                     ivfpq_topk(df, q, coarse, cb, k=10, n_probe=16).collect()}
+        pq_rec.append(len(got_pq & truth) / 10)
+        ivfpq_rec.append(len(got_ivfpq & truth) / 10)
+    df.unpersist()
+    assert sum(ivfpq_rec) > sum(pq_rec), (ivfpq_rec, pq_rec)
+    assert sum(ivfpq_rec) / len(ivfpq_rec) >= 0.5, ivfpq_rec
