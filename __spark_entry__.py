@@ -950,6 +950,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # aggregates; top gram via struct-min argmax, no window)
         return repetition_signals(_documents(spark, sf), n=REPETITION_N)
 
+    def q_doclen_percentiles(spark, sf):
+        # ES percentiles aggregation over the doc-length distribution:
+        # one partial-agg percentile_approx pass (no sort/window); the
+        # oracle selects the same values by rank ceil(q*n)
+        from search_engine_spark.operators.serving import field_percentiles
+
+        return field_percentiles(
+            _index_for(spark, sf).doclen, "dl",
+            qs=(0.25, 0.5, 0.75, 0.95),
+        ).select("quantile", F.col("value").cast("long").alias("value"))
+
+    def q_keyphrases(spark, sf):
+        # RAKE keyphrase mining (Rose et al. 2010): stopword-delimited
+        # candidate runs scored by Σ deg/freq of their words — the
+        # multi-word phrase miner beside collocations' PMI bigrams
+        from search_engine_spark.operators.collocations import keyphrases
+
+        return keyphrases(
+            _documents(spark, sf), top_n=20, min_count=2, max_words=4
+        )
+
     def q_collocations(spark, sf):
         # corpus-wide collocation mining: top adjacent-bigram PMI with
         # a min-count floor (one tokenize, one combined explode, counts
@@ -1633,6 +1654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "dsir_resample_topk": q_dsir_resample,
         "repetition_signals": q_repetition,
+        "keyphrases": q_keyphrases,
+        "doclen_percentiles": q_doclen_percentiles,
         "collocations": q_collocations,
         "phrase_search_positional": q_phrase_search_positional,
         "span_near_search": q_span_near,
@@ -4268,6 +4291,56 @@ def oracle_sql() -> dict[str, str]:
         # operators/collocations.py — (c_ab/B) / ((c_a/T)*(c_b/T)), ln,
         # round 6; DuckDB's empty generate_series handles 1-token docs
         # the way the Spark side's explicit empty-array guard does
+        "doclen_percentiles": f"""
+    WITH {_POSTINGS},
+    ranked AS (
+        SELECT dl, row_number() OVER (ORDER BY dl) AS rn,
+               count(*) OVER () AS n
+        FROM doclen
+    )
+    SELECT qv.q AS quantile, CAST(r.dl AS BIGINT) AS value
+    FROM (VALUES (0.25), (0.5), (0.75), (0.95)) qv(q)
+    JOIN ranked r ON r.rn = CAST(ceil(qv.q * r.n) AS BIGINT)
+    ORDER BY quantile
+        """,
+        "keyphrases": f"""
+    WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+    marked AS (
+        SELECT array_to_string(
+            list_transform(t, x -> CASE WHEN x IN {_STOPS}
+                                        THEN '|' ELSE x END), ' ') AS s
+        FROM toks WHERE len(t) >= 1
+    ),
+    occ AS (
+        SELECT ph AS phrase, len(string_split(ph, ' ')) AS n_words
+        FROM (SELECT unnest(string_split_regex(s, '\\s*\\|\\s*')) AS ph
+              FROM marked)
+        WHERE ph <> '' AND len(string_split(ph, ' ')) <= 4
+    ),
+    word_stats AS (
+        SELECT w AS word, count(*) AS freq, sum(n_words) AS deg
+        FROM (SELECT unnest(string_split(phrase, ' ')) AS w, n_words
+              FROM occ)
+        GROUP BY w
+    ),
+    pc AS (
+        SELECT phrase, n_words, count(*) AS phrase_count
+        FROM occ GROUP BY phrase, n_words HAVING count(*) >= 2
+    ),
+    pw AS (
+        SELECT phrase, n_words, phrase_count,
+               unnest(string_split(phrase, ' ')) AS word
+        FROM pc
+    )
+    SELECT phrase, CAST(n_words AS BIGINT) AS n_words,
+           CAST(phrase_count AS BIGINT) AS phrase_count,
+           round(CAST(sum(CAST(round(CAST(deg AS DOUBLE)
+                                     / CAST(freq AS DOUBLE), 10)
+                               AS DECIMAL(28,10))) AS DOUBLE), 6) AS score
+    FROM pw JOIN word_stats USING (word)
+    GROUP BY phrase, n_words, phrase_count
+    ORDER BY score DESC, phrase ASC LIMIT 20
+        """,
         "collocations": f"""
             WITH toks AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
             uni AS (SELECT unnest(tok) AS gram FROM toks),

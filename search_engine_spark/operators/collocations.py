@@ -118,3 +118,96 @@ def collocations(
     rows = ranked.collect()
     counts.unpersist()
     return docs.sparkSession.createDataFrame(rows, schema=ranked.schema)
+
+
+def keyphrases(
+    docs: DataFrame,
+    top_n: int = 20,
+    min_count: int = 2,
+    max_words: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level RAKE keyphrase extraction (Rose et al. 2010).
+
+    Candidate phrases are the maximal stopword-free token runs (RAKE's
+    defining move: stopwords and punctuation are the phrase
+    delimiters); each word accumulates freq (occurrences) and deg
+    (Σ length of the phrases it occurs in), and a phrase scores
+    Σ_w deg(w)/freq(w) — degree rewards words that travel in long
+    phrases, the ratio damps ubiquitous ones. The classic cheap
+    keyphrase miner next to :func:`collocations` (PMI bigrams):
+    RAKE returns multi-word phrases of any length ≤ ``max_words``.
+
+    Plan shape (100 TB): one corpus scan — tokens are projected once,
+    stopwords are replaced by a '|' sentinel and the array re-split so
+    phrase extraction is pure codegen string work (no Python) — then
+    TWO vocabulary-bounded aggregates (word stats, phrase counts) and
+    one word-stats join back onto the exploded phrase words. Word
+    scores are rounded to the 1e-10 grid and summed as DECIMAL(28,10)
+    (order-independent — the lm.py contract) so the DuckDB twin
+    hash-matches; final score = round(double, 6).
+
+    Returns (phrase, n_words, phrase_count, score) ordered by
+    (score desc, phrase asc), ``min_count`` floor on occurrences."""
+    from search_engine_spark.config import STOPWORDS
+    from search_engine_spark.functions.text import tokenize_expr
+
+    stops = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    toks = docs.select(tokenize_expr(F.col(text_col)).alias("_toks")).filter(
+        F.size("_toks") >= 1
+    )
+    marked = F.array_join(
+        F.expr(f"transform(_toks, t -> IF(t IN ({stops}), '|', t))"), " "
+    )
+    occ = (
+        toks.select(F.explode(F.split(marked, r"\s*\|\s*")).alias("phrase"))
+        .filter(F.col("phrase") != "")
+        .withColumn("words", F.split(F.col("phrase"), " "))
+        .withColumn("n_words", F.size("words"))
+        .filter(F.col("n_words") <= int(max_words))
+        .persist()  # feeds word stats AND phrase counts; released below
+    )
+    word_stats = (
+        occ.select(F.explode("words").alias("word"), "n_words")
+        .groupBy("word")
+        .agg(
+            F.count("*").alias("freq"),
+            F.sum("n_words").alias("deg"),
+        )
+    )
+    phrase_counts = (
+        occ.groupBy("phrase", "n_words")
+        .agg(F.count("*").alias("phrase_count"))
+        .filter(F.col("phrase_count") >= int(min_count))
+    )
+    # per-(phrase, word-position) rows join the vocabulary-bounded word
+    # stats; the decimal sum makes the per-phrase reduction
+    # order-independent, so groupBy needs no ordered fold
+    scored = (
+        phrase_counts.select(
+            "phrase", "n_words", "phrase_count",
+            F.posexplode(F.split(F.col("phrase"), " "))
+            .alias("pos", "word"),
+        )
+        .join(word_stats, "word")
+        .groupBy("phrase", "n_words", "phrase_count")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("deg").cast("double") / F.col("freq").cast("double"),
+                    10,
+                ).cast("decimal(28,10)")
+            ).alias("_s")
+        )
+        .select(
+            "phrase",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("phrase_count").cast("long").alias("phrase_count"),
+            F.round(F.col("_s").cast("double"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("phrase").asc())
+        .limit(int(top_n))
+    )
+    rows = scored.collect()
+    occ.unpersist()
+    return docs.sparkSession.createDataFrame(rows, schema=scored.schema)

@@ -741,3 +741,34 @@ def corpus_profile_sql_duckdb(
                {qcols}
         FROM ranked GROUP BY scope
     """
+
+
+def field_percentiles(
+    df: DataFrame,
+    col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """ES-style percentiles aggregation over a numeric column: one
+    partial-aggregatable ``percentile_approx`` pass — no sort, no
+    window, scan-shaped at any scale (the GK-sketch merges across
+    partitions; ``accuracy`` bounds its rank error, exact when ≥ n).
+
+    Value semantics: percentile_approx is VALUE-RETURNING — the
+    quantile q maps to the actual data value at rank ceil(q·n)
+    (pinned empirically and by the perplexity_buckets differential),
+    so the result is oracle-comparable by rank selection rather than
+    interpolation.
+
+    Returns (quantile, value) rows ordered by quantile."""
+    arr = F.percentile_approx(F.col(col), list(qs), int(accuracy))
+    qlits = F.array(*[F.lit(float(q)) for q in qs])
+    return (
+        df.agg(arr.alias("_v"))
+        .select(F.posexplode("_v").alias("_i", "value"))
+        .select(
+            F.element_at(qlits, F.col("_i") + 1).alias("quantile"),
+            "value",
+        )
+        .orderBy("quantile")
+    )

@@ -71,3 +71,45 @@ def test_collocations_ordering_and_topn(spark):
     assert len(rows) == 2
     # all three pairs have identical counts/PMI → lexicographic order
     assert [(r["w1"], r["w2"]) for r in rows] == [("aa", "bb"), ("bb", "cc")]
+
+
+def test_keyphrases_rake_scores(spark):
+    """RAKE on a toy corpus with hand-computed deg/freq scores:
+    'quick brown fox' ×3 → each word freq=3, deg=9 → score 9.0;
+    two-word phrases score 4.0; stopwords delimit candidates."""
+    from search_engine_spark.operators.collocations import keyphrases
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox and a lazy dog in the quick brown fox"),
+         (2, "quick brown fox is it or lazy dog"),
+         (3, "deep learning of neural networks and deep learning")],
+        "doc_id long, text string",
+    )
+    rows = keyphrases(docs, top_n=10, min_count=1).collect()
+    got = {r["phrase"]: (r["n_words"], r["phrase_count"], r["score"])
+           for r in rows}
+    assert got["quick brown fox"] == (3, 3, 9.0)
+    assert got["deep learning"] == (2, 2, 4.0)
+    assert got["lazy dog"] == (2, 2, 4.0)
+    assert got["neural networks"] == (2, 1, 4.0)
+    # ordered by (score desc, phrase asc)
+    assert [r["phrase"] for r in rows] == [
+        "quick brown fox", "deep learning", "lazy dog", "neural networks"
+    ]
+    # min_count floor removes singletons
+    counted = {r["phrase"]
+               for r in keyphrases(docs, top_n=10, min_count=2).collect()}
+    assert "neural networks" not in counted and "deep learning" in counted
+
+
+def test_keyphrases_max_words_cap(spark):
+    from search_engine_spark.operators.collocations import keyphrases
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    # the 6-word run exceeds max_words=4 -> no phrases at all
+    assert keyphrases(docs, top_n=5, min_count=1, max_words=4).count() == 0
+    assert keyphrases(docs, top_n=5, min_count=1, max_words=6).count() == 1

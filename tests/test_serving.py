@@ -462,3 +462,21 @@ def test_conversation_context_windows(tiny_index):
         if (meta[h][0], meta[h][1] + off) in turns
     )
     assert len(rows) == want
+
+
+def test_field_percentiles_rank_convention(spark):
+    """percentile_approx at exact accuracy returns the value at rank
+    ceil(q·n) — pinned against an explicit sort (the convention the
+    DuckDB oracle's rank join and perplexity_buckets both rely on)."""
+    import math
+
+    from search_engine_spark.operators.serving import field_percentiles
+
+    vals = [7, 1, 13, 5, 3, 11, 2, 17, 19, 23, 29]  # n=11, distinct
+    df = spark.createDataFrame([(v,) for v in vals], "dl long")
+    got = {r["quantile"]: r["value"]
+           for r in field_percentiles(df, "dl").collect()}
+    ordered = sorted(vals)
+    want = {q: ordered[math.ceil(q * len(vals)) - 1]
+            for q in (0.25, 0.5, 0.75, 0.95)}
+    assert got == want
