@@ -811,6 +811,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, _INDEX_CACHE[key], qvec, k=10, n_probe=IVF_NPROBE
         ).select("vec_id", "cosine")
 
+    def q_ivfpq_topk_disk(spark, sf):
+        # persisted IVF-PQ: codes partitionBy(cluster), probe =
+        # partition-pruned read scoring the 2m-byte codes alone (no
+        # join back to the vector table — the PQ point at scale).
+        # Same model arithmetic as ivfpq_topk → same equality oracle.
+        from search_engine_spark.operators.similarity import (
+            hash_centroids,
+            ivfpq_query_topk_disk,
+            write_ivfpq_index,
+        )
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qvec = [float(x) for x in
+                emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+        key = ("ivfpq_disk", sf)
+        if key not in _INDEX_CACHE:
+            import tempfile
+
+            out_dir = tempfile.mkdtemp(prefix="ivfpq_index_")
+            write_ivfpq_index(
+                emb, out_dir, dim=len(qvec),
+                centroids=hash_centroids(len(qvec), IVF_CLUSTERS),
+            )
+            _INDEX_CACHE[key] = out_dir
+        return ivfpq_query_topk_disk(
+            spark, _INDEX_CACHE[key], qvec, k=10, n_probe=IVF_NPROBE
+        )
+
     def q_ivf_ann_mutate(spark, sf):
         # mutation-path correctness as a DRIVER-GATED query: build the
         # IVF disk index over a base split, fold the rest in with the
@@ -1641,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_grouped": q_search_grouped,
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
+        "ivfpq_topk_disk": q_ivfpq_topk_disk,
         "bm25_topk_grouped": q_bm25_grouped,
         "bm25_topk_collapsed": q_bm25_collapsed,
         "date_histogram": q_date_histogram,
@@ -2493,8 +2522,11 @@ def _ivfpq_sql(n_clusters: int = 16, n_probe: int = 4, dim: int = 64,
     cent_rows = ", ".join(
         f"({c}, {vec_lit(cent[c])})" for c in range(n_clusters)
     )
+    # ::DOUBLE on both factors: bare numeric literals are DECIMALs in
+    # DuckDB and the DECIMAL x DECIMAL product overflows width 18
     nv_lit = "[" + ", ".join(
-        f"CAST(floor({float(v)!r} * {PQ_LVL_SCALE!r} + 0.5) AS BIGINT)"
+        f"CAST(floor({float(v)!r}::DOUBLE * {PQ_LVL_SCALE!r}::DOUBLE"
+        f" + 0.5) AS BIGINT)"
         for v in lv
     ) + "]"
     dot_exprs = []
@@ -3751,6 +3783,7 @@ def oracle_sql() -> dict[str, str]:
         "search_grouped": _composed_or_oracle(flatten_grouped_query(Q_GROUPED)),
         "pq_topk": _pq_ann_sql(dim=64, m=8, ks=16, k=10),
         "ivfpq_topk": _ivfpq_sql(n_clusters=IVF_CLUSTERS, n_probe=IVF_NPROBE, dim=64, m=8, ks=16, k=10),
+        "ivfpq_topk_disk": _ivfpq_sql(n_clusters=IVF_CLUSTERS, n_probe=IVF_NPROBE, dim=64, m=8, ks=16, k=10),
         "search_scoped_field": scoped_field_oracle,
         # term^N boost: Q_MAIN's AND match set, 'join' weight tripled
         "search_boosted": _bm25_sql(Q_MAIN, boosts={"join": 3.0}),

@@ -331,8 +331,8 @@ def main() -> None:
         "corpus_profile", "dedup_exact", "hll_registers", "langid",
         "lemma_frequency_top10", "lm_bigram_model", "reference_relevance",
         "repetition_signals", "result_merge", "search_wildcard",
-        "sequence_pack", "sq8_topk", "pq_topk", "ivfpq_topk", "statistics",
-        "stratified_sample",
+        "sequence_pack", "sq8_topk", "pq_topk", "ivfpq_topk",
+        "ivfpq_topk_disk", "statistics", "stratified_sample",
         "suggest_spelling", "training_prepare", "trending_events",
         "lm_ppl_buckets", "lm_ppl_buckets_approx", "bm25_topk_grouped",
         "bpe_merges", "bpe_token_counts",

@@ -57,9 +57,11 @@ def main() -> None:
     p.add_argument("--embeddings", required=True,
                    help="parquet with (vec_id long, embedding array)")
     p.add_argument("--index", required=True, help="SRP index dir")
-    p.add_argument("--method", choices=["srp", "ivf"], default="srp",
-                   help="index family: SRP-LSH bucket tables or IVF "
-                        "coarse-quantizer cluster lists")
+    p.add_argument("--method", choices=["srp", "ivf", "pq"], default="srp",
+                   help="index family: SRP-LSH bucket tables, IVF "
+                        "coarse-quantizer id lists, or IVF-PQ "
+                        "direction/norm residual codes (codes-only "
+                        "probes; --rerank for exact refinement)")
     p.add_argument("--planes", type=int, default=8)
     p.add_argument("--clusters", type=int, default=None,
                    help="IVF cluster count (build: default 16; "
@@ -75,6 +77,9 @@ def main() -> None:
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--multiprobe", type=int, default=1,
                    help="probe Hamming radius (recall lever)")
+    p.add_argument("--rerank", action="store_true",
+                   help="pq query: exact-rerank the top k*4 ADC "
+                        "candidates against the embedding table")
     p.add_argument("--brute", action="store_true",
                    help="exact brute-force baseline (ignores the index)")
     p.add_argument("--allow-duplicates", action="store_true",
@@ -138,7 +143,17 @@ def main() -> None:
     if args.mode == "build":
         emb = read_emb()
         dim = len(emb.select("embedding").head()[0])
-        if args.method == "ivf":
+        if args.method == "pq":
+            from search_engine_spark.operators.similarity import (
+                write_ivfpq_index,
+            )
+
+            k_build = args.clusters or 16
+            write_ivfpq_index(emb, args.index, dim=dim, n_clusters=k_build)
+            meta = {"method": "pq", "dim": dim, "n_clusters": k_build,
+                    "m": 8, "ks": 16,
+                    "embeddings": os.path.abspath(args.embeddings)}
+        elif args.method == "ivf":
             k_build = args.clusters or 16
             write_ivf_index(emb, args.index, dim=dim,
                             n_clusters=k_build)
@@ -168,7 +183,14 @@ def main() -> None:
             meta = json.load(fh)
         check = not args.allow_duplicates
         emb = read_emb()
-        if meta.get("method") == "ivf":
+        if meta.get("method") == "pq":
+            from search_engine_spark.operators.similarity import (
+                append_ivfpq_index,
+            )
+
+            affected = append_ivfpq_index(emb, args.index,
+                                          check_duplicates=check)
+        elif meta.get("method") == "ivf":
             affected = append_ivf_index(emb, args.index,
                                         check_duplicates=check)
         else:
@@ -313,7 +335,17 @@ def main() -> None:
             sys.exit(2)
         with open(meta_path) as fh:
             meta = json.load(fh)
-        if meta.get("method") == "ivf":
+        if meta.get("method") == "pq":
+            from search_engine_spark.operators.similarity import (
+                ivfpq_query_topk_disk,
+            )
+
+            hits = ivfpq_query_topk_disk(
+                spark, args.index, qvec, k=args.k, n_probe=args.n_probe,
+                as_of=args.as_of,
+                rerank_embeddings=emb if args.rerank else None,
+            ).collect()
+        elif meta.get("method") == "ivf":
             hits = ivf_query_topk_disk(
                 emb, args.index, qvec, k=args.k, n_probe=args.n_probe,
                 as_of=args.as_of,
@@ -326,8 +358,11 @@ def main() -> None:
                 group_bits=meta["group_bits"], as_of=args.as_of,
             ).collect()
     for r in hits:
-        print(json.dumps({"vec_id": r["vec_id"], "cosine": r["cosine"]}),
-              flush=True)
+        out = {"vec_id": r["vec_id"]}
+        out["cosine" if "cosine" in r else "qdot"] = (
+            r["cosine"] if "cosine" in r else r["qdot"]
+        )
+        print(json.dumps(out), flush=True)
     spark.stop()
 
 

@@ -53,7 +53,12 @@ def compare(name, sdf, con, sql):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # accept both space- and comma-separated name lists: a comma-joined
+    # argument used to silently match NOTHING and print a vacuous
+    # "ALL PASS" — the worst possible failure mode for a gate
+    only = set()
+    for a in sys.argv[2:]:
+        only.update(x for x in a.replace("--only", "").split(",") if x)
     spark = build_session("check_oracle", cpus=8, shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
@@ -82,6 +87,10 @@ def main():
     if not only:
         n = entrymod.entry(spark).count()
         print(f"OK   entry: {n} rows")
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL: unknown query names {sorted(unknown)}")
+        failed += 1
     print("ALL PASS" if failed == 0 else f"{failed} FAILURES")
     sys.exit(1 if failed else 0)
 

@@ -1808,14 +1808,36 @@ def ivfpq_topk(
     Plan: one scan with a cluster-IN filter (partition pruning when
     codes are persisted partitionBy(cluster)), O(m) integer
     multiply-adds per surviving row, TakeOrderedAndProject."""
-    import math
-
     cent = np.asarray(centroids, dtype=np.float64)
     cb = np.asarray(codebooks, dtype=np.float64)
+    lv = levels if levels is not None else pq_norm_levels()
+    probe, score = _ivfpq_query_model(query_vec, cent, cb, lv, n_probe)
+    enc = ivfpq_encode(embeddings, cent, cb, id_col=id_col,
+                       vec_col=vec_col, levels=levels)
+    return (
+        enc.filter(F.col("cluster").isin(probe))
+        .withColumn("qdot", F.expr(score))
+        .select(F.col(id_col), "qdot")
+        .orderBy(F.col("qdot").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _ivfpq_query_model(
+    query_vec: list[float],
+    cent: np.ndarray,
+    cb: np.ndarray,
+    lv: list[float],
+    n_probe: int,
+) -> tuple[list[int], str]:
+    """(probe clusters, integer score SQL) for one query — the shared
+    driver-side half of ivfpq_topk and the disk probe: sequential-fold
+    coarse dots (oracle parity), 2⁴⁰-scaled Q table, 2²⁰-scaled
+    direction-dot and level tables."""
+    import math
+
     n_clusters, dim = cent.shape
     m, ks, dsub = cb.shape
-    lv = levels if levels is not None else pq_norm_levels()
-
     qdots = []
     for c in range(n_clusters):
         acc = 0.0
@@ -1824,8 +1846,6 @@ def ivfpq_topk(
         qdots.append(acc)
     probe = sorted(range(n_clusters), key=lambda c: (-qdots[c], c))[:n_probe]
     qterm = [int(math.floor(d * SQ8_W_SCALE + 0.5)) for d in qdots]
-    # 2^20-scaled direction-dot tables (NOT the 2^40 pq_adc tables:
-    # the level factor contributes the other 2^20)
     tdir: list[list[int]] = []
     for s in range(m):
         row = []
@@ -1836,9 +1856,6 @@ def ivfpq_topk(
             row.append(int(math.floor(acc * PQ_LVL_SCALE + 0.5)))
         tdir.append(row)
     nv = [int(math.floor(float(v) * PQ_LVL_SCALE + 0.5)) for v in lv]
-
-    enc = ivfpq_encode(embeddings, cent, cb, id_col=id_col,
-                       vec_col=vec_col, levels=levels)
     qlit = ", ".join(f"cast({t} as bigint)" for t in qterm)
     nvlit = ", ".join(f"cast({t} as bigint)" for t in nv)
     score = f"element_at(array({qlit}), cluster + 1) + " + " + ".join(
@@ -1851,10 +1868,142 @@ def ivfpq_topk(
         )
         for s in range(m)
     )
-    return (
-        enc.filter(F.col("cluster").isin([int(c) for c in probe]))
+    return [int(c) for c in probe], score
+
+
+def write_ivfpq_index(
+    embeddings: DataFrame, out_dir: str, dim: int,
+    n_clusters: int = 16, m: int = 8, ks: int = 16,
+    centroids: "np.ndarray | None" = None,
+    sample_size: int = 2048,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Persist an IVF-PQ index: (id, codes) rows ``partitionBy(cluster)``
+    plus an ``_ivfpq_meta.json`` carrying centroids + codebooks +
+    norm-level ladder (the full query-side model). Unlike the ids-only
+    IVF/SRP dirs, a probe here needs NO join back to the vector table —
+    the 2m-byte codes ARE the scan, which is the entire point of PQ at
+    100 TB: the embedding table can live in cold storage while queries
+    touch only n_probe directories of integer codes.
+
+    ``centroids=None`` fits deterministic k-means on the lowest-id
+    sample (build_ivf_index's model path — better residuals, no
+    equality oracle); pass :func:`hash_centroids` for the
+    literal-replayable arithmetic the oracle checks. Codebooks are
+    always the deterministic :func:`pq_codebooks`. Returns
+    (centroids, codebooks)."""
+    import json as _json
+
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+    else:
+        _, cent = build_ivf_index(
+            embeddings, dim=dim, n_clusters=n_clusters,
+            sample_size=sample_size, id_col=id_col, vec_col=vec_col,
+        )
+    cb = pq_codebooks(dim, m, ks)
+    lv = pq_norm_levels()
+    enc = ivfpq_encode(embeddings, cent, cb, id_col=id_col, vec_col=vec_col)
+    (
+        enc.repartition("cluster")
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(out_dir)
+    )
+    meta = {
+        "dim": dim,
+        "n_clusters": int(cent.shape[0]),
+        "m": m,
+        "ks": ks,
+        "centroids": [[float(x) for x in row] for row in cent],
+        "levels": [float(x) for x in lv],
+    }
+    meta_path = os.path.join(out_dir, "_ivfpq_meta.json")
+    with open(meta_path + ".tmp", "w") as fh:
+        _json.dump(meta, fh)
+    os.replace(meta_path + ".tmp", meta_path)
+    return cent, cb
+
+
+def read_ivfpq_meta(index_dir: str) -> dict:
+    import json as _json
+
+    with open(os.path.join(index_dir, "_ivfpq_meta.json")) as fh:
+        meta = _json.load(fh)
+    meta["centroids"] = np.asarray(meta["centroids"], dtype=np.float64)
+    return meta
+
+
+def append_ivfpq_index(
+    embeddings_delta: DataFrame, index_dir: str,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    check_duplicates: bool = True,
+) -> list[int]:
+    """Fold NEW vectors into a :func:`write_ivfpq_index` directory:
+    encode the delta with the PERSISTED model (frozen at build — append
+    never re-fits) and rewrite only the cluster dirs that received
+    rows; O(delta + affected clusters). Result-identical to a fresh
+    build of the full corpus with the same model (test-pinned).
+    Returns the affected cluster ids."""
+    meta = read_ivfpq_meta(index_dir)
+    cb = pq_codebooks(meta["dim"], meta["m"], meta["ks"])
+    delta = ivfpq_encode(
+        embeddings_delta, meta["centroids"], cb,
+        id_col=id_col, vec_col=vec_col, levels=meta["levels"],
+    ).localCheckpoint()
+    if check_duplicates:
+        _reject_duplicate_ids(index_dir, delta, id_col)
+    spark = delta.sparkSession
+    affected = sorted(
+        int(r["cluster"]) for r in delta.select("cluster").distinct().collect()
+    )
+    if not affected:
+        return []
+    existing = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("cluster").isin(affected))
+        .select(id_col, "codes", "cluster")
+    )
+    combined = existing.unionByName(delta.select(id_col, "codes", "cluster"))
+    _swap_partition_dirs(
+        combined, index_dir, ["cluster"], [(c,) for c in affected]
+    )
+    return affected
+
+
+def ivfpq_query_topk_disk(
+    spark: SparkSession, index_dir: str, query_vec: list[float],
+    k: int = 10, n_probe: int = 4,
+    id_col: str = "vec_id",
+    as_of: int | None = None,
+    rerank_embeddings: DataFrame | None = None,
+    rerank_factor: int = 4,
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index: partition-pruned read of the
+    n_probe cluster dirs, integer ADC scoring on the codes alone — the
+    vector table is NOT touched unless ``rerank_embeddings`` is given,
+    in which case the top k·rerank_factor ADC candidates are exactly
+    reranked by cosine (the standard two-stage refinement; returns
+    (id, cosine) instead of (id, qdot)). ``as_of=v`` probes snapshot v.
+    Scores are identical to :func:`ivfpq_topk` on the same model."""
+    if as_of is not None:
+        from search_engine_spark.sources.index_store import snapshot_path
+
+        index_dir = snapshot_path(index_dir, as_of)
+    meta = read_ivfpq_meta(index_dir)
+    cb = pq_codebooks(meta["dim"], meta["m"], meta["ks"])
+    probe, score = _ivfpq_query_model(
+        query_vec, meta["centroids"], cb, meta["levels"], n_probe
+    )
+    cands = (
+        spark.read.parquet(index_dir)
+        .filter(F.col("cluster").isin(probe))
         .withColumn("qdot", F.expr(score))
         .select(F.col(id_col), "qdot")
         .orderBy(F.col("qdot").desc(), F.col(id_col).asc())
-        .limit(k)
     )
+    if rerank_embeddings is None:
+        return cands.limit(k)
+    pool = cands.limit(int(k) * int(rerank_factor)).select(id_col)
+    exact = rerank_embeddings.join(F.broadcast(pool), id_col)
+    return brute_force_topk(exact, [float(x) for x in query_vec], k, id_col)

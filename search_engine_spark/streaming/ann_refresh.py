@@ -97,6 +97,12 @@ def append_ann_batch(
         if batch.isEmpty():
             return []
     check = on_duplicate == "error"
+    if meta["method"] == "pq":
+        from search_engine_spark.operators.similarity import (
+            append_ivfpq_index,
+        )
+
+        return append_ivfpq_index(batch, index_dir, check_duplicates=check)
     if meta["method"] == "ivf":
         return append_ivf_index(batch, index_dir, check_duplicates=check)
     return append_srp_index(

@@ -558,3 +558,41 @@ def test_federated_ann_topk(spark, emb, tmp_path):
     # cosines non-increasing across the merged list
     cs = [h["cosine"] for h in hits]
     assert cs == sorted(cs, reverse=True)
+
+
+def test_pq_stream_refresh(spark, emb, tmp_path):
+    """Streaming drain over the IVF-PQ family: new files are encoded
+    with the persisted model and folded partition-bounded; the
+    refreshed index answers codes-only probes exactly like a one-shot
+    full build."""
+    from search_engine_spark.operators.similarity import (
+        hash_centroids,
+        ivfpq_query_topk_disk,
+        write_ivfpq_index,
+    )
+
+    index_dir = str(tmp_path / "pq")
+    input_dir = str(tmp_path / "incoming")
+    cent = hash_centroids(DIM, 8)
+    write_ivfpq_index(
+        emb.filter(F.col("vec_id") < 90), index_dir, dim=DIM,
+        centroids=cent,
+    )
+    meta = {"method": "pq", "dim": DIM, "n_clusters": 8, "m": 8, "ks": 16}
+    with open(os.path.join(index_dir, "_ann_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    emb.filter(F.col("vec_id") >= 90).write.mode("overwrite").parquet(
+        input_dir
+    )
+    incremental_ann_refresh(spark, input_dir, index_dir)
+
+    full_dir = str(tmp_path / "pq_full")
+    write_ivfpq_index(emb, full_dir, dim=DIM, centroids=cent)
+    q = [float(x) for x in _vecs()[103]]
+    got = [(r["vec_id"], r["qdot"])
+           for r in ivfpq_query_topk_disk(spark, index_dir, q, k=8,
+                                          n_probe=8).collect()]
+    want = [(r["vec_id"], r["qdot"])
+            for r in ivfpq_query_topk_disk(spark, full_dir, q, k=8,
+                                           n_probe=8).collect()]
+    assert got == want and got

@@ -1120,3 +1120,91 @@ def test_ivfpq_residual_codes_beat_raw_pq_with_adapted_centroids(spark):
     df.unpersist()
     assert sum(ivfpq_rec) > sum(pq_rec), (ivfpq_rec, pq_rec)
     assert sum(ivfpq_rec) / len(ivfpq_rec) >= 0.5, ivfpq_rec
+
+
+def test_ivfpq_disk_matches_memory_and_appends(emb, spark, tmp_path):
+    """write_ivfpq_index + ivfpq_query_topk_disk == ivfpq_topk on the
+    same model (codes-only probe, no vector table); a two-step
+    build+append over a split corpus equals the one-shot build; the
+    exact-rerank path returns true cosines."""
+    from search_engine_spark.operators.similarity import (
+        append_ivfpq_index,
+        brute_force_topk,
+        hash_centroids,
+        ivfpq_query_topk_disk,
+        ivfpq_topk,
+        pq_codebooks,
+        write_ivfpq_index,
+    )
+
+    v = _vecs()
+    q = [float(x) for x in v[7]]
+    cent = hash_centroids(DIM, 16)
+    cb = pq_codebooks(DIM, 8, 16)
+
+    full = str(tmp_path / "pq_full")
+    write_ivfpq_index(emb, full, dim=DIM, centroids=cent)
+    mem = [(r["vec_id"], r["qdot"])
+           for r in ivfpq_topk(emb, q, cent, cb, k=10, n_probe=4).collect()]
+    disk = [(r["vec_id"], r["qdot"])
+            for r in ivfpq_query_topk_disk(spark, full, q, k=10,
+                                           n_probe=4).collect()]
+    assert mem == disk and mem
+
+    # split build + append == one-shot build (model frozen at build)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    delta = emb.filter(F.col("vec_id") % 2 == 1)
+    two = str(tmp_path / "pq_two")
+    write_ivfpq_index(base, two, dim=DIM, centroids=cent)
+    affected = append_ivfpq_index(delta, two)
+    assert affected  # some cluster dirs were rewritten
+    appended = [(r["vec_id"], r["qdot"])
+                for r in ivfpq_query_topk_disk(spark, two, q, k=10,
+                                               n_probe=4).collect()]
+    assert appended == disk
+
+    # exact rerank: cosines equal brute-force's for the same ids
+    rr = ivfpq_query_topk_disk(spark, full, q, k=5, n_probe=16,
+                               rerank_embeddings=emb).collect()
+    bmap = {r["vec_id"]: r["cosine"]
+            for r in brute_force_topk(emb, q, k=1000).collect()}
+    assert rr
+    for r in rr:
+        assert abs(r["cosine"] - bmap[r["vec_id"]]) < 1e-9
+
+
+def test_ann_cli_pq_family(tmp_path):
+    """jobs/ann.py --method pq: build -> codes-only query (qdot ints),
+    --rerank query (cosines, self-query first), append folds a delta."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo)
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "ann_pq")
+
+    def run(*a):
+        return subprocess.run(
+            [sys.executable, os.path.join(repo, "jobs", "ann.py"),
+             *a, "--embeddings", emb, "--index", idx, "--local-cpus", "2"],
+            capture_output=True, text=True, cwd=repo, timeout=300, env=env,
+        )
+
+    b = run("build", "--method", "pq", "--clusters", "8")
+    assert b.returncode == 0, b.stderr[-2000:]
+    assert os.path.exists(os.path.join(idx, "_ivfpq_meta.json"))
+
+    q = run("query", "--vec-id", "3", "--k", "5", "--n-probe", "8")
+    assert q.returncode == 0, q.stderr[-2000:]
+    hits = [_json.loads(l) for l in q.stdout.strip().splitlines() if l]
+    assert hits and all("qdot" in h for h in hits)
+
+    qr = run("query", "--vec-id", "3", "--k", "5", "--n-probe", "8",
+             "--rerank")
+    assert qr.returncode == 0, qr.stderr[-2000:]
+    rhits = [_json.loads(l) for l in qr.stdout.strip().splitlines() if l]
+    assert rhits and rhits[0]["vec_id"] == 3
+    assert abs(rhits[0]["cosine"] - 1) < 1e-6
