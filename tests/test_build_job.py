@@ -565,3 +565,18 @@ def test_export_cli_roundtrip(tmp_path):
                              if l.startswith("{")][-1])
     assert ing_audit["rows_out"] == full_audit["rows_exported"]
     assert ing_audit["dead_malformed"] == 0
+
+    # zero-match query (ADVICE r4): the job must still exit 0 and print
+    # the audit line with rows_exported=0 — the old read-back counting
+    # crashed schema inference on the empty JSON dir
+    empty_dir = str(tmp_path / "export_empty")
+    ze = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "export.py"),
+         "--local-cpus", "2", "--index", out, "--output", empty_dir,
+         "--query", "zzzznevermatches"],
+        capture_output=True, text=True, cwd=REPO, timeout=300, env=env,
+    )
+    assert ze.returncode == 0, ze.stderr[-2000:]
+    zaudit = json.loads([l for l in ze.stdout.splitlines()
+                         if l.startswith("{")][-1])
+    assert zaudit["rows_exported"] == 0
