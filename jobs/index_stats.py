@@ -67,7 +67,10 @@ def _ann_report(index_dir: str) -> dict:
         total = sum(rows)
         mean = total / len(rows)
         report.update({
-            "n_vectors": total if meta.get("method") == "ivf" else None,
+            # IVF and IVF-PQ hold each vector exactly once (one row per
+            # id); SRP holds it n_tables times, so entries ≠ vectors
+            "n_vectors": total if meta.get("method") in ("ivf", "pq")
+            else None,
             "n_entries": total,
             "partition_rows_min": min(rows),
             "partition_rows_max": max(rows),

@@ -48,6 +48,7 @@ BNLJ_ALLOWED = {
     "lm_bigram_model",  # x 1-row vocab-size frame (lm.py)
     "lm_doc_perplexity",  # x 1-row vocab-size frame
     "lm_ppl_buckets",  # x 1-row vocab-size frame
+    "lm_ppl_buckets_approx",  # + x 1-row percentile-cutoff array frame
     "dsir_resample_topk",  # perplexity scorer above, same scalar splice
     "related_terms",  # x 1-row seed-term df (serving.py related_terms)
     "suggest_spelling",  # terms x broadcast query words (query.py)
@@ -78,6 +79,16 @@ SHUFFLE_BUDGET = {
     # OR-group union of two retrieval branches + phrase verify + NOT
     # anti-join on top of the base composed search
     "search_composed_or": 11,
+    # grouped form of the same machinery: DNF distribution pushes the
+    # shared NOT into BOTH branches (one extra anti-join stage over
+    # search_composed_or — measured 12)
+    "search_grouped": 12,
+    # the full bigram-LM pipeline (8 exchanges, same as
+    # lm_ppl_buckets) + the percentile partial/final aggregate pair +
+    # the broadcast-compare projection's lineage — every stage named,
+    # NO global sort window (that's the point of the approx path;
+    # the exact path trades these exchanges for a single-task sort)
+    "lm_ppl_buckets_approx": 15,
     # AND-candidate agg + fg postings agg + dictionary join + fg_n
     # scalar agg + final top-n: each exchange is a named stage of the
     # JLH composition (serving.significant_terms)
