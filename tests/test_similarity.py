@@ -1208,3 +1208,25 @@ def test_ann_cli_pq_family(tmp_path):
     rhits = [_json.loads(l) for l in qr.stdout.strip().splitlines() if l]
     assert rhits and rhits[0]["vec_id"] == 3
     assert abs(rhits[0]["cosine"] - 1) < 1e-6
+
+
+def test_ivfpq_disk_probe_prunes_partitions(emb, spark, tmp_path):
+    """The persisted IVF-PQ probe must be a partition-pruned read of
+    the n_probe cluster dirs (the scale contract: at 10^9 vectors a
+    probe touches n_probe directories of 2m-byte codes, nothing
+    else) and the stored columns are codes-only — no vectors."""
+    from search_engine_spark.operators.similarity import (
+        hash_centroids,
+        write_ivfpq_index,
+    )
+    from search_engine_spark.plans.explain import physical_plan
+
+    out = str(tmp_path / "pq_prune")
+    write_ivfpq_index(emb, out, dim=DIM,
+                      centroids=hash_centroids(DIM, 16))
+    stored = spark.read.parquet(out)
+    assert set(stored.columns) == {"vec_id", "codes", "cluster"}
+    plan = physical_plan(stored.filter(F.col("cluster").isin([2, 5])))
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "cluster" in pf, plan
