@@ -350,7 +350,7 @@ def main() -> None:
     # is reported separately (index_build / ann_index_build_sec below)
     ann_build_sec = {}
     for name in ("srp_ann_topk_disk", "ivf_ann_topk_disk",
-                 "ivf_ann_mutated_index"):
+                 "ivf_ann_mutated_index", "ivfpq_topk_disk"):
         if name in suite:
             t0 = time.monotonic()
             try:
