@@ -453,8 +453,14 @@ def main() -> None:
         from search_engine_spark.operators.query import qld_topk
 
         res = qld_topk(ix, args.query, k=k, match_all=not args.match_any)
-    else:  # mini language (phrases / -not / free terms)
-        res = search(ix, ix.docs, args.query, k=k)
+    else:  # mini language (phrases / -not / groups / free terms)
+        try:
+            res = search(ix, ix.docs, args.query, k=k)
+        except ValueError as exc:
+            # grouped-query shapes with no flat form (-(a b), negated
+            # scopes/wildcards inside a group) are user errors, not
+            # tracebacks — same exit-2 contract as an invalid query
+            _die(f"invalid query: {exc}")
 
     res = res.select("doc_id", "score")
     if args.offset:

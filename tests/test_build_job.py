@@ -165,6 +165,12 @@ def test_search_cli_engines_agree(tmp_path):
     assert gq and [(h["doc_id"], h["score"]) for h in gq] == [
         (h["doc_id"], h["score"]) for h in fq
     ]
+    # a grouped shape with no flat form is a clean exit-2 user error,
+    # not a traceback
+    noflat = _search("--index", out, "--query", "-(w00003 w00004)",
+                     "--engine", "mini")
+    assert noflat.returncode == 2
+    assert "invalid query" in noflat.stderr
 
     # mini-language role: scope — every scoped hit must be a user turn
     scoped = hits(_search("--index", out, "--query", "role:user w00000",
