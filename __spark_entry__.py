@@ -94,6 +94,7 @@ from search_engine_spark.operators.index_build import (
     explode_lemmas,
     term_df_salted,
 )
+from search_engine_spark.operators.bm25f import bm25f_sql_duckdb
 from search_engine_spark.operators.query import (
     bm25_topk,
     bm25_topk_batch,
@@ -999,6 +1000,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _documents(spark, sf), top_n=20, min_count=2, max_words=4
         )
 
+    def q_bm25f_topk(spark, sf):
+        # BM25F (Robertson/Zaragoza/Taylor 2004): per-field length
+        # normalization BEFORE one shared saturation over title+body —
+        # the principled field-weighted ranking next to the build-time
+        # role weights; appended at the END of the registry so the
+        # first-50 driver-window closure is preserved
+        from search_engine_spark.operators.bm25f import bm25f_topk
+
+        return bm25f_topk(_documents(spark, sf), Q_MAIN, k=10)
+
     def q_collocations(spark, sf):
         # corpus-wide collocation mining: top adjacent-bigram PMI with
         # a min-count floor (one tokenize, one combined explode, counts
@@ -1785,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk_disk": q_ivf_ann_disk,
         "ivf_ann_mutated_index": q_ivf_ann_mutate,
         "bm25_topk_wand_tree": q_wand_tree,
+        "bm25f_topk": q_bm25f_topk,
     }
 
 
@@ -4430,6 +4442,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT lemma, df FROM terms ORDER BY df ASC, lemma ASC LIMIT 10
         """,
         "bm25_topk_scoped": _bm25_sql(Q_MAIN, 10, cte=_POSTINGS_SCOPED),
+        "bm25f_topk": bm25f_sql_duckdb(
+            Q_MAIN, _TOKS, _STOPS, LEMMA_CASE_SQL, k=10
+        ),
         "titles": """
             SELECT doc_id,
                    rtrim(substr(regexp_extract(text, '^([^.!?]*)', 1), 1, 60)) AS title

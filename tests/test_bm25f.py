@@ -1,0 +1,79 @@
+"""BM25F field-weighted ranking (operators/bm25f.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src_a", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_title_field_boost_changes_rank(spark):
+    """A title mention must outrank the same tf buried in a long body
+    (per-field normalization + weight) — the property that motivates
+    BM25F over concatenated scoring."""
+    from search_engine_spark.operators.bm25f import bm25f_topk
+
+    filler = " ".join(f"filler{i:03d}" for i in range(60))
+    docs = _docs(spark, [
+        # doc 0: query term leads the first sentence (title field)
+        "database join basics. " + filler,
+        # doc 1: same single occurrence, deep in the body only
+        "completely unrelated opening sentence. " + filler + " join",
+        # background docs so idf/avglen are non-degenerate
+        "alpha beta gamma delta. more words here",
+        "epsilon zeta eta theta. other words entirely",
+    ])
+    got = bm25f_topk(docs, "join", k=4)
+    rows = got.collect()
+    assert [r["doc_id"] for r in rows[:2]] == [0, 1]
+    assert rows[0]["score"] > rows[1]["score"]
+
+
+def test_zero_title_weight_is_rank_identical_to_bm25(spark):
+    """With w_title = 0 the BM25F term reduces to idf·u/(k1+u) with
+    u = tf/B — a monotone transform of classic BM25's
+    idf·(k1+1)·u/(u+k1) per term... and with a single-term query the
+    per-doc ORDER must match bm25_topk exactly (same tokenize, same
+    doclen, same idf operands)."""
+    from search_engine_spark.operators.bm25f import bm25f_topk
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.operators.query import bm25_topk
+
+    texts = [
+        "join the table join the hash",
+        "join once among many other words in a longer document body",
+        "hash table scan merge",
+        "join join join short",
+        "irrelevant content entirely",
+    ]
+    docs = _docs(spark, texts)
+    ix = build_index(
+        docs.select(
+            F.format_string("c%03d", F.col("doc_id")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.lit("user").alias("role"),
+            "text",
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        ),
+        use_arrow_udf=False,
+    )
+    want = [r["doc_id"] for r in bm25_topk(ix, "join", k=10).collect()]
+    got = [r["doc_id"] for r in
+           bm25f_topk(docs, "join", k=10,
+                      field_weights={"title": 0.0, "body": 1.0}).collect()]
+    assert got == want and got
+
+
+def test_empty_and_stopword_queries_are_empty(spark):
+    from search_engine_spark.operators.bm25f import bm25f_topk
+
+    docs = _docs(spark, ["the quick brown fox", "lazy dog sleeps"])
+    assert bm25f_topk(docs, "").count() == 0
+    assert bm25f_topk(docs, "the and of").count() == 0
+    assert bm25f_topk(docs, "zzznothere").count() == 0
