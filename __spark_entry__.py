@@ -1000,6 +1000,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _documents(spark, sf), top_n=20, min_count=2, max_words=4
         )
 
+    def q_gopher_filter(spark, sf):
+        # Gopher quality gate (Rae et al. A1.1-A1.3): auditable verdict
+        # + failed-rule list over the existing signal operators — the
+        # DECISION step of a training cleanse; appended at the registry
+        # END (driver-window closure stands)
+        from search_engine_spark.operators.sampling import gopher_filter
+
+        return gopher_filter(_documents(spark, sf), min_tokens=8)
+
     def q_bm25f_topk(spark, sf):
         # BM25F (Robertson/Zaragoza/Taylor 2004): per-field length
         # normalization BEFORE one shared saturation over title+body —
@@ -1797,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_mutated_index": q_ivf_ann_mutate,
         "bm25_topk_wand_tree": q_wand_tree,
         "bm25f_topk": q_bm25f_topk,
+        "gopher_filter": q_gopher_filter,
     }
 
 
@@ -4442,6 +4452,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT lemma, df FROM terms ORDER BY df ASC, lemma ASC LIMIT 10
         """,
         "bm25_topk_scoped": _bm25_sql(Q_MAIN, 10, cte=_POSTINGS_SCOPED),
+        "gopher_filter": f"""
+    WITH q AS ({quality_inner}),
+    toksr AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+    baser AS (
+        SELECT doc_id,
+               CAST(length(array_to_string(tok, ' ')) AS BIGINT) AS norm_len,
+               unnest([array_to_string(tok[i : i + {REPETITION_N - 1}], ' ')
+                       for i in generate_series(1, len(tok) - {REPETITION_N - 1})]
+               ) AS gram
+        FROM toksr WHERE len(tok) >= {REPETITION_N}
+    ),
+    countsr AS (
+        SELECT doc_id, gram, count(*) AS cnt,
+               any_value(norm_len) AS norm_len
+        FROM baser GROUP BY doc_id, gram
+    ),
+    rankedr AS (
+        SELECT doc_id, gram, cnt, norm_len, row_number() OVER (
+            PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+        FROM countsr
+    ),
+    perdocr AS (
+        SELECT doc_id, sum(cnt) AS n_grams, count(*) AS n_distinct
+        FROM countsr GROUP BY doc_id
+    ),
+    rep AS (
+        SELECT p.doc_id,
+               round(CAST(r.cnt * length(r.gram) AS DOUBLE) / r.norm_len,
+                     6) AS top_char_frac,
+               round(1.0 - CAST(p.n_distinct AS DOUBLE) / p.n_grams,
+                     6) AS dup_gram_frac
+        FROM perdocr p JOIN rankedr r ON r.doc_id = p.doc_id AND r.rn = 1
+    ),
+    verdict AS (
+        SELECT q.doc_id,
+               list_filter([
+                 CASE WHEN q.n_tokens < 8 OR q.n_tokens > 100000
+                      THEN 'word_count' END,
+                 CASE WHEN q.mean_token_len < 3.0 OR q.mean_token_len > 10.0
+                      THEN 'mean_word_length' END,
+                 CASE WHEN q.punct_ratio > 0.1 THEN 'symbol_ratio' END,
+                 CASE WHEN q.stopword_ratio < 0.01 THEN 'stopword_ratio' END,
+                 CASE WHEN rep.top_char_frac IS NOT NULL
+                       AND rep.top_char_frac > 0.2
+                      THEN 'top_ngram_char_frac' END,
+                 CASE WHEN rep.dup_gram_frac IS NOT NULL
+                       AND rep.dup_gram_frac > 0.3
+                      THEN 'dup_ngram_frac' END
+               ], x -> x IS NOT NULL) AS r
+        FROM q LEFT JOIN rep USING (doc_id)
+    )
+    SELECT doc_id, len(r) = 0 AS keep,
+           COALESCE(array_to_string(r, ','), '') AS reasons
+    FROM verdict
+        """,
         "bm25f_topk": bm25f_sql_duckdb(
             Q_MAIN, _TOKS, _STOPS, LEMMA_CASE_SQL, k=10
         ),

@@ -531,3 +531,87 @@ def quality_resample(
     return scored.filter(
         b.cast("double") < F.col("quality_score") * float(SPLIT_BUCKETS)
     )
+
+
+def gopher_filter(
+    docs: DataFrame,
+    min_tokens: int = 8,
+    max_tokens: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_punct_ratio: float = 0.1,
+    min_stop_ratio: float = 0.01,
+    max_top_char_frac: float = 0.2,
+    max_dup_frac: float = 0.3,
+    rep_n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021, A1.1-A1.3)
+    — the DECISION step a training pipeline runs over the signal
+    operators: every doc gets a verdict and the ordered list of rules
+    it failed, so filtering is auditable (why did this doc drop?)
+    rather than a silent predicate.
+
+    Rules, in fixed report order (thresholds parameterized; defaults
+    scaled to the fixture corpus — production uses the paper's 50/
+    100k/0.2/…):
+
+      word_count           n_tokens within [min_tokens, max_tokens]
+      mean_word_length     mean token length within [min, max]
+      symbol_ratio         punct_ratio ≤ max_punct_ratio
+      stopword_ratio       stopword_ratio ≥ min_stop_ratio
+      top_ngram_char_frac  top rep_n-gram char coverage ≤ max
+      dup_ngram_frac       duplicate rep_n-gram fraction ≤ max
+
+    Docs too short for an n-gram stream (< rep_n tokens) pass the two
+    repetition rules vacuously — they are already rejected by
+    word_count whenever min_tokens ≥ rep_n.
+
+    Every compared value is a 6-decimal-rounded double from the signal
+    operators and every threshold a literal, so the verdict needs NO
+    new float arithmetic — cross-engine parity is inherited. Plan:
+    the quality features are a pure projection; the repetition frame
+    joins back on doc_id (one shuffle at corpus scale, or zero with
+    both sides bucketed on doc_id).
+
+    Returns (doc_id, keep boolean, reasons comma-joined string —
+    '' when the doc passes; a string, not an array, so the oracle's
+    value comparison stays scalar).
+    """
+    from search_engine_spark.functions.analysis import quality_features
+    from search_engine_spark.operators.dedup import repetition_signals
+
+    feats = docs.select(F.col(id_col).alias("doc_id"),
+                        *quality_features(text_col))
+    rep = repetition_signals(docs, n=rep_n, id_col=id_col,
+                             text_col=text_col).select(
+        "doc_id", "top_char_frac", "dup_gram_frac"
+    )
+    j = feats.join(rep, "doc_id", "left")
+    reasons = F.expr(
+        "filter(array("
+        f" IF(n_tokens < {int(min_tokens)} OR n_tokens > {int(max_tokens)},"
+        "    'word_count', NULL),"
+        f" IF(mean_token_len < {float(min_mean_len)!r}"
+        f"    OR mean_token_len > {float(max_mean_len)!r},"
+        "    'mean_word_length', NULL),"
+        f" IF(punct_ratio > {float(max_punct_ratio)!r}, 'symbol_ratio', NULL),"
+        f" IF(stopword_ratio < {float(min_stop_ratio)!r},"
+        "    'stopword_ratio', NULL),"
+        f" IF(top_char_frac IS NOT NULL"
+        f"    AND top_char_frac > {float(max_top_char_frac)!r},"
+        "    'top_ngram_char_frac', NULL),"
+        f" IF(dup_gram_frac IS NOT NULL"
+        f"    AND dup_gram_frac > {float(max_dup_frac)!r},"
+        "    'dup_ngram_frac', NULL)"
+        "), x -> x IS NOT NULL)"
+    )
+    return j.select(
+        "doc_id",
+        reasons.alias("_r"),
+    ).select(
+        "doc_id",
+        (F.size("_r") == 0).alias("keep"),
+        F.array_join("_r", ",").alias("reasons"),
+    )

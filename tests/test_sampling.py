@@ -381,3 +381,32 @@ def test_exact_n_sample_prefix_stability(spark):
              exact_n_sample(docs, 50, seed="sample1").orderBy("_rank")
              .collect()]
     assert other != b_ids
+
+
+def test_gopher_filter_rules_and_reasons(spark):
+    """Each Gopher rule fires on a doc constructed to violate exactly
+    it (plus the short doc tripping several); reasons come back in the
+    fixed report order, clean docs keep with ''."""
+    from search_engine_spark.operators.sampling import gopher_filter
+
+    docs = spark.createDataFrame([
+        (0, "the quick brown fox jumps over the lazy dog near the river "
+            "bank today and then it sleeps"),
+        (1, "spam spam spam spam spam spam spam spam spam spam"),
+        (2, "ok"),
+        (3, "!!!! #### $$$$ %%%% ^^^^ &&&& **** (((( )))) @@@@ 0000 1111"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["keep"], r["reasons"])
+           for r in gopher_filter(docs, min_tokens=5).collect()}
+    assert got[0] == (True, "")
+    assert got[1] == (False,
+                      "stopword_ratio,top_ngram_char_frac,dup_ngram_frac")
+    assert got[2][0] is False and "word_count" in got[2][1]
+    assert got[3][0] is False and "symbol_ratio" in got[3][1]
+    # thresholds are parameters: loosening them rescues doc 1's
+    # repetition violations but not its stopword one
+    loose = {r["doc_id"]: r["reasons"]
+             for r in gopher_filter(docs, min_tokens=5,
+                                    max_top_char_frac=2.0,
+                                    max_dup_frac=1.0).collect()}
+    assert loose[1] == "stopword_ratio"
