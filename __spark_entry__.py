@@ -1000,6 +1000,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _documents(spark, sf), top_n=20, min_count=2, max_words=4
         )
 
+    def q_span_rewrite(spark, sf):
+        # substring-dedup REWRITE (Lee et al. 2022): tokens covered by
+        # any globally duplicated span window are removed and the doc
+        # re-joined — the corpus surgery behind duplicate_spans' audit
+        # view; appended at the registry end (closure stands)
+        from search_engine_spark.operators.dedup import (
+            duplicate_span_rewrite,
+        )
+
+        return duplicate_span_rewrite(_documents(spark, sf), span=SPAN_N)
+
     def q_gopher_filter(spark, sf):
         # Gopher quality gate (Rae et al. A1.1-A1.3): auditable verdict
         # + failed-rule list over the existing signal operators — the
@@ -1807,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand_tree": q_wand_tree,
         "bm25f_topk": q_bm25f_topk,
         "gopher_filter": q_gopher_filter,
+        "span_rewrite": q_span_rewrite,
     }
 
 
@@ -4452,6 +4464,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT lemma, df FROM terms ORDER BY df ASC, lemma ASC LIMIT 10
         """,
         "bm25_topk_scoped": _bm25_sql(Q_MAIN, 10, cte=_POSTINGS_SCOPED),
+        "span_rewrite": f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+    spans AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(tok[i : i + {SPAN_N - 1}], ' ') AS span
+        FROM toks, LATERAL unnest(
+            generate_series(1, len(tok) - {SPAN_N - 1})) AS g(i)
+        WHERE len(tok) >= {SPAN_N}
+    ),
+    occ AS (SELECT span, count(*) AS n FROM spans GROUP BY span),
+    dups AS (
+        SELECT s.doc_id, list_sort(list(DISTINCT s.pos)) AS starts
+        FROM spans s JOIN occ ON occ.span = s.span
+        WHERE occ.n >= 2
+        GROUP BY s.doc_id
+    ),
+    j AS (
+        SELECT t.doc_id, t.tok,
+               COALESCE(d.starts, []) AS starts
+        FROM toks t LEFT JOIN dups d USING (doc_id)
+    ),
+    surgery AS (
+        SELECT doc_id, tok,
+               list_filter(tok, (x, q) -> len(list_filter(starts,
+                   s -> s <= q AND q < s + {SPAN_N})) = 0) AS kept
+        FROM j
+    )
+    SELECT doc_id,
+           CAST(len(tok) AS BIGINT) AS n_tokens,
+           CAST(len(tok) - len(kept) AS BIGINT) AS n_removed,
+           COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
+    FROM surgery
+        """,
         "gopher_filter": f"""
     WITH q AS ({quality_inner}),
     toksr AS (SELECT doc_id, {_TOKS} AS tok FROM documents),

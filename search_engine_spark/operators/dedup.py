@@ -244,6 +244,77 @@ def duplicate_spans(
     )
 
 
+
+def duplicate_span_rewrite(
+    docs: DataFrame, span: int = 8, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The REWRITE half of substring dedup (Lee et al. 2022 §4: after
+    finding duplicated substrings, "we remove them" — doc-level
+    dropping is the blunt fallback): every token covered by ANY
+    globally-duplicated length-``span`` window is removed, and the
+    document's surviving tokens are re-joined. duplicate_spans is the
+    audit view; this is the corpus surgery a training pipeline
+    actually applies.
+
+    Per doc (ALL docs — shorter-than-span docs pass through untouched
+    with zero removal):
+
+    - ``n_tokens``       token count before surgery
+    - ``n_removed``      tokens covered by ≥ 1 duplicated window
+    - ``cleaned_text``   surviving tokens joined by single spaces
+                         (tokenizer-normalized — lowercased, punct
+                         stripped — the representation the training
+                         tokenizer consumes anyway)
+
+    Plan shape (100 TB): the same ONE token projection + span explode
+    + groupBy(span) count as duplicate_spans (group on xxhash64(span)
+    at scale, same note), then only DUPLICATED span occurrences ship
+    back — a semi-bounded join — and collapse to one sorted
+    start-position array per doc (collect_set + array_sort: set
+    semantics make the aggregation order irrelevant). The surgery
+    itself is a pure codegen array expression: token p survives iff no
+    duplicated start s ∈ [p−span+1, p] — no window function, no
+    second text scan, no Python.
+
+    Returns (doc_id, n_tokens, n_removed, cleaned_text).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_expr(F.col(text_col)).alias("_toks"),
+    )
+    spans = toks.filter(F.size("_toks") >= span).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(_toks) - {span}), "
+                f"i -> array_join(slice(_toks, i + 1, {span}), ' '))"
+            )
+        ).alias("pos", "span"),
+    )
+    occ = spans.groupBy("span").agg(F.count("*").alias("_occ"))
+    dup_starts = (
+        spans.join(occ.filter(F.col("_occ") >= 2), "span")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("_starts"))
+    )
+    joined = toks.join(dup_starts, "doc_id", "left").withColumn(
+        "_starts",
+        F.coalesce(F.col("_starts"), F.expr("array()").cast("array<int>")),
+    )
+    kept = F.expr(
+        "filter(transform(_toks, (t, p) -> "
+        f" IF(exists(_starts, s -> s <= p AND p < s + {span}), NULL, t)"
+        "), x -> x IS NOT NULL)"
+    )
+    return joined.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (oracle-checkable ground truth)
 # ---------------------------------------------------------------------------

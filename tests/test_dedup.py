@@ -269,3 +269,34 @@ def test_connected_components_string_ids(spark):
     comp_of = dict(fast)
     assert comp_of["conv-9:0"] == "conv-2:1" == comp_of["conv-5:3"]
     assert comp_of["x:2"] == "x:1"
+
+
+def test_duplicate_span_rewrite_surgery(spark):
+    """The Lee-et-al rewrite: tokens covered by any globally duplicated
+    span window vanish, unique content survives verbatim, short docs
+    pass through untouched, and a fully-duplicated doc empties."""
+    from search_engine_spark.operators.dedup import duplicate_span_rewrite
+
+    docs = spark.createDataFrame([
+        (0, "alpha beta gamma delta epsilon unique tail words here"),
+        (1, "prefix words alpha beta gamma delta epsilon closing remark"),
+        (2, "totally different content with no overlap whatsoever at all"),
+        (3, "tiny doc"),                         # shorter than span
+        (4, "alpha beta gamma delta epsilon"),   # nothing but the clone
+        (5, "alpha beta gamma delta epsilon"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+           for r in duplicate_span_rewrite(docs, span=5).collect()}
+    assert got[0] == (9, 5, "unique tail words here")
+    assert got[1] == (9, 5, "prefix words closing remark")
+    assert got[2][1] == 0 and got[2][2].startswith("totally different")
+    assert got[3] == (2, 0, "tiny doc")
+    assert got[4] == (5, 5, "") and got[5] == (5, 5, "")
+    # consistency with the audit view: a doc whose dup_frac is 0 loses
+    # nothing here
+    from search_engine_spark.operators.dedup import duplicate_spans
+
+    frac = {r["doc_id"]: r["dup_frac"]
+            for r in duplicate_spans(docs, span=5).collect()}
+    assert frac[2] == 0.0 and got[2][1] == 0
+    assert frac[0] > 0 and got[0][1] > 0
