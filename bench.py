@@ -337,7 +337,7 @@ def main() -> None:
         "lm_ppl_buckets", "lm_ppl_buckets_approx", "bm25_topk_grouped",
         "bpe_merges", "bpe_token_counts",
         "qld_topk", "hybrid_linear", "collocations", "keyphrases", "bm25f_topk",
-        "gopher_filter", "span_rewrite",
+        "gopher_filter", "span_rewrite", "hard_negatives",
         "doclen_percentiles", "bm25_topk_collapsed",
         "date_histogram", "significant_terms", "doc_term_vector",
         "embedding_topk_filtered", "regexp_search", "latest_hits",

@@ -252,3 +252,33 @@ def bm25_param_sweep(
         )
         .orderBy(F.col("mean_ndcg").desc(), F.col("config_id").asc())
     )
+
+
+def hard_negatives(
+    runs: DataFrame, qrels: DataFrame, n_neg: int = 5
+) -> DataFrame:
+    """Hard-negative mining for retrieval training (the DPR recipe —
+    Karpukhin et al. 2020: negatives the CURRENT ranker finds plausible
+    teach a bi-encoder/reranker far more than random ones): per query,
+    the highest-ranked run documents that are NOT relevant (absent
+    from qrels or graded 0), keeping run-rank order.
+
+    ``runs``: (query_id, doc_id, rnk) — a bm25_topk_batch replay.
+    ``qrels``: (query_id, doc_id, rel). Returns (query_id, doc_id,
+    rnk, neg_rank) with neg_rank 1..n_neg per query.
+
+    Plan: one anti-join against the rel>0 pairs, then a window over
+    the K-BOUNDED per-query run slice (k rows per query by
+    construction — the paginate/hybrid precedent, never corpus-sized).
+    """
+    from pyspark.sql import Window
+
+    rel = qrels.filter(F.col("rel") > 0).select("query_id", "doc_id")
+    neg = runs.join(rel, ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.col("rnk").asc())
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= int(n_neg))
+        .select("query_id", "doc_id", F.col("rnk").cast("long").alias("rnk"),
+                "neg_rank")
+    )

@@ -98,6 +98,12 @@ SHUFFLE_BUDGET = {
     # agg + macro agg + final sort — one postings SCAN, many named
     # aggregate stages (evaluation.bm25_param_sweep)
     "bm25_param_sweep": 14,
+    # eval composite: the ir_metrics batch replay (scan+agg+window)
+    # + the qrels arity aggregate + the rel anti-join + the k-bounded
+    # per-query negative window — each a named stage (measured 10-11:
+    # like ir_metrics, whether the shared index lineage is already
+    # materialized when the audit reaches it moves the count by one)
+    "hard_negatives": 11,
     # eval composite: batch retrieval (scan+agg+window) + one-pass
     # qrels arity aggregate + runs x qrels join + metric aggregate +
     # ideal-DCG window/aggregate + final per-query join — every

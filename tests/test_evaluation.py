@@ -109,3 +109,29 @@ def test_param_sweep_matches_per_config_reruns(tiny_index, spark):
         assert (gk1, gb) == (k1, b)
         assert gn == len(per_q)
         assert abs(gmean - round(mean, 6)) <= 1e-9, (ci, gmean, mean)
+
+
+def test_hard_negatives_mining(spark):
+    """Per query: top-RANKED non-relevant docs only, rank order kept,
+    bounded at n_neg, relevant docs never leak in."""
+    from search_engine_spark.operators.evaluation import hard_negatives
+
+    runs = spark.createDataFrame(
+        [(0, d, r) for r, d in enumerate([10, 11, 12, 13, 14], 1)]
+        + [(1, d, r) for r, d in enumerate([20, 21, 22], 1)],
+        "query_id long, doc_id long, rnk long",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 10, 2.0), (0, 12, 1.0), (0, 99, 3.0), (1, 21, 0.0)],
+        "query_id long, doc_id long, rel double",
+    )
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["rnk"], r["neg_rank"])
+        for r in hard_negatives(runs, qrels, n_neg=2).collect()
+    )
+    # q0: 10 and 12 are relevant -> negatives are 11 (rnk2) then 13
+    # (rnk4); q1: 21 has rel=0 so it IS a negative, order 20,21
+    assert got == [
+        (0, 11, 2, 1), (0, 13, 4, 2),
+        (1, 20, 1, 1), (1, 21, 2, 2),
+    ]
