@@ -96,14 +96,28 @@ def _ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 15) -> dict:
         hash_centroids,
         ivfpq_topk,
         pq_codebooks,
+        pq_halfsq,
+        pq_sample_parquet,
         pq_topk,
+        pq_train_codebooks,
     )
 
     pq_cb = pq_codebooks(dim, 8, 16)
     coarse_cents = hash_centroids(dim, 16)
+    # trained path (round-5 default for jobs/ann.py --method pq): data-
+    # adapted per-subspace k-means codebooks at the shipped m=16/ks=64
+    # geometry; ADC-only and the rerank-refined form the CLI exposes.
+    # The r4 verdict's bar: the refined configuration must sit in IVF's
+    # >= 0.8 recall band (random-codebook pq measured 0.18).
+    sample = pq_sample_parquet(sf_dir)
+    tr_cb = pq_train_codebooks(sample, m=16, ks=64)
+    tr_biases = pq_halfsq(tr_cb)
+    ivfpq_tr_cb = pq_train_codebooks(sample, m=16, ks=64, centroids=cents)
+    ivfpq_tr_biases = pq_halfsq(ivfpq_tr_cb)
     hits: dict[str, list[float]] = {
         "srp_mp1": [], "srp_mp2": [], "ivf_p4": [], "ivf_p8": [],
         "sq8": [], "pq": [], "ivfpq_p4": [], "ivfpq_p8": [],
+        "pq_tr": [], "pq_tr_rr4": [], "ivfpq_tr_p8_rr4": [],
     }
     for vid, vec in queries:
         for name, mp in (("srp_mp1", 1), ("srp_mp2", 2)):
@@ -127,6 +141,19 @@ def _ann_recall(spark, sf_dir: str, k: int = 10, n_queries: int = 15) -> dict:
                    ivfpq_topk(emb, vec, coarse_cents, pq_cb, k=k,
                               n_probe=np2).collect()}
             hits[name].append(len(got & truth[vid]) / k)
+        got = {r["vec_id"] for r in
+               pq_topk(emb, vec, tr_cb, k=k, biases=tr_biases).collect()}
+        hits["pq_tr"].append(len(got & truth[vid]) / k)
+        got = {r["vec_id"] for r in
+               pq_topk(emb, vec, tr_cb, k=k, biases=tr_biases,
+                       rerank_embeddings=emb, rerank_factor=4).collect()}
+        hits["pq_tr_rr4"].append(len(got & truth[vid]) / k)
+        got = {r["vec_id"] for r in
+               ivfpq_topk(emb, vec, cents, ivfpq_tr_cb, k=k, n_probe=8,
+                          coding="plain", biases=ivfpq_tr_biases,
+                          rerank_embeddings=emb,
+                          rerank_factor=4).collect()}
+        hits["ivfpq_tr_p8_rr4"].append(len(got & truth[vid]) / k)
     srp.unpersist()
     ivf_idx.unpersist()
     emb.unpersist()

