@@ -205,14 +205,16 @@ def duplicate_spans(
     Plan shape (100 TB): tokens projected ONCE (Catalyst does not CSE a
     repeated tokenize — see shingles_over_tokens_expr), spans explode
     with multiplicity (positions, NOT distinct — a within-doc repeat is
-    a duplicate), ONE map-side-combinable groupBy(span) for the global
-    occurrence count, one shuffle join back, ONE groupBy(doc_id). At
-    100 TB group and join on ``xxhash64(span)`` instead of the span
-    string (shuffle rows shrink from ~8 words to 8 bytes; collision
-    odds n²/2⁶⁵ are audit-level) — the string form here is the
-    oracle-friendly equivalent, same trick as exact_duplicates. Skew:
-    span counts are Zipf-light (only literal clones repeat), and the
-    join's count side carries one row per DISTINCT span.
+    a duplicate), ONE map-side-combinable groupBy for the global
+    occurrence count, one shuffle join back, ONE groupBy(doc_id). The
+    global group/join key is ``xxhash64(span)`` — the ~8-token span
+    STRING never leaves the doc-local projection, so every exchange
+    row carries 8 bytes instead of ~50 (collision odds n²/2⁶⁵ are
+    audit-level; the DuckDB twin groups the raw string — identical
+    doc-level stats, same trick as exact_duplicates). Plan-pinned in
+    tests/test_dedup.py. Skew: span counts are Zipf-light (only
+    literal clones repeat), and the join's count side carries one row
+    per DISTINCT span hash.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -223,13 +225,13 @@ def duplicate_spans(
         F.explode(
             F.expr(
                 f"transform(sequence(0, size(_toks) - {span}), "
-                f"i -> array_join(slice(_toks, i + 1, {span}), ' '))"
+                f"i -> xxhash64(array_join(slice(_toks, i + 1, {span}), ' ')))"
             )
-        ).alias("span"),
+        ).alias("span_h"),
     )
-    occ = spans.groupBy("span").agg(F.count("*").alias("_occ"))
+    occ = spans.groupBy("span_h").agg(F.count("*").alias("_occ"))
     return (
-        spans.join(occ, "span")
+        spans.join(occ, "span_h")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("total_spans"),
@@ -268,11 +270,12 @@ def duplicate_span_rewrite(
                          tokenizer consumes anyway)
 
     Plan shape (100 TB): the same ONE token projection + span explode
-    + groupBy(span) count as duplicate_spans (group on xxhash64(span)
-    at scale, same note), then only DUPLICATED span occurrences ship
-    back — a semi-bounded join — and collapse to one sorted
-    start-position array per doc (collect_set + array_sort: set
-    semantics make the aggregation order irrelevant). The surgery
+    + xxhash64-keyed global count as duplicate_spans (the span string
+    never leaves the doc-local projection — every exchange row is an
+    8-byte long), then only DUPLICATED span occurrences ship back — a
+    semi-bounded join — and collapse to one sorted start-position
+    array per doc (collect_set + array_sort: set semantics make the
+    aggregation order irrelevant). The surgery
     itself is a pure codegen array expression: token p survives iff no
     duplicated start s ∈ [p−span+1, p] — no window function, no
     second text scan, no Python.
@@ -288,13 +291,13 @@ def duplicate_span_rewrite(
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, size(_toks) - {span}), "
-                f"i -> array_join(slice(_toks, i + 1, {span}), ' '))"
+                f"i -> xxhash64(array_join(slice(_toks, i + 1, {span}), ' ')))"
             )
-        ).alias("pos", "span"),
+        ).alias("pos", "span_h"),
     )
-    occ = spans.groupBy("span").agg(F.count("*").alias("_occ"))
+    occ = spans.groupBy("span_h").agg(F.count("*").alias("_occ"))
     dup_starts = (
-        spans.join(occ.filter(F.col("_occ") >= 2), "span")
+        spans.join(occ.filter(F.col("_occ") >= 2), "span_h")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_set("pos")).alias("_starts"))
     )
