@@ -34,6 +34,10 @@ def main() -> None:
     p.add_argument("--positional", action="store_true",
                    help="also persist the positional postings table "
                         "(span/phrase/NEAR without re-tokenizing)")
+    p.add_argument("--fields", action="store_true",
+                   help="also persist the per-field BM25F index "
+                        "(fields/fieldlen tables + exact stats; "
+                        "serves search.py --engine bm25f)")
     p.add_argument("--local-cpus", type=int, default=None,
                    help="build a local[N] session instead of spark-submit's")
     args = p.parse_args()
@@ -151,6 +155,19 @@ def main() -> None:
             args.output, bucket_width=args.bucket_width,
         )
         metrics["positional_sec"] = round(_time.monotonic() - t0, 3)
+    if args.fields:
+        # persist the per-field BM25F tables (derived — corpus
+        # mutations invalidate them alongside positional)
+        import time as _time
+
+        from search_engine_spark.sources.index_store import (
+            write_field_index,
+        )
+
+        t0 = _time.monotonic()
+        write_field_index(ix.docs, args.output,
+                          bucket_width=args.bucket_width)
+        metrics["fields_sec"] = round(_time.monotonic() - t0, 3)
     metrics["n_docs"] = ix.stats.n_docs
     metrics["n_dead_lettered"] = n_dead
     metrics["docid_path"] = docid_path

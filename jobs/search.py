@@ -6,7 +6,7 @@ code.
 
 Usage:
     spark-submit [--master ...] --py-files engine.zip jobs/search.py \
-        --index <index_dir> --query '...' [--engine df|wand|sql|mini|qld] \
+        --index <index_dir> --query '...' [--engine df|wand|sql|mini|qld|bm25f] \
         [--or] [--prf] [--k 10] [--offset 0] [--window W] \
         [--snippets] [--facets col,col] | --more-like DOC_ID
 
@@ -61,7 +61,8 @@ def main() -> None:
     p.add_argument("--facets", default=None, metavar="COL[,COL...]",
                    help="also print per-column facet counts over the "
                         "AND-matching docs (one JSON line per facet value)")
-    p.add_argument("--engine", choices=["df", "wand", "sql", "mini", "qld"],
+    p.add_argument("--engine",
+               choices=["df", "wand", "sql", "mini", "qld", "bm25f"],
                    default="df",
                    help="retrieval engine; qld = LM-Dirichlet query "
                         "likelihood ranking (composes with --or)")
@@ -453,6 +454,16 @@ def main() -> None:
         from search_engine_spark.operators.query import qld_topk
 
         res = qld_topk(ix, args.query, k=k, match_all=not args.match_any)
+    elif args.engine == "bm25f":
+        # field-weighted BM25F from the PERSISTED per-field index
+        # (build_index --fields) — lemma-pruned postings scan, no
+        # corpus re-tokenize; rank-identical to the corpus-scan pin
+        from search_engine_spark.operators.bm25f import bm25f_topk_indexed
+
+        try:
+            res = bm25f_topk_indexed(disk, args.query, k=k)
+        except FileNotFoundError as exc:
+            _die(str(exc))
     else:  # mini language (phrases / -not / groups / free terms)
         try:
             res = search(ix, ix.docs, args.query, k=k)

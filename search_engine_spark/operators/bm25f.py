@@ -52,33 +52,17 @@ DEFAULT_FIELD_WEIGHTS = {"title": 2.0, "body": 1.0}
 TITLE_EXPR = "rtrim(substring(regexp_extract(text, '^([^.!?]*)', 1), 1, 60))"
 
 
-def bm25f_topk(
-    docs: DataFrame,
-    query: str,
-    k: int = 10,
-    k1: float = BM25_K1,
-    b: float = BM25_B,
-    field_weights: dict[str, float] | None = None,
-    text_col: str = "text",
-) -> DataFrame:
-    """Top-``k`` (doc_id, score) by BM25F over the title/body fields.
-
-    AND match semantics on the body field (title ⊆ body, so this is
-    doc-level AND), disjoint from ranking — identical to bm25_topk's
-    candidate contract. Empty/stop-only queries return an empty frame.
-    """
-    fw = dict(DEFAULT_FIELD_WEIGHTS, **(field_weights or {}))
-    lemmas = parse_query(query)
-    spark = docs.sparkSession
-    if not lemmas:
-        return spark.createDataFrame([], "doc_id long, score double")
-
+def build_field_rows(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, field, lemma) — one kind-tagged explode of both field
+    streams from ONE corpus scan (tokenize runs once per field). The
+    shared upstream of the corpus-scan scorer and the persisted field
+    index."""
     base = docs.selectExpr(
         "doc_id",
         f"{lemmas_sql(text_col)} AS _body",
         f"{lemmas_sql(TITLE_EXPR)} AS _title",
     )
-    rows = base.selectExpr(
+    return base.selectExpr(
         "doc_id",
         "explode(concat("
         " transform(_title, l -> struct('t' AS field, l AS lemma)),"
@@ -86,15 +70,44 @@ def bm25f_topk(
         ")) AS fl"
     ).select("doc_id", F.col("fl.field").alias("field"),
              F.col("fl.lemma").alias("lemma"))
-    rows = rows.persist()  # feeds tf, lengths, df; released before return
 
+
+def build_field_postings(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(field_tf, field_len) — the two frames the persisted field index
+    stores: per-(doc, field, lemma) tf and per-(doc, field) length.
+    Both are ONE map-side-combinable aggregate over the shared
+    field-row explode; at scale they land bucket-partitioned beside
+    postings/doclen (index_store.write_field_index)."""
+    rows = build_field_rows(docs, text_col)
     tf = rows.groupBy("doc_id", "field", "lemma").agg(
-        F.count("*").alias("tf")
+        F.count("*").cast("long").alias("tf")
     )
-    flen = rows.groupBy("doc_id", "field").agg(F.count("*").alias("len"))
-    avg = flen.groupBy("field").agg(
-        F.avg("len").alias("avglen"), F.count("*").alias("n_docs")
+    flen = rows.groupBy("doc_id", "field").agg(
+        F.count("*").cast("long").alias("len")
     )
+    return tf, flen
+
+
+def _bm25f_score_frames(
+    tf: DataFrame,
+    flen: DataFrame,
+    avg: DataFrame,
+    lemmas: list[str],
+    k: int,
+    k1: float,
+    b: float,
+    fw: dict[str, float],
+) -> DataFrame:
+    """The shared BM25F scoring plan over (tf, flen, avg) frames —
+    identical arithmetic whether the frames come from the corpus scan
+    (bm25f_topk) or the persisted field index (bm25f_topk_indexed),
+    which is what makes the two engines rank-identical by
+    construction. ``avg`` must be (field, avglen double, n_docs long)
+    with avglen = CAST(Σlen AS double)/CAST(n AS double) — the exact
+    integer-operand division both builders and the DuckDB twin
+    compute (a float-accumulated avg() is partition-order-dependent)."""
     # body-field df per query lemma + N (docs with a non-empty body)
     df_t = (
         tf.filter((F.col("field") == "b") & F.col("lemma").isin(lemmas))
@@ -138,7 +151,7 @@ def bm25f_topk(
     n_docs_body = avg.filter(F.col("field") == "b").select(
         F.col("n_docs").cast("double").alias("_n")
     )
-    scored = (
+    return (
         tft.join(F.broadcast(df_t), "lemma")
         .crossJoin(F.broadcast(n_docs_body))
         .withColumn(
@@ -158,9 +171,93 @@ def bm25f_topk(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(int(k))
     )
-    out = scored.collect()
+
+
+def bm25f_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    field_weights: dict[str, float] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` (doc_id, score) by BM25F over the title/body fields,
+    computed from ONE corpus scan (the semantics pin; the servable
+    engine over persisted per-field postings is
+    :func:`bm25f_topk_indexed` — rank-identical by construction, both
+    riding :func:`_bm25f_score_frames`).
+
+    AND match semantics on the body field (title ⊆ body, so this is
+    doc-level AND), disjoint from ranking — identical to bm25_topk's
+    candidate contract. Empty/stop-only queries return an empty frame.
+    """
+    fw = dict(DEFAULT_FIELD_WEIGHTS, **(field_weights or {}))
+    lemmas = parse_query(query)
+    spark = docs.sparkSession
+    if not lemmas:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    rows = build_field_rows(docs, text_col)
+    rows = rows.persist()  # feeds tf, lengths, df; released before return
+
+    tf = rows.groupBy("doc_id", "field", "lemma").agg(
+        F.count("*").alias("tf")
+    )
+    flen = rows.groupBy("doc_id", "field").agg(F.count("*").alias("len"))
+    avg = flen.groupBy("field").agg(
+        (F.sum("len").cast("double")
+         / F.count("*").cast("double")).alias("avglen"),
+        F.count("*").alias("n_docs"),
+    )
+    scored = _bm25f_score_frames(tf, flen, avg, lemmas, k, k1, b, fw)
+    # k-row eager checkpoint truncates lineage so the persisted rows
+    # frame can be released WITHOUT collecting (the r4 verdict's note:
+    # every top-k operator returns an unmaterialized frame)
+    out = scored.localCheckpoint(eager=True)
     rows.unpersist()
-    return spark.createDataFrame(out, schema=scored.schema)
+    return out
+
+
+def bm25f_topk_indexed(
+    index,
+    query: str,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    field_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """BM25F over the PERSISTED field index (index_store
+    write_field_index: bucket-partitioned ``fields``/``fieldlen``
+    tables + exact integer stats) — the servable engine form: the
+    corpus text is never touched; the plan is a lemma-IN-pruned scan
+    of the field postings, the fieldlen join, and two broadcast
+    scalar frames. Rank-identical to :func:`bm25f_topk` on the same
+    corpus (differential-pinned in tests/test_bm25f.py).
+
+    ``index`` is a sources.index_store.DiskIndex whose ``fields`` /
+    ``fieldlen`` properties are present (build_index --fields or
+    write_field_index); raises a clear error otherwise."""
+    fw = dict(DEFAULT_FIELD_WEIGHTS, **(field_weights or {}))
+    lemmas = parse_query(query)
+    spark = index.spark
+    if not lemmas:
+        return spark.createDataFrame([], "doc_id long, score double")
+    tf = index.fields
+    flen = index.fieldlen
+    if tf is None or flen is None:
+        raise FileNotFoundError(
+            "no field index at this index dir — build one with "
+            "`python jobs/build_index.py ... --fields` or "
+            "index_store.write_field_index"
+        )
+    stats = index.field_stats
+    avg = spark.createDataFrame(
+        [(f, float(s["total_len"]) / float(s["n_docs"]), int(s["n_docs"]))
+         for f, s in sorted(stats.items())],
+        "field string, avglen double, n_docs long",
+    )
+    return _bm25f_score_frames(tf, flen, avg, lemmas, k, k1, b, fw)
 
 
 def bm25f_sql_duckdb(
@@ -204,7 +301,12 @@ def bm25f_sql_duckdb(
         SELECT doc_id, field, count(*) AS len FROM rows_f GROUP BY doc_id, field
     ),
     favg AS (
-        SELECT field, avg(len) AS avglen, count(*) AS n_docs
+        -- exact integer-operand division (sum is exact HUGEINT), NOT
+        -- avg(): a float-accumulated mean is summation-order-dependent
+        -- and the Spark side computes sum/count for the same reason
+        SELECT field,
+               CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avglen,
+               count(*) AS n_docs
         FROM flen GROUP BY field
     ),
     df_t AS (

@@ -782,7 +782,7 @@ def compact_index(
         create_snapshot(index_dir, note="pre compact_index")
     # folding streamed turns changes the corpus -> derived positional
     # table goes stale; drop it (re-derivable, snapshot keeps history)
-    invalidate_positional(index_dir)
+    invalidate_derived(index_dir)
     disk = DiskIndex(spark, index_dir)
 
     # docs with explicit ids, materialized locally if mapped (_mid /
@@ -1114,6 +1114,113 @@ def invalidate_positional(index_dir: str) -> bool:
     return False
 
 
+FIELDS_DIR = "fields"
+FIELDLEN_DIR = "fieldlen"
+FIELD_STATS = "_bm25f_stats.json"
+
+
+def write_field_index(
+    docs: DataFrame,
+    index_dir: str,
+    bucket_width: int = DOC_BUCKET_WIDTH,
+    text_col: str = "text",
+) -> dict:
+    """Persist the per-field BM25F index beside the other v4 tables:
+    ``fields`` (doc_id, field, lemma, tf) and ``fieldlen`` (doc_id,
+    field, len), both bucket-partitioned by doc range, plus exact
+    integer field statistics (Σlen, n_docs per field) in
+    ``fields/_bm25f_stats.json`` — so bm25f_topk_indexed scores from a
+    lemma-pruned postings scan without ever touching the corpus text
+    (the r4 verdict's "index-backed BM25F", reference field weights
+    FieldRepository.java:15-19).
+
+    DERIVED table, same contract as positional/: every corpus
+    mutation invalidates it (invalidate_derived); rebuild with
+    ``build_index --fields`` or this function. Stats are integers so
+    avglen is the exact CAST(total)/CAST(n) double division every
+    consumer (Spark scorer, DuckDB twin) reproduces bit-identically.
+    Returns the stats dict."""
+    import json as _json
+
+    from search_engine_spark.operators.bm25f import build_field_postings
+
+    tf, flen = build_field_postings(docs, text_col=text_col)
+    _swap_write_bucketed(tf, os.path.join(index_dir, FIELDS_DIR),
+                         bucket_width)
+    _swap_write_bucketed(flen, os.path.join(index_dir, FIELDLEN_DIR),
+                         bucket_width)
+    spark = docs.sparkSession
+    stats_rows = (
+        spark.read.parquet(os.path.join(index_dir, FIELDLEN_DIR))
+        .groupBy("field")
+        .agg(F.sum("len").alias("total_len"), F.count("*").alias("n_docs"))
+        .collect()
+    )
+    stats = {r["field"]: {"total_len": int(r["total_len"]),
+                          "n_docs": int(r["n_docs"])} for r in stats_rows}
+    sp = os.path.join(index_dir, FIELDS_DIR, FIELD_STATS)
+    with open(sp + ".tmp", "w") as fh:
+        _json.dump(stats, fh)
+    os.replace(sp + ".tmp", sp)
+    return stats
+
+
+class _FieldIndexHandle:
+    """Minimal serving handle over a field-index dir — same duck type
+    as DiskIndex's fields/fieldlen/field_stats surface, for callers
+    that built ONLY the BM25F tables (write_field_index over a bare
+    documents table, no full index)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+
+    @property
+    def fields(self) -> DataFrame | None:
+        p = os.path.join(self.index_dir, FIELDS_DIR)
+        return _read_table(self.spark, p) if os.path.isdir(p) else None
+
+    @property
+    def fieldlen(self) -> DataFrame | None:
+        p = os.path.join(self.index_dir, FIELDLEN_DIR)
+        return _read_table(self.spark, p) if os.path.isdir(p) else None
+
+    @property
+    def field_stats(self) -> dict:
+        import json as _json
+
+        with open(os.path.join(self.index_dir, FIELDS_DIR,
+                               FIELD_STATS)) as fh:
+            return _json.load(fh)
+
+
+def open_field_index(spark: SparkSession, index_dir: str) -> _FieldIndexHandle:
+    return _FieldIndexHandle(spark, index_dir)
+
+
+def invalidate_fields(index_dir: str) -> bool:
+    """Drop the derived per-field BM25F tables (called by every corpus
+    mutation via invalidate_derived). Returns True if one existed."""
+    import shutil
+
+    hit = False
+    for d in (FIELDS_DIR, FIELDLEN_DIR):
+        p = os.path.join(index_dir, d)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+            hit = True
+    return hit
+
+
+def invalidate_derived(index_dir: str) -> bool:
+    """Drop EVERY derived acceleration table (positional + per-field)
+    — the one call corpus mutations make; a mutation that leaves any
+    derived table in place serves stale results."""
+    a = invalidate_positional(index_dir)
+    b = invalidate_fields(index_dir)
+    return a or b
+
+
 def delete_scope(
     spark: SparkSession,
     index_dir: str,
@@ -1309,7 +1416,7 @@ def _run_scope_delete(
     docs_raw = disk._base_docs
     doomed_local = doomed is None
     # corpus shrinks -> the derived positional table goes stale
-    invalidate_positional(index_dir)
+    invalidate_derived(index_dir)
     if doomed is None:
         doomed = (
             docs_raw.filter(F.expr(pred_sql))
@@ -1398,7 +1505,7 @@ def reindex_turn(
         )
     # the derived positional table would go stale — drop it (snapshot
     # above still serves it as_of the pre-mutation version)
-    invalidate_positional(index_dir)
+    invalidate_derived(index_dir)
 
     disk = DiskIndex(spark, index_dir)
     docs = disk.docs
@@ -1697,7 +1804,7 @@ def merge_indexes(
     if snapshot:
         create_snapshot(dst_dir, note=f"pre-merge of {src_dir}")
     # merged-in docs make the derived positional table stale
-    invalidate_positional(dst_dir)
+    invalidate_derived(dst_dir)
     # dst docs must hold explicit bucketed ids before new bucket dirs
     # land beside them (an indirected _mid / by-reference layout would
     # mix schemas); src is never mutated — its docs are read resolved
@@ -1854,6 +1961,35 @@ class DiskIndex:
         if not os.path.isdir(p):
             return None
         return _read_table(self.spark, p)
+
+    @property
+    def fields(self) -> DataFrame | None:
+        """Persisted per-field BM25F postings (doc_id, field, lemma,
+        tf), or None when the index was built without ``--fields`` /
+        the table was invalidated by a mutation — callers fall back to
+        the corpus-scan bm25f_topk."""
+        p = os.path.join(self.index_dir, FIELDS_DIR)
+        if not os.path.isdir(p):
+            return None
+        return _read_table(self.spark, p)
+
+    @property
+    def fieldlen(self) -> DataFrame | None:
+        """Persisted per-(doc, field) lengths for BM25F, or None."""
+        p = os.path.join(self.index_dir, FIELDLEN_DIR)
+        if not os.path.isdir(p):
+            return None
+        return _read_table(self.spark, p)
+
+    @property
+    def field_stats(self) -> dict:
+        """Exact integer field statistics written by write_field_index
+        ({field: {total_len, n_docs}})."""
+        import json as _json
+
+        with open(os.path.join(self.index_dir, FIELDS_DIR,
+                               FIELD_STATS)) as fh:
+            return _json.load(fh)
 
     @property
     def _base_docs(self) -> DataFrame:
