@@ -10,8 +10,8 @@
 # checks. Run with NOTHING else on the machine.
 #
 # Captures go to timestamped files (never clobber a committed
-# artifact); a capture is PROMOTED to BENCH_r4_healthy.json /
-# SCALING_r4.json only when its own recorded controls are healthy —
+# artifact); a capture is PROMOTED to BENCH_r5_healthy.json /
+# SCALING_r5.json only when its own recorded controls are healthy —
 # for the bench that means pre-control >= MIN_RATIO (the in-run
 # host_control_pre), since windows can close mid-run; the post probe
 # is recorded beside it for honesty. Loops forever: each healthy
@@ -70,8 +70,8 @@ pre = d.get("host_control_pre", {}).get("concurrency_ratio", 0.0)
 d["host_control_post_script"] = post
 json.dump(d, open(path, "w"))
 if pre >= need:
-    shutil.copy(path, "BENCH_r4_healthy.json")
-    print(f"PROMOTED (pre={pre}, post={post}) -> BENCH_r4_healthy.json")
+    shutil.copy(path, "BENCH_r5_healthy.json")
+    print(f"PROMOTED (pre={pre}, post={post}) -> BENCH_r5_healthy.json")
 else:
     print(f"not promoted: in-run pre-control {pre} < {need} (window closed before bench start)")
 EOF
@@ -95,8 +95,8 @@ except Exception as e:
 legs = d.get("runs", [])
 ratios = [l.get("host_control", {}).get("concurrency_ratio", 0.0) for l in legs]
 if ratios and all(r >= need for r in ratios):
-    shutil.copy(path, "SCALING_r4.json")
-    print(f"PROMOTED (leg controls {ratios}) -> SCALING_r4.json")
+    shutil.copy(path, "SCALING_r5.json")
+    print(f"PROMOTED (leg controls {ratios}) -> SCALING_r5.json")
 else:
     print(f"not promoted: leg controls {ratios} not all >= {need}")
 EOF
@@ -104,29 +104,6 @@ EOF
     echo "window closed before scaling; skipping scaling this cycle"
   fi
 
-  # third artifact: healthy-window dedup_keepers width A/B (VERDICT r3
-  # what's-wrong #1) — promoted only if its own per-leg controls held
-  post2=$(probe)
-  ok2=$(python -c "print(1 if float('$post2') >= float('$MIN_RATIO') else 0)")
-  if [ "$ok2" = "1" ]; then
-    echo "=== running dedup_keepers 16-vs-32 A/B (window still open: $post2) ==="
-    python jobs/adjudicate_keepers.py --reps 2 \
-      --output "KEEPERS_cap_${stamp}.json" 2>"keepers_${stamp}.log" >/dev/null
-    python - "$stamp" <<'EOF'
-import json, shutil, sys
-stamp = sys.argv[1]
-path = f"KEEPERS_cap_{stamp}.json"
-try:
-    d = json.load(open(path))
-except Exception as e:
-    print(f"keepers capture unreadable: {e}"); sys.exit(0)
-if d.get("controls_healthy"):
-    shutil.copy(path, "ADJUDICATION_keepers_r4_healthy.json")
-    print("PROMOTED -> ADJUDICATION_keepers_r4_healthy.json")
-else:
-    print("keepers A/B recorded but controls not all healthy; not promoted")
-EOF
-  fi
   rm -f /tmp/healthy_window_capturing
   echo "=== capture cycle done; back to waiting ==="
 done

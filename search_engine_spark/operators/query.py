@@ -1391,7 +1391,7 @@ def more_like_this(
 
 def select_feedback_terms(
     index: InvertedIndex,
-    doc_ids: list[int],
+    doc_ids: "list[int] | DataFrame",
     max_terms: int = 6,
     exclude: list[str] | None = None,
 ) -> list[str]:
@@ -1404,9 +1404,17 @@ def select_feedback_terms(
 
     Plan: the feedback ids are a k-bounded broadcast; their postings
     (≤ k documents' rows, doc-bucket-pruned under v4) aggregate once by
-    lemma and probe the dictionary — the collect is ≤ max_terms rows."""
+    lemma and probe the dictionary — the collect is ≤ max_terms rows.
+    ``doc_ids`` may be an UNCOLLECTED (doc_id) frame: the k-bounded
+    feedback pool broadcasts without a driver round-trip, fusing the
+    pool and expansion scans into one job (r5: prf_search's two
+    sequential collects became one)."""
     spark = index.postings.sparkSession
-    fb = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
+    if isinstance(doc_ids, DataFrame):
+        fb = doc_ids.select("doc_id")
+    else:
+        fb = spark.createDataFrame([(int(d),) for d in doc_ids],
+                                   "doc_id long")
     fb_lemma_tf = (
         index.postings.join(F.broadcast(fb), "doc_id")
         .groupBy("lemma")
@@ -1448,20 +1456,22 @@ def prf_search(
     expanded lemma set — recall recovery for under-specified queries,
     built entirely from the pinned single-aggregate scorer.
 
-    Two rounds of the same k-bounded plan: feedback ids and expansion
-    lemmas are driver-side collects of ≤ fb_docs / ≤ fb_terms rows (the
-    expand_prefix/more_like_this footprint class); the corpus is only
-    ever touched through lemma-pruned posting scans."""
+    ONE driver round-trip (r5, VERDICT r4 "next #6"): the ≤fb_docs
+    feedback pool stays an uncollected frame broadcast straight into
+    the expansion scan, so only the ≤fb_terms expansion lemmas are
+    collected; the corpus is only ever touched through lemma-pruned
+    posting scans. An empty feedback pool yields an empty expansion,
+    which IS the disjunctive-fallback semantics (lemmas + [] ranked
+    match_all=False) — no separate branch, no second collect."""
     lemmas = parse_query(query)
     if not lemmas:
         return index.postings.sparkSession.createDataFrame(
             [], "doc_id long, score double, score_raw double"
         )
     base = bm25_topk_lemmas(index, lemmas, k=fb_docs, k1=k1, b=b)
-    fb_ids = [int(r.doc_id) for r in base.select("doc_id").collect()]
-    if not fb_ids:
-        return bm25_topk_lemmas(index, lemmas, k=k, k1=k1, b=b, match_all=False)
-    expansion = select_feedback_terms(index, fb_ids, fb_terms, exclude=lemmas)
+    expansion = select_feedback_terms(
+        index, base.select("doc_id"), fb_terms, exclude=lemmas
+    )
     return bm25_topk_lemmas(
         index, lemmas + expansion, k=k, k1=k1, b=b, match_all=False
     )
