@@ -41,6 +41,8 @@ round 6. Tie-break (score desc, doc_id asc), as everywhere.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -52,35 +54,71 @@ DEFAULT_FIELD_WEIGHTS = {"title": 2.0, "body": 1.0}
 TITLE_EXPR = "rtrim(substring(regexp_extract(text, '^([^.!?]*)', 1), 1, 60))"
 
 
-def build_field_rows(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, field, lemma) — one kind-tagged explode of both field
-    streams from ONE corpus scan (tokenize runs once per field). The
-    shared upstream of the corpus-scan scorer and the persisted field
-    index."""
+@dataclass(frozen=True)
+class FieldSpec:
+    """One configured field — the reference's config-driven ``field``
+    table row (Field.java:16-34; FieldRepository.java:15-19 seeds
+    name/selector/weight/active): ``name`` tags rows in the persisted
+    field column, ``expr`` is a SQL expression over the doc row
+    producing the field's text (the CSS-selector analog for a
+    text-table corpus), ``weight`` is the BM25F field weight. The
+    candidate/df field (doc-level AND semantics) is whichever spec the
+    caller designates — by default the last one (the body stream)."""
+
+    name: str
+    expr: str
+    weight: float
+
+
+def default_fields(
+    field_weights: dict[str, float] | None = None,
+    text_col: str = "text",
+) -> tuple[FieldSpec, ...]:
+    """The shipped two-field configuration (title = first-sentence
+    clip of ``text``, body = the full text), with ``field_weights``
+    overriding the reference-style defaults."""
+    fw = dict(DEFAULT_FIELD_WEIGHTS, **(field_weights or {}))
+    return (
+        FieldSpec("t", TITLE_EXPR, float(fw["title"])),
+        FieldSpec("b", text_col, float(fw["body"])),
+    )
+
+
+def build_field_rows(
+    docs: DataFrame, text_col: str = "text",
+    fields: "tuple[FieldSpec, ...] | None" = None,
+) -> DataFrame:
+    """(doc_id, field, lemma) — one kind-tagged explode of every
+    configured field stream from ONE corpus scan (tokenize runs once
+    per field, never per use). The shared upstream of the corpus-scan
+    scorer and the persisted field index; ``fields`` defaults to the
+    title/body pair but takes any FieldSpec tuple (the reference's
+    config-driven field table)."""
+    fields = fields or default_fields(text_col=text_col)
     base = docs.selectExpr(
         "doc_id",
-        f"{lemmas_sql(text_col)} AS _body",
-        f"{lemmas_sql(TITLE_EXPR)} AS _title",
+        *[f"{lemmas_sql(f.expr)} AS _f{i}" for i, f in enumerate(fields)],
+    )
+    streams = ", ".join(
+        f"transform(_f{i}, l -> struct('{f.name}' AS field, l AS lemma))"
+        for i, f in enumerate(fields)
     )
     return base.selectExpr(
-        "doc_id",
-        "explode(concat("
-        " transform(_title, l -> struct('t' AS field, l AS lemma)),"
-        " transform(_body,  l -> struct('b' AS field, l AS lemma))"
-        ")) AS fl"
+        "doc_id", f"explode(concat({streams})) AS fl"
     ).select("doc_id", F.col("fl.field").alias("field"),
              F.col("fl.lemma").alias("lemma"))
 
 
 def build_field_postings(
-    docs: DataFrame, text_col: str = "text"
+    docs: DataFrame, text_col: str = "text",
+    fields: "tuple[FieldSpec, ...] | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(field_tf, field_len) — the two frames the persisted field index
     stores: per-(doc, field, lemma) tf and per-(doc, field) length.
     Both are ONE map-side-combinable aggregate over the shared
     field-row explode; at scale they land bucket-partitioned beside
     postings/doclen (index_store.write_field_index)."""
-    rows = build_field_rows(docs, text_col)
+    rows = build_field_rows(docs, text_col, fields=fields)
     tf = rows.groupBy("doc_id", "field", "lemma").agg(
         F.count("*").cast("long").alias("tf")
     )
@@ -98,7 +136,8 @@ def _bm25f_score_frames(
     k: int,
     k1: float,
     b: float,
-    fw: dict[str, float],
+    fields: "tuple[FieldSpec, ...]",
+    candidate_field: str | None = None,
 ) -> DataFrame:
     """The shared BM25F scoring plan over (tf, flen, avg) frames —
     identical arithmetic whether the frames come from the corpus scan
@@ -107,29 +146,38 @@ def _bm25f_score_frames(
     construction. ``avg`` must be (field, avglen double, n_docs long)
     with avglen = CAST(Σlen AS double)/CAST(n AS double) — the exact
     integer-operand division both builders and the DuckDB twin
-    compute (a float-accumulated avg() is partition-order-dependent)."""
-    # body-field df per query lemma + N (docs with a non-empty body)
+    compute (a float-accumulated avg() is partition-order-dependent).
+
+    ``fields`` drives the weight mapping AND the fixed float-order of
+    the tf̃ sum (left-associative adds in declared field order — the
+    default (t, b) pair reproduces the round-4 title-then-body
+    expression exactly). ``candidate_field`` (default: the LAST spec,
+    the body stream) carries df/candidate/N semantics — doc-level AND
+    on that field, disjoint from ranking."""
+    cf = candidate_field or fields[-1].name
+    # candidate-field df per query lemma + N (docs with that field)
     df_t = (
-        tf.filter((F.col("field") == "b") & F.col("lemma").isin(lemmas))
+        tf.filter((F.col("field") == cf) & F.col("lemma").isin(lemmas))
         .groupBy("lemma").agg(F.count("*").alias("df"))
     )
-    # candidates: docs holding ALL query lemmas in the body
+    # candidates: docs holding ALL query lemmas in the candidate field
     cand = (
-        tf.filter((F.col("field") == "b") & F.col("lemma").isin(lemmas))
+        tf.filter((F.col("field") == cf) & F.col("lemma").isin(lemmas))
         .groupBy("doc_id").agg(F.count("*").alias("_nt"))
         .filter(F.col("_nt") == len(lemmas))
         .select("doc_id")
     )
 
-    wt, wb = float(fw["title"]), float(fw["body"])
+    w_expr = F.lit(0.0)
+    for f in fields:
+        w_expr = F.when(F.col("field") == f.name,
+                        F.lit(float(f.weight))).otherwise(w_expr)
     per_field = (
         tf.filter(F.col("lemma").isin(lemmas))
         .join(F.broadcast(cand), "doc_id")
         .join(flen, ["doc_id", "field"])
         .join(F.broadcast(avg.select("field", "avglen")), "field")
-        .withColumn(
-            "_w", F.when(F.col("field") == "t", F.lit(wt)).otherwise(F.lit(wb))
-        )
+        .withColumn("_w", w_expr)
         .withColumn(
             "_norm",
             F.col("_w") * F.col("tf").cast("double")
@@ -137,18 +185,17 @@ def _bm25f_score_frames(
                / F.col("avglen")),
         )
     )
-    # tf̃: title term then body term, one fixed-order sum per (doc, lemma)
-    tft = (
-        per_field.groupBy("doc_id", "lemma")
-        .agg(
-            F.sum(F.when(F.col("field") == "t", F.col("_norm"))).alias("_t"),
-            F.sum(F.when(F.col("field") == "b", F.col("_norm"))).alias("_b"),
-        )
-        .withColumn(
-            "_tft", F.coalesce("_t", F.lit(0.0)) + F.coalesce("_b", F.lit(0.0))
-        )
-    )
-    n_docs_body = avg.filter(F.col("field") == "b").select(
+    # tf̃: one fixed-order sum per (doc, lemma) — declared field order
+    tft = per_field.groupBy("doc_id", "lemma").agg(*[
+        F.sum(F.when(F.col("field") == f.name, F.col("_norm")))
+        .alias(f"_s{i}")
+        for i, f in enumerate(fields)
+    ])
+    tft_expr = F.coalesce(F.col("_s0"), F.lit(0.0))
+    for i in range(1, len(fields)):
+        tft_expr = tft_expr + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+    tft = tft.withColumn("_tft", tft_expr)
+    n_docs_body = avg.filter(F.col("field") == cf).select(
         F.col("n_docs").cast("double").alias("_n")
     )
     return (
@@ -181,24 +228,26 @@ def bm25f_topk(
     b: float = BM25_B,
     field_weights: dict[str, float] | None = None,
     text_col: str = "text",
+    fields: "tuple[FieldSpec, ...] | None" = None,
+    candidate_field: str | None = None,
 ) -> DataFrame:
-    """Top-``k`` (doc_id, score) by BM25F over the title/body fields,
-    computed from ONE corpus scan (the semantics pin; the servable
-    engine over persisted per-field postings is
-    :func:`bm25f_topk_indexed` — rank-identical by construction, both
-    riding :func:`_bm25f_score_frames`).
+    """Top-``k`` (doc_id, score) by BM25F over the configured fields
+    (default: title/body), computed from ONE corpus scan (the
+    semantics pin; the servable engine over persisted per-field
+    postings is :func:`bm25f_topk_indexed` — rank-identical by
+    construction, both riding :func:`_bm25f_score_frames`).
 
-    AND match semantics on the body field (title ⊆ body, so this is
-    doc-level AND), disjoint from ranking — identical to bm25_topk's
-    candidate contract. Empty/stop-only queries return an empty frame.
-    """
-    fw = dict(DEFAULT_FIELD_WEIGHTS, **(field_weights or {}))
+    AND match semantics on the candidate field (default: the body
+    stream — title ⊆ body, so this is doc-level AND), disjoint from
+    ranking — identical to bm25_topk's candidate contract.
+    Empty/stop-only queries return an empty frame."""
+    fields = fields or default_fields(field_weights, text_col)
     lemmas = parse_query(query)
     spark = docs.sparkSession
     if not lemmas:
         return spark.createDataFrame([], "doc_id long, score double")
 
-    rows = build_field_rows(docs, text_col)
+    rows = build_field_rows(docs, text_col, fields=fields)
     rows = rows.persist()  # feeds tf, lengths, df; released before return
 
     tf = rows.groupBy("doc_id", "field", "lemma").agg(
@@ -210,7 +259,8 @@ def bm25f_topk(
          / F.count("*").cast("double")).alias("avglen"),
         F.count("*").alias("n_docs"),
     )
-    scored = _bm25f_score_frames(tf, flen, avg, lemmas, k, k1, b, fw)
+    scored = _bm25f_score_frames(tf, flen, avg, lemmas, k, k1, b,
+                                 fields, candidate_field)
     # k-row eager checkpoint truncates lineage so the persisted rows
     # frame can be released WITHOUT collecting (the r4 verdict's note:
     # every top-k operator returns an unmaterialized frame)
@@ -226,6 +276,8 @@ def bm25f_topk_indexed(
     k1: float = BM25_K1,
     b: float = BM25_B,
     field_weights: dict[str, float] | None = None,
+    fields: "tuple[FieldSpec, ...] | None" = None,
+    candidate_field: str | None = None,
 ) -> DataFrame:
     """BM25F over the PERSISTED field index (index_store
     write_field_index: bucket-partitioned ``fields``/``fieldlen``
@@ -237,8 +289,10 @@ def bm25f_topk_indexed(
 
     ``index`` is a sources.index_store.DiskIndex whose ``fields`` /
     ``fieldlen`` properties are present (build_index --fields or
-    write_field_index); raises a clear error otherwise."""
-    fw = dict(DEFAULT_FIELD_WEIGHTS, **(field_weights or {}))
+    write_field_index); raises a clear error otherwise. A custom
+    ``fields`` tuple must match the specs the index was BUILT with
+    (names/exprs; weights are query-time and may differ)."""
+    fields = fields or default_fields(field_weights)
     lemmas = parse_query(query)
     spark = index.spark
     if not lemmas:
@@ -257,7 +311,8 @@ def bm25f_topk_indexed(
          for f, s in sorted(stats.items())],
         "field string, avglen double, n_docs long",
     )
-    return _bm25f_score_frames(tf, flen, avg, lemmas, k, k1, b, fw)
+    return _bm25f_score_frames(tf, flen, avg, lemmas, k, k1, b,
+                               fields, candidate_field)
 
 
 def bm25f_sql_duckdb(

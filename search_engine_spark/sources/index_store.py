@@ -1124,6 +1124,7 @@ def write_field_index(
     index_dir: str,
     bucket_width: int = DOC_BUCKET_WIDTH,
     text_col: str = "text",
+    fields=None,
 ) -> dict:
     """Persist the per-field BM25F index beside the other v4 tables:
     ``fields`` (doc_id, field, lemma, tf) and ``fieldlen`` (doc_id,
@@ -1144,7 +1145,7 @@ def write_field_index(
 
     from search_engine_spark.operators.bm25f import build_field_postings
 
-    tf, flen = build_field_postings(docs, text_col=text_col)
+    tf, flen = build_field_postings(docs, text_col=text_col, fields=fields)
     _swap_write_bucketed(tf, os.path.join(index_dir, FIELDS_DIR),
                          bucket_width)
     _swap_write_bucketed(flen, os.path.join(index_dir, FIELDLEN_DIR),

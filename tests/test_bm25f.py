@@ -148,3 +148,41 @@ def test_field_index_invalidated_by_mutation(spark, tmp_path):
     assert disk.fields is None and disk.fieldlen is None
     with pytest.raises(FileNotFoundError, match="--fields"):
         bm25f_topk_indexed(disk, "w00001s")
+
+
+def test_config_driven_fields_generalize(spark):
+    """The reference's config-driven field table (FieldRepository
+    seeds name/selector/weight rows): bm25f accepts any FieldSpec
+    tuple. Pins: (a) an extra ZERO-weight field leaves every score
+    bit-identical to the default two-field config (its tf̃ term is
+    exactly 0.0); (b) with positive weight, a lead-field mention
+    outranks the same tf buried deep in the body."""
+    from search_engine_spark.operators.bm25f import (
+        FieldSpec,
+        TITLE_EXPR,
+        bm25f_topk,
+        default_fields,
+    )
+
+    filler = " ".join(f"filler{i:03d}" for i in range(80))
+    lead_expr = "substring(text, 1, 200)"
+    docs = _docs(spark, [
+        "plain opening sentence here. database join early words " + filler,
+        "plain opening sentence here. " + filler + " database join",
+        "alpha beta gamma delta. more words here",
+        "epsilon zeta eta theta. other words entirely",
+    ])
+    three_zero = default_fields() + (FieldSpec("l", lead_expr, 0.0),)
+    base = [(r["doc_id"], r["score"])
+            for r in bm25f_topk(docs, "join", k=4).collect()]
+    got = [(r["doc_id"], r["score"])
+           for r in bm25f_topk(docs, "join", k=4,
+                               fields=three_zero,
+                               candidate_field="b").collect()]
+    assert got == base and got
+
+    three = default_fields() + (FieldSpec("l", lead_expr, 3.0),)
+    rows = bm25f_topk(docs, "join", k=4, fields=three,
+                      candidate_field="b").collect()
+    assert [r["doc_id"] for r in rows[:2]] == [0, 1]
+    assert rows[0]["score"] > rows[1]["score"]
