@@ -96,6 +96,7 @@ from search_engine_spark.operators.index_build import (
     term_df_salted,
 )
 from search_engine_spark.operators.bm25f import bm25f_sql_duckdb
+from search_engine_spark.operators.classify import nb_classify_sql_duckdb
 from search_engine_spark.operators.query import (
     bm25_topk,
     bm25_topk_batch,
@@ -234,6 +235,11 @@ DATED_UNTIL = RECENCY_EPOCH0 + RECENCY_SPAN_S // 2  # [EPOCH0, mid-year)
 HISTO_INTERVAL_S = 7 * 86400  # date_histogram bucket width (one week)
 IVF_CLUSTERS = 16
 IVF_NPROBE = 4
+BUDGET_TOKENS = 20000   # token budget for the budget_sample rows
+BUDGET_BUCKETS = 8      # approx path bucket count (selection granularity)
+WINNOW_K = 5            # winnowing gram length
+WINNOW_WINDOW = 4       # winnowing window (guarantee t = w + k - 1)
+PROXIMITY_BETA = 1.0    # proximity boost strength
 
 _INDEX_CACHE: dict[str, object] = {}
 
@@ -1160,6 +1166,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             open_field_index(spark, _INDEX_CACHE[key]), Q_MAIN, k=10
         )
 
+    def q_budget_sample(spark, sf):
+        # token-budget selection, EXACT path (r5): highest-quality docs
+        # whose cumulative token count fits the budget — one global
+        # sort window, the labeled small-frame audit plan
+        from search_engine_spark.operators.sampling import budget_sample
+
+        return budget_sample(
+            _documents(spark, sf), BUDGET_TOKENS, method="exact"
+        )
+
+    def q_budget_sample_approx(spark, sf):
+        # the 100 TB plan: percentile_approx quality cutoffs + whole-
+        # bucket greedy fill — scan-shaped, no global sort/window
+        # (perplexity_buckets' exact/approx pattern)
+        from search_engine_spark.operators.sampling import budget_sample
+
+        return budget_sample(
+            _documents(spark, sf), BUDGET_TOKENS, method="approx",
+            n_buckets=BUDGET_BUCKETS,
+        )
+
+    def q_winnow_fingerprints(spark, sf):
+        # MOSS winnowing (Schleimer et al. 2003): k-gram md5-prefix
+        # hashes, per-window minima, distinct — copy detection joins
+        # these tiny sets, never texts; pure per-row array codegen
+        from search_engine_spark.operators.dedup import winnow_fingerprints
+
+        return winnow_fingerprints(
+            _documents(spark, sf), k=WINNOW_K, window=WINNOW_WINDOW
+        )
+
+    def q_nb_classify(spark, sf):
+        # multinomial Naive Bayes language classifier (r5): train =
+        # two combinable aggregates over one tokenized scan (the model
+        # is vocab-bounded -> broadcast at any scale), classify = one
+        # explode x |labels| broadcast join, decimal-grid scores,
+        # argmax via a doc-partitioned window — the supervised
+        # complement to the heuristic langid row
+        from search_engine_spark.operators.classify import (
+            nb_classify,
+            nb_train,
+        )
+
+        docs = _documents(spark, sf)
+        model = nb_train(docs, label_col="lang")
+        return nb_classify(docs, model)
+
     def q_collocations(spark, sf):
         # corpus-wide collocation mining: top adjacent-bigram PMI with
         # a min-count floor (one tokenize, one combined explode, counts
@@ -1262,6 +1315,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return near_search_positional(
             _positional(spark, sf), _index_for(spark, sf).doclen, Q_MAIN,
             window=NEAR_WINDOW, k=10,
+        )
+
+    def q_bm25_topk_proximity(spark, sf):
+        # proximity-boosted BM25 (r5): rounded BM25 x
+        # (1 + beta/(1 + min pair distance)) from the SAME positional
+        # table the phrase/NEAR family reads — adjacent terms beat
+        # scattered ones; no text re-scan, pure array fold per row
+        from search_engine_spark.operators.positional import (
+            bm25_topk_proximity,
+        )
+
+        return bm25_topk_proximity(
+            _index_for(spark, sf), _positional(spark, sf), Q_MAIN,
+            k=10, beta=PROXIMITY_BETA,
         )
 
     def q_search_composed(spark, sf):
@@ -1836,6 +1903,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk_trained_rerank": q_pq_topk_trained_rerank,
         "ivfpq_topk_trained": q_ivfpq_topk_trained,
         "bm25f_topk_indexed": q_bm25f_topk_indexed,
+        "nb_classify": q_nb_classify,
+        "budget_sample": q_budget_sample,
+        "budget_sample_approx": q_budget_sample_approx,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "bm25_topk_proximity": q_bm25_topk_proximity,
         "semdedup_pairs": q_semdedup_pairs,
         "semdedup_keepers": q_semdedup_keepers,
         "lm_bigram_model": q_lm_bigram_model,
@@ -3649,6 +3721,67 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY n_windows DESC, doc_id ASC LIMIT 10
     """
 
+    # proximity-boosted BM25 twin: the _bm25_sql scored aggregate
+    # (no limit) x the min pair-distance over per-lemma 1-based
+    # positions in the stop-filtered lemma stream (same stream the
+    # positional rows replay); boost applied to the ROUNDED score so
+    # the multiplier is a couple of identical IEEE ops on both sides
+    _px_lemmas = parse_query(Q_MAIN)
+    _px_in = "(" + ", ".join(f"'{l}'" for l in _px_lemmas) + ")"
+    _px_pos = ", ".join(
+        f"[i for i in generate_series(1, len(_ls)) if _ls[i] = '{l}']"
+        f" AS p{j}"
+        for j, l in enumerate(_px_lemmas)
+    )
+    _px_pairs = [
+        f"list_min(flatten(list_transform(p{i}, "
+        f"p -> list_transform(p{j}, q -> abs(p - q)))))"
+        for i in range(len(_px_lemmas))
+        for j in range(i + 1, len(_px_lemmas))
+    ]
+    _px_md = (_px_pairs[0] if len(_px_pairs) == 1
+              else f"least({', '.join(_px_pairs)})")
+    proximity_oracle = f"""
+        WITH {_POSTINGS},
+        cand AS (
+            SELECT doc_id FROM postings WHERE lemma IN {_px_in}
+            GROUP BY doc_id HAVING count(*) = {len(_px_lemmas)}
+        ),
+        bscore AS (
+            SELECT p.doc_id,
+                   round(sum(
+                     ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+                     * (p.tf * {BM25_K1 + 1.0!r})
+                     / (p.tf + {BM25_K1!r} * ({1.0 - BM25_B!r}
+                        + {BM25_B!r} * d.dl / s.avgdl))
+                   ), 6) AS score
+            FROM postings p
+            JOIN cand USING (doc_id)
+            JOIN doclen d USING (doc_id)
+            JOIN terms t USING (lemma)
+            CROSS JOIN stats s
+            WHERE p.lemma IN {_px_in}
+            GROUP BY p.doc_id
+        ),
+        streams AS (
+            SELECT doc_id,
+                   list_filter(list_transform({_TOKS}, t -> {_case_t}),
+                               l -> l NOT IN {_STOPS}) AS _ls
+            FROM documents
+        ),
+        pos AS (
+            SELECT b.doc_id, b.score, {_px_pos}
+            FROM bscore b JOIN streams s USING (doc_id)
+        ),
+        md AS (SELECT doc_id, score, {_px_md} AS m FROM pos)
+        SELECT doc_id,
+               round(score * (1.0 + {PROXIMITY_BETA!r}
+                              / (1.0 + CAST(m AS DOUBLE))), 6) AS score,
+               CAST(m AS BIGINT) AS min_dist
+        FROM md
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """
+
     # shared CTE chain: exact-Jaccard pairs (== the LSH output on this
     # corpus) → symmetric edges → recursive min-label reachability →
     # component = min reachable doc_id (used by dedup_keepers and
@@ -3719,6 +3852,69 @@ def oracle_sql() -> dict[str, str]:
                  round(len(list_distinct({_TOKS})) / len({_TOKS})::double, 6)
                  ELSE 0.0 END AS uniq_token_ratio
         FROM documents
+    """
+
+    # budget_sample twins: shared scored CTE (the quality_scores
+    # decimal arithmetic + exact BIGINT token counts)
+    budget_scored = f"""
+    scored AS (
+        SELECT doc_id, {quality_score_expr} AS quality_score,
+               CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM ({quality_inner})
+    )"""
+    budget_exact_sql = f"""
+    WITH {budget_scored},
+    r AS (
+        SELECT doc_id, quality_score, n_tokens,
+               sum(n_tokens) OVER (
+                   ORDER BY quality_score DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM scored
+    )
+    SELECT doc_id, quality_score, n_tokens FROM r
+    WHERE cum <= {BUDGET_TOKENS}
+    """
+    _bq_cuts = ", ".join(
+        f"max(CASE WHEN rn = CAST(ceil({b} * n / {BUDGET_BUCKETS}.0)"
+        f" AS BIGINT) THEN quality_score END) AS c{b}"
+        for b in range(1, BUDGET_BUCKETS)
+    )
+    _bq_bucket = " + ".join(
+        f"CAST(quality_score > c{b} AS INT)"
+        for b in range(1, BUDGET_BUCKETS)
+    )
+    # cutoffs = values at ranks ceil(b·n/B) — exactly Spark's
+    # percentile_approx at accuracy >= n; ties land in the LOWER bucket
+    # (strict >) on both sides; the greedy whole-bucket fill is the
+    # monotone top-prefix of the bucket-mass running sum
+    budget_approx_sql = f"""
+    WITH {budget_scored},
+    ranked AS (
+        SELECT quality_score,
+               row_number() OVER (ORDER BY quality_score, doc_id) AS rn,
+               count(*) OVER () AS n
+        FROM scored
+    ),
+    cuts AS (SELECT {_bq_cuts} FROM ranked),
+    bucketed AS (
+        SELECT s.doc_id, s.quality_score, s.n_tokens,
+               ({_bq_bucket}) AS bucket
+        FROM scored s CROSS JOIN cuts
+    ),
+    mass AS (
+        SELECT bucket, sum(n_tokens) AS m FROM bucketed GROUP BY bucket
+    ),
+    kept AS (
+        SELECT bucket FROM (
+            SELECT bucket, sum(m) OVER (
+                ORDER BY bucket DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM mass
+        ) WHERE cum <= {BUDGET_TOKENS}
+    )
+    SELECT b.doc_id, b.quality_score, b.n_tokens
+    FROM bucketed b
+    WHERE b.bucket >= (SELECT min(bucket) FROM kept)
     """
 
     return {
@@ -4815,6 +5011,36 @@ def oracle_sql() -> dict[str, str]:
         "bm25f_topk_indexed": bm25f_sql_duckdb(
             Q_MAIN, _TOKS, _STOPS, LEMMA_CASE_SQL, k=10
         ),
+        "nb_classify": nb_classify_sql_duckdb(
+            _TOKS, _STOPS, LEMMA_CASE_SQL, label_col="lang"
+        ),
+        "budget_sample": budget_exact_sql,
+        "budget_sample_approx": budget_approx_sql,
+        # winnowing twin: same md5-prefix gram hashes (the portable
+        # split_bucket hash), inclusive-slice window minima, distinct
+        "bm25_topk_proximity": proximity_oracle,
+        "winnow_fingerprints": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS tok FROM documents
+                WHERE len({_TOKS}) >= {WINNOW_K}
+            ),
+            gh AS (
+                SELECT doc_id,
+                       [('0x' || substring(md5(array_to_string(
+                            tok[i : i + {WINNOW_K - 1}], ' ')), 1, 15))::BIGINT
+                        for i in generate_series(1, len(tok) - {WINNOW_K - 1})]
+                           AS g
+                FROM toks
+            )
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       CASE WHEN len(g) >= {WINNOW_WINDOW} THEN
+                           [list_min(g[i : i + {WINNOW_WINDOW - 1}])
+                            for i in generate_series(
+                                1, len(g) - {WINNOW_WINDOW - 1})]
+                       ELSE [list_min(g)] END)) AS fp
+            FROM gh
+        """,
         "titles": """
             SELECT doc_id,
                    rtrim(substr(regexp_extract(text, '^([^.!?]*)', 1), 1, 60)) AS title

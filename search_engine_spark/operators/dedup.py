@@ -810,3 +810,50 @@ def dedup_keepers(
         )
         .withColumn("is_keeper", (F.col("doc_id") == F.col("keeper_id")))
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 5, window: int = 4,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): hash every k-token gram, slide a window of ``window``
+    consecutive gram hashes, keep the MINIMUM of each window, emit the
+    DISTINCT selected hashes per document. The winnowing guarantee:
+    any token run of length ≥ window + k − 1 shared by two documents
+    yields ≥ 1 shared fingerprint — so copy detection joins the tiny
+    fingerprint sets, never the texts (the plagiarism/near-copy audit
+    beside span dedup's exact-window surgery).
+
+    Plan: a PURE per-row codegen array expression — tokenize once,
+    gram hashes via the portable 60-bit md5 prefix (engine-replayable,
+    the split_bucket_col trick — xxhash64 would break the DuckDB
+    twin), window minima via array_min over slices, array_distinct,
+    one explode. No shuffle at all until whatever join the caller adds;
+    fingerprints-per-doc ≈ 2·n/(window+1) — the storage the winnowing
+    paper optimizes for. Shorter-than-window hash lists degrade to one
+    global minimum; shorter-than-k docs emit nothing.
+
+    Returns (doc_id, fp long).
+    """
+    ph = ("cast(conv(substring(md5({s}), 1, 15), 16, 10) as bigint)")
+    gram = ph.format(s=f"array_join(slice(_toks, i + 1, {k}), ' ')")
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            tokenize_expr(F.col(text_col)).alias("_toks"),
+        )
+        .filter(F.size("_toks") >= k)
+        .selectExpr(
+            "doc_id",
+            f"transform(sequence(0, size(_toks) - {k}), i -> {gram}) AS _gh",
+        )
+        .selectExpr(
+            "doc_id",
+            f"""explode(array_distinct(
+                IF(size(_gh) >= {window},
+                   transform(sequence(0, size(_gh) - {window}),
+                             i -> array_min(slice(_gh, i + 1, {window}))),
+                   array(array_min(_gh))))) AS fp""",
+        )
+    )

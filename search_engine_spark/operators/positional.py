@@ -210,3 +210,77 @@ def span_near_search_positional(
         .select("doc_id", "n_spans")
         .limit(k)
     )
+
+
+def bm25_topk_proximity(
+    index,
+    pos_postings: DataFrame,
+    query: str,
+    k: int = DEFAULT_TOP_K,
+    beta: float = 1.0,
+) -> DataFrame:
+    """Proximity-boosted BM25 over the positional index: every AND
+    candidate's (rounded) BM25 score is multiplied by
+    ``1 + beta/(1 + min_dist)``, where ``min_dist`` is the minimum
+    absolute position distance over all query-lemma pairs — terms
+    appearing adjacently beat the same terms scattered across a long
+    turn (the classic proximity feature BM25 itself ignores; Lucene's
+    span-boost shape, built from the SAME positional table the
+    phrase/NEAR family reads — no text re-scan).
+
+    Plan: the shared lemma-pruned BM25 aggregate (query._bm25_scored,
+    unlimited) joined to the positional lemma-position maps (one
+    combinable aggregate, AND arity); the pair-distance min is a pure
+    per-row array fold over the short position lists;
+    TakeOrderedAndProject for top-k. Single-lemma queries have no pair
+    distance: min_dist = 0 by convention (constant boost — ranking
+    equals plain BM25).
+
+    Returns (doc_id, score, min_dist) ordered (score desc, doc_id asc);
+    ``score`` is the boosted, 6-decimal-rounded value.
+    """
+    from search_engine_spark.operators.query import _bm25_scored
+
+    spark = pos_postings.sparkSession
+    lemmas = parse_query(query)
+    if not lemmas:
+        return spark.createDataFrame(
+            [], "doc_id long, score double, min_dist long"
+        )
+    scored = _bm25_scored(index, lemmas).select("doc_id", "score")
+    distinct = list(dict.fromkeys(lemmas))
+    if len(distinct) < 2:
+        return (
+            scored.withColumn("min_dist", F.lit(0).cast("long"))
+            .withColumn(
+                "score", F.round(F.col("score") * (1.0 + float(beta)), 6)
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .select("doc_id", "score", "min_dist")
+            .limit(k)
+        )
+    pm = _lemma_maps(pos_postings, distinct)
+    pair_mins = [
+        f"array_min(flatten(transform(pm['{a}'], "
+        f"p -> transform(pm['{b}'], q -> abs(p - q)))))"
+        for i, a in enumerate(distinct)
+        for b in distinct[i + 1:]
+    ]
+    md = (pair_mins[0] if len(pair_mins) == 1
+          else f"least({', '.join(pair_mins)})")
+    return (
+        scored.join(pm, "doc_id")
+        .withColumn("min_dist", F.expr(md).cast("long"))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("score")
+                * (F.lit(1.0) + F.lit(float(beta))
+                   / (F.lit(1.0) + F.col("min_dist").cast("double"))),
+                6,
+            ),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .select("doc_id", "score", "min_dist")
+        .limit(k)
+    )

@@ -615,3 +615,96 @@ def gopher_filter(
         (F.size("_r") == 0).alias("keep"),
         F.array_join("_r", ",").alias("reasons"),
     )
+
+
+def budget_sample(
+    docs: DataFrame,
+    token_budget: int,
+    method: str = "exact",
+    n_buckets: int = 32,
+    accuracy: int = 10000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget selection: keep the HIGHEST-quality documents whose
+    cumulative token count fits ``token_budget`` — the "fill a 500B-
+    token training mix from the best data first" operation, the budget-
+    constrained dual of quality_resample's probabilistic thinning.
+
+    Two selectable plans (the perplexity_buckets exact/approx pattern):
+
+    - ``method="exact"`` — order by (quality desc, doc_id asc), running
+      cumulative token sum, keep rows with cumsum ≤ budget. ONE global
+      un-partitioned sort window: the small-frame audit path only.
+    - ``method="approx"`` — THE 100 TB plan: quality cutoffs once via
+      ``percentile_approx`` (one partial-agg pass), assign each doc a
+      quality bucket with a pure comparison, aggregate per-bucket token
+      mass (n_buckets rows), take whole buckets greedily from the top
+      until the next would overflow the budget, filter. Scan-shaped —
+      no global sort, no window over the doc frame; selection
+      granularity is one bucket (undershoots by at most one bucket's
+      mass, tightened by raising n_buckets). With ``accuracy`` ≥ the
+      frame size the cutoffs are exact rank statistics, so the kept
+      set is a deterministic quality-prefix (differential-tested
+      against the exact path on distinct qualities).
+
+    Returns (doc_id, quality_score, n_tokens) of kept docs.
+    """
+    if method not in ("exact", "approx"):
+        raise ValueError("method must be 'exact' or 'approx'")
+    from search_engine_spark.functions.analysis import (
+        quality_features,
+        quality_score_col,
+    )
+
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"), *quality_features(text_col)
+    ).select(
+        "doc_id",
+        quality_score_col().alias("quality_score"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    if method == "exact":
+        from pyspark.sql import Window
+
+        w = (
+            Window.orderBy(F.col("quality_score").desc(),
+                           F.col("doc_id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            scored.withColumn("_cum", F.sum("n_tokens").over(w))
+            .filter(F.col("_cum") <= int(token_budget))
+            .select("doc_id", "quality_score", "n_tokens")
+        )
+    qs = [b / n_buckets for b in range(1, n_buckets)]
+    cuts = scored.agg(
+        F.percentile_approx("quality_score", qs, int(accuracy)).alias("_cuts")
+    )
+    bucketed = scored.crossJoin(F.broadcast(cuts)).withColumn(
+        "_bucket",
+        F.expr(
+            "CAST(aggregate(_cuts, 0, "
+            "(acc, c) -> acc + IF(quality_score > c, 1, 0)) AS INT)"
+        ),
+    )
+    mass = (
+        bucketed.groupBy("_bucket")
+        .agg(F.sum("n_tokens").cast("long").alias("_mass"))
+        .collect()
+    )
+    by_bucket = {int(r["_bucket"]): int(r["_mass"]) for r in mass}
+    total, min_bucket = 0, None
+    for bkt in sorted(by_bucket, reverse=True):
+        if total + by_bucket[bkt] > int(token_budget):
+            break
+        total += by_bucket[bkt]
+        min_bucket = bkt
+    if min_bucket is None:  # even the top bucket overflows the budget
+        return scored.filter(F.lit(False)).select(
+            "doc_id", "quality_score", "n_tokens"
+        )
+    return (
+        bucketed.filter(F.col("_bucket") >= int(min_bucket))
+        .select("doc_id", "quality_score", "n_tokens")
+    )

@@ -326,3 +326,32 @@ def test_span_exchange_key_is_hashed_long(spark):
         keys = re.findall(r"hashpartitioning\(([^)#]+)#", plan)
         assert any(k.strip() == "span_h" for k in keys), plan
         assert not any(k.strip() == "span" for k in keys), plan
+
+
+def test_winnow_fingerprints_guarantee_and_edges(spark):
+    """The winnowing guarantee (Schleimer et al. 2003): two documents
+    sharing a token run of length >= window + k - 1 share at least one
+    fingerprint; unrelated docs (distinct vocab) share none. Edge
+    cases: < k tokens -> no rows; k <= tokens < k+window-1 grams ->
+    one global-min fingerprint."""
+    from search_engine_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    docs = spark.createDataFrame(
+        [
+            (0, "one two " + shared + " three four"),
+            (1, "five six seven " + shared),
+            (2, "red orange yellow green blue indigo violet"),
+            (3, "aa bb"),                # < k tokens: nothing
+            (4, "cc dd ee"),             # exactly k: one fingerprint
+        ],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnow_fingerprints(docs, k=k, window=w).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] & fps[1], (fps[0], fps[1])
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+    assert 3 not in fps
+    assert len(fps[4]) == 1

@@ -211,3 +211,31 @@ def test_persisted_positional_index_and_invalidation(spark, tiny_transcripts,
     assert DiskIndex(spark, idx_dir).positional is None
     # ...but the pre-mutation snapshot still serves it (as_of)
     assert DiskIndex(spark, idx_dir, as_of=1).positional is not None
+
+
+def test_bm25_proximity_reorders_equal_bm25_docs(spark):
+    """Two docs with identical tf/dl (equal BM25) must be reordered by
+    term proximity: adjacent terms outrank scattered ones; min_dist is
+    the true minimum pair distance in the lemma stream."""
+    from search_engine_spark.operators.index_build import (
+        build_index_from_docs,
+    )
+    from search_engine_spark.operators.positional import (
+        bm25_topk_proximity,
+        build_positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha join beta database gamma"),
+            (1, "join alpha beta gamma database"),
+            (2, "alpha beta gamma delta epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    ix = build_index_from_docs(docs)
+    pos = build_positional_postings(docs)
+    rows = bm25_topk_proximity(ix, pos, "database join", k=5).collect()
+    assert [r["doc_id"] for r in rows] == [0, 1]
+    assert rows[0]["min_dist"] == 2 and rows[1]["min_dist"] == 4
+    assert rows[0]["score"] > rows[1]["score"]

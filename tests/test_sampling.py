@@ -410,3 +410,39 @@ def test_gopher_filter_rules_and_reasons(spark):
                                     max_top_char_frac=2.0,
                                     max_dup_frac=1.0).collect()}
     assert loose[1] == "stopword_ratio"
+
+
+def test_budget_sample_exact_and_approx(spark):
+    """Token-budget selection: the exact path keeps the maximal
+    quality-prefix whose token mass fits; the approx (bucketed) path
+    keeps a SUBSET of it — whole quality buckets only, mass <= budget
+    (undershoots by at most one bucket), same quality-prefix shape.
+    Tiny budget -> empty; huge budget -> everything."""
+    from search_engine_spark.operators.sampling import budget_sample
+
+    # distinct quality profiles: vary uniq-token ratio and length
+    rows = []
+    for i in range(24):
+        uniq = [f"word{i}_{j}" for j in range(4 + i)]
+        rep = ["again"] * (i % 7)
+        rows.append((i, " ".join(uniq + rep)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    total = sum(
+        r["n_tokens"]
+        for r in budget_sample(docs, 10**9, method="exact").collect()
+    )
+    budget = total // 2
+    exact = {r["doc_id"]: r["n_tokens"]
+             for r in budget_sample(docs, budget, method="exact").collect()}
+    approx = {r["doc_id"]: r["n_tokens"]
+              for r in budget_sample(docs, budget, method="approx",
+                                     n_buckets=8).collect()}
+    assert sum(exact.values()) <= budget
+    assert sum(approx.values()) <= budget
+    assert set(approx) <= set(exact)
+    assert approx  # a non-degenerate budget keeps something
+
+    assert budget_sample(docs, 0, method="exact").count() == 0
+    assert budget_sample(docs, 1, method="approx").count() == 0
+    assert budget_sample(docs, 10**9, method="approx").count() == 24
