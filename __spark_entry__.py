@@ -240,6 +240,8 @@ BUDGET_BUCKETS = 8      # approx path bucket count (selection granularity)
 WINNOW_K = 5            # winnowing gram length
 WINNOW_WINDOW = 4       # winnowing window (guarantee t = w + k - 1)
 PROXIMITY_BETA = 1.0    # proximity boost strength
+PAGERANK_D = 0.85       # PageRank damping
+PAGERANK_ITERS = 5      # fixed synchronous rounds (determinism)
 
 _INDEX_CACHE: dict[str, object] = {}
 
@@ -1331,6 +1333,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=10, beta=PROXIMITY_BETA,
         )
 
+    def q_event_pagerank(spark, sf):
+        # PageRank over the day-partitioned event handoff graph (r5):
+        # the canonical iterative DataFrame algorithm, localCheckpoint
+        # EVERY round (the connected-components lesson), decimal-grid
+        # contributions so 5 unrolled DuckDB iterations hash-match
+        from search_engine_spark.operators.graph import (
+            event_handoff_edges,
+            pagerank,
+        )
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return pagerank(
+            event_handoff_edges(ev), damping=PAGERANK_D,
+            iters=PAGERANK_ITERS,
+        ).withColumnRenamed("node", "user_id")
+
     def q_search_composed(spark, sf):
         # mini query language: quoted phrase constraint + BM25 AND term
         return search(
@@ -1908,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_sample_approx": q_budget_sample_approx,
         "winnow_fingerprints": q_winnow_fingerprints,
         "bm25_topk_proximity": q_bm25_topk_proximity,
+        "event_pagerank": q_event_pagerank,
         "semdedup_pairs": q_semdedup_pairs,
         "semdedup_keepers": q_semdedup_keepers,
         "lm_bigram_model": q_lm_bigram_model,
@@ -3782,6 +3801,72 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY score DESC, doc_id ASC LIMIT 10
     """
 
+    # PageRank twin: same handoff edges (day-partitioned lag), then
+    # PAGERANK_ITERS unrolled CTE rounds with the identical decimal-
+    # grid contribution sums and 1e-10 rank re-rounding
+    _pr_cm = 1.0 - PAGERANK_D  # the Spark side computes (1-d) in Python
+    _pr_ctes = [f"""
+        pr_edges AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT lag(user_id) OVER (
+                           PARTITION BY CAST(ts AS DATE)
+                           ORDER BY ts, event_id) AS src,
+                       user_id AS dst
+                FROM events
+            ) WHERE src IS NOT NULL AND src <> dst
+        ),
+        pr_nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM pr_edges
+                UNION ALL SELECT dst FROM pr_edges
+            )
+        ),
+        pr_deg AS (
+            SELECT src AS node, count(*) AS deg FROM pr_edges GROUP BY src
+        ),
+        pr_n AS (SELECT count(*) AS cnt FROM pr_nodes),
+        pr_r0 AS (
+            SELECT node, round(1.0 / CAST(cnt AS DOUBLE), 10) AS rank
+            FROM pr_nodes CROSS JOIN pr_n
+        )"""]
+    for _i in range(1, PAGERANK_ITERS + 1):
+        _pr_ctes.append(f"""
+        pr_c{_i} AS (
+            SELECT e.dst AS node,
+                   sum(CAST(round(r.rank / CAST(d.deg AS DOUBLE), 10)
+                       AS DECIMAL(28,10))) AS s
+            FROM pr_edges e
+            JOIN pr_r{_i - 1} r ON r.node = e.src
+            JOIN pr_deg d ON d.node = e.src
+            GROUP BY e.dst
+        ),
+        pr_g{_i} AS (
+            SELECT COALESCE(sum(CAST(r.rank AS DECIMAL(28,10))),
+                            CAST(0 AS DECIMAL(28,10))) AS dang
+            FROM pr_r{_i - 1} r
+            LEFT JOIN pr_deg d ON d.node = r.node
+            WHERE d.node IS NULL
+        ),
+        pr_r{_i} AS (
+            SELECT nd.node,
+                   round({_pr_cm!r} / CAST(n.cnt AS DOUBLE)
+                         + {PAGERANK_D!r}
+                         * (CAST(COALESCE(c.s, CAST(0 AS DECIMAL(28,10)))
+                                 AS DOUBLE)
+                            + CAST(g.dang AS DOUBLE)
+                              / CAST(n.cnt AS DOUBLE)), 10) AS rank
+            FROM pr_nodes nd
+            LEFT JOIN pr_c{_i} c ON c.node = nd.node
+            CROSS JOIN pr_g{_i} g CROSS JOIN pr_n n
+        )""")
+    pagerank_oracle = (
+        "WITH " + ",".join(_pr_ctes)
+        + f"""
+        SELECT node AS user_id, round(rank, 6) AS rank
+        FROM pr_r{PAGERANK_ITERS}
+        """
+    )
+
     # shared CTE chain: exact-Jaccard pairs (== the LSH output on this
     # corpus) → symmetric edges → recursive min-label reachability →
     # component = min reachable doc_id (used by dedup_keepers and
@@ -5019,6 +5104,7 @@ def oracle_sql() -> dict[str, str]:
         # winnowing twin: same md5-prefix gram hashes (the portable
         # split_bucket hash), inclusive-slice window minima, distinct
         "bm25_topk_proximity": proximity_oracle,
+        "event_pagerank": pagerank_oracle,
         "winnow_fingerprints": f"""
             WITH toks AS (
                 SELECT doc_id, {_TOKS} AS tok FROM documents
