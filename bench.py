@@ -369,6 +369,11 @@ def main() -> None:
         "date_histogram", "significant_terms", "doc_term_vector",
         "embedding_topk_filtered", "regexp_search", "latest_hits",
         "conversation_context", "bm25_param_sweep", "span_near_search",
+        # round-5 additions
+        "pq_topk_trained", "pq_topk_trained_rerank", "ivfpq_topk_trained",
+        "bm25f_topk_indexed", "nb_classify", "budget_sample",
+        "budget_sample_approx", "winnow_fingerprints",
+        "bm25_topk_proximity", "event_pagerank",
     ]
     qs = entrymod.queries()
     # the disk-ANN queries lazily build their persistent index on first
@@ -378,7 +383,8 @@ def main() -> None:
     # is reported separately (index_build / ann_index_build_sec below)
     ann_build_sec = {}
     for name in ("srp_ann_topk_disk", "ivf_ann_topk_disk",
-                 "ivf_ann_mutated_index", "ivfpq_topk_disk"):
+                 "ivf_ann_mutated_index", "ivfpq_topk_disk",
+                 "bm25f_topk_indexed"):  # field-index build warms here too
         if name in suite:
             t0 = time.monotonic()
             try:
