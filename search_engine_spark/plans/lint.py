@@ -54,6 +54,11 @@ BNLJ_ALLOWED = {
     "suggest_spelling",  # terms x broadcast query words (query.py)
     "collocations",  # x 1-row (T, B) totals frame (collocations.py)
     "significant_terms",  # x 1-row fg_n frame (serving.py)
+    # --- round 5 ---
+    "bm25f_topk_indexed",  # x 1-row body-field N frame (bm25f.py)
+    "bm25f_topk",  # same 1-row N splice (corpus-scan pin)
+    "budget_sample_approx",  # x 1-row percentile-cutoff array frame
+    "nb_classify",  # x |labels|-row prior frame (label-bounded model)
 }
 
 # Measured at sf0.001 (scripts/plan_audit.py, 2026-08-19): 84 of the
