@@ -242,6 +242,7 @@ WINNOW_WINDOW = 4       # winnowing window (guarantee t = w + k - 1)
 PROXIMITY_BETA = 1.0    # proximity boost strength
 PAGERANK_D = 0.85       # PageRank damping
 PAGERANK_ITERS = 5      # fixed synchronous rounds (determinism)
+MIXTURE_PROPS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}  # mixture targets
 
 _INDEX_CACHE: dict[str, object] = {}
 
@@ -1333,6 +1334,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=10, beta=PROXIMITY_BETA,
         )
 
+    def q_mixture_sample(spark, sf):
+        # domain-mixture sampling (r5): deterministic per-source hash
+        # thinning to a target ratio contract — max total subject to
+        # never oversampling; one |sources|-row count agg + a pure
+        # hash filter, no shuffle of the doc frame
+        from search_engine_spark.operators.sampling import mixture_sample
+
+        return mixture_sample(_documents(spark, sf), MIXTURE_PROPS)
+
     def q_event_pagerank(spark, sf):
         # PageRank over the day-partitioned event handoff graph (r5):
         # the canonical iterative DataFrame algorithm, localCheckpoint
@@ -1927,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "bm25_topk_proximity": q_bm25_topk_proximity,
         "event_pagerank": q_event_pagerank,
+        "mixture_sample": q_mixture_sample,
         "semdedup_pairs": q_semdedup_pairs,
         "semdedup_keepers": q_semdedup_keepers,
         "lm_bigram_model": q_lm_bigram_model,
@@ -5105,6 +5116,37 @@ def oracle_sql() -> dict[str, str]:
         # split_bucket hash), inclusive-slice window minima, distinct
         "bm25_topk_proximity": proximity_oracle,
         "event_pagerank": pagerank_oracle,
+        # mixture twin: identical arithmetic ORDER — t = min(n/p),
+        # rate = (p·t)/n, keep iff CAST(bucket AS DOUBLE) < rate·1e6;
+        # p literals normalized in Python, ::DOUBLE (bare numerics are
+        # DECIMAL in DuckDB)
+        "mixture_sample": (lambda p: f"""
+            WITH cnt AS (
+                SELECT source, count(*) AS n FROM documents
+                WHERE source IN ({", ".join(f"'{s}'" for s in sorted(p))})
+                GROUP BY source
+            ),
+            t AS (
+                SELECT min(n / CASE source
+                    {" ".join(f"WHEN '{s}' THEN CAST({v!r} AS DOUBLE)"
+                              for s, v in sorted(p.items()))}
+                    END) AS t
+                FROM cnt
+            ),
+            rated AS (
+                SELECT c.source,
+                       (CASE c.source
+                        {" ".join(f"WHEN '{s}' THEN CAST({v!r} AS DOUBLE)"
+                                  for s, v in sorted(p.items()))}
+                        END * t.t) / c.n AS rate
+                FROM cnt c CROSS JOIN t
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN rated r ON r.source = d.source
+            WHERE CAST({split_bucket_sql_duckdb("d.doc_id", "mix0")}
+                       AS DOUBLE) < r.rate * 1000000.0
+        """)({s: v / sum(MIXTURE_PROPS.values())
+              for s, v in MIXTURE_PROPS.items()}),
         "winnow_fingerprints": f"""
             WITH toks AS (
                 SELECT doc_id, {_TOKS} AS tok FROM documents

@@ -373,7 +373,7 @@ def main() -> None:
         "pq_topk_trained", "pq_topk_trained_rerank", "ivfpq_topk_trained",
         "bm25f_topk_indexed", "nb_classify", "budget_sample",
         "budget_sample_approx", "winnow_fingerprints",
-        "bm25_topk_proximity", "event_pagerank",
+        "bm25_topk_proximity", "event_pagerank", "mixture_sample",
     ]
     qs = entrymod.queries()
     # the disk-ANN queries lazily build their persistent index on first

@@ -244,11 +244,21 @@ def main() -> None:
         mean = sum(post) / len(post)
         report["bucket_skew"] = round(max(post) / mean, 3) if mean else None
 
-    # on-disk bytes per table (file metadata only)
-    for table in ("docs", "postings", "doclen", "segments", "terms"):
+    # on-disk bytes per table (file metadata only) — including the
+    # DERIVED acceleration tables (positional, per-field BM25F), whose
+    # presence tells the operator which engines are servable right now
+    for table in ("docs", "postings", "doclen", "segments", "terms",
+                  "positional", "fields", "fieldlen"):
         d = os.path.join(args.index, table)
         if os.path.isdir(d):
             report[f"{table}_bytes"] = _du(d)
+    report["bm25f_servable"] = bool(
+        os.path.isdir(os.path.join(args.index, "fields"))
+        and os.path.isdir(os.path.join(args.index, "fieldlen"))
+    )
+    report["positional_servable"] = os.path.isdir(
+        os.path.join(args.index, "positional")
+    )
     if report.get("segments_bytes") and report.get("postings_bytes"):
         report["segment_to_postings_ratio"] = round(
             report["segments_bytes"] / report["postings_bytes"], 4

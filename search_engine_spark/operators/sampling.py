@@ -708,3 +708,59 @@ def budget_sample(
         bucketed.filter(F.col("_bucket") >= int(min_bucket))
         .select("doc_id", "quality_score", "n_tokens")
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    proportions: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix0",
+) -> DataFrame:
+    """Domain-mixture sampling: thin each source deterministically so
+    the kept corpus matches the target ``proportions`` (the Dolma /
+    DataComp "mixing weights" step — a training mix is a RATIO
+    contract, not a per-source quota). The total is maximized subject
+    to never oversampling: T = min_s floor-free n_s / p_s, keep-rate
+    r_s = p_s·T/n_s ≤ 1, membership = portable md5 hash bucket <
+    r_s·BUCKETS — reproducible across runs/engines/cluster sizes, and
+    growing one source never flips another source's kept rows.
+
+    Sources absent from ``proportions`` are dropped (rate 0).
+    Proportions must be positive; they are normalized to sum 1.
+
+    Plan: one count-by-source aggregate (|sources| rows, collected),
+    then a pure hash filter — no shuffle of the doc frame. Returns
+    (doc_id, source). Exact ratios are approached in expectation; the
+    hash keeps per-doc membership stable (quality_resample's
+    contract)."""
+    tot = float(sum(proportions.values()))
+    if tot <= 0 or any(v <= 0 for v in proportions.values()):
+        raise ValueError("proportions must be positive")
+    p = {s: v / tot for s, v in proportions.items()}
+    counts = {
+        r["source"]: int(r["n"])
+        for r in docs.filter(F.col(source_col).isin(list(p)))
+        .groupBy(F.col(source_col).alias("source"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    missing = [s for s in p if s not in counts]
+    if missing:
+        raise ValueError(f"no rows for sources {missing}")
+    t_max = min(counts[s] / p[s] for s in p)
+    rates = {s: p[s] * t_max / counts[s] for s in p}
+    rate_arms = None
+    for s, r in sorted(rates.items()):
+        cond = F.col(source_col) == s
+        lit = F.lit(float(r))
+        rate_arms = (F.when(cond, lit) if rate_arms is None
+                     else rate_arms.when(cond, lit))
+    b = split_bucket_col(id_col, seed)
+    return (
+        docs.filter(F.col(source_col).isin(list(p)))
+        .withColumn("_rate", rate_arms)
+        .filter(b.cast("double") < F.col("_rate") * float(SPLIT_BUCKETS))
+        .select(F.col(id_col).alias("doc_id"),
+                F.col(source_col).alias("source"))
+    )

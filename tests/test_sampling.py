@@ -446,3 +446,39 @@ def test_budget_sample_exact_and_approx(spark):
     assert budget_sample(docs, 0, method="exact").count() == 0
     assert budget_sample(docs, 1, method="approx").count() == 0
     assert budget_sample(docs, 10**9, method="approx").count() == 24
+
+
+def test_mixture_sample_hits_target_ratios(spark):
+    """Mixture thinning: kept counts track the target proportions (the
+    binding source — smallest n/p — keeps ~everything), membership is
+    hash-stable, absent/invalid sources fail loud."""
+    import pytest
+
+    from search_engine_spark.operators.sampling import mixture_sample
+
+    rows = []
+    did = 0
+    for src, n in (("a", 600), ("b", 600), ("c", 120)):
+        for _ in range(n):
+            rows.append((did, f"text {did}", src))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    props = {"a": 0.5, "b": 0.3, "c": 0.2}
+    kept = mixture_sample(docs, props).collect()
+    by_src = {}
+    for r in kept:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    # binding source: c (120/0.2 = 600 < 600/0.3 = 2000, 600/0.5 = 1200)
+    # -> T = 600, expected a=300 b=180 c=120
+    assert by_src["c"] == 120                      # rate 1.0: keep all
+    assert abs(by_src["a"] - 300) < 60             # hash-expectation band
+    assert abs(by_src["b"] - 180) < 50
+    # determinism: same call, same membership
+    again = {(r["doc_id"]) for r in mixture_sample(docs, props).collect()}
+    assert again == {r["doc_id"] for r in kept}
+    # unknown source / bad proportions fail loud
+    with pytest.raises(ValueError, match="no rows"):
+        mixture_sample(docs, {"a": 0.5, "zzz": 0.5})
+    with pytest.raises(ValueError, match="positive"):
+        mixture_sample(docs, {"a": -1.0})
