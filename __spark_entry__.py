@@ -1343,6 +1343,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return mixture_sample(_documents(spark, sf), MIXTURE_PROPS)
 
+    def q_term_drift(spark, sf):
+        # corpus drift monitor (r5): smoothed unigram KL(A||B)
+        # contributions between the even/odd doc halves — which terms
+        # drive the divergence; two combinable count aggs + one
+        # vocab-bounded full outer join
+        from search_engine_spark.functions.analysis import term_drift
+
+        docs = _documents(spark, sf)
+        return term_drift(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+            top_n=50,
+        )
+
     def q_event_pagerank(spark, sf):
         # PageRank over the day-partitioned event handoff graph (r5):
         # the canonical iterative DataFrame algorithm, localCheckpoint
@@ -1938,6 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_proximity": q_bm25_topk_proximity,
         "event_pagerank": q_event_pagerank,
         "mixture_sample": q_mixture_sample,
+        "term_drift": q_term_drift,
         "semdedup_pairs": q_semdedup_pairs,
         "semdedup_keepers": q_semdedup_keepers,
         "lm_bigram_model": q_lm_bigram_model,
@@ -5116,6 +5131,47 @@ def oracle_sql() -> dict[str, str]:
         # split_bucket hash), inclusive-slice window minima, distinct
         "bm25_topk_proximity": proximity_oracle,
         "event_pagerank": pagerank_oracle,
+        # term-drift twin: identical smoothing arithmetic order —
+        # pa = (cf+α)/(Ta + α·V), one division then ln
+        "term_drift": f"""
+            WITH la AS (
+                SELECT {_CASE} AS lemma
+                FROM (SELECT doc_id, unnest({_TOKS}) AS token
+                      FROM documents WHERE doc_id % 2 = 0)
+                WHERE token <> '' AND ({_CASE}) NOT IN {_STOPS}
+            ),
+            lb AS (
+                SELECT {_CASE} AS lemma
+                FROM (SELECT doc_id, unnest({_TOKS}) AS token
+                      FROM documents WHERE doc_id % 2 = 1)
+                WHERE token <> '' AND ({_CASE}) NOT IN {_STOPS}
+            ),
+            ca AS (SELECT lemma, count(*) AS cf_a FROM la GROUP BY lemma),
+            cb AS (SELECT lemma, count(*) AS cf_b FROM lb GROUP BY lemma),
+            j AS (
+                SELECT COALESCE(ca.lemma, cb.lemma) AS lemma,
+                       COALESCE(cf_a, 0) AS cf_a,
+                       COALESCE(cf_b, 0) AS cf_b
+                FROM ca FULL OUTER JOIN cb ON ca.lemma = cb.lemma
+            ),
+            tot AS (
+                SELECT CAST(sum(cf_a) AS DOUBLE) AS ta,
+                       CAST(sum(cf_b) AS DOUBLE) AS tb,
+                       CAST(count(*) AS DOUBLE) AS v
+                FROM j
+            )
+            SELECT lemma, cf_a, cf_b,
+                   round(ln(((CAST(cf_a AS DOUBLE) + 0.5) / (ta + 0.5 * v))
+                            / ((CAST(cf_b AS DOUBLE) + 0.5)
+                               / (tb + 0.5 * v))), 6) AS log_ratio,
+                   round(((CAST(cf_a AS DOUBLE) + 0.5) / (ta + 0.5 * v))
+                         * ln(((CAST(cf_a AS DOUBLE) + 0.5)
+                               / (ta + 0.5 * v))
+                              / ((CAST(cf_b AS DOUBLE) + 0.5)
+                                 / (tb + 0.5 * v))), 6) AS kl_term
+            FROM j CROSS JOIN tot
+            ORDER BY kl_term DESC, lemma ASC LIMIT 50
+        """,
         # mixture twin: identical arithmetic ORDER — t = min(n/p),
         # rate = (p·t)/n, keep iff CAST(bucket AS DOUBLE) < rate·1e6;
         # p literals normalized in Python, ::DOUBLE (bare numerics are

@@ -234,3 +234,63 @@ def rolling_fingerprints_col(text_col: str, window: int = 8) -> Column:
         f"transform(sequence(0, greatest(size({toks}) - {window}, -1)), "
         f"i -> xxhash64(array_join(slice({toks}, i + 1, {window}), ' ')))"
     )
+
+
+def term_drift(
+    docs_a: "DataFrame", docs_b: "DataFrame",
+    alpha: float = 0.5, top_n: int = 50,
+    text_col: str = "text",
+) -> "DataFrame":
+    """Per-term distribution drift between two corpora — the training-
+    pipeline drift monitor (did this month's crawl change the token
+    distribution? is split A representative of split B?): smoothed
+    unigram probabilities over the UNION vocabulary,
+
+        p_x(t) = (cf_x(t) + α) / (T_x + α·V)
+
+    with per-term ``log_ratio`` = ln(p_a/p_b) and ``kl_term`` =
+    p_a·ln(p_a/p_b) — the term's contribution to KL(A‖B), so the
+    output ranks WHICH terms drive the divergence, not just how much.
+
+    Plan: one tokenize+count aggregate per side (map-side combinable),
+    a full outer join on the lemma (vocab-bounded), two 1-row total
+    frames crossJoined back. Returns top_n rows
+    (lemma, cf_a, cf_b, log_ratio, kl_term) by (kl_term desc, lemma
+    asc), values rounded to 6 decimals."""
+    from search_engine_spark.functions.text import lemmas_sql
+
+    def counts(d, name):
+        return (
+            d.selectExpr(f"explode({lemmas_sql(text_col)}) AS lemma")
+            .groupBy("lemma")
+            .agg(F.count("*").cast("long").alias(name))
+        )
+
+    ca = counts(docs_a, "cf_a")
+    cb = counts(docs_b, "cf_b")
+    joined = ca.join(cb, "lemma", "full_outer").select(
+        "lemma",
+        F.coalesce("cf_a", F.lit(0)).cast("long").alias("cf_a"),
+        F.coalesce("cf_b", F.lit(0)).cast("long").alias("cf_b"),
+    )
+    tot = joined.agg(
+        F.sum("cf_a").cast("double").alias("_ta"),
+        F.sum("cf_b").cast("double").alias("_tb"),
+        F.count("*").cast("double").alias("_v"),
+    )
+    a = float(alpha)
+    pa = ((F.col("cf_a").cast("double") + F.lit(a))
+          / (F.col("_ta") + F.lit(a) * F.col("_v")))
+    pb = ((F.col("cf_b").cast("double") + F.lit(a))
+          / (F.col("_tb") + F.lit(a) * F.col("_v")))
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .withColumn("_lr", F.log(pa / pb))
+        .select(
+            "lemma", "cf_a", "cf_b",
+            F.round("_lr", 6).alias("log_ratio"),
+            F.round(pa * F.col("_lr"), 6).alias("kl_term"),
+        )
+        .orderBy(F.col("kl_term").desc(), F.col("lemma").asc())
+        .limit(int(top_n))
+    )

@@ -55,3 +55,27 @@ def test_quality_and_langid(spark):
     assert ru["lang"] == "ru-script"
     assert junk["punct_ratio"] > 0.5
     assert 0.0 <= good["q"] <= 1.0
+
+
+def test_term_drift_ranks_drifted_terms(spark):
+    """The drifted term (frequent in A, absent in B) tops the KL(A||B)
+    contribution list with a positive log-ratio; a term with identical
+    counts sits at ~zero; B-only terms get negative log_ratio."""
+    from search_engine_spark.functions.analysis import term_drift
+
+    a = spark.createDataFrame(
+        [(0, "zulu zulu zulu alpha beta"),
+         (1, "zulu alpha beta")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(2, "alpha beta omega"), (3, "alpha beta omega")],
+        "doc_id long, text string",
+    )
+    rows = {r["lemma"]: r for r in term_drift(a, b, top_n=10).collect()}
+    assert rows["zulu"]["cf_a"] == 4 and rows["zulu"]["cf_b"] == 0
+    assert rows["zulu"]["log_ratio"] > 0
+    top = term_drift(a, b, top_n=1).collect()[0]
+    assert top["lemma"] == "zulu"
+    assert rows["omega"]["log_ratio"] < 0
+    assert abs(rows["alpha"]["kl_term"]) < 0.1
