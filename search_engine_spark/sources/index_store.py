@@ -1143,9 +1143,13 @@ def write_field_index(
     Returns the stats dict."""
     import json as _json
 
-    from search_engine_spark.operators.bm25f import build_field_postings
+    from search_engine_spark.operators.bm25f import (
+        build_field_postings,
+        default_fields,
+    )
 
-    tf, flen = build_field_postings(docs, text_col=text_col, fields=fields)
+    specs = tuple(fields) if fields else default_fields(text_col=text_col)
+    tf, flen = build_field_postings(docs, text_col=text_col, fields=specs)
     _swap_write_bucketed(tf, os.path.join(index_dir, FIELDS_DIR),
                          bucket_width)
     _swap_write_bucketed(flen, os.path.join(index_dir, FIELDLEN_DIR),
@@ -1159,11 +1163,109 @@ def write_field_index(
     )
     stats = {r["field"]: {"total_len": int(r["total_len"]),
                           "n_docs": int(r["n_docs"])} for r in stats_rows}
+    # the spec list rides along so bucket-bounded refreshes replay the
+    # exact field configuration the index was built with
+    stats["_specs"] = [[f.name, f.expr, float(f.weight)] for f in specs]
     sp = os.path.join(index_dir, FIELDS_DIR, FIELD_STATS)
     with open(sp + ".tmp", "w") as fh:
         _json.dump(stats, fh)
     os.replace(sp + ".tmp", sp)
     return stats
+
+
+def _load_field_stats(index_dir: str, raw: bool = False) -> dict:
+    """Field statistics from write_field_index's JSON; ``raw=True``
+    keeps the ``_specs`` meta entry (consumers of per-field numbers
+    must not see it)."""
+    import json as _json
+
+    with open(os.path.join(index_dir, FIELDS_DIR, FIELD_STATS)) as fh:
+        stats = _json.load(fh)
+    if raw:
+        return stats
+    return {k: v for k, v in stats.items() if not k.startswith("_")}
+
+
+def refresh_field_bucket(
+    spark: SparkSession, index_dir: str, bucket: int,
+    bucket_width: int = DOC_BUCKET_WIDTH,
+) -> bool:
+    """Bucket-bounded maintenance of the per-field BM25F tables after
+    a single-doc mutation: recompute the field rows for the AFFECTED
+    doc-range bucket only (a partition-pruned read of the updated docs
+    bucket), swap just that bucket's dirs in ``fields``/``fieldlen``,
+    and delta-update the exact integer stats — O(1 bucket) of IO, the
+    same mutation bound every other v4 table already honors (so
+    reindex_turn no longer has to invalidate the whole field index).
+    The field configuration is replayed from the ``_specs`` the build
+    recorded. Returns False (caller should invalidate instead) when no
+    field index exists or it predates the spec record."""
+    from search_engine_spark.operators.bm25f import (
+        FieldSpec,
+        build_field_postings,
+    )
+
+    fdir = os.path.join(index_dir, FIELDS_DIR)
+    ldir = os.path.join(index_dir, FIELDLEN_DIR)
+    if not (os.path.isdir(fdir) and os.path.isdir(ldir)):
+        return False
+    stats = _load_field_stats(index_dir, raw=True)
+    if "_specs" not in stats:
+        return False
+    specs = tuple(FieldSpec(n, e, w) for n, e, w in stats["_specs"])
+
+    docs_path = os.path.join(index_dir, "docs")
+    if _is_bucketed(docs_path):
+        bdocs = spark.read.parquet(
+            os.path.join(docs_path, f"bucket={bucket}")
+        )
+    else:
+        lo, hi = bucket * bucket_width, (bucket + 1) * bucket_width
+        bdocs = _read_table(spark, docs_path).filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+
+    old_bdir = os.path.join(ldir, f"bucket={bucket}")
+    old = {}
+    if os.path.isdir(old_bdir):
+        for r in (
+            spark.read.parquet(old_bdir).groupBy("field")
+            .agg(F.sum("len").alias("t"), F.count("*").alias("n"))
+            .collect()
+        ):
+            old[r["field"]] = (int(r["t"]), int(r["n"]))
+
+    tf, flen = build_field_postings(bdocs, fields=specs)
+    tf_b = tf.withColumn("bucket", _bucket_col(bucket_width))
+    flen_b = flen.withColumn("bucket", _bucket_col(bucket_width))
+    flen_b = flen_b.localCheckpoint(eager=True)  # read before any swap
+    new = {}
+    for r in (
+        flen_b.groupBy("field")
+        .agg(F.sum("len").alias("t"), F.count("*").alias("n"))
+        .collect()
+    ):
+        new[r["field"]] = (int(r["t"]), int(r["n"]))
+    _swap_buckets(spark, fdir, tf_b, [bucket],
+                  schema_src=spark.read.parquet(fdir))
+    _swap_buckets(spark, ldir, flen_b, [bucket],
+                  schema_src=spark.read.parquet(ldir))
+
+    import json as _json
+
+    for fname in set(old) | set(new):
+        ot, on = old.get(fname, (0, 0))
+        nt, nn = new.get(fname, (0, 0))
+        cur = stats.get(fname, {"total_len": 0, "n_docs": 0})
+        stats[fname] = {
+            "total_len": int(cur["total_len"]) - ot + nt,
+            "n_docs": int(cur["n_docs"]) - on + nn,
+        }
+    sp = os.path.join(index_dir, FIELDS_DIR, FIELD_STATS)
+    with open(sp + ".tmp", "w") as fh:
+        _json.dump(stats, fh)
+    os.replace(sp + ".tmp", sp)
+    return True
 
 
 class _FieldIndexHandle:
@@ -1188,11 +1290,7 @@ class _FieldIndexHandle:
 
     @property
     def field_stats(self) -> dict:
-        import json as _json
-
-        with open(os.path.join(self.index_dir, FIELDS_DIR,
-                               FIELD_STATS)) as fh:
-            return _json.load(fh)
+        return _load_field_stats(self.index_dir)
 
 
 def open_field_index(spark: SparkSession, index_dir: str) -> _FieldIndexHandle:
@@ -1505,8 +1603,11 @@ def reindex_turn(
             index_dir, note=f"pre reindex_turn ({conv_id}, {turn_idx})"
         )
     # the derived positional table would go stale — drop it (snapshot
-    # above still serves it as_of the pre-mutation version)
-    invalidate_derived(index_dir)
+    # above still serves it as_of the pre-mutation version); the FIELD
+    # tables are instead maintained bucket-bounded at the end of this
+    # mutation (refresh_field_bucket) — invalidation is the fallback
+    invalidate_positional(index_dir)
+    had_fields = os.path.isdir(os.path.join(index_dir, FIELDS_DIR))
 
     disk = DiskIndex(spark, index_dir)
     docs = disk.docs
@@ -1700,6 +1801,17 @@ def reindex_turn(
         {"bucket": bucket, "blocks": int(n_blocks), "reindexed": [conv_id, turn_idx],
          "bucket_width": bucket_width},
     )
+    if had_fields:
+        # bucket-bounded field-index maintenance from the UPDATED docs
+        # bucket; any failure (or a pre-spec-record index) falls back
+        # to invalidation — stale is never served
+        try:
+            if not refresh_field_bucket(spark, index_dir, bucket,
+                                        bucket_width):
+                invalidate_fields(index_dir)
+        except Exception:
+            invalidate_fields(index_dir)
+            raise
     return {"doc_id": d, "bucket": bucket, "blocks": int(n_blocks)}
 
 
@@ -1985,12 +2097,8 @@ class DiskIndex:
     @property
     def field_stats(self) -> dict:
         """Exact integer field statistics written by write_field_index
-        ({field: {total_len, n_docs}})."""
-        import json as _json
-
-        with open(os.path.join(self.index_dir, FIELDS_DIR,
-                               FIELD_STATS)) as fh:
-            return _json.load(fh)
+        ({field: {total_len, n_docs}}; meta keys stripped)."""
+        return _load_field_stats(self.index_dir)
 
     @property
     def _base_docs(self) -> DataFrame:

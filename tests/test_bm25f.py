@@ -186,3 +186,57 @@ def test_config_driven_fields_generalize(spark):
                       candidate_field="b").collect()
     assert [r["doc_id"] for r in rows[:2]] == [0, 1]
     assert rows[0]["score"] > rows[1]["score"]
+
+
+def test_reindex_maintains_field_index_bucket_bounded(spark, tmp_path):
+    """reindex_turn keeps the per-field tables SERVABLE via a
+    bucket-bounded refresh (no whole-index invalidation): after the
+    mutation, fields/fieldlen/stats equal a from-scratch
+    write_field_index over the mutated corpus, and the indexed engine
+    still matches the corpus-scan pin."""
+    from search_engine_spark.corpus import synthesize_transcripts
+    from search_engine_spark.operators.bm25f import (
+        bm25f_topk,
+        bm25f_topk_indexed,
+    )
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.sources.index_store import (
+        DiskIndex,
+        reindex_turn,
+        write_field_index,
+        write_index,
+    )
+
+    out = str(tmp_path / "frix")
+    ix = build_index(synthesize_transcripts(spark, 40), use_arrow_udf=False)
+    write_index(ix, out, input_desc="synthetic:40", bucket_width=256)
+    disk = DiskIndex(spark, out)
+    write_field_index(disk.docs, out, bucket_width=256)
+
+    row = disk.docs.select("conv_id", "turn_idx").head()
+    reindex_turn(spark, out, row["conv_id"], int(row["turn_idx"]),
+                 "replacement database join text entirely new",
+                 bucket_width=256, snapshot=False)
+
+    disk2 = DiskIndex(spark, out)
+    assert disk2.fields is not None, "field index was invalidated"
+
+    fresh = str(tmp_path / "fresh")
+    import os
+    os.makedirs(fresh)
+    stats_fresh = write_field_index(disk2.docs, fresh, bucket_width=256)
+    fresh_tf = {(r["doc_id"], r["field"], r["lemma"]): r["tf"]
+                for r in spark.read.parquet(f"{fresh}/fields").drop(
+                    "bucket").collect()}
+    got_tf = {(r["doc_id"], r["field"], r["lemma"]): r["tf"]
+              for r in disk2.fields.collect()}
+    assert got_tf == fresh_tf
+    assert disk2.field_stats == {k: v for k, v in stats_fresh.items()
+                                 if not k.startswith("_")}
+
+    q = "w00001s w00002ies"
+    pin = [(r["doc_id"], r["score"])
+           for r in bm25f_topk(disk2.docs, q, k=10).collect()]
+    got = [(r["doc_id"], r["score"])
+           for r in bm25f_topk_indexed(disk2, q, k=10).collect()]
+    assert got == pin and got
