@@ -61,6 +61,9 @@ def main() -> None:
     p.add_argument("--facets", default=None, metavar="COL[,COL...]",
                    help="also print per-column facet counts over the "
                         "AND-matching docs (one JSON line per facet value)")
+    p.add_argument("--field-weights", default=None,
+                   help="bm25f engine: query-time field weights, "
+                        "e.g. 'title=3,body=1' (index stores tf only)")
     p.add_argument("--engine",
                choices=["df", "wand", "sql", "mini", "qld", "bm25f"],
                    default="df",
@@ -460,8 +463,19 @@ def main() -> None:
         # corpus re-tokenize; rank-identical to the corpus-scan pin
         from search_engine_spark.operators.bm25f import bm25f_topk_indexed
 
+        fw = None
+        if args.field_weights:
+            fw = {}
+            for part in args.field_weights.split(","):
+                name, _, val = part.partition("=")
+                try:
+                    fw[name.strip()] = float(val)
+                except ValueError:
+                    _die(f"--field-weights: bad entry {part!r} "
+                         "(want name=float,...)")
         try:
-            res = bm25f_topk_indexed(disk, args.query, k=k)
+            res = bm25f_topk_indexed(disk, args.query, k=k,
+                                     field_weights=fw)
         except FileNotFoundError as exc:
             _die(str(exc))
     else:  # mini language (phrases / -not / groups / free terms)
