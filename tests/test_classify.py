@@ -70,3 +70,48 @@ def test_nb_unseen_lemma_uses_label_default(spark):
     assert len(rows) == 1
     # symmetric evidence -> tie on score, label asc wins
     assert rows[0]["label"] == "a"
+
+
+def test_classify_cli_train_score_eval(tmp_path):
+    """jobs/classify.py end-to-end: train persists a count-based model
+    (merge-friendly), score applies it, eval reports accuracy — 1.0 on
+    a vocabulary-separable corpus."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo)
+    import pandas as pd
+
+    rows = ([{"doc_id": i, "text": "apfel birne kirsche", "lang": "de"}
+             for i in range(5)]
+            + [{"doc_id": 5 + i, "text": "apple pear cherry", "lang": "en"}
+               for i in range(5)])
+    src = str(tmp_path / "docs.parquet")
+    pd.DataFrame(rows).to_parquet(src)
+    model = str(tmp_path / "nb")
+
+    def run(*a):
+        return subprocess.run(
+            [sys.executable, os.path.join(repo, "jobs", "classify.py"),
+             *a, "--local-cpus", "2"],
+            capture_output=True, text=True, cwd=repo, timeout=300, env=env,
+        )
+
+    t = run("train", "--input", src, "--model", model)
+    assert t.returncode == 0, t.stderr[-2000:]
+    assert _json.loads(t.stdout.strip().splitlines()[-1])["labels"] == 2
+
+    s = run("score", "--input", src, "--model", model, "--limit", "20")
+    assert s.returncode == 0, s.stderr[-2000:]
+    hits = [_json.loads(l) for l in s.stdout.strip().splitlines() if l]
+    assert {h["doc_id"]: h["label"] for h in hits} == {
+        i: ("de" if i < 5 else "en") for i in range(10)
+    }
+
+    e = run("eval", "--input", src, "--model", model)
+    assert e.returncode == 0, e.stderr[-2000:]
+    rep = _json.loads(e.stdout.strip().splitlines()[-1])
+    assert rep["accuracy"] == 1.0 and rep["n"] == 10
