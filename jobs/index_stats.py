@@ -191,7 +191,31 @@ def main() -> None:
     p.add_argument("--fsck", action="store_true",
                    help="structural integrity check (footers only); "
                         "exit 1 and report problems if any")
+    p.add_argument("--diff", default=None, metavar="V_OLD[:V_NEW]",
+                   help="doc-level diff between two snapshot versions "
+                        "(omit V_NEW to diff against the live index): "
+                        "added/removed/text-changed counts + sample ids")
     args = p.parse_args()
+
+    if args.diff is not None:
+        from search_engine_spark.session import build_session
+        from search_engine_spark.sources.index_store import snapshot_diff
+
+        old_s, _, new_s = args.diff.partition(":")
+        try:
+            v_old = int(old_s)
+            v_new = int(new_s) if new_s else None
+        except ValueError:
+            print(f"--diff: bad spec {args.diff!r} (want V_OLD[:V_NEW])",
+                  file=sys.stderr)
+            sys.exit(2)
+        spark = build_session("index_stats", cpus=args.local_cpus or 4)
+        try:
+            print(json.dumps(snapshot_diff(spark, args.index, v_old, v_new)),
+                  flush=True)
+        finally:
+            spark.stop()
+        return
 
     if args.fsck:
         if os.path.exists(os.path.join(args.index, "_ann_meta.json")):

@@ -1173,6 +1173,63 @@ def write_field_index(
     return stats
 
 
+def snapshot_diff(
+    spark: SparkSession,
+    index_dir: str,
+    v_old: int,
+    v_new: int | None = None,
+    sample: int = 10,
+) -> dict:
+    """What changed between two index versions — the audit an operator
+    runs before expiring a snapshot or after an incident ("what did
+    yesterday's mutations touch?"): docs ADDED (id only in new),
+    REMOVED (id only in old), and TEXT-CHANGED (same id, different
+    text), computed from the two as_of docs frames (hardlink snapshot
+    trees — reading them costs no extra storage). ``v_new=None``
+    diffs against the LIVE index.
+
+    Plan: two doc scans + one full outer join on doc_id (the per-doc
+    dimension, not postings) — O(docs), never O(postings); counts via
+    one aggregate, plus a ``sample``-bounded id list per category for
+    the report. Returns {added, removed, changed, n_old, n_new,
+    added_ids, removed_ids, changed_ids}."""
+    old_docs = DiskIndex(spark, index_dir, as_of=v_old).docs.select(
+        "doc_id", F.col("text").alias("_t_old")
+    )
+    new_docs = DiskIndex(spark, index_dir, as_of=v_new).docs.select(
+        "doc_id", F.col("text").alias("_t_new")
+    )
+    j = old_docs.join(new_docs, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("_t_old").isNull().alias("_added"),
+        F.col("_t_new").isNull().alias("_removed"),
+        (F.col("_t_old").isNotNull() & F.col("_t_new").isNotNull()
+         & (F.col("_t_old") != F.col("_t_new"))).alias("_changed"),
+    ).localCheckpoint(eager=True)
+    agg = j.agg(
+        F.sum(F.col("_added").cast("long")).alias("a"),
+        F.sum(F.col("_removed").cast("long")).alias("r"),
+        F.sum(F.col("_changed").cast("long")).alias("c"),
+        F.count("*").alias("n"),
+    ).head()
+
+    def ids(col):
+        return [int(x["doc_id"]) for x in
+                j.filter(F.col(col)).orderBy("doc_id").limit(sample).collect()]
+
+    return {
+        "v_old": int(v_old),
+        "v_new": None if v_new is None else int(v_new),
+        "added": int(agg["a"]), "removed": int(agg["r"]),
+        "changed": int(agg["c"]),
+        "n_old": int(agg["n"]) - int(agg["a"]),
+        "n_new": int(agg["n"]) - int(agg["r"]),
+        "added_ids": ids("_added"),
+        "removed_ids": ids("_removed"),
+        "changed_ids": ids("_changed"),
+    }
+
+
 def _load_field_stats(index_dir: str, raw: bool = False) -> dict:
     """Field statistics from write_field_index's JSON; ``raw=True``
     keeps the ``_specs`` meta entry (consumers of per-field numbers

@@ -146,3 +146,37 @@ def test_old_segment_format_guard_and_rebuild(spark, built, tiny_index, tmp_path
         return sorted(map(tuple, pdf.to_records(index=False)))
 
     assert decoded(d) == decoded(src)
+
+
+def test_snapshot_diff_reports_exact_mutation_set(spark, tmp_path):
+    """snapshot_diff between the pre-mutation snapshot and the live
+    index reports EXACTLY the reindexed doc as text-changed (nothing
+    added/removed); diffing a snapshot against itself is empty."""
+    from search_engine_spark.corpus import synthesize_transcripts
+    from search_engine_spark.operators.index_build import build_index
+    from search_engine_spark.sources.index_store import (
+        DiskIndex,
+        create_snapshot,
+        reindex_turn,
+        snapshot_diff,
+        write_index,
+    )
+
+    out = str(tmp_path / "sdiff")
+    ix = build_index(synthesize_transcripts(spark, 30), use_arrow_udf=False)
+    write_index(ix, out, input_desc="synthetic:30", bucket_width=1024)
+    v0 = create_snapshot(out, note="baseline")
+    disk = DiskIndex(spark, out)
+    row = disk.docs.select("conv_id", "turn_idx", "doc_id").head()
+    reindex_turn(spark, out, row["conv_id"], int(row["turn_idx"]),
+                 "totally new replacement text", bucket_width=1024,
+                 snapshot=False)
+
+    d = snapshot_diff(spark, out, v0)
+    assert d["added"] == 0 and d["removed"] == 0
+    assert d["changed"] == 1
+    assert d["changed_ids"] == [int(row["doc_id"])]
+    assert d["n_old"] == d["n_new"]
+
+    same = snapshot_diff(spark, out, v0, v0)
+    assert (same["added"], same["removed"], same["changed"]) == (0, 0, 0)
