@@ -1343,6 +1343,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return mixture_sample(_documents(spark, sf), MIXTURE_PROPS)
 
+    def q_pack_conversations(spark, sf):
+        # transcript-native packing (r5): docs folded into synthetic
+        # 4-turn conversations with alternating roles, packed per
+        # dialogue without splitting turns — the chat-SFT batch
+        # assembly beside sequence_pack's doc packing
+        from search_engine_spark.operators.sampling import (
+            pack_conversations,
+        )
+
+        t = _documents(spark, sf).select(
+            (F.col("doc_id") / 4).cast("long").alias("conv_id"),
+            F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("turn_idx"),
+            F.when(F.pmod("doc_id", F.lit(2)) == 0, "user")
+            .otherwise("assistant").alias("role"),
+            "text",
+        )
+        return pack_conversations(t, budget=PACK_BUDGET)
+
     def q_term_drift(spark, sf):
         # corpus drift monitor (r5): smoothed unigram KL(A||B)
         # contributions between the even/odd doc halves — which terms
@@ -1953,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pagerank": q_event_pagerank,
         "mixture_sample": q_mixture_sample,
         "term_drift": q_term_drift,
+        "pack_conversations": q_pack_conversations,
         "semdedup_pairs": q_semdedup_pairs,
         "semdedup_keepers": q_semdedup_keepers,
         "lm_bigram_model": q_lm_bigram_model,
@@ -5131,6 +5150,38 @@ def oracle_sql() -> dict[str, str]:
         # split_bucket hash), inclusive-slice window minima, distinct
         "bm25_topk_proximity": proximity_oracle,
         "event_pagerank": pagerank_oracle,
+        # conversation-packing twin: same synthetic conv framing, same
+        # per-conv cumulative window (ROWS frame — must match Spark's
+        # running sum), same floor arithmetic
+        "pack_conversations": f"""
+            WITH t AS (
+                SELECT CAST(doc_id // 4 AS BIGINT) AS conv_id,
+                       CAST(doc_id % 4 AS INT) AS turn_idx,
+                       (CASE WHEN doc_id % 2 = 0 THEN 'user'
+                             ELSE 'assistant' END) || ' ' || text AS text
+                FROM documents
+            ),
+            toks AS (
+                SELECT conv_id, turn_idx,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM t
+            ),
+            off AS (
+                SELECT conv_id, turn_idx, n_tokens,
+                       CAST(sum(n_tokens) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - n_tokens AS BIGINT)
+                           AS start_off
+                FROM toks WHERE n_tokens > 0
+            )
+            SELECT conv_id, turn_idx, n_tokens, start_off,
+                   CAST(floor(start_off / {PACK_BUDGET}.0) AS BIGINT)
+                       AS pack_id,
+                   floor((start_off + n_tokens - 1) / {PACK_BUDGET}.0)
+                       <> floor(start_off / {PACK_BUDGET}.0) AS overflows
+            FROM off
+        """,
         # term-drift twin: identical smoothing arithmetic order —
         # pa = (cf+α)/(Ta + α·V), one division then ln
         "term_drift": f"""

@@ -764,3 +764,55 @@ def mixture_sample(
         .select(F.col(id_col).alias("doc_id"),
                 F.col(source_col).alias("source"))
     )
+
+
+def pack_conversations(
+    transcripts: DataFrame, budget: int = 2048
+) -> DataFrame:
+    """Turn-boundary-respecting packing of CONVERSATIONS into training
+    sequences — the transcript-native sibling of :func:`sequence_pack`
+    (chat SFT data is packed per dialogue, with role framing, never
+    splitting a turn mid-utterance): within each conversation the
+    turns concatenate in ``turn_idx`` order as ``"<role> <text>"``,
+    and a turn is assigned to pack ``floor(start_off / budget)`` of
+    ITS OWN conversation. A turn whose tail crosses the boundary stays
+    whole in its pack (``overflows`` flags it — packs may exceed the
+    budget by less than one turn; the split-is-forbidden dual of
+    sequence_pack's ``is_split``).
+
+    Scale: the cumulative-offset window partitions by conv_id — fully
+    parallel, no global sort (conversations are the natural packing
+    shard for dialogue data). Empty turns drop out.
+
+    Returns (conv_id, turn_idx, n_tokens, start_off, pack_id,
+    overflows).
+    """
+    from pyspark.sql import Window
+
+    from search_engine_spark.functions.analysis import token_count_col
+
+    base = (
+        transcripts.select(
+            "conv_id", "turn_idx",
+            F.concat_ws(" ", "role", "text").alias("_framed"),
+        )
+        .withColumn("n_tokens", token_count_col("_framed").cast("long"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        base.withColumn(
+            "start_off",
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"),
+        )
+        .select(
+            "conv_id", "turn_idx", "n_tokens", "start_off",
+            F.floor(F.col("start_off") / budget).cast("long")
+            .alias("pack_id"),
+            (
+                F.floor((F.col("start_off") + F.col("n_tokens") - 1)
+                        / budget)
+                != F.floor(F.col("start_off") / budget)
+            ).alias("overflows"),
+        )
+    )

@@ -482,3 +482,37 @@ def test_mixture_sample_hits_target_ratios(spark):
         mixture_sample(docs, {"a": 0.5, "zzz": 0.5})
     with pytest.raises(ValueError, match="positive"):
         mixture_sample(docs, {"a": -1.0})
+
+
+def test_pack_conversations_turn_boundaries(spark):
+    """Conversation packing: offsets accumulate per conversation in
+    turn order with role framing counted, a turn is never split (its
+    pack is its start's pack; boundary-crossers flag overflows), and
+    conversations pack independently."""
+    from search_engine_spark.operators.sampling import pack_conversations
+
+    t = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "one two three"),        # 4 tokens framed
+            ("c1", 1, "assistant", "four five"),       # 3 tokens framed
+            ("c1", 2, "user", "a b c d e f"),          # 7 tokens framed
+            ("c2", 0, "user", ""),        # framed: the role token counts
+            ("c2", 1, "assistant", "only turn"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    rows = {(r["conv_id"], r["turn_idx"]): r
+            for r in pack_conversations(t, budget=8).collect()}
+    assert rows[("c2", 0)]["n_tokens"] == 1  # "user" alone
+    # c1: n_tokens 4, 3, 7; offsets 0, 4, 7
+    assert rows[("c1", 0)]["start_off"] == 0
+    assert rows[("c1", 1)]["start_off"] == 4
+    assert rows[("c1", 2)]["start_off"] == 7
+    # packs at budget 8: turn2 starts at 7 (pack 0) and runs to 13 ->
+    # stays whole in pack 0, flagged overflowing
+    assert rows[("c1", 2)]["pack_id"] == 0
+    assert rows[("c1", 2)]["overflows"] is True
+    assert rows[("c1", 0)]["overflows"] is False
+    # c2 restarts at offset 0 and accumulates independently
+    assert rows[("c2", 0)]["start_off"] == 0
+    assert rows[("c2", 1)]["start_off"] == 1 and rows[("c2", 1)]["pack_id"] == 0
