@@ -243,6 +243,8 @@ PROXIMITY_BETA = 1.0    # proximity boost strength
 PAGERANK_D = 0.85       # PageRank damping
 PAGERANK_ITERS = 5      # fixed synchronous rounds (determinism)
 MIXTURE_PROPS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}  # mixture targets
+TEXTRANK_TOP = 20        # TextRank keyword count
+TEXTRANK_MIN_COUNT = 2   # co-occurrence edge floor (graph bound)
 
 _INDEX_CACHE: dict[str, object] = {}
 
@@ -1361,6 +1363,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pack_conversations(t, budget=PACK_BUDGET)
 
+    def q_textrank_keywords(spark, sf):
+        # TextRank (Mihalcea & Tarau 2004): PageRank over the adjacent-
+        # lemma co-occurrence graph — graph-centrality keywords beside
+        # RAKE (deg/freq) and collocations (PMI); the pagerank loop
+        # runs over a dictionary-sized edge frame
+        from search_engine_spark.operators.graph import textrank_keywords
+
+        return textrank_keywords(
+            _documents(spark, sf), top_n=TEXTRANK_TOP,
+            iters=PAGERANK_ITERS, damping=PAGERANK_D,
+            min_count=TEXTRANK_MIN_COUNT,
+        )
+
     def q_term_drift(spark, sf):
         # corpus drift monitor (r5): smoothed unigram KL(A||B)
         # contributions between the even/odd doc halves — which terms
@@ -1972,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "term_drift": q_term_drift,
         "pack_conversations": q_pack_conversations,
+        "textrank_keywords": q_textrank_keywords,
         "semdedup_pairs": q_semdedup_pairs,
         "semdedup_keepers": q_semdedup_keepers,
         "lm_bigram_model": q_lm_bigram_model,
@@ -3846,20 +3862,15 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY score DESC, doc_id ASC LIMIT 10
     """
 
-    # PageRank twin: same handoff edges (day-partitioned lag), then
-    # PAGERANK_ITERS unrolled CTE rounds with the identical decimal-
-    # grid contribution sums and 1e-10 rank re-rounding
+    # PageRank twin builder: takes any edges CTE defining
+    # pr_edges(src, dst), then PAGERANK_ITERS unrolled CTE rounds with
+    # the identical decimal-grid contribution sums and 1e-10 rank
+    # re-rounding — shared by the event-handoff and TextRank rows
     _pr_cm = 1.0 - PAGERANK_D  # the Spark side computes (1-d) in Python
-    _pr_ctes = [f"""
-        pr_edges AS (
-            SELECT DISTINCT src, dst FROM (
-                SELECT lag(user_id) OVER (
-                           PARTITION BY CAST(ts AS DATE)
-                           ORDER BY ts, event_id) AS src,
-                       user_id AS dst
-                FROM events
-            ) WHERE src IS NOT NULL AND src <> dst
-        ),
+
+    def _pagerank_sql(edges_cte: str, out_id: str,
+                      tail: str = "") -> str:
+        ctes = [edges_cte + """,
         pr_nodes AS (
             SELECT DISTINCT node FROM (
                 SELECT src AS node FROM pr_edges
@@ -3874,8 +3885,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, round(1.0 / CAST(cnt AS DOUBLE), 10) AS rank
             FROM pr_nodes CROSS JOIN pr_n
         )"""]
-    for _i in range(1, PAGERANK_ITERS + 1):
-        _pr_ctes.append(f"""
+        for _i in range(1, PAGERANK_ITERS + 1):
+            ctes.append(f"""
         pr_c{_i} AS (
             SELECT e.dst AS node,
                    sum(CAST(round(r.rank / CAST(d.deg AS DOUBLE), 10)
@@ -3904,13 +3915,48 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN pr_c{_i} c ON c.node = nd.node
             CROSS JOIN pr_g{_i} g CROSS JOIN pr_n n
         )""")
-    pagerank_oracle = (
-        "WITH " + ",".join(_pr_ctes)
-        + f"""
-        SELECT node AS user_id, round(rank, 6) AS rank
+        return (
+            "WITH " + ",".join(ctes)
+            + f"""
+        SELECT node AS {out_id}, round(rank, 6) AS rank
         FROM pr_r{PAGERANK_ITERS}
+        {tail}
         """
-    )
+        )
+
+    pagerank_oracle = _pagerank_sql("""
+        pr_edges AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT lag(user_id) OVER (
+                           PARTITION BY CAST(ts AS DATE)
+                           ORDER BY ts, event_id) AS src,
+                       user_id AS dst
+                FROM events
+            ) WHERE src IS NOT NULL AND src <> dst
+        )""", "user_id")
+
+    textrank_oracle = _pagerank_sql(f"""
+        tr_streams AS (
+            SELECT list_filter(list_transform({_TOKS}, t -> {_case_t}),
+                               l -> l NOT IN {_STOPS}) AS _ls
+            FROM documents
+        ),
+        tr_bp AS (
+            SELECT unnest([{{'a': _ls[i], 'b': _ls[i + 1]}}
+                           for i in generate_series(1, len(_ls) - 1)]) AS p
+            FROM tr_streams WHERE len(_ls) >= 2
+        ),
+        tr_cnt AS (
+            SELECT p.a AS a, p.b AS b, count(*) AS c FROM tr_bp
+            WHERE p.a <> p.b GROUP BY p.a, p.b
+            HAVING count(*) >= {TEXTRANK_MIN_COUNT}
+        ),
+        pr_edges AS (
+            SELECT a AS src, b AS dst FROM tr_cnt
+            UNION
+            SELECT b AS src, a AS dst FROM tr_cnt
+        )""", "lemma",
+        tail=f"ORDER BY rank DESC, lemma ASC LIMIT {TEXTRANK_TOP}")
 
     # shared CTE chain: exact-Jaccard pairs (== the LSH output on this
     # corpus) → symmetric edges → recursive min-label reachability →
@@ -5150,6 +5196,7 @@ def oracle_sql() -> dict[str, str]:
         # split_bucket hash), inclusive-slice window minima, distinct
         "bm25_topk_proximity": proximity_oracle,
         "event_pagerank": pagerank_oracle,
+        "textrank_keywords": textrank_oracle,
         # conversation-packing twin: same synthetic conv framing, same
         # per-conv cumulative window (ROWS frame — must match Spark's
         # running sum), same floor arithmetic

@@ -374,7 +374,7 @@ def main() -> None:
         "bm25f_topk_indexed", "nb_classify", "budget_sample",
         "budget_sample_approx", "winnow_fingerprints",
         "bm25_topk_proximity", "event_pagerank", "mixture_sample",
-        "term_drift", "pack_conversations",
+        "term_drift", "pack_conversations", "textrank_keywords",
     ]
     qs = entrymod.queries()
     # the disk-ANN queries lazily build their persistent index on first

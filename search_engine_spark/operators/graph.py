@@ -83,9 +83,9 @@ def pagerank(
     deg = e.groupBy("_es").agg(F.count("*").alias("_deg"))
     n = nodes.count()
     if n == 0:
-        return edges.sparkSession.createDataFrame(
-            [], "node long, rank double"
-        )
+        # schema-preserving empty frame (node type follows the edges —
+        # long user ids, string lemmas, ...)
+        return nodes.withColumn("rank", F.lit(0.0))
     d = float(damping)
     rank = nodes.select(
         "node",
@@ -126,3 +126,63 @@ def pagerank(
             )
         ).localCheckpoint(eager=True)  # the CC lesson: checkpoint EVERY round
     return rank.select("node", F.round("rank", 6).alias("rank"))
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    top_n: int = 20,
+    iters: int = 5,
+    damping: float = 0.85,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    PageRank over the corpus-level word co-occurrence graph — lemmas
+    are nodes, ADJACENT lemma pairs (window 2, the collocations
+    stream) are symmetric edges, and a lemma's rank is its structural
+    centrality in the corpus vocabulary; the top-n ranked lemmas are
+    the corpus keywords. The graph-centrality complement to RAKE's
+    degree/frequency scores and PMI's association scores — all three
+    ride the same one-tokenize bigram stream.
+
+    ``min_count`` bounds the graph: only pairs seen at least that
+    often become edges (vocabulary-bounded by construction, so the
+    whole PageRank loop runs over a frame the size of the DICTIONARY,
+    not the corpus — at 100 TB the edge list still fits comfortably).
+
+    Returns (lemma, rank) ordered (rank desc, lemma asc), rank rounded
+    to 6 decimals — :func:`pagerank`'s decimal-grid contract makes the
+    unrolled DuckDB twin hash-exact."""
+    from search_engine_spark.functions.text import lemmas_sql
+
+    pairs = (
+        docs.selectExpr(f"{lemmas_sql(text_col)} AS _ls")
+        # the size guard must come BEFORE sequence(): sequence(1, 0)
+        # steps DOWN to [1, 0] and the out-of-range index is a hard
+        # ANSI error (the shingles_over_tokens_expr lesson)
+        .filter(F.size("_ls") >= 2)
+        .selectExpr(
+            "explode(transform(sequence(1, size(_ls) - 1), "
+            "i -> struct(_ls[i - 1] AS a, _ls[i] AS b))) AS p"
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= int(min_count))
+        .select("a", "b")
+    )
+    # symmetric, distinct: the undirected TextRank graph
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .distinct()
+    )
+    ranked = pagerank(edges, damping=damping, iters=iters)
+    return (
+        ranked.select(F.col("node").alias("lemma"), "rank")
+        .orderBy(F.col("rank").desc(), F.col("lemma").asc())
+        .limit(int(top_n))
+    )

@@ -54,3 +54,24 @@ def test_event_handoff_edges_day_partitioned(spark):
     )
     got = {(r["src"], r["dst"]) for r in event_handoff_edges(ev).collect()}
     assert got == {(10, 11), (11, 10)}
+
+
+def test_textrank_hub_word_tops(spark):
+    """A word adjacent to many distinct words (a hub in the
+    co-occurrence graph) outranks words seen only in one context;
+    short docs (< 2 lemmas) are ignored, not fatal."""
+    from search_engine_spark.operators.graph import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hub alpha hub beta hub gamma hub delta"),
+            (1, "hub alpha hub beta hub gamma"),
+            (2, "alpha beta"),
+            (3, "epsilon"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = textrank_keywords(docs, top_n=10, min_count=2).collect()
+    assert rows and rows[0]["lemma"] == "hub"
+    assert all(rows[0]["rank"] >= r["rank"] for r in rows)
