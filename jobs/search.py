@@ -463,6 +463,12 @@ def main() -> None:
         # corpus re-tokenize; rank-identical to the corpus-scan pin
         from search_engine_spark.operators.bm25f import bm25f_topk_indexed
 
+        if args.nrt:
+            # the field tables describe BASE docs only (same contract
+            # as positional): streamed turns are served after
+            # compaction rebuilds them — don't silently under-serve
+            _die("--nrt serves the df/wand engines; the bm25f field "
+                 "index covers compacted base docs only")
         fw = None
         if args.field_weights:
             fw = {}
