@@ -43,6 +43,14 @@ def main() -> None:
                         "cleanse, train a bigram LM on the surviving docs "
                         "and drop docs whose perplexity exceeds this (also "
                         "drops <2-token docs, which have no perplexity)")
+    p.add_argument("--token-budget", type=int, default=None,
+                   help="cap the train split at this many tokens, "
+                        "keeping the highest-quality docs first "
+                        "(sampling.budget_sample approx path — "
+                        "percentile cutoffs + whole quality buckets, "
+                        "scan-shaped, no global sort)")
+    p.add_argument("--budget-buckets", type=int, default=32,
+                   help="token-budget selection granularity")
     p.add_argument("--no-dedup", action="store_true")
     p.add_argument("--no-decontaminate", action="store_true")
     p.add_argument("--train", type=float, default=0.8)
@@ -160,6 +168,19 @@ def main() -> None:
         ev = split.filter(F.col("split") == "test")
         train = decontaminate(train, ev, n=3).persist()
         counts["train_decontaminated"] = train.count()
+
+    # stage 3b (opt-in): token-budget cap — highest-quality prefix of
+    # the (decontaminated) train split under the budget; approx path
+    # keeps the pipeline scan-shaped at any scale
+    if args.token_budget is not None:
+        from search_engine_spark.operators.sampling import budget_sample
+
+        kept = budget_sample(train, args.token_budget, method="approx",
+                             n_buckets=args.budget_buckets)
+        train = train.join(
+            kept.select("doc_id"), "doc_id", "left_semi"
+        ).persist()
+        counts["budget_sampled"] = train.count()
 
     # stage 4: write outputs. docs/ must agree with pack/: the train
     # partition holds exactly the decontaminated docs the pack map
