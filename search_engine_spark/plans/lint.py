@@ -59,6 +59,7 @@ BNLJ_ALLOWED = {
     "bm25f_topk",  # same 1-row N splice (corpus-scan pin)
     "budget_sample_approx",  # x 1-row percentile-cutoff array frame
     "nb_classify",  # x |labels|-row prior frame (label-bounded model)
+    "term_drift",  # x 1-row (Ta, Tb, V) totals frame (analysis.py)
 }
 
 # Measured at sf0.001 (scripts/plan_audit.py, 2026-08-19): 84 of the
