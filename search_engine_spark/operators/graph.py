@@ -72,15 +72,20 @@ def pagerank(
     6 decimals. ``iters`` is small by design — PageRank at this
     damping is near-converged in a handful of rounds and every round
     is one shuffle."""
+    # checkpoint the edge frame ONCE: every iteration joins it, and an
+    # expensive upstream lineage (TextRank's corpus tokenize+aggregate)
+    # must not re-execute per round
     e = edges.select(
         F.col(src_col).alias("_es"), F.col(dst_col).alias("_ed")
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("_es").alias("node"))
         .unionByName(e.select(F.col("_ed").alias("node")))
         .distinct()
     ).localCheckpoint(eager=True)
-    deg = e.groupBy("_es").agg(F.count("*").alias("_deg"))
+    deg = e.groupBy("_es").agg(
+        F.count("*").alias("_deg")
+    ).localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         # schema-preserving empty frame (node type follows the edges —
